@@ -1,0 +1,87 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Table loaders + schema-tolerance helpers.
+ *
+ * The reference discovers schemas dynamically at load time with three
+ * tolerance mechanisms (SURVEY.md §1.3): presence-checked projection
+ * (app.py:27-35), fuzzy column resolution
+ * (app_indicadores_modelo_atencion.py:676-695), and lenient value parsing
+ * (app_confirmaciones.py:45-56). The first two are plain-Scala schema
+ * resolution over `df.schema.fieldNames` — resolved BEFORE the plan is
+ * built, so Catalyst still sees a static projection it can push down.
+ *
+ * At 100 TB these readers matter: every query path goes through
+ * `table(...)`, which returns a bare parquet scan — no caching, no eager
+ * materialization — so filters/projections composed on top reach the
+ * parquet reader (PushedFilters / ReadSchema) untouched.
+ */
+object Sources {
+
+  /** Canonical test-harness tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Lazy parquet scan for one table under an sf directory.
+    *
+    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader converts
+    * the raw nanos back to a (microsecond) TimestampType column. The
+    * division uses integer `DIV` — a double round-trip would lose
+    * precision above 2^53 ns (~1971). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case None => df
+    }
+  }
+
+  /**
+   * Presence-checked projection (app.py:27-35): select the intersection of
+   * `wanted` with the actual columns; report the missing ones.
+   * Returns (projected df, missing column names).
+   */
+  def selectPresent(df: DataFrame, wanted: Seq[String]): (DataFrame, Seq[String]) = {
+    val have = df.columns.toSet
+    val (present, missing) = wanted.partition(have.contains)
+    (if (present.isEmpty) df else df.select(present.map(df.col): _*), missing)
+  }
+
+  /**
+   * Fuzzy column resolution (app_indicadores_modelo_atencion.py:676-695):
+   * first exact case-insensitive match wins, else first column whose
+   * lowercase name CONTAINS a candidate, in candidate-priority order.
+   */
+  def findColumn(df: DataFrame, candidates: Seq[String]): Option[String] = {
+    val cols = df.columns
+    val lower = cols.map(c => c -> c.toLowerCase)
+    candidates.iterator.map(_.toLowerCase).flatMap { cand =>
+      lower.collectFirst { case (orig, lc) if lc == cand => orig }
+        .orElse(lower.collectFirst { case (orig, lc) if lc.contains(cand) => orig })
+    }.nextOption()
+  }
+
+  /**
+   * Last column containing a substring
+   * (app_indicadores_modelo_atencion.py:1570-1593 "last column containing
+   * `nombre`").
+   */
+  def lastColumnContaining(df: DataFrame, sub: String): Option[String] =
+    df.columns.reverseIterator.find(_.toLowerCase.contains(sub.toLowerCase))
+
+  /** Catalog check before plan construction (SURVEY.md S6):
+   * require the named tables to exist under sfDir. */
+  def requireTables(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {
+    val missing = names.filterNot { n =>
+      new java.io.File(s"$sfDir/$n.parquet").exists()
+    }
+    require(missing.isEmpty, s"missing required tables: ${missing.mkString(", ")}")
+  }
+}

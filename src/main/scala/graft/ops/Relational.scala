@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational building blocks the reference hand-rolls in pandas
+ * (SURVEY.md §2.2-2.7): spine generation + left-join-fill, pivot with
+ * totals, percent-of-total, top-K, Pareto cumulative distribution.
+ *
+ * Scale notes (100 TB): spines are generated with `sequence`+`explode`
+ * on a 1-row frame (no driver-side collect); spine joins broadcast the
+ * spine (it is bounded: hours, days) so the fact side never shuffles;
+ * pct-of-total uses a scalar agg cross-joined back (2-pass, no global
+ * single-partition window); top-K is `orderBy().limit()` which Spark plans
+ * as TakeOrderedAndProject (no global sort materialization).
+ */
+object Relational {
+
+  // ---------------------------------------------------------------- spines
+
+  /** Daily date spine [start, end] (SURVEY.md S12,
+   * indicador-modelo-vs-facturacion.py:643-647). */
+  def dateSpine(spark: SparkSession, start: String, end: String,
+                colName: String = "d"): DataFrame =
+    spark.range(1).select(explode(sequence(
+      to_date(lit(start)), to_date(lit(end)),
+      expr("INTERVAL 1 DAY"))).as(colName))
+
+  /** Hour spine 0..23 (SURVEY.md S12,
+   * app_calculo_necesidad_recepción_call_center.py:436). */
+  def hourSpine(spark: SparkSession, colName: String = "hora"): DataFrame =
+    spark.range(24).select(col("id").cast("int").as(colName))
+
+  /** 5-minute time grid between two times-of-day, as minutes since
+   * midnight (SURVEY.md S11,
+   * app_calculador_recursos_modelo_atencion.py:124-136: 06:30–19:00). */
+  def fiveMinGrid(spark: SparkSession, startMin: Int = 390, endMin: Int = 1140,
+                  colName: String = "min_of_day"): DataFrame =
+    spark.range(1).select(explode(sequence(
+      lit(startMin), lit(endMin), lit(5))).as(colName))
+
+  /**
+   * Left-join facts onto a spine and zero-fill the gaps (SURVEY.md J4/J5).
+   * The FACTS side is broadcast: callers pass facts already aggregated to
+   * spine granularity (bounded: hours, days), and for a left outer join
+   * Spark can only build/broadcast the right side — broadcasting the spine
+   * would be silently ignored (HintErrorLogger). The big fact table never
+   * reaches this join un-aggregated.
+   */
+  def spineJoin(spine: DataFrame, facts: DataFrame, keys: Seq[String],
+                fillZero: Seq[String]): DataFrame =
+    spine.join(broadcast(facts), keys, "left").na.fill(0, fillZero)
+
+  // ----------------------------------------------------------------- pivot
+
+  /**
+   * Crosstab count with an explicit pivot-value list (SURVEY.md A9).
+   * Explicit values keep the plan static (no extra distinct-collect job)
+   * and bound the width — the reference's unbounded user×unit pivots are a
+   * §7.4-6 risk; callers pass a top-N value list instead.
+   */
+  def pivotCount(df: DataFrame, rowKey: String, colKey: String,
+                 values: Seq[String]): DataFrame =
+    df.groupBy(rowKey).pivot(colKey, values).count().na.fill(0)
+
+  /** Row-wise TOTAL column over the pivoted value columns (SURVEY.md A12). */
+  def withRowTotal(df: DataFrame, valueCols: Seq[String],
+                   totalCol: String = "TOTAL"): DataFrame =
+    df.withColumn(totalCol, valueCols.map(c => coalesce(col(c), lit(0L))).reduce(_ + _))
+
+  // ------------------------------------------------------------ pct / topK
+
+  /**
+   * Percent-of-total (SURVEY.md A11): per-group count / grand total * 100.
+   * Two-pass aggregate + broadcast cross join of the 1-row total — avoids
+   * the single-partition `Window.over()` that would serialize all data
+   * through one task at scale.
+   */
+  def pctOfTotal(df: DataFrame, groupCols: Seq[String],
+                 valueExpr: Column, pctCol: String = "pct"): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*).agg(valueExpr.as("_v"))
+    val total = grouped.agg(sum("_v").as("_t"))
+    grouped.join(broadcast(total))
+      .withColumn(pctCol, round(col("_v") / col("_t") * 100, 4))
+      .drop("_t")
+      .withColumnRenamed("_v", "value")
+  }
+
+  /** Top-K by a value with a deterministic tiebreak (SURVEY.md W4) —
+   * plans as TakeOrderedAndProject, not a global sort. */
+  def topK(df: DataFrame, k: Int, by: Column, tiebreak: Column*): DataFrame =
+    df.orderBy((by.desc +: tiebreak.map(_.asc)): _*).limit(k)
+
+  /**
+   * Pareto table (SURVEY.md A16, indicador-modelo-vs-facturacion.py:1006-1092):
+   * frequency desc, cumulative percent, top-N kept and the tail re-bucketed
+   * as OTROS. The running sum's window is over the (small) aggregated
+   * frequency table, not the fact table, so the single-partition window is
+   * bounded by the number of distinct keys.
+   */
+  def pareto(df: DataFrame, key: String, topN: Int = 10,
+             otherLabel: String = "OTROS"): DataFrame = {
+    val freq = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val ranked = freq.withColumn("_rk",
+      row_number().over(Window.orderBy(col("cnt").desc, col(key).asc)))
+    val bucketed = ranked
+      .withColumn("bucket", when(col("_rk") <= topN, col(key)).otherwise(lit(otherLabel)))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"),
+        min(when(col("_rk") <= topN, col("_rk")).otherwise(topN + 1)).as("ord"))
+    val total = bucketed.agg(sum("cnt").as("_t"))
+    bucketed.join(broadcast(total))
+      .withColumn("pct", round(col("cnt") / col("_t") * 100, 4))
+      .withColumn("cum_pct", round(
+        sum(col("cnt")).over(Window.orderBy(col("ord").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) / col("_t") * 100, 4))
+      .select(col("bucket"), col("cnt"), col("pct"), col("cum_pct"))
+      .orderBy(col("cnt").desc, col("bucket").asc)
+  }
+
+  // ---------------------------------------------------------------- rollup
+
+  /** Aggregate with a grand-total row appended (SURVEY.md A12), the
+   * reference's concat-a-TOTAL-row pattern as a native rollup. */
+  def withTotalsRow(df: DataFrame, key: String, aggs: Seq[Column],
+                    totalLabel: String = "TOTAL"): DataFrame =
+    df.rollup(key).agg(aggs.head, aggs.tail: _*)
+      .withColumn(key, coalesce(col(key), lit(totalLabel)))
+
+  // ------------------------------------------------------------- argmax
+
+  /** Global extreme with argmax attribution (SURVEY.md A8):
+   * `max_by(struct(attrs), value)` — single reduction, no sort. */
+  def argmax(df: DataFrame, value: Column, attrs: Column*): DataFrame =
+    df.agg(max(value).as("max_value"),
+      max_by(struct(attrs: _*), value).as("arg"))
+      .select(col("max_value"), col("arg.*"))
+}
