@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.{Billing, Demand}
+import graft.ml.Forecast
+import graft.streaming.StreamingDemand
+
+/**
+ * EP1-EP3 pipeline compositions (SURVEY.md §3) + the ML forecast surface
+ * + the Structured Streaming extension, registered as queries.
+ */
+object PipelineQueries {
+
+  // --------------------------------------------------------------- EP2 demand
+
+  val q44DemandResources: Q = Q("q44_demand_resources",
+    """WITH l1 AS (SELECT CAST(ts AS DATE) AS fecha, dayofweek(ts) + 1 AS dia,
+                          hour(ts) AS hora, count(*) AS n
+                   FROM events GROUP BY 1, 2, 3)
+       SELECT dia, hora, round(avg(n), 4) AS avg_demand,
+              round(avg(n) / CAST(3.0 AS DOUBLE), 4) AS recursos
+       FROM l1 GROUP BY dia, hora ORDER BY dia, hora""") { (s, d) =>
+    Demand.demandResources(table(s, d, "events"))
+  }
+
+  val q45Capacity: Q = Q("q45_capacity",
+    """WITH l1 AS (SELECT CAST(ts AS DATE) AS fecha, hour(ts) AS hora, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+       ph AS (SELECT hora, avg(n) AS a FROM l1 GROUP BY hora),
+       spine AS (SELECT unnest(generate_series(0, 23)) AS hora)
+       SELECT spine.hora, round(coalesce(a, 0.0), 4) AS avg_demand,
+              CAST(2.0 AS DOUBLE) * CAST(14.08 AS DOUBLE) AS capacity,
+              round(greatest(CAST(0.0 AS DOUBLE),
+                    coalesce(a, 0.0) - CAST(2.0 AS DOUBLE) * CAST(14.08 AS DOUBLE)), 4) AS deficit
+       FROM spine LEFT JOIN ph USING (hora) ORDER BY hora""") { (s, d) =>
+    Demand.capacityComparison(s, table(s, d, "events"), staffPerHour = 2.0)
+  }
+
+  val q46QueueModel: Q = Q("q46_queue_model",
+    """WITH b AS (SELECT CAST(ts AS DATE) AS fecha,
+                         (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 300 * 5 AS slot,
+                         count(*) AS n
+                  FROM events GROUP BY 1, 2),
+       pa AS (SELECT slot, avg(n) AS a FROM b GROUP BY slot)
+       SELECT slot, round(a * CAST(2.5 AS DOUBLE), 4) AS atencion_min,
+              round(a * CAST(2.5 AS DOUBLE) / CAST(1.72 AS DOUBLE), 4) AS recursos
+       FROM pa ORDER BY slot""") { (s, d) =>
+    Demand.queueModel(table(s, d, "events"))
+  }
+
+  // -------------------------------------------------------------- EP3 billing
+
+  private val cutoffValues = Billing.defaultCutoffs
+    .map { case (g, c) => s"('$g', DATE '$c')" }.mkString(", ")
+
+  private val billingBase =
+    s"""cut(grupo_c, cutoff) AS (SELECT * FROM (VALUES $cutoffValues)),
+       fs AS (SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS factura
+              FROM lineitem GROUP BY 1),
+       cls AS (SELECT o_orderpriority AS grupo, CAST(o_orderdate AS DATE) AS ingreso,
+                      factura,
+                      CASE WHEN factura IS NULL THEN 'pendiente'
+                           WHEN CAST(o_orderdate AS DATE) >= cutoff AND factura >= cutoff THEN 'modelo'
+                           WHEN CAST(o_orderdate AS DATE) < cutoff AND factura >= cutoff THEN 'fuera'
+                           ELSE 'excluido' END AS clase
+               FROM orders
+               LEFT JOIN fs ON o_orderkey = l_orderkey
+               JOIN cut ON o_orderpriority = grupo_c)"""
+
+  val q47BillingDaily: Q = Q("q47_billing_daily",
+    s"""WITH $billingBase
+       SELECT grupo, ingreso AS fecha, clase, count(*) AS n
+       FROM cls GROUP BY 1, 2, 3 ORDER BY grupo, fecha, clase""") { (s, d) =>
+    Billing.dailyCounts(s, table(s, d, "orders"), table(s, d, "lineitem"))
+  }
+
+  val q48BillingMonthly: Q = Q("q48_billing_monthly",
+    s"""WITH $billingBase,
+       daily AS (SELECT grupo, ingreso AS fecha, clase, count(*) AS n
+                 FROM cls GROUP BY 1, 2, 3)
+       SELECT grupo, CAST(date_trunc('month', fecha) AS DATE) AS periodo, clase,
+              CAST(sum(n) AS BIGINT) AS n
+       FROM daily GROUP BY 1, 2, 3 ORDER BY grupo, periodo, clase""") { (s, d) =>
+    Billing.periodRollup(
+      Billing.dailyCounts(s, table(s, d, "orders"), table(s, d, "lineitem")),
+      "month")
+  }
+
+  val q49BillingSummary: Q = Q("q49_billing_summary",
+    s"""WITH $billingBase
+       SELECT grupo, count(*) AS ingresos,
+              count(*) FILTER (WHERE clase = 'modelo') AS modelo,
+              count(*) FILTER (WHERE clase = 'fuera') AS fuera,
+              count(*) FILTER (WHERE clase = 'pendiente') AS pendiente,
+              round(count(*) FILTER (WHERE clase = 'modelo')
+                    / CAST(count(*) AS DOUBLE) * 100, 4) AS pct_modelo,
+              round(count(*) FILTER (WHERE clase = 'modelo')
+                    / CAST(count(*) AS DOUBLE) * 100, 4) > CAST(90.0 AS DOUBLE) AS cumple_objetivo
+       FROM cls GROUP BY grupo ORDER BY grupo""") { (s, d) =>
+    Billing.executiveSummary(s, table(s, d, "orders"), table(s, d, "lineitem"))
+  }
+
+  // ------------------------------------------------------------- ML forecast
+
+  /** spark.ml LR+GBT best-by-R² 24h×7d grid (SURVEY.md M1-M7) — model
+   * outputs are not SQL-expressible → rows-only check + ScalaTest. */
+  val q50Forecast: Q = Q.noOracle("q50_forecast") { (s, d) =>
+    Forecast.forecastGrid(s, table(s, d, "events"))
+  }
+
+  // -------------------------------------------------------------- streaming
+
+  /** Structured Streaming tumbling-hour counts, driven to completion over
+   * the batch parquet — must equal the batch date_trunc aggregation. */
+  val q51StreamHourly: Q = Q("q51_stream_hourly",
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hora_epoch,
+              event_type, count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY hora_epoch, event_type""") { (s, d) =>
+    StreamingDemand.runToBatch(s, d)
+  }
+
+  val all: Seq[Q] = Seq(
+    q44DemandResources, q45Capacity, q46QueueModel, q47BillingDaily,
+    q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly)
+}

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Sources.table
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/**
+ * Training-data-pipeline operators over `documents` / `embeddings`:
+ * text analysis, dedup family, similarity search, multimodal plumbing.
+ * Oracle SQL mirrors every hash/arithmetic step exactly (md5-derived
+ * hashes, double-cast-then-accumulate dot products) — see Dedup/
+ * Similarity scaladoc for the scale rationale of each algorithm.
+ */
+object TextQueries {
+
+  import Dedup.{P, minhashAB, numBands, rowsPerBand}
+
+  // --------------------------------------------------------- text analysis
+
+  val q31TokenStats: Q = Q("q31_token_stats",
+    """WITH t AS (SELECT lang, n_chars,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+       FROM documents)
+       SELECT lang, count(*) AS n_docs, round(avg(n_tok), 4) AS avg_tokens,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              round(avg(n_chars), 4) AS avg_chars
+       FROM t GROUP BY lang ORDER BY lang""") { (s, d) =>
+    table(s, d, "documents")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), round(avg("n_tok"), 4).as("avg_tokens"),
+        sum("n_tok").as("sum_tokens"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
+  private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val q32QualityScore: Q = Q("q32_quality_score",
+    s"""WITH t AS (
+         SELECT source,
+                least(length(text) / 500.0, 1.0) AS ls,
+                least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                      / CAST(greatest(length(text), 1) AS DOUBLE) * 20.0, 1.0) AS ps,
+                least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                           w -> w IN ($stopList))) AS DOUBLE)
+                      / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+                      * 4.0, 1.0) AS ss
+         FROM documents)
+       SELECT source, round(avg(round(ls * 0.5 + ps * 0.2 + ss * 0.3, 4)), 4) AS avg_quality,
+              count(*) AS n
+       FROM t GROUP BY source ORDER BY source""") { (s, d) =>
+    table(s, d, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy("source")
+      .agg(round(avg("q"), 4).as("avg_quality"), count(lit(1)).as("n"))
+      .orderBy("source")
+  }
+
+  /** Language-ID heuristic vs the labeled lang column (confusion counts).
+   * NOTE: the synthetic corpus draws one shared vocabulary for all langs,
+   * so accuracy is meaningless here — the query verifies the marker-score
+   * argmax MECHANISM end-to-end; a real corpus exercises the accuracy. */
+  val q33LangId: Q = {
+    val scoreSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val in = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, w -> w IN ($in))) AS s_$lang"
+    }.mkString(",\n              ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    // first language (declaration order) whose score equals the max wins
+    val caseArms = langs.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      if (rest.isEmpty) s"ELSE '$l'"
+      else s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n                   ")
+    Q("q33_lang_id",
+      s"""WITH tok AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       FROM documents),
+         sc AS (SELECT lang,
+              $scoreSql
+              FROM tok),
+         pred AS (SELECT lang,
+              CASE WHEN ${langs.map(l => s"s_$l").mkString(" + ")} = 0 THEN 'und'
+                   $caseArms
+                   END AS pred
+              FROM sc)
+       SELECT lang, pred, count(*) AS n FROM pred
+       GROUP BY lang, pred ORDER BY lang, pred""") { (s, d) =>
+      table(s, d, "documents")
+        .withColumn("pred", TextAnalysis.predictLang(col("text")))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    }
+  }
+
+  // ----------------------------------------------------------- dedup family
+
+  val q34Fingerprint: Q = Q("q34_fingerprint",
+    """SELECT lang, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS n_unique
+       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+    table(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+      .orderBy("lang")
+  }
+
+  /** Exact-dedup (keep-first) on an 80-char prefix key — the harness
+   * corpus has no full-text dups but 24 planted prefix-sharing pairs. */
+  val q35PrefixDedup: Q = Q("q35_prefix_dedup",
+    """WITH r AS (SELECT lang,
+         row_number() OVER (PARTITION BY substr(text, 1, 80) ORDER BY doc_id) AS rn
+       FROM documents)
+       SELECT lang, count(*) FILTER (WHERE rn = 1) AS kept,
+              count(*) FILTER (WHERE rn > 1) AS removed
+       FROM r GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val w = Window.partitionBy(substring(col("text"), 1, 80)).orderBy(col("doc_id").asc)
+    table(s, d, "documents")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("lang")
+      .agg(count(when(col("rn") === 1, 1)).as("kept"),
+        count(when(col("rn") > 1, 1)).as("removed"))
+      .orderBy("lang")
+  }
+
+  val q36MinhashPairs: Q = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*hp + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+    val bands = (0 until numBands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString("||'_'||")
+      s"md5($ms) AS band$b"
+    }.mkString(", ")
+    val bandIdx = (0 until numBands).map(b => s"'$b'").mkString(",")
+    val bandCols = (0 until numBands).map(b => s"band$b").mkString(",")
+    Q("q36_minhash_pairs",
+      s"""WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+      sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+                      k -> w[k]||' '||w[k+1]||' '||w[k+2]))) AS s
+        FROM tok),
+      hashed AS (
+        SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % $P AS hp FROM sh),
+      minh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
+      banded AS (SELECT doc_id, $bands FROM minh),
+      pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_bands
+        FROM (SELECT doc_id, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM banded) a
+        JOIN (SELECT doc_id, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM banded) b
+          ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, n_bands FROM pairs ORDER BY i, j""") { (s, d) =>
+      Dedup.minhashCandidates(table(s, d, "documents")).orderBy("i", "j")
+    }
+  }
+
+  val q37NgramJaccard: Q = Q("q37_ngram_jaccard",
+    """WITH tok AS (
+        SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id, lang||'|'||w[1]||'|'||w[2] AS bk,
+               list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+                      k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS s
+        FROM tok)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)), 4) AS jaccard
+      FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)), 4) >= 0.8
+      ORDER BY i, j""") { (s, d) =>
+    val docs = table(s, d, "documents")
+    val w = TextAnalysis.tokens(col("text"))
+    Dedup.ngramJaccardBlocked(docs,
+      concat_ws("|", col("lang"), element_at(w, 1), element_at(w, 2)))
+      .orderBy("i", "j")
+  }
+
+  /** SimHash near-dup pairs — no compact SQL equivalent (60 unrolled bit
+   * aggregations); covered by ScalaTest properties instead. */
+  val q38SimhashPairs: Q = Q.noOracle("q38_simhash_pairs") { (s, d) =>
+    Dedup.simhashCandidates(table(s, d, "documents"), maxDist = 8)
+      .orderBy("i", "j")
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  /** Shared oracle CTE: unit-normalized double vectors (norm once per
+   * row — mirrors Similarity.withUnitVec exactly, op for op). */
+  private val unitCte =
+    """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings),
+      nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+      u AS (SELECT vec_id,
+                   list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+            FROM nn)"""
+
+  val q39CosineTopK: Q = Q("q39_cosine_topk",
+    s"""WITH $unitCte,
+      s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   round(list_dot_product(q.u, c.u), 4) AS sim
+            FROM u q JOIN u c ON q.vec_id < 50 AND q.vec_id <> c.vec_id)
+      SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank, sim
+      FROM s QUALIFY rank <= 5 ORDER BY qid, rank""") { (s, d) =>
+    val emb = table(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+      .orderBy("qid", "rank")
+  }
+
+  val q40CosineNearDup: Q = Q("q40_cosine_neardup",
+    s"""WITH $unitCte
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(list_dot_product(a.u, b.u), 4) AS sim
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.u, b.u), 4) >= 0.4
+      ORDER BY i, j""") { (s, d) =>
+    Similarity.cosineNearDupPairs(table(s, d, "embeddings"), threshold = 0.4)
+      .orderBy("i", "j")
+  }
+
+  val q41LshBuckets: Q = {
+    val bucketTerms = (0 until Similarity.numPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+           k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) >= 0
+           THEN ${1L << p} ELSE 0 END)"""
+    }.mkString(" + ")
+    Q("q41_lsh_buckets",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings)
+        SELECT CAST($bucketTerms AS BIGINT) AS bucket, count(*) AS n
+        FROM v GROUP BY 1 ORDER BY bucket""") { (s, d) =>
+      table(s, d, "embeddings")
+        .select(Similarity.lshBucket(col("embedding"), dim = 64).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }
+  }
+
+  /** LSH-bucketed ANN (the scale path of q39) — bucketing is oracle-checked
+   * by q41; the end-to-end top-k is rows-only + ScalaTest recall check. */
+  val q42LshTopK: Q = Q.noOracle("q42_lsh_topk") { (s, d) =>
+    val emb = table(s, d, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, dim = 64)
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal metadata + resize planning over binary blobs (utf-8 bytes
+   * stand in for image bytes; the codec itself is the stubbed boundary —
+   * see Multimodal.StubDecoder). */
+  val q43MultimodalMeta: Q = Q("q43_multimodal_meta",
+    """WITH m AS (SELECT source, octet_length(encode(text)) AS b FROM documents),
+      d AS (SELECT source, b, 16 + b % 64 AS w, 16 + (b // 64) % 64 AS h FROM m),
+      r AS (SELECT source, b, w, h,
+                   least(1.0, 32 / CAST(greatest(w, h) AS DOUBLE)) AS scale
+            FROM d)
+      SELECT source, count(*) AS n, CAST(sum(b) AS BIGINT) AS sum_bytes,
+             CAST(sum(CAST(floor(w * scale) AS BIGINT)) AS BIGINT) AS sum_out_w,
+             round(avg(h * scale), 4) AS avg_out_h
+      FROM r GROUP BY source ORDER BY source""") { (s, d) =>
+    val b = length(encode(col("text"), "utf-8")).cast("long")
+    table(s, d, "documents")
+      .withColumn("b", b)
+      .withColumn("w", lit(16) + col("b") % 64)
+      .withColumn("h", lit(16) + (col("b") / lit(64)).cast("long") % 64)
+      .withColumn("scale",
+        least(lit(1.0), lit(32) / greatest(col("w"), col("h")).cast("double")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("b").as("sum_bytes"),
+        sum(floor(col("w") * col("scale")).cast("long")).as("sum_out_w"),
+        round(avg(col("h") * col("scale")), 4).as("avg_out_h"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(
+    q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
+    q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
+    q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta)
+}

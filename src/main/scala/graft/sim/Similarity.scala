@@ -1,0 +1,132 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/**
+ * Similarity search over an `Array[Float]` embedding column.
+ *
+ * Two paths:
+ *  - brute-force cosine top-k: the correctness baseline. The query set is
+ *    broadcast against the corpus, so the corpus never shuffles — at
+ *    100 TB this is a map-side loop over corpus partitions.
+ *  - LSH-bucketed ANN (random ±1 hyperplanes): corpus is bucketed by an
+ *    8-bit signature; queries probe only their own bucket. Sub-linear
+ *    candidate sets at the cost of recall; the hyperplanes are md5-derived
+ *    constants so the DuckDB oracle replays the bucketing exactly.
+ *
+ * All dot products cast float→double BEFORE multiplying and accumulate
+ * left-to-right, so the result is bit-identical to the oracle's
+ * double-list accumulation.
+ */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0, 0.0).otherwise(d / nn)
+  }
+
+  /**
+   * Unit-normalized double vector, computed ONCE per row (norm in its own
+   * projection step so it isn't re-evaluated per pair downstream — the
+   * difference between O(pairs) and O(3·pairs) dot products in the
+   * quadratic stages). Zero vectors map to zero vectors.
+   */
+  def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_nrm", norm(col(vecCol)))
+      .withColumn(outCol, transform(col(vecCol),
+        x => when(col("_nrm") === 0, 0.0).otherwise(x.cast("double") / col("_nrm"))))
+      .drop("_nrm")
+
+  /**
+   * Brute-force cosine top-k: for each query vector, the k nearest corpus
+   * vectors (self excluded when ids collide). Both sides pre-normalized →
+   * per pair exactly one dot product. Query side is broadcast — keep it
+   * bounded (batches of ~1e3-1e4 queries); the corpus side streams
+   * map-side, no corpus shuffle until the per-query top-k window.
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withUnitVec(queries, vecCol, "qu").select(col(idCol).as("qid"), col("qu"))
+    val c = withUnitVec(corpus, vecCol, "cu").select(col(idCol).as("nid"), col("cu"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(dot(col("qu"), col("cu")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /** All pairs (i<j) above a cosine threshold — embedding near-dup
+   * detection, pre-normalized per row. Quadratic: use only on bounded
+   * partitions/batches; the scale path is [[lshBucket]] + within-bucket
+   * pairs. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val u = withUnitVec(corpus, vecCol, "u")
+    val a = u.select(col(idCol).as("i"), col("u").as("ua"))
+    val b = u.select(col(idCol).as("j"), col("u").as("ub"))
+    a.crossJoin(b).filter(col("i") < col("j"))
+      .withColumn("sim", round(dot(col("ua"), col("ub")), 4))
+      .filter(col("sim") >= threshold)
+      .select("i", "j", "sim")
+  }
+
+  val numPlanes = 8
+
+  /** Deterministic ±1 hyperplane sign for (plane, dim): +1 when the first
+   * md5 hex digit of "p_d" is even. Reproducible in SQL. */
+  private def planeSign(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+    val firstHexDigit = (md(0) >> 4) & 0xF
+    if (firstHexDigit % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Signed sum for one hyperplane: sum_d sign(p,d) * x_d. */
+  private def planeDot(vec: Column, p: Int, dim: Int): Column =
+    aggregate(
+      zip_with(vec, lit((0 until dim).map(d => planeSign(p, d)).toArray),
+        (x, s) => x.cast("double") * s),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** 8-bit LSH bucket id from random-hyperplane signs. */
+  def lshBucket(vec: Column, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      when(planeDot(vec, p, dim) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Bucketed ANN top-k: corpus bucketed once, each query probes only its
+   * own bucket. Joins on the bucket id — a plain shuffle/broadcast
+   * equi-join; candidate count per query ≈ corpus/2^8.
+   */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = withUnitVec(queries, vecCol, "qu").select(col(idCol).as("qid"),
+      col("qu"), lshBucket(col(vecCol), dim).as("bucket"))
+    val c = withUnitVec(corpus, vecCol, "cu").select(col(idCol).as("nid"),
+      col("cu"), lshBucket(col(vecCol), dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(dot(col("qu"), col("cu")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("bucket"), col("nid"),
+        col("rank").cast("long").as("rank"), col("sim"))
+  }
+}
