@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class DedupSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // long enough that a single changed token keeps 3-shingle Jaccard ~0.97
+  // (the LSH band design detects >=0.9 reliably; see q36 corpus analysis)
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+    "while birds sing in tall green trees above quiet water meadows today " +
+    "farmers walk along narrow dirt paths carrying baskets of ripe apples " +
+    "children play beside wooden fences as clouds drift across the pale sky " +
+    "fishermen cast long lines into the slow current hoping for silver trout"
+  private val nearDup = base.replace("quiet", "silent") // one token changed
+  private val distinct1 = "completely different content about database engines " +
+    "columnar storage vectorized execution and query optimizers running fast"
+  private val distinct2 = "yet another unrelated text mentioning mountains valleys " +
+    "glaciers snow peaks hikers trails maps compasses and weather forecasts"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, distinct1), (3L, distinct2),
+    (4L, base) // exact duplicate of 0
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest doc_id per fingerprint") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L, 3L)) // 4 (dup of 0) dropped
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val a = Seq(("A  b\tC"), ("a b c")).toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0))
+    assert(a(0) == a(1))
+  }
+
+  test("minhash LSH finds exact and near dup, not unrelated (recall/precision)") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L))) // exact dup: all bands collide
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 4L))) // near dup
+    assert(!pairs.contains((2L, 3L))) // unrelated never pairs
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val sig = Dedup.minhashSignature(docs).filter($"doc_id".isin(0L, 4L))
+      .drop("doc_id").collect()
+    assert(sig(0).toSeq == sig(1).toSeq)
+  }
+
+  test("ngram jaccard: exact=1.0, near-dup high, blocked unrelated absent") {
+    val got = Dedup.ngramJaccardBlocked(docs, substring(col("text"), 1, 20),
+      threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 4L)) == 1.0)
+    assert(got((0L, 1L)) > 0.7 && got((0L, 1L)) < 1.0)
+    assert(!got.contains((2L, 3L)))
+  }
+
+  test("simhash: identical => distance 0; near-dup close; unrelated far") {
+    val fp = Dedup.withSimhash(docs).select("doc_id", "fp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(dist(0L, 4L) == 0)
+    assert(dist(0L, 1L) < dist(0L, 2L))
+    assert(dist(0L, 1L) <= 12)
+  }
+
+  test("simhashCandidates: pigeonhole blocking finds exact dup") {
+    val pairs = Dedup.simhashCandidates(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("shingles: distinct 3-gram count") {
+    val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
+      .collect()(0).getInt(0)
+    assert(n == 3) // "a b c","b c d","c d e"
+  }
+}

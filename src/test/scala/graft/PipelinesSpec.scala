@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Billing
+import graft.ml.Forecast
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingDemand
+
+class PipelinesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("billing classification: hand-built fixture (A15 semantics)") {
+    // cutoff for 1-URGENT is 1994-01-01
+    val orders = Seq(
+      (1L, "1-URGENT", "1994-05-01"), // billed after cutoff, in  => modelo
+      (2L, "1-URGENT", "1993-05-01"), // ingreso before cutoff    => fuera
+      (3L, "1-URGENT", "1994-07-01"), // never billed             => pendiente
+      (4L, "1-URGENT", "1993-02-01")  // billed before cutoff     => excluido
+    ).toDF("o_orderkey", "o_orderpriority", "d")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_timestamp(col("d")).as("o_orderdate"))
+    val lineitem = Seq(
+      (1L, "1994-06-01"), (2L, "1994-02-01"), (4L, "1993-03-01"))
+      .toDF("l_orderkey", "d")
+      .select(col("l_orderkey"), to_timestamp(col("d")).as("l_shipdate"))
+    val got = Billing.classified(spark, orders, lineitem)
+      .select("o_orderkey", "clase").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "modelo", 2L -> "fuera", 3L -> "pendiente",
+      4L -> "excluido"))
+  }
+
+  test("billing summary: classes partition the orders") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val s = Billing.executiveSummary(spark, orders, li).collect()
+    s.foreach { r =>
+      val total = r.getAs[Long]("ingresos")
+      val parts = r.getAs[Long]("modelo") + r.getAs[Long]("fuera") +
+        r.getAs[Long]("pendiente")
+      assert(parts <= total)
+      val pct = r.getAs[Double]("pct_modelo")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
+  test("forecast: trains, selects a model, grid is 24x7 and clamped") {
+    val events = graft.io.Sources.table(spark, sf001, "events")
+    val grid = Forecast.forecastGrid(spark, events).collect()
+    assert(grid.length == 168)
+    assert(grid.forall(_.getAs[Double]("pred") >= 0.0))
+    val r2 = grid.head.getAs[Double]("r2")
+    assert(!r2.isNaN)
+    assert(Set("linear_regression", "gbt").contains(grid.head.getAs[String]("model")))
+  }
+
+  test("multimodal: stub decode plumbing end-to-end") {
+    val docs = Seq((1L, "hello world"), (2L, "a much longer text body here"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs)
+    assert(media.columns.toSeq ==
+      Seq("media_id", "blob", "mime", "n_bytes"))
+    val dec = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dec(1L).getAs[Int]("width") == 16 + 11 % 64)
+    assert(dec(1L).getAs[Double]("mean_byte") > 0)
+    // determinism
+    val dec2 = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mean_byte")).toMap
+    assert(dec.map { case (k, v) => k -> v.getAs[Double]("mean_byte") } == dec2)
+    val resized = Multimodal.planResize(Multimodal.decodeFeatures(media), 16)
+      .collect()
+    resized.foreach { r =>
+      assert(r.getAs[Int]("out_w") <= 16 && r.getAs[Int]("out_h") <= 16)
+    }
+    assert(Multimodal.planFrameSample(media, nFrames = 10, everyK = 3)
+      .count() == 2 * 4) // frames 0,3,6,9 per media
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val streamed = StreamingDemand.runToBatch(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.io.Sources.table(spark, sf001, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hora_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // same direction as 0
+    (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (4L, Array(0.0f, 0.0f, 0.0f, 0.0f))    // zero vector
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical direction 1, orthogonal 0, zero-norm guarded") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 4).as("c"))
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 2L)) == 1.0)
+    assert(m((0L, 1L)) == 0.0)
+    assert(m((0L, 4L)) == 0.0) // zero vector => 0, not NaN
+    assert(m((0L, 3L)) > 0.99)
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic tiebreak") {
+    val got = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(2L, 3L, 1L)) // same-dir, close, orthogonal
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("cosineNearDupPairs thresholds correctly") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 2L), (0L, 3L), (2L, 3L)))
+  }
+
+  test("lshBucket: identical vectors share a bucket; topK finds the twin") {
+    val twins = Seq(
+      (10L, Array.fill(64)(0.5f)),
+      (11L, Array.fill(64)(0.5f)),
+      (12L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val buckets = twins.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(10L) == buckets(11L))
+    val top = Similarity.lshTopK(twins.filter($"vec_id" === 10), twins, k = 1, dim = 64)
+      .collect()
+    assert(top.length == 1 && top(0).getAs[Long]("nid") == 11L &&
+      top(0).getAs[Double]("sim") == 1.0)
+  }
+
+  test("lsh bucketed results are consistent with brute force where bucket matches") {
+    // every (qid,nid) pair lshTopK returns must carry the same sim that
+    // brute force computed for that pair
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 200)
+      .select("qid", "nid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(q, emb, k = 5, dim = 64)
+      .select("qid", "nid", "sim").collect()
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(b => assert(b == r.getDouble(2)))
+    }
+  }
+}
