@@ -52,14 +52,18 @@ object Dedup {
 
   // ------------------------------------------------------------- shingling
 
-  /** Distinct k-word shingles of lowercased text (default 3 — measured on
-   * the harness corpus: 3-shingle Jaccard is 0.99 for planted near-dups
-   * vs 0.0008 background; unigrams are useless at 0.6 background). */
+  /** k-word shingles of lowercased text (default 3 — measured on the
+   * harness corpus: 3-shingle Jaccard is 0.99 for planted near-dups vs
+   * 0.0008 background; unigrams are useless at 0.6 background).
+   * NOT deduplicated: every consumer is multiplicity-invariant (min-hash
+   * of a multiset equals min-hash of its set; array_intersect/union have
+   * set semantics), and the O(n²) array_distinct was measurable at scan
+   * speed. */
   def shingles(text: Column, k: Int = 3): Column = {
     val w = TextAnalysis.tokens(text)
-    array_distinct(transform(
+    transform(
       sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(o => element_at(w, (i + o).cast("int"))): _*)))
+      i => concat_ws(" ", (0 until k).map(o => element_at(w, (i + o).cast("int"))): _*))
   }
 
   // --------------------------------------------------------------- minhash
@@ -111,8 +115,11 @@ object Dedup {
   def ngramJaccardBlocked(docs: DataFrame, blockKey: Column,
                           textCol: String = "text", idCol: String = "doc_id",
                           threshold: Double = 0.8): DataFrame = {
+    // materialize the shingled signature table once: both sides of the
+    // self-join read the cached arrays instead of re-shingling the corpus
+    // (at warehouse scale this is the persisted signature table)
     val withSh = docs.select(col(idCol), blockKey.as("bk"),
-      shingles(col(textCol)).as("sh"))
+      shingles(col(textCol)).as("sh")).cache()
     val a = withSh.select(col(idCol).as("i"), col("bk"), col("sh").as("sha"))
     val b = withSh.select(col(idCol).as("j"), col("bk"), col("sh").as("shb"))
     a.join(b, Seq("bk")).filter(col("i") < col("j"))

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.ops.Confirm
+
+/** Remaining SURVEY.md §2 inventory items: the confirmation-message
+  * pipeline (EP app_confirmaciones) and the probe→cascade pattern
+  * (S4 row-limited probe + J7 dependent-distinct cascade). */
+object ExtraQueries {
+
+  /** Spanish weekday name CASE over DuckDB's dayofweek (Sunday=0). */
+  private val dayNameSql =
+    """CASE dayofweek(fecha) WHEN 0 THEN 'domingo' WHEN 1 THEN 'lunes'
+       WHEN 2 THEN 'martes' WHEN 3 THEN 'miércoles' WHEN 4 THEN 'jueves'
+       WHEN 5 THEN 'viernes' ELSE 'sábado' END"""
+
+  private val monthNameSql =
+    """CASE month(fecha) WHEN 1 THEN 'enero' WHEN 2 THEN 'febrero'
+       WHEN 3 THEN 'marzo' WHEN 4 THEN 'abril' WHEN 5 THEN 'mayo'
+       WHEN 6 THEN 'junio' WHEN 7 THEN 'julio' WHEN 8 THEN 'agosto'
+       WHEN 9 THEN 'septiembre' WHEN 10 THEN 'octubre'
+       WHEN 11 THEN 'noviembre' ELSE 'diciembre' END"""
+
+  val q52Confirmations: Q = Q("q52_confirmations",
+    s"""WITH first AS (
+         SELECT o_custkey, CAST(o_orderdate AS DATE) AS fecha, o_orderkey,
+                o_orderpriority
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                    ORDER BY o_orderkey) = 1),
+       msg AS (
+         SELECT c_custkey, fecha, o_orderkey,
+                '+5730012' || lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS telefono,
+                c_name || '|' ||
+                $dayNameSql || ' ' || day(fecha) || ' de ' || $monthNameSql ||
+                ' de ' || year(fecha) || '|' || o_orderpriority || '|' ||
+                '+5730012' || lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS variable
+         FROM first JOIN customer ON o_custkey = c_custkey)
+       SELECT c_custkey, fecha, o_orderkey, telefono, variable
+       FROM msg WHERE c_custkey < 300 ORDER BY c_custkey, fecha""") { (s, d) =>
+    Confirm.confirmations(table(s, d, "orders"), table(s, d, "customer"))
+      .filter(col("c_custkey") < 300)
+      .orderBy("c_custkey", "fecha")
+  }
+
+  val q53ProbeCascade: Q = Q("q53_probe_cascade",
+    """WITH probe AS (SELECT DISTINCT o_orderpriority FROM orders
+                      WHERE o_orderkey < 1000)
+       SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS n_status,
+              count(*) AS n
+       FROM orders
+       WHERE o_orderpriority IN (SELECT o_orderpriority FROM probe)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val o = table(s, d, "orders")
+    val probe = o.filter(col("o_orderkey") < 1000)
+      .select("o_orderpriority").distinct()
+    o.join(probe, Seq("o_orderpriority"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderstatus").as("n_status"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Sources
+
+class SourcesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a", 2.0)).toDF("Fecha Ingreso", "NOMBRE PACIENTE", "valor")
+
+  test("selectPresent: intersection + missing report (app.py:27-35)") {
+    val (proj, missing) = Sources.selectPresent(df,
+      Seq("Fecha Ingreso", "valor", "no_such_col"))
+    assert(proj.columns.toSeq == Seq("Fecha Ingreso", "valor"))
+    assert(missing == Seq("no_such_col"))
+  }
+
+  test("findColumn: exact match beats contains, candidate priority order") {
+    assert(Sources.findColumn(df, Seq("valor")).contains("valor"))
+    assert(Sources.findColumn(df, Seq("fecha ingreso")).contains("Fecha Ingreso"))
+    // contains-match: 'ingreso' is a substring of 'Fecha Ingreso'
+    assert(Sources.findColumn(df, Seq("ingreso")).contains("Fecha Ingreso"))
+    // priority: first candidate that matches anything wins
+    assert(Sources.findColumn(df, Seq("zzz", "paciente")).contains("NOMBRE PACIENTE"))
+    assert(Sources.findColumn(df, Seq("zzz")).isEmpty)
+  }
+
+  test("lastColumnContaining (app_indicadores 1570-1593 'last containing nombre')") {
+    val d2 = Seq((1, 2, 3)).toDF("nombre_a", "x", "nombre_b")
+    assert(Sources.lastColumnContaining(d2, "nombre").contains("nombre_b"))
+  }
+
+  test("requireTables passes for harness tables, fails for missing") {
+    Sources.requireTables(spark, sf001, Seq("lineitem", "orders"))
+    intercept[IllegalArgumentException] {
+      Sources.requireTables(spark, sf001, Seq("lineitem", "ghost_table"))
+    }
+  }
+
+  test("events loader converts nanos to usable timestamps") {
+    val e = Sources.table(spark, sf001, "events")
+    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.count() > 0)
+  }
+
+  test("CSV sink + scan round-trip (SURVEY.md S5/S8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val src = Sources.table(spark, sf001, "nation")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true")
+      .option("encoding", "UTF-8").csv(dir)
+    assert(back.count() == src.count())
+    assert(back.columns.toSeq == src.columns.toSeq)
+  }
+}
