@@ -195,7 +195,13 @@ object Exprs {
 
   /** Deterministic 60-bit hash of a string via md5 prefix — chosen over
    * xxhash64 because the DuckDB oracle can reproduce it exactly:
-   * `('0x'||substr(md5(x),1,15))::BIGINT`. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast(LongType)
+   * `('0x'||substr(md5(x),1,15))::BIGINT`. Implemented as the native
+   * [[graft.functions.Md5PrefixLong]] expression (byte-level, codegen'd);
+   * the built-in spelling `conv(substring(md5(c),1,15),16,10)` is
+   * bit-identical but allocates two strings per call. */
+  def md5Long(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.Md5PrefixLong(ColumnBridge.expression(c.cast("string"))))
+  }
 }

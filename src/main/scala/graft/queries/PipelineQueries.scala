@@ -120,7 +120,30 @@ object PipelineQueries {
     StreamingDemand.runToBatch(s, d)
   }
 
+  /** Batch sessionization (30-min inactivity gap) — lag→flag→running-sum
+   * window chain; the streaming flatMapGroupsWithState twin is covered by
+   * ScalaTest (model-free semantics, same gap rule). */
+  val q55Sessionize: Q = Q("q55_sessionize",
+    """WITH e AS (SELECT user_id, event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       l AS (SELECT user_id, event_id, sec,
+                    CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1
+                         WHEN lag(sec) OVER w IS NULL THEN 1
+                         ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       s AS (SELECT user_id, sec,
+                    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             FROM l)
+       SELECT user_id, session_id, min(sec) AS start_epoch, max(sec) AS end_epoch,
+              count(*) AS n_events
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""") { (s, d) =>
+    graft.ops.Sessionize.sessionizeBatch(table(s, d, "events"), gapMinutes = 30)
+      .select("user_id", "session_id", "start_epoch", "end_epoch", "n_events")
+  }
+
   val all: Seq[Q] = Seq(
     q44DemandResources, q45Capacity, q46QueueModel, q47BillingDaily,
-    q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly)
+    q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly,
+    q55Sessionize)
 }

@@ -280,8 +280,16 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** IVF-partitioned ANN (learned-centroid scale path; model-dependent →
+   * rows-only + recall test in SimilaritySpec). */
+  val q54IvfTopK: Q = Q.noOracle("q54_ivf_topk") { (s, d) =>
+    val emb = table(s, d, "embeddings")
+    graft.sim.Ivf.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
-    q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta)
+    q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK)
 }
