@@ -77,9 +77,12 @@ object Dedup {
    * at 16 longs per doc. */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
+    // hash INSIDE the transform, then explode longs — the exploded rows
+    // carry 8 bytes instead of the ~20-char shingle strings
     val exploded = docs
-      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
-      .withColumn("hp", Exprs.md5Long(col("s")) % P)
+      .select(col(idCol),
+        explode(transform(shingles(col(textCol)),
+          s => Exprs.md5Long(s) % P)).as("hp"))
     val aggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hp") + lit(b)) % P).as(s"m$i")
     }

@@ -128,6 +128,30 @@ object Relational {
     df.rollup(key).agg(aggs.head, aggs.tail: _*)
       .withColumn(key, coalesce(col(key), lit(totalLabel)))
 
+  // ----------------------------------------------------------------- skew
+
+  /**
+   * Salted two-phase aggregation for skewed keys: partial-aggregate on
+   * (key, salt) so one hot key spreads over `salts` reducers, then final
+   * aggregate on key. Use when one group holds a disproportionate share
+   * of rows (the classic hot-customer / null-key skew); for JOIN skew
+   * prefer AQE's skew-join split (enabled in the session configs).
+   *
+   * `partialAggs` must be decomposable (sum/count/min/max — anything with
+   * an associative merge); pass the merge expressions via `finalAggs`
+   * keyed by the partial column names.
+   */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
+                      partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      (rand(42) * salts).cast("int")) // salt only routes rows; result is salt-independent
+    val partial = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   // ------------------------------------------------------------- argmax
 
   /** Global extreme with argmax attribution (SURVEY.md A8):

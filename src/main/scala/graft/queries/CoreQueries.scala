@@ -66,7 +66,7 @@ object CoreQueries {
 
   val q02FilterProject: Q = Q("q02_filter_project",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-       CAST(l_shipdate AS DATE) AS ship_date
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
        FROM lineitem
        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1995-04-01 00:00:00'
@@ -77,7 +77,11 @@ object CoreQueries {
         col("l_shipdate") < to_timestamp(lit("1995-04-01 00:00:00")) &&
         col("l_quantity") < 10)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        col("l_extendedprice"), to_date(col("l_shipdate")).as("ship_date"))
+        col("l_extendedprice"),
+        // ISO string, not DateType: pandas renders parquet date32 and
+        // DuckDB DATE differently — strings remove the hash-divergence
+        // class from the driver's compare (same below for all date outputs)
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -169,13 +173,15 @@ object CoreQueries {
        cnt AS (
          SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
          FROM orders GROUP BY 1)
-       SELECT spine.d, coalesce(cnt.n, 0) AS n
+       SELECT strftime(spine.d, '%Y-%m-%d') AS d, coalesce(cnt.n, 0) AS n
        FROM spine LEFT JOIN cnt USING (d) ORDER BY d""") { (s, d) =>
     val spine = Relational.dateSpine(s, "1995-01-01", "1995-12-31", "d")
     val cnt = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n"))
-    Relational.spineJoin(spine, cnt, Seq("d"), Seq("n")).orderBy("d")
+    Relational.spineJoin(spine, cnt, Seq("d"), Seq("n"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("n"))
+      .orderBy("d")
   }
 
   // -------------------------------------------------------------- A2 flagship
@@ -247,7 +253,7 @@ object CoreQueries {
   // ---------------------------------------------------------------------- W1
 
   val q13FirstPerKey: Q = Q("q13_first_order_per_customer",
-    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS first_date
        FROM orders
        QUALIFY row_number() OVER (PARTITION BY o_custkey
                                   ORDER BY o_orderdate, o_orderkey) = 1
@@ -255,7 +261,7 @@ object CoreQueries {
     Windows.firstPerKey(orders(s, d), Seq("o_custkey"),
       Seq(col("o_orderdate").asc, col("o_orderkey").asc))
       .select(col("o_custkey"), col("o_orderkey"),
-        to_date(col("o_orderdate")).as("first_date"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"))
       .orderBy("o_custkey")
   }
 
@@ -418,10 +424,12 @@ object CoreQueries {
   }
 
   val q23WeekRollup: Q = Q("q23_week_rollup",
-    """SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS semana, count(*) AS n
+    """SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS semana,
+              count(*) AS n
        FROM orders GROUP BY semana ORDER BY semana""") { (s, d) =>
     orders(s, d)
-      .groupBy(date_trunc("week", col("o_orderdate")).cast("date").as("semana"))
+      .groupBy(date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+        .as("semana"))
       .agg(count(lit(1)).as("n"))
       .orderBy("semana")
   }

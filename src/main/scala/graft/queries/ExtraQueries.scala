@@ -37,10 +37,12 @@ object ExtraQueries {
                 ' de ' || year(fecha) || '|' || o_orderpriority || '|' ||
                 '+5730012' || lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS variable
          FROM first JOIN customer ON o_custkey = c_custkey)
-       SELECT c_custkey, fecha, o_orderkey, telefono, variable
+       SELECT c_custkey, strftime(fecha, '%Y-%m-%d') AS fecha, o_orderkey,
+              telefono, variable
        FROM msg WHERE c_custkey < 300 ORDER BY c_custkey, fecha""") { (s, d) =>
     Confirm.confirmations(table(s, d, "orders"), table(s, d, "customer"))
       .filter(col("c_custkey") < 300)
+      .withColumn("fecha", date_format(col("fecha"), "yyyy-MM-dd"))
       .orderBy("c_custkey", "fecha")
   }
 

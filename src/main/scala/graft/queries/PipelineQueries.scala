@@ -70,21 +70,25 @@ object PipelineQueries {
 
   val q47BillingDaily: Q = Q("q47_billing_daily",
     s"""WITH $billingBase
-       SELECT grupo, ingreso AS fecha, clase, count(*) AS n
+       SELECT grupo, strftime(ingreso, '%Y-%m-%d') AS fecha, clase, count(*) AS n
        FROM cls GROUP BY 1, 2, 3 ORDER BY grupo, fecha, clase""") { (s, d) =>
     Billing.dailyCounts(s, table(s, d, "orders"), table(s, d, "lineitem"))
+      .select(col("grupo"), date_format(col("fecha"), "yyyy-MM-dd").as("fecha"),
+        col("clase"), col("n"))
   }
 
   val q48BillingMonthly: Q = Q("q48_billing_monthly",
     s"""WITH $billingBase,
        daily AS (SELECT grupo, ingreso AS fecha, clase, count(*) AS n
                  FROM cls GROUP BY 1, 2, 3)
-       SELECT grupo, CAST(date_trunc('month', fecha) AS DATE) AS periodo, clase,
-              CAST(sum(n) AS BIGINT) AS n
+       SELECT grupo, strftime(date_trunc('month', fecha), '%Y-%m-%d') AS periodo,
+              clase, CAST(sum(n) AS BIGINT) AS n
        FROM daily GROUP BY 1, 2, 3 ORDER BY grupo, periodo, clase""") { (s, d) =>
     Billing.periodRollup(
       Billing.dailyCounts(s, table(s, d, "orders"), table(s, d, "lineitem")),
       "month")
+      .select(col("grupo"), date_format(col("periodo"), "yyyy-MM-dd").as("periodo"),
+        col("clase"), col("n"))
   }
 
   val q49BillingSummary: Q = Q("q49_billing_summary",

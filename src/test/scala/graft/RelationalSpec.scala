@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.{Relational, Windows}
+
+class RelationalSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic property sweep: sample `n` cases from a Gen with a
+    * fixed seed (no scalatest-scalacheck bridge in the offline cache). */
+  private def sweep[A](g: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  test("saltedAggregate equals plain aggregate on a skewed key") {
+    // 90% of rows on one hot key
+    val df = spark.range(10000).select(
+      when(col("id") % 10 < 9, "HOT").otherwise(concat(lit("k"), col("id") % 7))
+        .as("k"),
+      col("id").as("v"))
+    val salted = Relational.saltedAggregate(df, Seq("k"), salts = 8,
+      partialAggs = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      finalAggs = Seq(sum("s").as("total"), sum("c").as("n")))
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("n"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("pareto buckets top-N plus OTROS and cum_pct reaches 100") {
+    val df = spark.range(1000)
+      .select(concat(lit("k"), (col("id") % 30)).as("k"))
+    val p = Relational.pareto(df, "k", topN = 5).collect()
+    assert(p.length == 6) // 5 + OTROS
+    assert(p.map(_.getAs[Long]("cnt")).sum == 1000)
+    val maxCum = p.map(_.getAs[Double]("cum_pct")).max
+    assert(math.abs(maxCum - 100.0) < 0.01)
+  }
+
+  test("property: seeded ntile is balanced and covering for any (n, seed, groups)") {
+    val gens = for {
+      n <- Gen.choose(2, 8)
+      seed <- Gen.choose(1L, 1000L)
+      nGroups <- Gen.choose(1, 5)
+      rows <- Gen.choose(50, 300)
+    } yield (n, seed, nGroups, rows)
+    sweep(gens, 5) { case (n, seed, nGroups, rows) =>
+      val df = spark.range(rows).select(
+        (col("id") % nGroups).cast("string").as("g"), col("id").as("pid"))
+      val p = Windows.seededNtile(df, Seq("g"), "pid", n, seed)
+      val stats = p.groupBy("g", "partition_id").count()
+        .groupBy("g").agg((max("count") - min("count")).as("spread"),
+          count(lit(1)).as("nparts")).collect()
+      stats.foreach { r =>
+        assert(r.getAs[Long]("spread") <= 1)
+        assert(r.getAs[Long]("nparts") <= n)
+      }
+      assert(p.count() == rows)
+      assert(p.select("pid").distinct().count() == rows)
+    }
+  }
+
+  test("withTotalsRow appends a grand-total via rollup") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+    val got = Relational.withTotalsRow(df, "k", Seq(sum("v").as("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "TOTAL" -> 6L))
+  }
+
+  test("argmax returns the max with attribution") {
+    val df = Seq(("x", 10.0, 1), ("y", 30.0, 2), ("z", 20.0, 3))
+      .toDF("name", "v", "i")
+    val r = Relational.argmax(df, col("v"), col("name"), col("i")).collect()(0)
+    assert(r.getDouble(0) == 30.0 && r.getString(1) == "y" && r.getInt(2) == 2)
+  }
+}
