@@ -61,9 +61,15 @@ object Dedup {
    * speed. */
   def shingles(text: Column, k: Int = 3): Column = {
     val w = TextAnalysis.tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(o => element_at(w, (i + o).cast("int"))): _*))
+    if (k == 3) {
+      // native one-pass kernel for the standard case (the transform +
+      // concat_ws spelling is interpreted per element)
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.functions.Shingles3(ColumnBridge.expression(w)))
+    } else
+      transform(
+        sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
+        i => concat_ws(" ", (0 until k).map(o => element_at(w, (i + o).cast("int"))): _*))
   }
 
   // --------------------------------------------------------------- minhash
@@ -103,9 +109,13 @@ object Dedup {
    */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    val banded = withBandKeys(minhashSignature(docs, textCol, idCol))
-    val long = banded.select(col(idCol), posexplode(
-      array((0 until numBands).map(b => col(s"band$b")): _*)).as(Seq("bi", "bk")))
+    // fused native kernel: tokens → shingles → 16 mins → 4 band keys in
+    // one pass per row (no explode, no signature shuffle); bit-identical
+    // to withBandKeys(minhashSignature(...)) — parity asserted in tests
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bandsCol = ColumnBridge.column(graft.functions.MinHashBands(
+      ColumnBridge.expression(graft.text.TextAnalysis.tokens(col(textCol)))))
+    val long = docs.select(col(idCol), posexplode(bandsCol).as(Seq("bi", "bk")))
     val a = long.select(col(idCol).as("i"), col("bi"), col("bk"))
     val b = long.select(col(idCol).as("j"), col("bi"), col("bk"))
     a.join(b, Seq("bi", "bk")).filter(col("i") < col("j"))
@@ -144,17 +154,15 @@ object Dedup {
   /**
    * 60-bit SimHash fingerprint over a pre-hashed token array column:
    * each token's hash contributes ±1 per bit; fingerprint bit = sign of
-   * the sum. The 60 bit positions are unrolled at plan-build time
-   * (shift amounts must be constants), each an `aggregate` over the
-   * SAME materialized hashed-token array — md5 runs once per token, the
-   * per-bit work is plain long arithmetic inside codegen.
+   * the sum. Native one-pass kernel ([[graft.functions.SimHash60]]) —
+   * the expression-only spelling (60 unrolled `aggregate`s) is
+   * interpreted per element, 60 passes over the array.
    */
-  def simhashFromHashes(hashedToks: Column): Column =
-    (0 until simhashBits).map { j =>
-      val bitSum = aggregate(hashedToks, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+  def simhashFromHashes(hashedToks: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash60(
+      ColumnBridge.expression(hashedToks)))
+  }
 
   /** Adds `fp` (60-bit SimHash of textCol) via an intermediate
    * hashed-token array column. */

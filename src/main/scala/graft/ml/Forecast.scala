@@ -44,10 +44,11 @@ object Forecast {
   /** M2-M6 — 70/30 split (seed 42), train LR (normal-equation solver:
    * deterministic) + GBT (seed 42), evaluate, pick best by R². */
   def trainBest(feats: DataFrame): Fitted = {
-    // the feature table is inherently small (dates × hours) — coalesce so
-    // the ~50 GBT iterations don't each pay 32-partition task overhead
+    // the feature table is inherently small (dates × hours) — a single
+    // partition makes each of the ~50 GBT iterations one task instead of
+    // a multi-task stage (measured: scheduling dominated training time)
     val Array(train, test) =
-      assemble(feats).coalesce(4).randomSplit(Array(0.7, 0.3), seed = 42)
+      assemble(feats).coalesce(1).randomSplit(Array(0.7, 0.3), seed = 42)
     train.cache()
     val lr = new LinearRegression().setSolver("normal").setLabelCol("label")
     val gbt = new GBTRegressor().setMaxIter(50).setMaxDepth(3).setSeed(42)

@@ -23,10 +23,15 @@ import graft.ops.Exprs
  */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two float/double array columns —
+   * the native [[graft.functions.DoubleDotProduct]] kernel (bit-identical
+   * to the `aggregate(zip_with(...))` spelling, which Spark interprets
+   * per element and which dominated the ANN profile). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.DoubleDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -98,10 +103,7 @@ object Similarity {
 
   /** Signed sum for one hyperplane: sum_d sign(p,d) * x_d. */
   private def planeDot(vec: Column, p: Int, dim: Int): Column =
-    aggregate(
-      zip_with(vec, lit((0 until dim).map(d => planeSign(p, d)).toArray),
-        (x, s) => x.cast("double") * s),
-      lit(0.0), (acc, v) => acc + v)
+    dot(vec, lit((0 until dim).map(d => planeSign(p, d)).toArray))
 
   /** 8-bit LSH bucket id from random-hyperplane signs. */
   def lshBucket(vec: Column, dim: Int): Column =

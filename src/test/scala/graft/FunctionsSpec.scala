@@ -29,6 +29,49 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(col("native") < 0).count() == 0) // 60 bits: non-negative
   }
 
+  test("SimHash60 kernel matches the 60-aggregate expression spelling") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(50)
+      .withColumn("_ht", transform(
+        graft.text.TextAnalysis.tokens(col("text")), t => Exprs.md5Long(t)))
+    val slow = (0 until 60).map { j =>
+      val bitSum = aggregate(col("_ht"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val both = docs.select(
+      graft.dedup.Dedup.simhashFromHashes(col("_ht")).as("native"),
+      slow.as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("DoubleDotProduct matches aggregate(zip_with) spelling on real embeddings") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet").limit(100)
+      .withColumn("e2", reverse(col("embedding")))
+    val slow = aggregate(
+      zip_with(col("embedding"), col("e2"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val both = emb.select(
+      graft.sim.Similarity.dot(col("embedding"), col("e2")).as("native"),
+      slow.as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
+  test("MinHashBands kernel matches the composed signature+band spelling") {
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // composed spelling: explode-based signature -> band keys -> pairs
+    val banded = Dedup.withBandKeys(Dedup.minhashSignature(docs))
+    val long = banded.select(col("doc_id"), posexplode(
+      array((0 until Dedup.numBands).map(b => col(s"band$b")): _*)).as(Seq("bi", "bk")))
+    val a = long.select(col("doc_id").as("i"), col("bi"), col("bk"))
+    val b = long.select(col("doc_id").as("j"), col("bi"), col("bk"))
+    val composed = a.join(b, Seq("bi", "bk")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
+    val native = Dedup.minhashCandidates(docs)
+    assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
+  }
+
   test("IVF topK: k rows per query, sims agree with brute force") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)
