@@ -104,4 +104,22 @@ object Windows {
     df.groupBy(col(partCol), col(groupCol))
       .agg(countDistinct(col(idCol)).as("n_ids"), count(lit(1)).as("n_rows"))
       .orderBy(col(partCol).asc, col(groupCol).asc)
+
+  /**
+   * EP1 materialization (app.py:404-477): the reference writes one Excel
+   * sheet per work-queue partition plus a summary sheet. Here: ONE
+   * partitioned parquet write (`partitionBy(partition_id)`) — each
+   * partition directory is a "sheet", written in a single distributed
+   * pass instead of N sequential filtered writes — plus the summary
+   * frame. Returns the summary.
+   */
+  def writePartitioned(assigned: DataFrame, outDir: String,
+                       groupCol: String, idCol: String,
+                       partCol: String = "partition_id"): DataFrame = {
+    assigned.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$outDir/partitions")
+    val summary = partitionStats(assigned, partCol, groupCol, idCol)
+    summary.coalesce(1).write.mode("overwrite").parquet(s"$outDir/summary")
+    summary
+  }
 }

@@ -80,6 +80,18 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(None, Some(10L), Some(20L), None))
   }
 
+  test("writePartitioned: one dir per partition + summary (EP1 sink shape)") {
+    val df = Windows.seededNtile(synthetic(200), Seq("grupo"), "pid", 3)
+    val out = java.nio.file.Files.createTempDirectory("graft_ep1").toString
+    val summary = Windows.writePartitioned(df, out, "grupo", "pid")
+    val dirs = new java.io.File(s"$out/partitions").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("partition_id=1", "partition_id=2", "partition_id=3"))
+    val back = spark.read.parquet(s"$out/partitions")
+    assert(back.count() == 200)
+    assert(summary.collect().map(_.getAs[Long]("n_rows")).sum == 200)
+  }
+
   test("partitionStats counts ids and rows") {
     val df = Seq((1, "g", 100), (1, "g", 100), (1, "h", 101), (2, "g", 102))
       .toDF("partition_id", "grupo", "pid")
