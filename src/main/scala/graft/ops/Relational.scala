@@ -65,6 +65,22 @@ object Relational {
                  values: Seq[String]): DataFrame =
     df.groupBy(rowKey).pivot(colKey, values).count().na.fill(0)
 
+  /**
+   * Unbounded-pivot mitigation (SURVEY.md §7.4-6): the reference pivots
+   * on user/unit columns with unbounded cardinality. Cap to the top-N
+   * column values by frequency and fold the tail into an OTROS column —
+   * plan width stays static and small regardless of data cardinality.
+   */
+  def pivotCountTopN(df: DataFrame, rowKey: String, colKey: String, topN: Int,
+                     otherLabel: String = "OTROS"): DataFrame = {
+    val top = df.groupBy(colKey).count()
+      .orderBy(col("count").desc, col(colKey).asc)
+      .limit(topN).select(colKey).collect().map(_.getString(0)).toSeq
+    val bucketed = df.withColumn("_ck",
+      when(col(colKey).isin(top: _*), col(colKey)).otherwise(otherLabel))
+    bucketed.groupBy(rowKey).pivot("_ck", top :+ otherLabel).count().na.fill(0)
+  }
+
   /** Row-wise TOTAL column over the pivoted value columns (SURVEY.md A12). */
   def withRowTotal(df: DataFrame, valueCols: Seq[String],
                    totalCol: String = "TOTAL"): DataFrame =

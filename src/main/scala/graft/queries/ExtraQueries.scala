@@ -63,5 +63,20 @@ object ExtraQueries {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade)
+  /** Sketch aggregates for the 100 TB path: HLL distinct + approximate
+   * quantiles next to their exact counterparts. Approx values are
+   * algorithm-specific (no cross-engine oracle) — rows-only here, error
+   * bounds asserted in RelationalSpec. */
+  val q56Sketches: Q = Q.noOracle("q56_sketches") { (s, d) =>
+    table(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_orderkey").as("exact_distinct"),
+        approx_count_distinct("l_orderkey", 0.02).as("approx_distinct"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx_median"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches)
 }

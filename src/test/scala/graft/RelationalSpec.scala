@@ -63,6 +63,27 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("pivotCountTopN caps width and folds the tail into OTROS") {
+    val df = spark.range(1000).select(
+      (col("id") % 3).cast("string").as("r"),
+      concat(lit("c"), col("id") % 50).as("c")) // 50 distinct col values
+    val p = Relational.pivotCountTopN(df, "r", "c", topN = 5)
+    assert(p.columns.length == 7) // r + 5 + OTROS
+    val totals = p.collect().map(r => (1 until 7).map(r.getLong).sum).sum
+    assert(totals == 1000)
+  }
+
+  test("sketch aggregates stay within error bounds of exact") {
+    val got = graft.queries.ExtraQueries.q56Sketches.fn(spark, sf001).collect()
+    got.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val approx = r.getAs[Long]("approx_distinct").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error too large: $approx vs $exact")
+      assert(r.getAs[Double]("approx_median") > 0)
+    }
+  }
+
   test("withTotalsRow appends a grand-total via rollup") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
     val got = Relational.withTotalsRow(df, "k", Seq(sum("v").as("s")))
