@@ -146,8 +146,43 @@ object PipelineQueries {
       .select("user_id", "session_id", "start_epoch", "end_epoch", "n_events")
   }
 
+  /** EP3 executive-narrative templating (calcular/generar narrative,
+   * indicador-modelo-vs-facturacion.py:1148-1292): render the billing
+   * summary as the auto-generated report sentence, including the
+   * 90%-objective verdict. String building via concat of pre-rounded
+   * values (printf-style %f differs between Java half-up and C
+   * half-even — concat avoids the formatting divergence). */
+  val q57Narrative: Q = Q("q57_narrative",
+    s"""WITH $billingBase,
+       s AS (SELECT grupo, count(*) AS ingresos,
+                    count(*) FILTER (WHERE clase = 'modelo') AS modelo,
+                    round(count(*) FILTER (WHERE clase = 'modelo')
+                          / CAST(count(*) AS DOUBLE) * 100, 1) AS pct
+             FROM cls GROUP BY grupo)
+       SELECT grupo,
+              'El grupo ' || grupo || ' registró ' || ingresos ||
+              ' ingresos, de los cuales ' || modelo ||
+              ' (' || CAST(pct AS VARCHAR) || '%) facturaron dentro del modelo. ' ||
+              'Objetivo >90%: ' ||
+              (CASE WHEN pct > 90.0 THEN 'CUMPLE' ELSE 'NO CUMPLE' END)
+              AS narrativa
+       FROM s ORDER BY grupo""") { (s, d) =>
+    Billing.executiveSummary(s, table(s, d, "orders"), table(s, d, "lineitem"))
+      .withColumn("pct1",
+        round(col("modelo") / col("ingresos").cast("double") * 100, 1))
+      .select(col("grupo"),
+        concat(
+          lit("El grupo "), col("grupo"), lit(" registró "), col("ingresos"),
+          lit(" ingresos, de los cuales "), col("modelo"),
+          lit(" ("), col("pct1").cast("string"), lit("%) facturaron dentro del modelo. "),
+          lit("Objetivo >90%: "),
+          when(col("pct1") > 90.0, "CUMPLE").otherwise("NO CUMPLE")
+        ).as("narrativa"))
+      .orderBy("grupo")
+  }
+
   val all: Seq[Q] = Seq(
     q44DemandResources, q45Capacity, q46QueueModel, q47BillingDaily,
     q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly,
-    q55Sessionize)
+    q55Sessionize, q57Narrative)
 }
