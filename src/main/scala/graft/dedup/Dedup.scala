@@ -132,11 +132,12 @@ object Dedup {
   def ngramJaccardBlocked(docs: DataFrame, blockKey: Column,
                           textCol: String = "text", idCol: String = "doc_id",
                           threshold: Double = 0.8): DataFrame = {
-    // materialize the shingled signature table once: both sides of the
-    // self-join read the cached arrays instead of re-shingling the corpus
-    // (at warehouse scale this is the persisted signature table)
+    // Both sides of the self-join shingle the corpus independently —
+    // persistence is left to the CALLER (persist the signature projection
+    // and unpersist after materializing), so a long-lived session doesn't
+    // accumulate cached partitions the operator can never release.
     val withSh = docs.select(col(idCol), blockKey.as("bk"),
-      shingles(col(textCol)).as("sh")).cache()
+      shingles(col(textCol)).as("sh"))
     val a = withSh.select(col(idCol).as("i"), col("bk"), col("sh").as("sha"))
     val b = withSh.select(col(idCol).as("j"), col("bk"), col("sh").as("shb"))
     a.join(b, Seq("bk")).filter(col("i") < col("j"))
@@ -182,9 +183,19 @@ object Dedup {
    * within hamming distance ≤3 of each other must agree exactly on ≥1 of
    * the 4 chunks — pigeonhole), then verify hamming ≤ maxDist. Equi-join
    * on (chunk index, chunk value); no all-pairs scan.
+   *
+   * RECALL GUARANTEE: complete only for `maxDist ≤ 3` (= numChunks−1);
+   * pairs at distance 4+ can differ in all 4 chunks and would be silently
+   * dropped, so larger radii are rejected. A wider radius needs ≥maxDist+1
+   * chunks, and at a fixed 60 bits that collapses blocking selectivity
+   * (6–7-bit chunks ⇒ ~2⁶ buckets ⇒ near-quadratic candidate volume) —
+   * use MinHash/Jaccard for looser similarity instead.
    */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashCandidates guarantees full recall only for maxDist in [0,3] " +
+        s"(4-chunk pigeonhole); got $maxDist")
     val fp = withSimhash(docs, textCol).select(col(idCol), col("fp"))
     val chunked = fp.select(col(idCol), col("fp"), posexplode(
       array((0 until 4).map(c =>

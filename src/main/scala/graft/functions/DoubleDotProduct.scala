@@ -9,8 +9,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * accumulates strictly left-to-right in double — bit-identical to
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and to DuckDB's
   * `list_dot_product` on double lists, which is what the oracle replays.
-  * Null elements are not expected (embedding vectors); ArrayData returns
-  * 0.0 for them, where the higher-order spelling would yield null. */
+  *
+  * PRECONDITION: equal-length arrays with no null elements (embedding
+  * vectors). The bit-identical claim holds only then. Divergences outside
+  * it: null elements read as 0.0 here but make the higher-order spelling
+  * null; unequal lengths iterate to min(len) here where `zip_with`
+  * null-pads the shorter side and the aggregate yields null. */
 object ArrayMath {
   def dotDD(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

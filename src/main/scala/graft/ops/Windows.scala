@@ -78,20 +78,26 @@ object Windows {
    * to a subset of partitions; their ids are dealt evenly across only
    * those. `allowed` maps group value → allowed partition ids (1-based);
    * groups absent from the map use all `n`.
+   *
+   * Each configured group is re-dealt with `ntile(|allowed(g)|)` over the
+   * same seeded ordering — matching the reference's even split
+   * (app.py:129-143: num//parts with the remainder spread), i.e. chunk
+   * sizes within a group differ by ≤1 for ANY |allowed(g)|, not only
+   * when it divides `n`. All ntile widths share one window spec, so
+   * Catalyst evaluates them in a single Window pass (one shuffle).
    */
   def seededNtileConfigured(df: DataFrame, groupCol: String, idCol: String, n: Int,
                             allowed: Map[String, Seq[Int]], seed: Long = 42L,
                             outCol: String = "partition_id"): DataFrame = {
-    val base = seededNtile(df, Seq(groupCol), idCol, n, seed, "_slot")
-    // remap slot s (1..n) into the group's allowed list round-robin:
-    // allowed(g)[ (s-1) % |allowed(g)| ]
-    val mapped = allowed.foldLeft(col("_slot")) { case (acc, (g, parts)) =>
+    val seededKey = md5(concat_ws("|", col(idCol).cast("string"), lit(seed.toString)))
+    val w = Window.partitionBy(col(groupCol)).orderBy(seededKey.asc, col(idCol).asc)
+    val widths = allowed.values.map(_.size).toSet + n
+    val tile: Map[Int, Column] = widths.map(k => k -> ntile(k).over(w)).toMap
+    val mapped = allowed.foldLeft(tile(n)) { case (acc, (g, parts)) =>
       val arr = array(parts.map(lit): _*)
-      when(col(groupCol) === g,
-        element_at(arr, ((col("_slot") - 1) % parts.size + 1).cast("int")))
-        .otherwise(acc)
+      when(col(groupCol) === g, element_at(arr, tile(parts.size))).otherwise(acc)
     }
-    base.withColumn(outCol, mapped).drop("_slot")
+    df.withColumn(outCol, mapped)
   }
 
   /**

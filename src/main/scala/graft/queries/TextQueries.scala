@@ -143,7 +143,7 @@ object TextQueries {
         SELECT doc_id,
                unnest(list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
                       k -> w[k]||' '||w[k+1]||' '||w[k+2]))) AS s
-        FROM tok),
+        FROM tok WHERE len(w) >= 3),
       hashed AS (
         SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % $P AS hp FROM sh),
       minh AS (SELECT doc_id, $mins FROM hashed GROUP BY doc_id),
@@ -155,7 +155,11 @@ object TextQueries {
           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT i, j, n_bands FROM pairs ORDER BY i, j""") { (s, d) =>
-      Dedup.minhashCandidates(table(s, d, "documents")).orderBy("i", "j")
+      // <3-token docs yield no true 3-shingle: excluded on BOTH sides so
+      // the kernels' short-shingle fallback can't diverge from the oracle
+      val docs = table(s, d, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      Dedup.minhashCandidates(docs).orderBy("i", "j")
     }
   }
 
@@ -167,7 +171,7 @@ object TextQueries {
         SELECT doc_id, lang||'|'||w[1]||'|'||w[2] AS bk,
                list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
                       k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS s
-        FROM tok)
+        FROM tok WHERE len(w) >= 3)
       SELECT a.doc_id AS i, b.doc_id AS j,
              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(a.s || b.s)), 4) AS jaccard
@@ -175,17 +179,19 @@ object TextQueries {
       WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                   / len(list_distinct(a.s || b.s)), 4) >= 0.8
       ORDER BY i, j""") { (s, d) =>
-    val docs = table(s, d, "documents")
     val w = TextAnalysis.tokens(col("text"))
+    val docs = table(s, d, "documents").filter(size(w) >= 3)
     Dedup.ngramJaccardBlocked(docs,
       concat_ws("|", col("lang"), element_at(w, 1), element_at(w, 2)))
       .orderBy("i", "j")
   }
 
   /** SimHash near-dup pairs — no compact SQL equivalent (60 unrolled bit
-   * aggregations); covered by ScalaTest properties instead. */
+   * aggregations); covered by ScalaTest properties instead.
+   * maxDist = 3 is the largest radius with COMPLETE recall under the
+   * 4-chunk pigeonhole blocking (see Dedup.simhashCandidates). */
   val q38SimhashPairs: Q = Q.noOracle("q38_simhash_pairs") { (s, d) =>
-    Dedup.simhashCandidates(table(s, d, "documents"), maxDist = 8)
+    Dedup.simhashCandidates(table(s, d, "documents"), maxDist = 3)
       .orderBy("i", "j")
   }
 

@@ -76,6 +76,14 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.contains((0L, 4L)))
   }
 
+  test("simhashCandidates rejects radii beyond the pigeonhole guarantee") {
+    // 4 chunks guarantee a shared chunk only for distance <= 3; a larger
+    // radius would silently drop pairs, so it must fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, maxDist = 4)
+    }
+  }
+
   test("shingles: distinct 3-gram count") {
     val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
       .collect()(0).getInt(0)

@@ -53,6 +53,30 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     p.unpersist()
   }
 
+  test("seededNtileConfigured deals evenly when |allowed| does not divide n") {
+    // n=4 with |allowed|=3 and |allowed|=2: the reference's even split
+    // (app.py:129-143) demands within-group spread <= 1 regardless of
+    // divisibility — a round-robin remap of the 4-way slot would give the
+    // first allowed partition ~2x the share.
+    val df = synthetic(701)
+    val allowed = Map("0" -> Seq(1, 3, 4), "1" -> Seq(2, 4))
+    val p = Windows.seededNtileConfigured(df, "grupo", "pid", 4, allowed).cache()
+    for ((g, parts) <- allowed) {
+      val counts = p.filter($"grupo" === g).groupBy("partition_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == parts.toSet, s"group $g used ${counts.keySet}")
+      assert(counts.values.max - counts.values.min <= 1,
+        s"group $g uneven: $counts")
+    }
+    // unconfigured groups remain 4-way balanced
+    val spread2 = p.filter($"grupo" === "2").groupBy("partition_id").count()
+      .agg((max("count") - min("count")).as("s")).collect()(0).getLong(0)
+    assert(spread2 <= 1)
+    // coverage: no rows lost or duplicated by the re-deal
+    assert(p.count() == 701 && p.select("pid").distinct().count() == 701)
+    p.unpersist()
+  }
+
   test("firstPerKey keeps exactly the min-ordered row (W1)") {
     val df = Seq(
       ("a", 3, "x3"), ("a", 1, "x1"), ("a", 2, "x2"),
