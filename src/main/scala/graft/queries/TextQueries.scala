@@ -186,12 +186,32 @@ object TextQueries {
       .orderBy("i", "j")
   }
 
-  /** SimHash near-dup pairs — no compact SQL equivalent (60 unrolled bit
-   * aggregations); covered by ScalaTest properties instead.
-   * maxDist = 3 is the largest radius with COMPLETE recall under the
-   * 4-chunk pigeonhole blocking (see Dedup.simhashCandidates). */
-  val q38SimhashPairs: Q = Q.noOracle("q38_simhash_pairs") { (s, d) =>
+  /** SimHash near-dup pairs. maxDist = 3 is the largest radius with
+   * COMPLETE recall under the 4-chunk pigeonhole blocking (see
+   * Dedup.simhashCandidates). The oracle replays the whole pipeline:
+   * 60-bit md5-prefix token hashes → per-bit ±1 votes (bit set iff the
+   * vote sum is strictly positive — SimHashUtil.simhash60) → 4×15-bit
+   * chunk blocking → hamming via bit_count(xor). */
+  val q38SimhashPairs: Q = Q("q38_simhash_pairs",
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+      h AS (SELECT doc_id,
+                   unnest(list_transform(w, t -> ('0x'||substr(md5(t),1,15))::BIGINT)) AS h
+            FROM tok),
+      bits AS (SELECT doc_id, b,
+                      sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+               FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+      fp AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+             FROM bits GROUP BY doc_id),
+      ch AS (SELECT doc_id, fp, c AS ci, (fp >> (c * 15)) & 32767 AS cv
+             FROM fp CROSS JOIN range(4) r(c)),
+      pairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+                       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+                FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT i, j, dist FROM pairs WHERE dist <= 3 ORDER BY i, j""") { (s, d) =>
     Dedup.simhashCandidates(table(s, d, "documents"), maxDist = 3)
+      .withColumn("dist", col("dist").cast("long"))
       .orderBy("i", "j")
   }
 
@@ -230,13 +250,17 @@ object TextQueries {
       .orderBy("i", "j")
   }
 
+  /** SQL replay of Similarity.lshBucket: per plane p, the signed sum over
+   * dims with md5-derived ±1 signs; bit p set when the sum is >= 0.
+   * Shared by q41 (bucket histogram) and q42 (bucketed top-k). */
+  private val bucketTerms = (0 until Similarity.numPlanes).map { p =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+         k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
+                      THEN 1.0 ELSE -1.0 END))) >= 0
+         THEN ${1L << p} ELSE 0 END)"""
+  }.mkString(" + ")
+
   val q41LshBuckets: Q = {
-    val bucketTerms = (0 until Similarity.numPlanes).map { p =>
-      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
-           k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
-                        THEN 1.0 ELSE -1.0 END))) >= 0
-           THEN ${1L << p} ELSE 0 END)"""
-    }.mkString(" + ")
     Q("q41_lsh_buckets",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                      FROM embeddings)
@@ -249,9 +273,22 @@ object TextQueries {
     }
   }
 
-  /** LSH-bucketed ANN (the scale path of q39) — bucketing is oracle-checked
-   * by q41; the end-to-end top-k is rows-only + ScalaTest recall check. */
-  val q42LshTopK: Q = Q.noOracle("q42_lsh_topk") { (s, d) =>
+  /** LSH-bucketed ANN (the scale path of q39). The oracle replays the
+   * full path: md5-derived hyperplane bucketing (as in q41) + exact
+   * cosine re-rank within each query's own bucket. */
+  val q42LshTopK: Q = Q("q42_lsh_topk",
+    s"""WITH $unitCte,
+      b AS (SELECT vec_id, CAST($bucketTerms AS BIGINT) AS bucket FROM v),
+      qb AS (SELECT u.vec_id AS qid, u.u AS qu, b.bucket
+             FROM u JOIN b ON u.vec_id = b.vec_id WHERE u.vec_id < 50),
+      cb AS (SELECT u.vec_id AS nid, u.u AS cu, b.bucket
+             FROM u JOIN b ON u.vec_id = b.vec_id),
+      s AS (SELECT qid, qb.bucket AS bucket, nid,
+                   round(list_dot_product(qu, cu), 4) AS sim
+            FROM qb JOIN cb ON qb.bucket = cb.bucket AND qid <> nid)
+      SELECT qid, bucket, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank, sim
+      FROM s QUALIFY rank <= 5 ORDER BY qid, rank""") { (s, d) =>
     val emb = table(s, d, "embeddings")
     Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, k = 5, dim = 64)
       .orderBy("qid", "rank")
