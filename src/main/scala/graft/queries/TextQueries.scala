@@ -260,6 +260,17 @@ object TextQueries {
          THEN ${1L << p} ELSE 0 END)"""
   }.mkString(" + ")
 
+  /** SQL replay of Similarity.bandBucket: bit i of band b's bucket comes
+   * from hyperplane b*rowsPerBand+i (same md5-derived signs as q41). */
+  private def bandBucketTerms(band: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand).map { i =>
+      val p = band * rowsPerBand + i
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+           k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))) >= 0
+           THEN ${1L << i} ELSE 0 END)"""
+    }.mkString(" + ")
+
   val q41LshBuckets: Q = {
     Q("q41_lsh_buckets",
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -331,8 +342,66 @@ object TextQueries {
       .orderBy("qid", "rank")
   }
 
+  // ------------------------------------------------- end-to-end curation
+
+  /** Full curation pipeline in one declarative plan — the shape of a
+   * pretraining-corpus pass: quality-score filter → exact dedup
+   * (keep-lowest-id per content fingerprint) → per-language stats.
+   * Every stage is map-side or one hash shuffle; nothing materializes
+   * between stages, so Catalyst fuses scan+score+filter into one
+   * codegen'd pass before the dedup window. */
+  val q58Curation: Q = Q("q58_curation",
+    s"""WITH t AS (
+         SELECT doc_id, lang, text,
+                round(least(length(text) / 500.0, 1.0) * 0.5
+                    + least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                            / CAST(greatest(length(text), 1) AS DOUBLE) * 20.0, 1.0) * 0.2
+                    + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                                 w -> w IN ($stopList))) AS DOUBLE)
+                            / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+                            * 4.0, 1.0) * 0.3, 4) AS q
+         FROM documents),
+       f AS (SELECT *, row_number() OVER (
+                        PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                        ORDER BY doc_id) AS rn
+             FROM t WHERE q >= 0.5)
+       SELECT lang, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+              CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS sum_tokens
+       FROM f WHERE rn = 1 GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val scored = table(s, d, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("q") >= 0.5)
+    Dedup.exactDedup(scored)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), round(avg("q"), 4).as("avg_quality"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"))
+      .orderBy("lang")
+  }
+
+  /** Embedding near-dup at scale (the banded-LSH path of q40): 4 bands ×
+   * 4 hyperplane signs, candidate when ANY band's buckets collide, then
+   * one exact cosine per deduped candidate. The oracle replays banding +
+   * dedup + verification, so the recall trade-off is itself hash-checked. */
+  val q59NearDupLsh: Q = Q("q59_neardup_lsh",
+    s"""WITH $unitCte,
+       bb AS (${(0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, CAST(${bandBucketTerms(b, 4)} AS BIGINT) AS bucket FROM v")
+      .mkString("\n         UNION ALL ")}),
+       cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
+                FROM bb a JOIN bb c
+                  ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+       SELECT cand.i, cand.j, round(list_dot_product(x.u, y.u), 4) AS sim
+       FROM cand JOIN u x ON x.vec_id = cand.i JOIN u y ON y.vec_id = cand.j
+       WHERE round(list_dot_product(x.u, y.u), 4) >= 0.4
+       ORDER BY i, j""") { (s, d) =>
+    Similarity.cosineNearDupPairsBanded(table(s, d, "embeddings"),
+      threshold = 0.4, dim = 64, bands = 4, rowsPerBand = 4)
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
-    q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK)
+    q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
+    q58Curation, q59NearDupLsh)
 }

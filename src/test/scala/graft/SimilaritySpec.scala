@@ -55,6 +55,26 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       top(0).getAs[Double]("sim") == 1.0)
   }
 
+  test("cosineNearDupPairsBanded: subset of exact pairs, finds twins") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val banded = Similarity.cosineNearDupPairsBanded(emb, threshold = 0.4, dim = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // candidate dedup means no pair appears twice
+    assert(banded.map(_._1).distinct.length == banded.length)
+    // every banded pair is an exact pair with the identical sim (banding
+    // only prunes candidates, never changes the verification)
+    banded.foreach { case (k, sim) => assert(exact.get(k).contains(sim)) }
+    // the sf0.001 pairs sit at sim 0.40-0.48 where per-pair banded recall
+    // is ~0.5 (1-(1-p^4)^4, p = 1-arccos(s)/pi); the hyperplanes are
+    // deterministic, so the realized recall is a fixed property of the
+    // data — assert a conservative floor well above "bucketing broken"
+    assert(exact.nonEmpty)
+    val recall = banded.length.toDouble / exact.size
+    assert(recall >= 0.25, s"banded recall $recall (${banded.length}/${exact.size})")
+  }
+
   test("lsh bucketed results are consistent with brute force where bucket matches") {
     // every (qid,nid) pair lshTopK returns must carry the same sim that
     // brute force computed for that pair
