@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.curation.Curation
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/**
+ * Corpus-curation operators (graft.curation) as registered queries:
+ * cluster resolution over near-dup pairs, deterministic mixture
+ * sampling, vocabulary statistics, benchmark decontamination, PII
+ * masking, and the skew-safe salted aggregation. Every oracle replays
+ * the full hash arithmetic (md5-prefix spellings) so the scale-path
+ * semantics themselves are hash-checked.
+ */
+object CurationQueries {
+
+  /** Near-dup pairs → connected components → canonical survivor per
+   * cluster. The oracle computes the same closure with a recursive CTE
+   * over the identical MinHash pair set (TextQueries.minhashPairCtes),
+   * so the distributed label propagation is checked against a
+   * transitive-closure ground truth. */
+  val q60DupClusters: Q = Q("q60_dup_clusters",
+    s"""WITH RECURSIVE ${TextQueries.minhashPairCtes},
+      edges AS (SELECT i AS a, j AS b FROM pairs
+                UNION ALL SELECT j AS a, i AS b FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster,
+             (src = least(src, min(dst))) AS is_canonical
+      FROM reach GROUP BY src ORDER BY doc_id""") { (s, d) =>
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    Dedup.connectedComponents(Dedup.minhashCandidates(docs))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+        (col("id") === col("lbl")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling for training-mix control:
+   * downsample en to 40% and fr to 70% (integer basis-point thresholds —
+   * FP-exact in every engine), keep the rest — decisions are
+   * md5-hash-derived from doc_id (reproducible at any scale or
+   * partitioning, no rand()). Oracle replays the hash-mod arithmetic. */
+  val q61SampleMix: Q = Q("q61_sample_mix",
+    """WITH k AS (SELECT lang,
+         ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 10000 AS u,
+         CASE WHEN lang = 'en' THEN 4000 WHEN lang = 'fr' THEN 7000 ELSE 10000 END AS rate_bp
+       FROM documents)
+       SELECT lang, count(*) AS n_total,
+              count(*) FILTER (WHERE u < rate_bp) AS n_sampled
+       FROM k GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val rateBp = when(col("lang") === "en", 4000L)
+      .when(col("lang") === "fr", 7000L).otherwise(10000L)
+    table(s, d, "documents")
+      .withColumn("kept", Curation.samplingKey(col("doc_id")) < rateBp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"), count(when(col("kept"), 1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  /** Per-language top-10 vocabulary by token frequency (deterministic
+   * tiebreak on the token) — map-side partial counts absorb hot-token
+   * skew before the single shuffle; the top-k window runs on the
+   * vocabulary-sized aggregate, never the corpus. */
+  val q62VocabTopK: Q = Q("q62_vocab_topk",
+    """WITH t AS (SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+       FROM documents),
+      c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY lang, token)
+      SELECT lang, token, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+      FROM c QUALIFY rank <= 10 ORDER BY lang, rank""") { (s, d) =>
+    Curation.vocabTopK(table(s, d, "documents"), "lang", 10)
+      .orderBy("lang", "rank")
+  }
+
+  /** Benchmark decontamination: treat source src0 as the eval set; flag
+   * corpus docs sharing >= 5 distinct 3-shingles (by 60-bit md5 hash)
+   * with ANY benchmark doc. The benchmark side collapses to a distinct
+   * hash set before the semi join — the 100 TB corpus streams past it
+   * map-side (broadcast) or through one hash shuffle. */
+  val q63Contamination: Q = Q("q63_contamination",
+    """WITH tok AS (SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+      sh AS (SELECT doc_id, source,
+               unnest(list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+                      k -> w[k]||' '||w[k+1]||' '||w[k+2]))) AS s
+             FROM tok WHERE len(w) >= 3),
+      h AS (SELECT doc_id, source, ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM sh),
+      bench AS (SELECT DISTINCT h FROM h WHERE source = 'src0'),
+      hits AS (SELECT a.doc_id, a.source, count(DISTINCT a.h) AS n_shared
+               FROM h a JOIN bench b ON a.h = b.h
+               WHERE a.source <> 'src0' GROUP BY 1, 2)
+      SELECT source, count(*) AS n_contaminated, CAST(max(n_shared) AS BIGINT) AS max_shared
+      FROM hits WHERE n_shared >= 5 GROUP BY source ORDER BY source""") { (s, d) =>
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    val flagged = Curation.contaminated(
+      corpus = docs.filter(col("source") =!= "src0"),
+      benchmark = docs.filter(col("source") === "src0"), minShingles = 5)
+    flagged.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"), max("n_shared").as("max_shared"))
+      .orderBy("source")
+  }
+
+  /** PII scrubbing surface over the one PII-bearing table: digit
+   * masking with an audit count, consistent pseudonymization (same
+   * identity → same token, so joins survive scrubbing), and
+   * k-anonymity-style numeric bucketing. Pure map-side — scrubbing
+   * never shuffles. */
+  val q64PiiScrub: Q = Q("q64_pii_scrub",
+    """SELECT c_custkey,
+              regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+              CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_redacted,
+              'u_'||substr(md5(c_name), 1, 12) AS pseudonym,
+              CAST(floor(c_acctbal / 1000.0) * 1000.0 AS DOUBLE) AS acctbal_bucket
+       FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""") { (s, d) =>
+    table(s, d, "customer")
+      .filter(col("c_custkey") < 50)
+      .select(col("c_custkey"),
+        Curation.maskDigits(col("c_name")).as("name_masked"),
+        Curation.digitsRedacted(col("c_name")).as("n_redacted"),
+        Curation.pseudonym(col("c_name")).as("pseudonym"),
+        Curation.bucketize(col("c_acctbal"), 1000.0).as("acctbal_bucket"))
+      .orderBy("c_custkey")
+  }
+
+  /** Skew-safe salted aggregation proven semantics-preserving: the
+   * two-phase (key, salt) partial → key final aggregate must hash-match
+   * the oracle's PLAIN GROUP BY. Quantities are integer-valued (exact
+   * under any addition order); money routes through DECIMAL partials so
+   * the salted re-association cannot change the result. */
+  val q65SaltedAgg: Q = Q("q65_salted_agg",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base,
+              CAST(count(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""") { (s, d) =>
+    graft.ops.Relational.saltedAggregate(
+      table(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), salts = 16,
+      partialAggs = Seq(
+        sum("l_quantity").as("pq"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).as("pb"),
+        count(lit(1)).as("pn")),
+      finalAggs = Seq(
+        round(sum("pq"), 2).as("sum_qty"),
+        round(sum("pb"), 2).cast("double").as("sum_base"),
+        sum("pn").as("n")))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
+    q63Contamination, q64PiiScrub, q65SaltedAgg)
+}

@@ -64,17 +64,32 @@ object ExtraQueries {
   }
 
   /** Sketch aggregates for the 100 TB path: HLL distinct + approximate
-   * quantiles next to their exact counterparts. Approx values are
-   * algorithm-specific (no cross-engine oracle) — rows-only here, error
-   * bounds asserted in RelationalSpec. */
-  val q56Sketches: Q = Q.noOracle("q56_sketches") { (s, d) =>
+   * median next to their exact counterparts. Raw sketch values are
+   * algorithm-specific (no cross-engine equality), so the query emits
+   * the exact values plus ERROR-BOUND VERDICTS — the sketch must land
+   * within 3×rsd of the exact distinct and inside the exact 45-55%
+   * quantile band — and the oracle asserts those verdicts are all TRUE.
+   * A drifting sketch now fails the hash gate instead of going unnoticed
+   * (previously rows-only; bounds were spec-asserted in RelationalSpec). */
+  val q56Sketches: Q = Q("q56_sketches",
+    """SELECT l_returnflag,
+              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+              TRUE AS hll_within_rsd, TRUE AS median_within_band
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     table(s, d, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         countDistinct("l_orderkey").as("exact_distinct"),
         approx_count_distinct("l_orderkey", 0.02).as("approx_distinct"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx_median"))
+          .as("approx_median"),
+        expr("percentile(l_extendedprice, 0.45)").as("q45"),
+        expr("percentile(l_extendedprice, 0.55)").as("q55"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct"))
+          <= col("exact_distinct") * 0.06 + 1).as("hll_within_rsd"),
+        (col("approx_median") >= col("q45") &&
+          col("approx_median") <= col("q55")).as("median_within_band"))
       .orderBy("l_returnflag")
   }
 

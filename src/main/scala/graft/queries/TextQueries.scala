@@ -126,7 +126,9 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  val q36MinhashPairs: Q = {
+  /** SQL replay of Dedup.minhashCandidates as a reusable CTE chain ending
+   * in `pairs(i, j, n_bands)` — shared by q36 and q60 (cluster closure). */
+  private[queries] val minhashPairCtes: String = {
     val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a*hp + $b) % $P) AS m$i"
     }.mkString(",\n    ")
@@ -136,8 +138,7 @@ object TextQueries {
     }.mkString(", ")
     val bandIdx = (0 until numBands).map(b => s"'$b'").mkString(",")
     val bandCols = (0 until numBands).map(b => s"band$b").mkString(",")
-    Q("q36_minhash_pairs",
-      s"""WITH tok AS (
+    s"""tok AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
       sh AS (
         SELECT doc_id,
@@ -153,14 +154,17 @@ object TextQueries {
         FROM (SELECT doc_id, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM banded) a
         JOIN (SELECT doc_id, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM banded) b
           ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+  }
+
+  val q36MinhashPairs: Q = Q("q36_minhash_pairs",
+    s"""WITH $minhashPairCtes
       SELECT i, j, n_bands FROM pairs ORDER BY i, j""") { (s, d) =>
-      // <3-token docs yield no true 3-shingle: excluded on BOTH sides so
-      // the kernels' short-shingle fallback can't diverge from the oracle
-      val docs = table(s, d, "documents")
-        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-      Dedup.minhashCandidates(docs).orderBy("i", "j")
-    }
+    // <3-token docs yield no true 3-shingle: excluded on BOTH sides so
+    // the kernels' short-shingle fallback can't diverge from the oracle
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    Dedup.minhashCandidates(docs).orderBy("i", "j")
   }
 
   val q37NgramJaccard: Q = Q("q37_ngram_jaccard",

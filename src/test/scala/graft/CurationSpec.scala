@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.curation.Curation
+import graft.dedup.Dedup
+
+class CurationSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: transitive closure labels with min id") {
+    // 1-2, 2-3 chain + 5-6 island + 10-11-12 star
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (10L, 11L), (10L, 12L))
+      .toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents: long chain converges within maxIters") {
+    // a path graph is the worst case for plain min propagation (diameter
+    // = n-1); 12 nodes needs 11 rounds — inside the default bound
+    val chain = (0L until 11L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(chain).collect()
+    assert(got.length == 12 && got.forall(_.getLong(1) == 0L))
+  }
+
+  test("stratifiedSample: deterministic, rate-proportional, repartition-invariant") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val n = docs.count()
+    val half = Curation.stratifiedSample(docs, "doc_id", lit(5000))
+    val k1 = half.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Curation.stratifiedSample(docs.repartition(7), "doc_id", lit(5000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2, "sampling decision must not depend on partitioning")
+    assert(math.abs(k1.size.toDouble / n - 0.5) < 0.1, s"got ${k1.size}/$n")
+    // rate 0 and 10000 are the empty and identity samples
+    assert(Curation.stratifiedSample(docs, "doc_id", lit(0)).isEmpty)
+    assert(Curation.stratifiedSample(docs, "doc_id", lit(10000)).count() == n)
+  }
+
+  test("vocabTopK: ranks by count desc with token tiebreak") {
+    val docs = Seq(("a", "x x x y y z"), ("a", "y w w"), ("b", "q q r"))
+      .toDF("lang", "text")
+    val got = Curation.vocabTopK(docs, "lang", 2, "text")
+      .orderBy("lang", "rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "x", 3L, 1L), ("a", "y", 3L, 2L),
+      ("b", "q", 2L, 1L), ("b", "r", 1L, 2L)))
+  }
+
+  test("contaminated: flags overlap above threshold only") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // shares 4 3-shingles
+      (2L, "alpha beta gamma nope nope nope"),         // shares 1
+      (3L, "totally unrelated words here now then")    // shares 0
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminated(corpus, bench, minShingles = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 4L))
+    val loose = Curation.contaminated(corpus, bench, minShingles = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(1L, 2L))
+  }
+
+  test("pii masking: digits masked and counted, pseudonym consistent") {
+    val df = Seq(("Customer#000000042", 1234.56), ("Customer#000000042", 999.99),
+      ("NoDigits", -250.0)).toDF("name", "bal")
+      .select(Curation.maskDigits($"name").as("m"),
+        Curation.digitsRedacted($"name").as("k"),
+        Curation.pseudonym($"name").as("p"),
+        Curation.bucketize($"bal", 1000.0).as("b"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == "Customer#XXXXXXXXX" && rows(0).getLong(1) == 9)
+    assert(rows(2).getString(0) == "NoDigits" && rows(2).getLong(1) == 0)
+    // same identity -> same pseudonym; different -> different
+    assert(rows(0).getString(2) == rows(1).getString(2))
+    assert(rows(0).getString(2) != rows(2).getString(2))
+    assert(rows(0).getString(2).startsWith("u_") && rows(0).getString(2).length == 14)
+    // bucketize: floor semantics incl. negatives
+    assert(rows(0).getDouble(3) == 1000.0 && rows(2).getDouble(3) == -1000.0)
+  }
+}

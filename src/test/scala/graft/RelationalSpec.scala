@@ -74,13 +74,14 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("sketch aggregates stay within error bounds of exact") {
+    // q56 emits verdict booleans (the oracle asserts them TRUE); the spec
+    // checks the same verdicts hold at sf0.001 where the oracle never runs
     val got = graft.queries.ExtraQueries.q56Sketches.fn(spark, sf001).collect()
+    assert(got.nonEmpty)
     got.foreach { r =>
-      val exact = r.getAs[Long]("exact_distinct").toDouble
-      val approx = r.getAs[Long]("approx_distinct").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"HLL error too large: $approx vs $exact")
-      assert(r.getAs[Double]("approx_median") > 0)
+      assert(r.getAs[Long]("exact_distinct") > 0)
+      assert(r.getAs[Boolean]("hll_within_rsd"), s"HLL out of bounds: $r")
+      assert(r.getAs[Boolean]("median_within_band"), s"median out of band: $r")
     }
   }
 
