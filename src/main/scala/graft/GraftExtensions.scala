@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.Md5PrefixLong
+import graft.functions.{DoubleDotProduct, Md5PrefixLong, MinHashBands, Shingles3, SimHash60}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -14,20 +14,32 @@ import graft.functions.Md5PrefixLong
  * registration.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.md5PrefixLong)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, cls, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+    }
 }
 
 object GraftExtensions {
-  private val md5PrefixLong = (
-    FunctionIdentifier("md5_prefix_long"),
-    new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix_long"),
-    (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head))
+  /** Every native kernel, by SQL name. Unary unless noted. */
+  private val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("md5_prefix_long", classOf[Md5PrefixLong],
+      (exprs: Seq[Expression]) => Md5PrefixLong(exprs.head)),
+    ("double_dot", classOf[DoubleDotProduct],
+      (exprs: Seq[Expression]) => DoubleDotProduct(exprs(0), exprs(1))),
+    ("simhash60", classOf[SimHash60],
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)),
+    ("minhash_bands", classOf[MinHashBands],
+      (exprs: Seq[Expression]) => MinHashBands(exprs.head)),
+    ("shingles3", classOf[Shingles3],
+      (exprs: Seq[Expression]) => Shingles3(exprs.head)))
 
   /** Imperative registration for an already-built session (tests,
     * notebooks). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_prefix_long", exprs => Md5PrefixLong(exprs.head), "built-in")
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }

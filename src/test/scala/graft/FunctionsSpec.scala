@@ -20,6 +20,30 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("GraftExtensions registers every kernel for SQL use") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sf001/documents.parquet").limit(20)
+      .createOrReplaceTempView("ext_docs")
+    val got = spark.sql(
+      """SELECT doc_id,
+                md5_prefix_long(text) AS h,
+                shingles3(split(trim(lower(text)), '\\s+')) AS sh,
+                simhash60(transform(split(trim(lower(text)), '\\s+'),
+                                    t -> md5_prefix_long(t))) AS fp,
+                minhash_bands(split(trim(lower(text)), '\\s+')) AS bands,
+                double_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot
+         FROM ext_docs""")
+    // SQL spelling == Column-API spelling, row for row
+    val joined = got.alias("a").join(
+      graft.dedup.Dedup.withSimhash(spark.table("ext_docs"))
+        .select(col("doc_id"), col("fp").as("fp2")), Seq("doc_id"))
+      .join(spark.table("ext_docs")
+        .select(col("doc_id"), Exprs.md5Long(col("text")).as("h2")), Seq("doc_id"))
+    assert(joined.filter(col("fp") =!= col("fp2") || col("h") =!= col("h2")).isEmpty)
+    assert(got.filter(col("dot") =!= 11.0).isEmpty)
+    assert(got.filter(size(col("sh")) === 0 || size(col("bands")) === 0).isEmpty)
+  }
+
   test("Md5PrefixLong survives whole-stage codegen over a real scan") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val both = docs.select(
