@@ -74,7 +74,7 @@ object Forecast {
   def predictionGrid(spark: SparkSession, fitted: Fitted,
                      monthCtx: Int, dayCtx: Int): DataFrame = {
     val grid = spark.range(24).selectExpr("CAST(id AS DOUBLE) AS hour_d")
-      .crossJoin(spark.range(1, 8).selectExpr("CAST(id AS DOUBLE) AS dow"))
+      .crossJoin(broadcast(spark.range(1, 8).selectExpr("CAST(id AS DOUBLE) AS dow")))
       .withColumn("month_d", lit(monthCtx.toDouble))
       .withColumn("day_d", lit(dayCtx.toDouble))
       .withColumn("wom", lit(((dayCtx - 1) / 7 + 1).toDouble))
