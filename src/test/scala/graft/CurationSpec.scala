@@ -26,6 +26,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(got.length == 12 && got.forall(_.getLong(1) == 0L))
   }
 
+  test("property: connectedComponents matches union-find on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gens = for {
+      n <- Gen.choose(4, 40)
+      m <- Gen.choose(0, 2 * n)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield edges
+    (0 until 6).foreach { k =>
+      gens.apply(Gen.Parameters.default, Seed(7L + k)).foreach { edges =>
+        // driver-side union-find oracle, min-id labels
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(v => v -> find(v)).toMap
+        if (expected.nonEmpty) {
+          val got = Dedup.connectedComponents(edges.toDF("i", "j"), maxIters = 50)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expected, s"case $k: ${edges.take(20)}")
+        }
+      }
+    }
+  }
+
   test("stratifiedSample: deterministic, rate-proportional, repartition-invariant") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val n = docs.count()
