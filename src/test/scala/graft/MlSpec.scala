@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Forecast
+
+/** Driver-side trainer unit tests (no SparkSession needed). */
+class MlSpec extends AnyFunSuite {
+
+  test("fitOls recovers exact coefficients of a noiseless linear function") {
+    val rng = new scala.util.Random(1)
+    val xs = Array.fill(200)(Array.fill(3)(rng.nextDouble() * 10))
+    val y = xs.map(x => 4.0 + 2.5 * x(0) - 1.5 * x(1) + 0.25 * x(2))
+    val beta = Forecast.fitOls(xs, y)
+    val expected = Array(4.0, 2.5, -1.5, 0.25)
+    beta.zip(expected).foreach { case (b, e) =>
+      assert(math.abs(b - e) < 1e-8, s"got ${beta.mkString(",")}")
+    }
+  }
+
+  test("fitGbt drives training error toward zero on a separable step function") {
+    val xs = (0 until 100).map(i => Array(i.toDouble)).toArray
+    val y = xs.map(x => if (x(0) < 50) 1.0 else 9.0)
+    val predict = Forecast.fitGbt(xs, y, numTrees = 50, maxDepth = 3)
+    val mse = xs.zip(y).map { case (x, t) =>
+      val e = predict(x) - t; e * e
+    }.sum / xs.length
+    assert(mse < 0.01, s"mse=$mse")
+  }
+
+  test("fitGbt is deterministic") {
+    val rng = new scala.util.Random(7)
+    val xs = Array.fill(150)(Array.fill(4)(rng.nextDouble()))
+    val y = xs.map(x => math.sin(x(0) * 6) + x(1) * x(2))
+    val p1 = Forecast.fitGbt(xs, y)
+    val p2 = Forecast.fitGbt(xs, y)
+    val probe = Array.fill(20)(Array.fill(4)(rng.nextDouble()))
+    probe.foreach(x => assert(p1(x) == p2(x)))
+  }
+
+  test("fitGbt interpolates between train extremes (shrinkage sanity)") {
+    val xs = (0 until 60).map(i => Array(i.toDouble, (i % 7).toDouble)).toArray
+    val y = xs.map(x => 3.0 * x(1) + 2.0)
+    val predict = Forecast.fitGbt(xs, y)
+    val (lo, hi) = (y.min, y.max)
+    xs.foreach { x =>
+      val p = predict(x)
+      assert(p >= lo - 1.0 && p <= hi + 1.0)
+    }
+  }
+}
