@@ -225,19 +225,45 @@ object Dedup {
    * neighbor step for large-star/small-star (Kiveris et al., "Connected
    * Components in MapReduce"), which converges in O(log n) rounds; the
    * per-round dataflow (join + min-agg on the partition key) is the same.
+   *
+   * Adaptive small-graph path: the edge count is already materialized
+   * (it sizes the iteration parallelism), so when the pair table fits
+   * comfortably on the driver (`driverMaxEdges`, default 2^20 ≈ 16 MB of
+   * longs) the closure runs as plain union-find there — the per-round
+   * scheduler cost of the distributed loop exceeds the whole computation
+   * for graphs this small. LSH pair tables are orders of magnitude
+   * smaller than the corpus, but at 100 TB they can still be billions of
+   * edges, so the distributed loop remains the scale path.
    */
   def connectedComponents(pairs: DataFrame, iCol: String = "i",
-                          jCol: String = "j", maxIters: Int = 20): DataFrame = {
+                          jCol: String = "j", maxIters: Int = 20,
+                          driverMaxEdges: Long = 1L << 20): DataFrame = {
     // materialize the pair plan ONCE — the bidirectional union would
     // otherwise execute the (expensive) candidate pipeline twice
-    val matPairs = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+    val matPairs = pairs.select(col(iCol).cast("long").as("a"),
+        col(jCol).cast("long").as("b"))
       .localCheckpoint()
+    val nPairs = matPairs.count()
+    if (nPairs <= driverMaxEdges) {
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      matPairs.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "lbl")
+    }
     // size the iteration parallelism from the MATERIALIZED edge count —
     // the pair table is orders of magnitude smaller than the corpus that
     // produced it, and running every per-iteration stage at the corpus's
     // shuffle width made task scheduling dominate (measured 6.6s of
     // 7.9s on a ~300-edge graph). ~500k edges per partition, capped.
-    val nEdges = 2 * matPairs.count()
+    val nEdges = 2 * nPairs
     val p = math.max(1, math.min(2000, (nEdges / 500000L).toInt + 1))
     val edges = matPairs
       .union(matPairs.select(col("b").as("a"), col("a").as("b")))

@@ -22,7 +22,8 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // a path graph is the worst case for plain min propagation (diameter
     // = n-1); 12 nodes needs 11 rounds — inside the default bound
     val chain = (0L until 11L).map(k => (k, k + 1)).toDF("i", "j")
-    val got = Dedup.connectedComponents(chain).collect()
+    // driverMaxEdges=0 forces the distributed loop — the path maxIters governs
+    val got = Dedup.connectedComponents(chain, driverMaxEdges = 0L).collect()
     assert(got.length == 12 && got.forall(_.getLong(1) == 0L))
   }
 
@@ -49,9 +50,13 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
         val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
           .map(v => v -> find(v)).toMap
         if (expected.nonEmpty) {
-          val got = Dedup.connectedComponents(edges.toDF("i", "j"), maxIters = 50)
-            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-          assert(got == expected, s"case $k: ${edges.take(20)}")
+          // exercise BOTH the driver fast path and the distributed loop
+          Seq(1L << 20, 0L).foreach { thresh =>
+            val got = Dedup.connectedComponents(edges.toDF("i", "j"),
+                maxIters = 50, driverMaxEdges = thresh)
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(got == expected, s"case $k (driverMaxEdges=$thresh): ${edges.take(20)}")
+          }
         }
       }
     }
