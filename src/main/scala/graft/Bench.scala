@@ -15,8 +15,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen/file-index warmup outside the timed section
+    // absorb JVM/codegen/file-index warmup outside the timed section:
+    // the first execution of each kernel-bearing stage pays janino
+    // compilation + JIT (~5s measured on the minhash pipeline), which
+    // otherwise lands on whichever query happens to run first
     spark.read.parquet(s"$sfDir/nation.parquet").count()
+    try {
+      val docsW = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
+      graft.dedup.Dedup.minhashCandidates(docsW).count()
+      graft.dedup.Dedup.simhashCandidates(docsW).count()
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).count()
+    } catch { case _: Throwable => () }
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) =>

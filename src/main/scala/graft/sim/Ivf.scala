@@ -1,75 +1,165 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.curation.Curation
+import graft.functions.NearestCentroids
 
 /**
  * IVF (inverted-file) ANN: k-means-partition the corpus once, probe only
- * the `nProbe` nearest cells per query. The training/centroid set is tiny
- * (nClusters × dim) and broadcast; the corpus keeps its cell assignment
- * as a column, so the candidate join is an equi-join on `cluster` —
- * per-query candidate count ≈ corpus × nProbe / nClusters. At 100 TB the
- * assignment is a map-side model.transform pass; only candidates shuffle.
+ * the `nProbe` nearest cells per query. Training follows the faiss
+ * recipe: centroids are learned from a BOUNDED deterministic sample
+ * (hash-keyed, ~64k vectors regardless of corpus size) with seeded
+ * k-means++ + Lloyd on the driver — the sample, not the corpus, bounds
+ * training cost, and the per-iteration scheduler cost of a distributed
+ * k-means is wasted on a table that small. Cell assignment and query
+ * probing are a native codegen'd expression over the broadcast centroid
+ * table ([[graft.functions.NearestCentroids]]), so at 100 TB the
+ * assignment is a pure map-side scan; only candidates shuffle.
  *
  * Complements [[Similarity.lshTopK]]: IVF adapts to the data distribution
  * (learned centroids) where LSH hyperplanes are data-oblivious.
  */
 object Ivf {
 
-  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame,
+                            centers: Array[Array[Double]])
 
-  /** Build the index: assign every corpus vector to its nearest of
-   * `nClusters` learned centroids (seed fixed — deterministic). */
-  def buildIndex(corpus: DataFrame, nClusters: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
-    val prepared = corpus.withColumn("_fv", array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nClusters).setSeed(42)
-      .setFeaturesCol("_fv").setPredictionCol("cluster").fit(prepared)
-    val assigned = model.transform(prepared).drop("_fv")
-    val spark = corpus.sparkSession
-    val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      Row(i, v.toArray.toSeq)
+  /** Seeded k-means++ init + Lloyd iterations, driver-side. Deterministic:
+   * the sample arrives sorted by id and the RNG is fixed-seed. */
+  private[graft] def kmeansFit(vecs: Array[Array[Double]], k: Int,
+                               maxIter: Int = 20, seed: Long = 42): Array[Array[Double]] = {
+    require(vecs.nonEmpty, "kmeansFit needs a non-empty training sample")
+    val n = vecs.length
+    val kk = math.min(k, n)
+    val dim = vecs(0).length
+    val rng = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
     }
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = vecs(rng.nextInt(n)).clone()
+    val minD = vecs.map(v => sq(v, centers(0)))
+    var c = 1
+    while (c < kk) {
+      val total = minD.sum
+      var pick = 0
+      if (total > 0) {
+        val target = rng.nextDouble() * total
+        var cum = 0.0
+        var i = 0
+        var found = -1
+        while (i < n && found < 0) {
+          cum += minD(i)
+          if (cum >= target) found = i
+          i += 1
+        }
+        pick = if (found < 0) n - 1 else found
+      } else pick = rng.nextInt(n)
+      centers(c) = vecs(pick).clone()
+      var i = 0
+      while (i < n) { minD(i) = math.min(minD(i), sq(vecs(i), centers(c))); i += 1 }
+      c += 1
+    }
+    // Lloyd
+    val assign = new Array[Int](n)
+    var moved = true
+    var iter = 0
+    while (moved && iter < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = sq(vecs(i), centers(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val s = sums(assign(i)); counts(assign(i)) += 1
+        var d = 0
+        while (d < dim) { s(d) += vecs(i)(d); d += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < kk) {
+        if (counts(j) > 0) {
+          var d = 0
+          while (d < dim) { centers(j)(d) = sums(j)(d) / counts(j); d += 1 }
+        } else centers(j) = vecs(rng.nextInt(n)).clone() // empty cell reseed
+        j += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
+  /** Nearest-`n` centroid indices of a vector column (native kernel). */
+  private def nearestK(vec: Column, centers: Array[Array[Double]], n: Int): Column =
+    ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec), centers, n))
+
+  /** Build the index: learn `nClusters` centroids from a deterministic
+   * hash sample of ≤ `trainSample` vectors, then assign every corpus
+   * vector to its nearest centroid map-side. */
+  def buildIndex(corpus: DataFrame, nClusters: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 trainSample: Long = 65536L): IvfIndex = {
+    val n = corpus.count()
+    val bp = if (n <= trainSample) 10000L
+             else math.max(1L, trainSample * 10000L / n)
+    val sample = corpus
+      .filter(Curation.samplingKey(col(idCol)) < lit(bp))
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(idCol) // stable driver order → deterministic k-means++ draw
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val train = if (sample.length >= nClusters) sample
+      else corpus.select(col(vecCol).cast("array<double>")).limit(nClusters)
+        .collect().map(_.getSeq[Double](0).toArray)
+    val centers = kmeansFit(train, nClusters)
+    val assigned = corpus.withColumn("cluster",
+      element_at(nearestK(col(vecCol), centers, 1), 1))
+    val spark = corpus.sparkSession
+    val rows = centers.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }
     val schema = StructType(Seq(
       StructField("cluster", IntegerType, nullable = false),
       StructField("centroid", ArrayType(DoubleType), nullable = false)))
     val centroids = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 1), schema)
-    IvfIndex(assigned, centroids)
+    IvfIndex(assigned, centroids, centers)
   }
-
-  /** Squared euclidean distance between two double-array columns. */
-  private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
   /**
    * ANN top-k through the index: each query probes its `nProbe` nearest
-   * cells, exact cosine re-ranking within the candidate set.
+   * cells (native kernel — no centroid join, no window), exact cosine
+   * re-ranking within the candidate set.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nClusters: Int = 16, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val index = buildIndex(corpus, nClusters, idCol, vecCol)
-    val q = Similarity.withUnitVec(queries, vecCol, "qu")
+    val probes = Similarity.withUnitVec(queries, vecCol, "qu")
       .select(col(idCol).as("qid"), col("qu"),
-        col(vecCol).cast("array<double>").as("qv"))
-    // probe cells: rank centroids per query by distance, keep nProbe
-    val probeW = Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("dist", sqDist(col("qv"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("qid"), col("qu"), col("cluster"))
+        explode(nearestK(col(vecCol), index.centers, nProbe)).as("cluster"))
     val c = Similarity.withUnitVec(index.assigned, vecCol, "cu")
       .select(col(idCol).as("nid"), col("cu"), col("cluster"))
     val scored = c.join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(Similarity.dot(col("qu"), col("cu")), 4))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
