@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-QUALITY invariants on representative queries — the properties
+  * that decide whether a plan survives a 100× scale-up: filters reach the
+  * parquet scan, projections prune the read schema, small dimensions
+  * broadcast instead of shuffling the fact side, and aggregations combine
+  * map-side before the exchange. Checked on the pre-AQE physical plan so
+  * the assertions are deterministic. */
+class PlanQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf001).queryExecution.sparkPlan
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect { case s: FileSourceScanExec => s }
+
+  test("q02_filter_project: predicate is pushed to the parquet scan") {
+    val ss = scans(plan("q02_filter_project"))
+    assert(ss.nonEmpty)
+    val pushed = ss.map(_.metadata.getOrElse("PushedFilters", "[]"))
+    assert(pushed.exists(_ != "[]"),
+      s"no pushed filters on any scan: $pushed")
+  }
+
+  test("q02_filter_project: scan schema is pruned to the projected columns") {
+    val ss = scans(plan("q02_filter_project"))
+    val full = spark.read.parquet(s"$sf001/lineitem.parquet").schema.size
+    ss.foreach { s =>
+      assert(s.requiredSchema.size < full,
+        s"scan reads all $full columns: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("dim-joined queries broadcast the small side (no fact-side shuffle join)") {
+    Seq("q03_join_agg", "q04_region_rollup", "q05_semi_join").foreach { q =>
+      val p = plan(q)
+      val bcast = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(bcast.nonEmpty, s"$q plans no broadcast hash join:\n$p")
+    }
+  }
+
+  test("q01_pricing_summary: aggregation is partial before the exchange") {
+    val p = plan("q01_pricing_summary")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, s"expected partial+final HashAggregate pair:\n$p")
+    // the exchange between them carries the partial rows, not the scan rows
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty)
+  }
+
+  test("every registered query plans at most 2 scans of any one table") {
+    // self-joins (LSH band join, blocked jaccard) legitimately scan twice;
+    // 3+ scans of the same file means a missing reuse/checkpoint
+    SparkEntry.registry.foreach { q =>
+      val byPath = scans(plan(q.name))
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+        .groupBy(identity).view.mapValues(_.size)
+      byPath.foreach { case (path, n) =>
+        assert(n <= 2, s"${q.name} scans $path $n times")
+      }
+    }
+  }
+
+  test("headline scans never read the full document text for metadata-only queries") {
+    // q43 multimodal metadata never touches the payload bytes column
+    val ss = scans(plan("q43_multimodal_meta"))
+    ss.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("data"),
+        s"q43 reads the opaque payload column: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+}
