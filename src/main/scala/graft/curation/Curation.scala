@@ -64,21 +64,29 @@ object Curation {
    * Benchmark decontamination: flag corpus docs sharing >= `minShingles`
    * distinct k-shingles with ANY benchmark doc. The join key is the
    * 60-bit shingle hash, so the benchmark side collapses to a distinct
-   * hash set — at 100 TB the corpus side streams map-side into a
-   * hash-partitioned (or broadcast, when the benchmark is small) semi
-   * join; only (doc_id, hash) survivors reach the counting shuffle.
-   * Returns (idCol, n_shared) for contaminated docs.
+   * hash set — small by nature (it's an eval set), so AQE converts the
+   * semi join to a broadcast at runtime when it fits, and the 100 TB
+   * corpus side then streams past it MAP-SIDE with no pre-join shuffle.
+   * The semi join runs BEFORE any corpus-side dedup: only the (rare)
+   * shared shingles survive to the counting aggregate, whose
+   * count(DISTINCT h) plans a map-side partial dedup — one bounded
+   * shuffle where a corpus-wide (id, h) distinct would be a full one.
+   * Returns (idCol, carryCols*, n_shared) for contaminated docs;
+   * `carryCols` are id-functional passthrough columns (e.g. source) that
+   * ride the aggregate so callers don't re-join the corpus to recover
+   * them.
    */
   def contaminated(corpus: DataFrame, benchmark: DataFrame, minShingles: Int,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def shingleHashes(df: DataFrame) = df
-      .select(col(idCol), explode(Dedup.shingles(col(textCol))).as("s"))
-      .select(col(idCol), Exprs.md5Long(col("s")).as("h"))
-    val benchHashes = shingleHashes(benchmark).select("h").distinct()
-    shingleHashes(corpus)
-      .select(col(idCol), col("h")).distinct()
+                   textCol: String = "text", idCol: String = "doc_id",
+                   carryCols: Seq[String] = Nil): DataFrame = {
+    def shingleHashes(df: DataFrame, keep: Seq[String]) = df
+      .select(keep.map(col) :+ explode(Dedup.shingles(col(textCol))).as("s"): _*)
+      .select(keep.map(col) :+ Exprs.md5Long(col("s")).as("h"): _*)
+    val benchHashes = shingleHashes(benchmark, Nil).distinct()
+    shingleHashes(corpus, idCol +: carryCols)
       .join(benchHashes, Seq("h"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+      .groupBy(idCol, carryCols: _*)
+      .agg(count_distinct(col("h")).as("n_shared"))
       .filter(col("n_shared") >= minShingles)
   }
 

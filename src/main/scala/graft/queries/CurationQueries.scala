@@ -81,8 +81,10 @@ object CurationQueries {
   /** Benchmark decontamination: treat source src0 as the eval set; flag
    * corpus docs sharing >= 5 distinct 3-shingles (by 60-bit md5 hash)
    * with ANY benchmark doc. The benchmark side collapses to a distinct
-   * hash set before the semi join — the 100 TB corpus streams past it
-   * map-side (broadcast) or through one hash shuffle. */
+   * hash set before the semi join (AQE broadcasts it when it fits, so
+   * the 100 TB corpus streams past it map-side); `source` rides the
+   * counting aggregate as a carry column, so the plan scans documents
+   * exactly twice (corpus + bench side) with no re-attach join. */
   val q63Contamination: Q = Q("q63_contamination",
     """WITH tok AS (SELECT doc_id, source,
          string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
@@ -99,10 +101,10 @@ object CurationQueries {
       FROM hits WHERE n_shared >= 5 GROUP BY source ORDER BY source""") { (s, d) =>
     val docs = table(s, d, "documents")
       .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    val flagged = Curation.contaminated(
+    Curation.contaminated(
       corpus = docs.filter(col("source") =!= "src0"),
-      benchmark = docs.filter(col("source") === "src0"), minShingles = 5)
-    flagged.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      benchmark = docs.filter(col("source") === "src0"), minShingles = 5,
+      carryCols = Seq("source"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_contaminated"), max("n_shared").as("max_shared"))
       .orderBy("source")

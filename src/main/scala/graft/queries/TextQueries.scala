@@ -243,14 +243,21 @@ object TextQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Exact cosine near-dup pairs over a BOUNDED id slice (vec_id < 1024
+   * — fixed absolute size at any corpus scale, so the quadratic pass
+   * stays a constant-cost verification probe; the full-corpus scale path
+   * is q59's banded LSH). The slice is broadcast, so the pair loop plans
+   * as a BroadcastNestedLoopJoin, not a cartesian shuffle. */
   val q40CosineNearDup: Q = Q("q40_cosine_neardup",
-    s"""WITH $unitCte
+    s"""WITH $unitCte,
+      su AS (SELECT * FROM u WHERE vec_id < 1024)
       SELECT a.vec_id AS i, b.vec_id AS j,
              round(list_dot_product(a.u, b.u), 4) AS sim
-      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      FROM su a JOIN su b ON a.vec_id < b.vec_id
       WHERE round(list_dot_product(a.u, b.u), 4) >= 0.4
       ORDER BY i, j""") { (s, d) =>
-    Similarity.cosineNearDupPairs(table(s, d, "embeddings"), threshold = 0.4)
+    Similarity.cosineNearDupPairs(
+      table(s, d, "embeddings").filter(col("vec_id") < 1024), threshold = 0.4)
       .orderBy("i", "j")
   }
 

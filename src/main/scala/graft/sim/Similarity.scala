@@ -76,15 +76,23 @@ object Similarity {
   }
 
   /** All pairs (i<j) above a cosine threshold — embedding near-dup
-   * detection, pre-normalized per row. Quadratic: use only on bounded
-   * partitions/batches; the scale path is [[lshBucket]] + within-bucket
-   * pairs. */
+   * detection, pre-normalized per row. Quadratic: use only on BOUNDED
+   * slices (fixed absolute size at any corpus scale — e.g. an id-bounded
+   * probe set); the full-corpus scale path is [[cosineNearDupPairsBanded]].
+   *
+   * The unit-vec projection is `localCheckpoint`ed once (Catalyst's
+   * CollapseProject would otherwise inline the per-element normalization
+   * into the join and recompute it PER PAIR — O(pairs·dim) interpreted
+   * work), and the right side is broadcast: the bounded slice fits in a
+   * broadcast variable, so the pair loop is a BroadcastNestedLoopJoin
+   * streaming the left side map-side — no cartesian shuffle. */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val u = withUnitVec(corpus, vecCol, "u")
+      .select(col(idCol), col("u")).localCheckpoint()
     val a = u.select(col(idCol).as("i"), col("u").as("ua"))
     val b = u.select(col(idCol).as("j"), col("u").as("ub"))
-    a.crossJoin(b).filter(col("i") < col("j"))
+    a.crossJoin(broadcast(b)).filter(col("i") < col("j"))
       .withColumn("sim", round(dot(col("ua"), col("ub")), 4))
       .filter(col("sim") >= threshold)
       .select("i", "j", "sim")
@@ -109,18 +117,28 @@ object Similarity {
                                bands: Int = 4, rowsPerBand: Int = 4,
                                idCol: String = "vec_id",
                                vecCol: String = "embedding"): DataFrame = {
-    val u = withUnitVec(corpus, vecCol, "u").select(col(idCol), col("u"))
-    val bucketed = corpus.select(col(idCol),
-      posexplode(array((0 until bands).map(b =>
-        bandBucket(col(vecCol), dim, b, rowsPerBand)): _*)).as(Seq("band", "bucket")))
+    // ONE corpus pass projects everything downstream needs — the unit
+    // vector plus every band's bucket id — and localCheckpoint
+    // materializes that bounded (id, u, buckets) signature table on
+    // executor storage. Candidate generation (band self-join) and cosine
+    // verification (two id-joins) then read the materialized projection:
+    // 1 corpus scan total, where deriving each from `corpus` separately
+    // planned 4 full FileSourceScans of the same file.
+    val sig = withUnitVec(corpus, vecCol, "u")
+      .select(col(idCol), col("u"),
+        array((0 until bands).map(b =>
+          bandBucket(col(vecCol), dim, b, rowsPerBand)): _*).as("buckets"))
+      .localCheckpoint()
+    val bucketed = sig.select(col(idCol),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
     val a = bucketed.select(col(idCol).as("i"), col("band"), col("bucket"))
     val b = bucketed.select(col(idCol).as("j"), col("band"), col("bucket"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("i") < col("j"))
       .select("i", "j").distinct()
     cand
-      .join(u.select(col(idCol).as("i"), col("u").as("ua")), Seq("i"))
-      .join(u.select(col(idCol).as("j"), col("u").as("ub")), Seq("j"))
+      .join(sig.select(col(idCol).as("i"), col("u").as("ua")), Seq("i"))
+      .join(sig.select(col(idCol).as("j"), col("u").as("ub")), Seq("j"))
       .withColumn("sim", round(dot(col("ua"), col("ub")), 4))
       .filter(col("sim") >= threshold)
       .select("i", "j", "sim")

@@ -13,8 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * blow-up at 100 TB, so it fails here first. */
 class PlanInvariantsSpec extends AnyFunSuite with SparkSpec {
 
-  /** all-pairs-by-design baselines (scale path: LSH-bucketed variants) */
-  private val quadraticBaselines = Set("q40_cosine_neardup")
+  /** all-pairs-by-design baselines (scale path: LSH-bucketed variants).
+    * Empty since round 3: q40's exact baseline broadcasts its bounded
+    * slice, so even it plans no unbroadcast cartesian. */
+  private val quadraticBaselines = Set.empty[String]
 
   private def isBroadcast(h: Option[HintInfo]): Boolean =
     h.exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
