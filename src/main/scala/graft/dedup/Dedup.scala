@@ -290,6 +290,14 @@ object Dedup {
         labels = updated.select(col("id"), col("new_lbl").as("lbl"))
         it += 1
       }
+      // exiting via the iteration cap means some component's min-label
+      // eccentricity exceeds maxIters and its labels are NOT the closure
+      // q60's oracle checks — failing loudly beats returning wrong
+      // clusters. (Adversarially deep graphs: raise maxIters or swap the
+      // neighbor step for large-star/small-star, see scaladoc.)
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations; " +
+          s"labels would be partial — raise maxIters")
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }

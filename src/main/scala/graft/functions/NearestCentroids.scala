@@ -34,11 +34,18 @@ object CentroidMath {
     var o = 0
     while (o < m) {
       var best = -1
-      var bestD = Double.MaxValue
+      var bestD = Double.PositiveInfinity
       var j = 0
       while (j < k) {
         if (!used(j) && dist(j) < bestD) { bestD = dist(j); best = j }
         j += 1
+      }
+      if (best < 0) {
+        // every remaining distance is NaN or +Infinity (NaN embedding
+        // element / squared-distance overflow): fall back to the lowest
+        // unused index instead of crashing the codegen'd stage
+        var f = 0
+        while (f < k && best < 0) { if (!used(f)) best = f; f += 1 }
       }
       used(best) = true
       out(o) = best

@@ -126,8 +126,11 @@ object Ivf {
       .collect()
       .map(_.getSeq[Double](1).toArray)
     val train = if (sample.length >= nClusters) sample
-      else corpus.select(col(vecCol).cast("array<double>")).limit(nClusters)
-        .collect().map(_.getSeq[Double](0).toArray)
+      // fallback ordered by id: an unordered limit would make the
+      // centroids depend on partition scan order, breaking the
+      // documented deterministic-training guarantee
+      else corpus.orderBy(col(idCol)).select(col(vecCol).cast("array<double>"))
+        .limit(nClusters).collect().map(_.getSeq[Double](0).toArray)
     val centers = kmeansFit(train, nClusters)
     val assigned = corpus.withColumn("cluster",
       element_at(nearestK(col(vecCol), centers, 1), 1))

@@ -84,6 +84,37 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents: distributed loop ≡ driver union-find on random graphs") {
+    // the scale path (distributed min-label propagation) is only taken
+    // for >2^20-edge graphs in production, which no test corpus reaches —
+    // force it with driverMaxEdges = 0 and check the two paths label
+    // identical clusters on seeded random graphs (isolated-free, mixed
+    // component shapes: chains, triangles, singleton pairs)
+    for (seed <- Seq(7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 30 + rng.nextInt(20)
+      val nEdges = 40 + rng.nextInt(40)
+      val pairs = Seq.fill(nEdges)(
+          (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("i", "j")
+      val viaDriver = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDistributed = Dedup.connectedComponents(pairs, driverMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDistributed == viaDriver, s"seed=$seed")
+    }
+  }
+
+  test("connectedComponents: distributed loop fails loudly when capped below convergence") {
+    // a 6-node path needs 5 propagation rounds; maxIters=2 must throw,
+    // not return partial labels
+    val chain = (0L until 5L).map(k => (k, k + 1)).toDF("i", "j")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2, driverMaxEdges = 0L)
+    }
+  }
+
   test("shingles: distinct 3-gram count") {
     val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
       .collect()(0).getInt(0)

@@ -43,6 +43,20 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(e.count() > 0)
   }
 
+  test("CSV scan survives a UTF-8 BOM (SURVEY.md S5, app_call_center.py:13 utf-8-sig)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bom")
+    val f = dir.resolve("bom.csv")
+    // U+FEFF = the utf-8-sig byte-order mark pandas strips; a reader
+    // that doesn't would see a header named "﻿n_nationkey"
+    java.nio.file.Files.write(f,
+      "\uFEFFn_nationkey;n_name\n0;ALGERIA\n1;ARGENTINA\n".getBytes("UTF-8"))
+    val back = spark.read.option("header", "true").option("sep", ";")
+      .option("encoding", "UTF-8").csv(f.toString)
+    assert(back.columns.head == "n_nationkey",
+      s"BOM leaked into the first header: ${back.columns.head.map(_.toInt)}")
+    assert(back.count() == 2)
+  }
+
   test("CSV sink + scan round-trip (SURVEY.md S5/S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val src = Sources.table(spark, sf001, "nation")
