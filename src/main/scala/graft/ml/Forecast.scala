@@ -8,12 +8,15 @@ import graft.ops.Exprs
  * Demand-forecasting surface (SURVEY.md §2.10, M1-M7,
  * app_calculo_necesidad_recepción_call_center.py:596-713): features
  * (dow, hour, month, day, week-of-month) → label = count per
- * (date, hour) → LinearRegression + GradientBoostedTrees → best-by-R² →
- * 24h×7d prediction grid clamped at 0.
+ * (date, hour) → LinearRegression + MLP + GradientBoostedTrees →
+ * best-by-R² → 24h×7d prediction grid clamped at 0.
  *
- * Deliberate deviation from the reference (SURVEY.md §7.3): the MLP
- * regressor has no spark.ml equivalent (MultilayerPerceptron* is
- * classification-only), so the model menu is LR + GBT.
+ * The MLP (M4) has no spark.ml equivalent (MultilayerPerceptron* is
+ * classification-only), so like the GBT it is a seeded driver-side
+ * trainer over the bounded feature table: (50,25) hidden layers, ReLU,
+ * Adam, ≤500 epochs with validation-split early stopping, trained only
+ * when the train fold exceeds 100 rows — the reference's exact menu
+ * (app_calculo_necesidad_recepción_call_center.py:652-677).
  *
  * Architecture: the feature extraction (a groupBy over the full event
  * stream) is distributed Spark; the TRAINING is driver-side. The training
@@ -187,9 +190,190 @@ object Forecast {
     x => f0 + trees.iterator.map { case (t, r) => learningRate * t.predict(r, x) }.sum
   }
 
-  /** M2-M6 — deterministic 70/30 split (seed 42), train OLS + GBT(50×d3),
-   * evaluate on the holdout, pick best by R². Collects only the bounded
-   * (dates×hours) feature table to the driver. */
+  /**
+   * M4 — seeded MLP regressor, the driver-side analogue of sklearn
+   * MLPRegressor(hidden_layer_sizes=(50,25), max_iter=500,
+   * random_state=42, early_stopping=True, validation_fraction=0.1)
+   * (app_calculo_necesidad_recepción_call_center.py:655-661): ReLU
+   * activations, Adam (lr 1e-3, β₁ 0.9, β₂ 0.999), minibatches of
+   * min(200, n), L2 α=1e-4, early stop when the 10%-validation R² fails
+   * to improve by tol=1e-4 for 10 consecutive epochs (best weights
+   * restored). Features and target are standardized internally (inverse
+   * applied on output) — raw calendar features span two orders of
+   * magnitude, which a fixed 1e-3 learning rate cannot condition.
+   * Fully deterministic: one seeded RNG drives init, the validation
+   * split, and per-epoch shuffles.
+   */
+  private[graft] def fitMlp(xs: Array[Array[Double]], y: Array[Double],
+                            h1: Int = 50, h2: Int = 25, maxIter: Int = 500,
+                            seed: Long = 42): Array[Double] => Double = {
+    val n = xs.length
+    val d = xs(0).length
+    val mean = Array.tabulate(d)(j => xs.map(_(j)).sum / n)
+    val std = Array.tabulate(d) { j =>
+      val m = mean(j)
+      math.max(math.sqrt(xs.map(x => (x(j) - m) * (x(j) - m)).sum / n), 1e-9)
+    }
+    val yMean = y.sum / n
+    val yStd = math.max(math.sqrt(y.map(v => (v - yMean) * (v - yMean)).sum / n), 1e-9)
+    val xStd = xs.map(x => Array.tabulate(d)(j => (x(j) - mean(j)) / std(j)))
+    val yN = y.map(v => (v - yMean) / yStd)
+
+    val rng = new scala.util.Random(seed)
+    val perm = rng.shuffle((0 until n).toVector).toArray
+    val nVal = math.max(1, (n * 0.1).toInt)
+    val valIdx = perm.take(nVal)
+    val trIdx = perm.drop(nVal)
+
+    val sizes = Array(d, h1, h2, 1)
+    // Glorot-uniform init, one flat array per layer: w(l)(out*fanIn+in)
+    val w = Array.tabulate(3) { l =>
+      val bound = math.sqrt(6.0 / (sizes(l) + sizes(l + 1)))
+      Array.fill(sizes(l + 1) * sizes(l))((rng.nextDouble() * 2 - 1) * bound)
+    }
+    val b = Array.tabulate(3)(l => new Array[Double](sizes(l + 1)))
+    // Adam moments, same shapes
+    val mW = w.map(a => new Array[Double](a.length))
+    val vW = w.map(a => new Array[Double](a.length))
+    val mB = b.map(a => new Array[Double](a.length))
+    val vB = b.map(a => new Array[Double](a.length))
+
+    def forward(x: Array[Double], acts: Array[Array[Double]]): Double = {
+      var a = x
+      var l = 0
+      while (l < 3) {
+        val out = new Array[Double](sizes(l + 1))
+        var o = 0
+        while (o < out.length) {
+          var acc = b(l)(o)
+          val off = o * sizes(l)
+          var i = 0
+          while (i < a.length) { acc += w(l)(off + i) * a(i); i += 1 }
+          out(o) = if (l < 2 && acc < 0) 0.0 else acc // ReLU on hidden only
+          o += 1
+        }
+        if (acts != null) acts(l + 1) = out
+        a = out
+        l += 1
+      }
+      a(0)
+    }
+
+    def valR2(): Double = {
+      var sse = 0.0; var sst = 0.0; var sum = 0.0
+      valIdx.foreach(i => sum += yN(i))
+      val m = sum / valIdx.length
+      valIdx.foreach { i =>
+        val e = forward(xStd(i), null) - yN(i)
+        sse += e * e
+        val dy = yN(i) - m
+        sst += dy * dy
+      }
+      if (sst > 0) 1.0 - sse / sst else -sse
+    }
+
+    val alpha = 1e-4  // L2
+    val lr = 1e-3
+    val batch = math.min(200, trIdx.length)
+    var t = 0 // adam step
+    var best = Double.NegativeInfinity
+    var sinceBest = 0
+    var bestW: Array[Array[Double]] = null
+    var bestB: Array[Array[Double]] = null
+    var epoch = 0
+    while (epoch < maxIter && sinceBest < 10) {
+      val order = rng.shuffle(trIdx.toVector).toArray
+      var s = 0
+      while (s < order.length) {
+        val e = math.min(s + batch, order.length)
+        val gW = w.map(a => new Array[Double](a.length))
+        val gB = b.map(a => new Array[Double](a.length))
+        var r = s
+        while (r < e) {
+          val i = order(r)
+          val acts = new Array[Array[Double]](4)
+          acts(0) = xStd(i)
+          val pred = forward(xStd(i), acts)
+          // dLoss/dpred for 0.5*(pred-y)^2
+          var delta = Array(pred - yN(i))
+          var l = 2
+          while (l >= 0) {
+            val aIn = acts(l)
+            val nextDelta = new Array[Double](sizes(l))
+            var o = 0
+            while (o < delta.length) {
+              val dv = delta(o)
+              val off = o * sizes(l)
+              gB(l)(o) += dv
+              var i2 = 0
+              while (i2 < aIn.length) {
+                gW(l)(off + i2) += dv * aIn(i2)
+                nextDelta(i2) += dv * w(l)(off + i2)
+                i2 += 1
+              }
+              o += 1
+            }
+            if (l > 0) {
+              // ReLU gradient gate of the layer below
+              var i3 = 0
+              while (i3 < nextDelta.length) {
+                if (acts(l)(i3) <= 0) nextDelta(i3) = 0.0
+                i3 += 1
+              }
+            }
+            delta = nextDelta
+            l -= 1
+          }
+          r += 1
+        }
+        val bs = (e - s).toDouble
+        t += 1
+        val corr1 = 1.0 - math.pow(0.9, t)
+        val corr2 = 1.0 - math.pow(0.999, t)
+        var l = 0
+        while (l < 3) {
+          var k = 0
+          while (k < w(l).length) {
+            val g = gW(l)(k) / bs + alpha * w(l)(k)
+            mW(l)(k) = 0.9 * mW(l)(k) + 0.1 * g
+            vW(l)(k) = 0.999 * vW(l)(k) + 0.001 * g * g
+            w(l)(k) -= lr * (mW(l)(k) / corr1) / (math.sqrt(vW(l)(k) / corr2) + 1e-8)
+            k += 1
+          }
+          k = 0
+          while (k < b(l).length) {
+            val g = gB(l)(k) / bs
+            mB(l)(k) = 0.9 * mB(l)(k) + 0.1 * g
+            vB(l)(k) = 0.999 * vB(l)(k) + 0.001 * g * g
+            b(l)(k) -= lr * (mB(l)(k) / corr1) / (math.sqrt(vB(l)(k) / corr2) + 1e-8)
+            k += 1
+          }
+          l += 1
+        }
+        s = e
+      }
+      val score = valR2()
+      if (score > best + 1e-4) {
+        best = score; sinceBest = 0
+        bestW = w.map(_.clone()); bestB = b.map(_.clone())
+      } else sinceBest += 1
+      epoch += 1
+    }
+    if (bestW != null) {
+      var l = 0
+      while (l < 3) { Array.copy(bestW(l), 0, w(l), 0, w(l).length)
+        Array.copy(bestB(l), 0, b(l), 0, b(l).length); l += 1 }
+    }
+    x => {
+      val xn = Array.tabulate(d)(j => (x(j) - mean(j)) / std(j))
+      forward(xn, null) * yStd + yMean
+    }
+  }
+
+  /** M2-M6 — deterministic 70/30 split (seed 42), train OLS + GBT(50×d3)
+   * + (when the train fold exceeds 100 rows) the MLP, evaluate on the
+   * holdout, pick best by R². Collects only the bounded (dates×hours)
+   * feature table to the driver. */
   def trainBest(feats: DataFrame): Fitted = {
     val rows: Array[(Array[Double], Double)] = feats
       .orderBy("fecha", "hora") // stable collect order → stable split
@@ -207,7 +391,13 @@ object Forecast {
     val beta = fitOls(trX, trY)
     val lrPredict: Array[Double] => Double =
       x => beta(0) + x.indices.map(i => beta(i + 1) * x(i)).sum
-    val gbtPredict = fitGbt(trX, trY)
+    // n_estimators = clamp(train/2, 10, 50)
+    // (app_calculo_necesidad_recepción_call_center.py:681-682)
+    val gbtPredict = fitGbt(trX, trY,
+      numTrees = math.max(10, math.min(50, trX.length / 2)))
+    // MLP joins the menu only past 100 train rows (.py:656)
+    val mlp: Seq[(String, Array[Double] => Double)] =
+      if (trX.length > 100) Seq(("mlp", fitMlp(trX, trY))) else Nil
 
     def metrics(p: Array[Double] => Double): (Double, Double, Double) = {
       val preds = teX.map(p)
@@ -219,7 +409,7 @@ object Forecast {
       val r2 = if (ssTot > 0) 1.0 - errs.map(e => e * e).sum / ssTot else 0.0
       (r2, mae, mse)
     }
-    Seq(("linear_regression", lrPredict), ("gbt", gbtPredict))
+    (Seq(("linear_regression", lrPredict), ("gbt", gbtPredict)) ++ mlp)
       .map { case (name, p) =>
         val (r2, mae, mse) = metrics(p)
         Fitted(p, name, r2, mae, mse)

@@ -345,12 +345,44 @@ object TextQueries {
       .orderBy("source")
   }
 
-  /** IVF-partitioned ANN (learned-centroid scale path; model-dependent →
-   * rows-only + recall test in SimilaritySpec). */
-  val q54IvfTopK: Q = Q.noOracle("q54_ivf_topk") { (s, d) =>
-    val emb = table(s, d, "embeddings")
-    graft.sim.Ivf.ivfTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
-      .orderBy("qid", "rank")
+  /** IVF-partitioned ANN (learned-centroid scale path). Index contents
+   * are model-dependent, so the query emits deterministic CONTRACT
+   * VERDICTS the oracle asserts TRUE (the q56 pattern): exactly k rows
+   * per query, every returned sim bit-equal to the exact cosine
+   * recomputed for that pair, and mean recall@5 vs brute force ≥ 0.25
+   * (the index is fully deterministic — hash sample + seed 42 — and
+   * measured mean recall is 0.50/0.41/0.36 at sf0.001/0.01/0.1 with
+   * nProbe=2 of 16 cells; per-query MIN recall is 0 — some queries'
+   * neighbors live entirely outside the probed cells — which is why the
+   * floor is on the mean, the standard ANN metric). The whole check
+   * reads one localCheckpointed projection of the corpus, so the plan
+   * scans the embeddings file once for IVF + brute force + verification
+   * combined. */
+  val q54IvfTopK: Q = Q("q54_ivf_topk",
+    """SELECT * FROM (VALUES
+         ('recall_floor', TRUE), ('rows_complete', TRUE),
+         ('sims_exact', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val ivf = graft.sim.Ivf.ivfTopK(q, emb, k = k).localCheckpoint()
+    val bf = Similarity.bruteForceTopK(q, emb, k = k)
+    val u = Similarity.withUnitVec(emb, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val simsOk = ivf
+      .join(u.select(col("vec_id").as("qid"), col("u").as("qu")), Seq("qid"))
+      .join(u.select(col("vec_id").as("nid"), col("u").as("nu")), Seq("nid"))
+      .select((col("sim") === round(Similarity.dot(col("qu"), col("nu")), 4)).as("eq"))
+      .agg(bool_and(col("eq")).as("ok"))
+      .select(lit("sims_exact").as("chk"), col("ok"))
+    val rowsOk = ivf.groupBy("qid").agg(count(lit(1)).as("k"))
+      .agg((count(lit(1)) === 50 && min("k") === k && max("k") === k).as("ok"))
+      .select(lit("rows_complete").as("chk"), col("ok"))
+    val recallOk = ivf.select("qid", "nid").intersect(bf.select("qid", "nid"))
+      .agg((count(lit(1)).cast("double") / lit(50 * k) >= 0.25).as("ok"))
+      .select(lit("recall_floor").as("chk"), col("ok"))
+    recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
   }
 
   // ------------------------------------------------- end-to-end curation

@@ -37,6 +37,36 @@ class MlSpec extends AnyFunSuite {
     probe.foreach(x => assert(p1(x) == p2(x)))
   }
 
+  test("fitMlp converges on a smooth nonlinear function") {
+    val rng = new scala.util.Random(3)
+    val xs = Array.fill(400)(Array.fill(3)(rng.nextDouble() * 10))
+    val y = xs.map(x => 5.0 + 2.0 * x(0) + math.sin(x(1)) * 3.0 - 0.5 * x(2))
+    val predict = Forecast.fitMlp(xs, y)
+    val mse = xs.zip(y).map { case (x, t) => val e = predict(x) - t; e * e }
+      .sum / xs.length
+    val varY = { val m = y.sum / y.length; y.map(v => (v - m) * (v - m)).sum / y.length }
+    assert(mse < 0.2 * varY, s"train mse=$mse vs var=$varY — did not learn")
+  }
+
+  test("fitMlp is deterministic (seeded init, split, and shuffles)") {
+    val rng = new scala.util.Random(11)
+    val xs = Array.fill(250)(Array.fill(4)(rng.nextDouble() * 5))
+    val y = xs.map(x => x(0) * x(1) + 2.0 * x(2))
+    val p1 = Forecast.fitMlp(xs, y)
+    val p2 = Forecast.fitMlp(xs, y)
+    val probe = Array.fill(20)(Array.fill(4)(rng.nextDouble() * 5))
+    probe.foreach(x => assert(p1(x) == p2(x)))
+  }
+
+  test("fitMlp early-stops well before the epoch cap on trivial data") {
+    // constant target: epoch 1 is already optimal, patience should cut
+    // training to ~11 epochs — this asserts via wall-clock sanity only
+    val xs = Array.fill(200)(Array(1.0, 2.0))
+    val y = Array.fill(200)(7.0)
+    val predict = Forecast.fitMlp(xs, y)
+    assert(math.abs(predict(Array(1.0, 2.0)) - 7.0) < 1.0)
+  }
+
   test("fitGbt interpolates between train extremes (shrinkage sanity)") {
     val xs = (0 until 60).map(i => Array(i.toDouble, (i % 7).toDouble)).toArray
     val y = xs.map(x => 3.0 * x(1) + 2.0)
