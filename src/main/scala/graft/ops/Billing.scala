@@ -71,6 +71,52 @@ object Billing {
       .agg(sum("n").as("n"))
       .orderBy("grupo", "periodo", "clase")
 
+  /** Novedades counters per group (procesar_hoja_novedades,
+   * indicador-modelo-vs-facturacion.py:384-407): here a "novedad" is a
+   * RETURNED lineitem (l_returnflag = 'R') of the group's orders dated
+   * inside the analysis window, and the "bloqueante" subset is its
+   * F-linestatus rows — the returns log standing in for the reference's
+   * NOVEDADES sheet. One shuffle on the order key; the cutoff config is
+   * the same broadcast dimension the classifier uses. */
+  def novedadesCounts(spark: SparkSession, orders: DataFrame,
+                      lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("fecha"),
+        col("l_linestatus"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority").as("grupo")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cutoffDim(spark)), Seq("grupo"))
+      .filter(col("fecha") >= col("cutoff"))
+      .groupBy("grupo")
+      .agg(count(lit(1)).as("novedades"),
+        count(when(col("l_linestatus") === "F", 1)).as("bloqueantes"))
+
+  /** Full per-group indicator table behind the executive narrative
+   * (calcular_resumen_ejecutivo, indicador-modelo-vs-facturacion.py:
+   * 554-597): ingresos, facturado total (modelo + fuera), novedades and
+   * bloqueantes counts, plus the three 1-decimal percentage indicators
+   * the narrative grades against the >90% facturación / <5% novedades
+   * objectives. Zero-ingreso groups are excluded (the reference's
+   * "sedes excluidas" rule, :1162-1166). */
+  def fullExecutiveSummary(spark: SparkSession, orders: DataFrame,
+                           lineitem: DataFrame): DataFrame =
+    classified(spark, orders, lineitem)
+      .groupBy("grupo")
+      .agg(count(lit(1)).as("ingresos"),
+        count(when(col("clase").isin("modelo", "fuera"), 1)).as("facturado"))
+      .join(novedadesCounts(spark, orders, lineitem), Seq("grupo"), "left")
+      .select(col("grupo"), col("ingresos"), col("facturado"),
+        coalesce(col("novedades"), lit(0L)).as("novedades"),
+        coalesce(col("bloqueantes"), lit(0L)).as("bloqueantes"))
+      .filter(col("ingresos") > 0)
+      .withColumn("pct_facturado",
+        round(col("facturado") / col("ingresos").cast("double") * 100, 1))
+      .withColumn("pct_novedades",
+        round(col("novedades") / col("ingresos").cast("double") * 100, 1))
+      .withColumn("pct_bloqueantes",
+        round(col("bloqueantes") / col("ingresos").cast("double") * 100, 1))
+
   /** Executive summary per group: totals + modelo/fuera percentages vs
    * the 90%/5% objectives (calcular_resumen_ejecutivo,
    * indicador-modelo-vs-facturacion.py:554-597). */

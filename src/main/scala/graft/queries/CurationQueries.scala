@@ -157,6 +157,27 @@ object CurationQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Streaming ingestion dedup driven to completion on the harness
+   * corpus — the curation front door's stream path exercised on real
+   * data, not only the synthetic spec. The oracle recomputes the
+   * expected survivor count (distinct content fingerprints) directly in
+   * SQL, and `matches_batch` asserts the surviving fingerprint set is
+   * EXACTLY the batch exactDedup's (both `exceptAll` directions empty),
+   * so stream≡batch parity is itself hash-checked. */
+  val q67StreamDedup: Q = Q("q67_stream_dedup",
+    """SELECT CAST(count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_unique,
+              TRUE AS matches_batch
+       FROM documents""") { (s, d) =>
+    val streamed = graft.streaming.StreamingDedup.runDocDedupToBatch(s, d)
+      .localCheckpoint()
+    val batch = Dedup.exactDedup(table(s, d, "documents"))
+    val sFp = streamed.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val bFp = batch.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val matches = sFp.exceptAll(bFp).isEmpty && bFp.exceptAll(sFp).isEmpty
+    streamed.agg(count(lit(1)).as("n_unique"))
+      .select(col("n_unique"), lit(matches).as("matches_batch"))
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
-    q63Contamination, q64PiiScrub, q65SaltedAgg)
+    q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup)
 }

@@ -210,8 +210,93 @@ object PipelineQueries {
       .orderBy("grupo")
   }
 
+  /** EP3 FULL executive-narrative template (generar_narrativa_ejecutiva,
+   * indicador-modelo-vs-facturacion.py:1148-1292): one per-sede
+   * indicator line grading BOTH published objectives (facturación ≥90%,
+   * novedades ≤5%) plus the TOTAL row with global efficiency, the
+   * mean-of-sede novedades/bloqueantes percentages, the 3-tier
+   * bloqueantes classification (BAJO ≤10 < MODERADO ≤20 < CRITICO,
+   * :1264-1272) and the 4-way EXCELENTE/MODERADO/CRITICO conclusion
+   * (:1276-1292). Both objective thresholds are therefore hash-checked.
+   * The 5-row summary is localCheckpointed — the TOTAL row re-reads it
+   * instead of re-running the billing pipeline. */
+  val q66NarrativeFull: Q = Q("q66_narrative_full",
+    s"""WITH $billingBase,
+       s AS (SELECT grupo, count(*) AS ingresos,
+                    count(*) FILTER (WHERE clase IN ('modelo','fuera')) AS facturado
+             FROM cls GROUP BY grupo),
+       nov AS (SELECT o_orderpriority AS grupo, count(*) AS novedades,
+                      count(*) FILTER (WHERE l_linestatus = 'F') AS bloqueantes
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN cut ON o_orderpriority = grupo_c
+               WHERE l_returnflag = 'R' AND CAST(l_shipdate AS DATE) >= cutoff
+               GROUP BY 1),
+       j AS (SELECT s.grupo AS grupo, ingresos, facturado,
+                    round(facturado / CAST(ingresos AS DOUBLE) * 100, 1) AS pf,
+                    round(coalesce(novedades, 0) / CAST(ingresos AS DOUBLE) * 100, 1) AS pn,
+                    round(coalesce(bloqueantes, 0) / CAST(ingresos AS DOUBLE) * 100, 1) AS pb
+             FROM s LEFT JOIN nov ON s.grupo = nov.grupo
+             WHERE ingresos > 0),
+       g AS (SELECT round(sum(facturado) / CAST(sum(ingresos) AS DOUBLE) * 100, 1) AS ef,
+                    round(avg(pn), 1) AS mn, round(avg(pb), 1) AS mb
+             FROM j)
+       SELECT grupo,
+              'Sede ' || grupo || ': facturacion ' || CAST(pf AS VARCHAR) ||
+              '% (' || (CASE WHEN pf >= 90.0 THEN 'CUMPLE' ELSE 'NO CUMPLE' END) ||
+              '), novedades ' || CAST(pn AS VARCHAR) ||
+              '% (' || (CASE WHEN pn <= 5.0 THEN 'CUMPLE' ELSE 'NO CUMPLE' END) ||
+              '), bloqueantes ' || CAST(pb AS VARCHAR) || '%' AS narrativa
+       FROM j
+       UNION ALL
+       SELECT 'TOTAL' AS grupo,
+              'Eficiencia total ' || CAST(ef AS VARCHAR) ||
+              '% (' || (CASE WHEN ef >= 90.0 THEN 'CUMPLE' ELSE 'NO CUMPLE' END) ||
+              ' objetivo >90%), novedades promedio ' || CAST(mn AS VARCHAR) ||
+              '% (' || (CASE WHEN mn <= 5.0 THEN 'CUMPLE' ELSE 'NO CUMPLE' END) ||
+              ' objetivo <5%), bloqueantes promedio ' || CAST(mb AS VARCHAR) ||
+              '% (' || (CASE WHEN mb > 20.0 THEN 'CRITICO'
+                             WHEN mb > 10.0 THEN 'MODERADO' ELSE 'BAJO' END) ||
+              '). Conclusion: ' ||
+              (CASE WHEN ef >= 90.0 AND mn <= 5.0 THEN 'DESEMPENO EXCELENTE'
+                    WHEN ef >= 90.0 THEN 'DESEMPENO MODERADO - reducir novedades'
+                    WHEN mn <= 5.0 THEN 'DESEMPENO MODERADO - mejorar facturacion'
+                    ELSE 'DESEMPENO CRITICO' END) AS narrativa
+       FROM g
+       ORDER BY grupo""") { (s, d) =>
+    val j = Billing.fullExecutiveSummary(
+      s, table(s, d, "orders"), table(s, d, "lineitem")).localCheckpoint()
+    val perGroup = j.select(col("grupo"), concat(
+      lit("Sede "), col("grupo"), lit(": facturacion "),
+      col("pct_facturado").cast("string"),
+      lit("% ("), when(col("pct_facturado") >= 90.0, "CUMPLE").otherwise("NO CUMPLE"),
+      lit("), novedades "), col("pct_novedades").cast("string"),
+      lit("% ("), when(col("pct_novedades") <= 5.0, "CUMPLE").otherwise("NO CUMPLE"),
+      lit("), bloqueantes "), col("pct_bloqueantes").cast("string"), lit("%"))
+      .as("narrativa"))
+    val total = j.agg(
+      round(sum("facturado") / sum("ingresos").cast("double") * 100, 1).as("ef"),
+      round(avg("pct_novedades"), 1).as("mn"),
+      round(avg("pct_bloqueantes"), 1).as("mb"))
+      .select(lit("TOTAL").as("grupo"), concat(
+        lit("Eficiencia total "), col("ef").cast("string"),
+        lit("% ("), when(col("ef") >= 90.0, "CUMPLE").otherwise("NO CUMPLE"),
+        lit(" objetivo >90%), novedades promedio "), col("mn").cast("string"),
+        lit("% ("), when(col("mn") <= 5.0, "CUMPLE").otherwise("NO CUMPLE"),
+        lit(" objetivo <5%), bloqueantes promedio "), col("mb").cast("string"),
+        lit("% ("),
+        when(col("mb") > 20.0, "CRITICO")
+          .when(col("mb") > 10.0, "MODERADO").otherwise("BAJO"),
+        lit("). Conclusion: "),
+        when(col("ef") >= 90.0 && col("mn") <= 5.0, "DESEMPENO EXCELENTE")
+          .when(col("ef") >= 90.0, "DESEMPENO MODERADO - reducir novedades")
+          .when(col("mn") <= 5.0, "DESEMPENO MODERADO - mejorar facturacion")
+          .otherwise("DESEMPENO CRITICO")).as("narrativa"))
+    perGroup.unionAll(total).orderBy("grupo")
+  }
+
   val all: Seq[Q] = Seq(
     q44DemandResources, q45Capacity, q46QueueModel, q47BillingDaily,
     q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly,
-    q55Sessionize, q57Narrative)
+    q55Sessionize, q57Narrative, q66NarrativeFull)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.text.TextAnalysis
 
 /**
@@ -35,4 +36,35 @@ object StreamingDedup {
     dedupStream(
       stream.withColumn("_fp", TextAnalysis.fingerprint(col(textCol))),
       Seq("_fp"), tsCol, horizon).drop("_fp")
+
+  /** documents table schema (TESTDATA.md) for the file stream source. */
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /**
+   * Drive the document-stream dedup over the finite harness parquet to
+   * completion (memory sink + processAllAvailable — the same
+   * runToBatch recipe as [[StreamingDemand]]) and return the surviving
+   * rows. The documents table carries no event time, so arrival time is
+   * simulated as `timestamp_seconds(doc_id + 86400)` — ingestion order
+   * by id, the stand-in for a firehose's append order. The one-day
+   * offset keeps id 0 off epoch 0: Spark's initial watermark is 0, and
+   * a stateful operator drops input at-or-below the watermark as late,
+   * which would silently swallow the first document.
+   */
+  def runDocDedupToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+    val q = dedupDocStream(stream, "_ts").drop("_ts")
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
