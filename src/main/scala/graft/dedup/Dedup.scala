@@ -210,21 +210,46 @@ object Dedup {
 
   // ------------------------------------------------- duplicate clusters
 
+  /** Large-star phase (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond"): every neighbor v > u is re-attached to
+   * m(u) = min(Γ(u) ∪ {u}). One groupBy + one join on the node id;
+   * output edges are oriented large→small with no self loops. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bi = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val mins = bi.groupBy("a").agg(min("b").as("mnb"))
+      .select(col("a"), least(col("mnb"), col("a")).as("m"))
+    bi.join(mins, Seq("a")).filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+  }
+
+  /** Small-star phase: for each node u (edges arrive oriented a=u > b),
+   * all smaller neighbors and u itself re-attach to m = min(Γ⁻(u)).
+   * Same dataflow shape as [[largeStar]]. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("a").agg(min("b").as("m"))
+    val moved = edges.join(mins, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+    moved.union(mins.select(col("a"), col("m").as("b")))
+  }
+
   /**
    * Connected components over a near-dup pair table → per-node cluster
    * label (the minimum node id reachable from it). This is the step that
    * turns PAIRS into dedup DECISIONS: within a component, the row whose
    * id equals the label is the canonical survivor.
    *
-   * Distributed min-label propagation: each iteration is one hash join +
-   * one aggregation on the node id (no driver-side graph), converging in
-   * O(component diameter) rounds — near-dup clusters are shallow (pairs
-   * chains of a handful of docs), so 2-4 rounds in practice, bounded by
-   * `maxIters`. Labels are `localCheckpoint`ed each round so the plan
-   * doesn't grow with iterations. For adversarially deep graphs swap the
-   * neighbor step for large-star/small-star (Kiveris et al., "Connected
-   * Components in MapReduce"), which converges in O(log n) rounds; the
-   * per-round dataflow (join + min-agg on the partition key) is the same.
+   * Distributed path: two-phase star contraction (large-star ∘
+   * small-star, Kiveris et al.) — each round is two groupBy+join pairs
+   * on the node id (no driver-side graph) and the edge set contracts to
+   * a star forest rooted at each component minimum in O(log n) rounds
+   * REGARDLESS of component diameter (min-label propagation, the
+   * previous loop here, needed O(diameter) rounds and a 20-deep chain
+   * already tripped its iteration cap). Edges are `localCheckpoint`ed
+   * each round so the plan doesn't grow with iterations, and the round
+   * count is still guarded by `maxIters` — 20 two-phase rounds cover
+   * components beyond 2^20 nodes deep, so the guard firing means a bug,
+   * and it throws rather than returning partial labels.
    *
    * Adaptive small-graph path: the edge count is already materialized
    * (it sizes the iteration parallelism), so when the pair table fits
@@ -263,42 +288,42 @@ object Dedup {
     // produced it, and running every per-iteration stage at the corpus's
     // shuffle width made task scheduling dominate (measured 6.6s of
     // 7.9s on a ~300-edge graph). ~500k edges per partition, capped.
-    val nEdges = 2 * nPairs
-    val p = math.max(1, math.min(2000, (nEdges / 500000L).toInt + 1))
-    val edges = matPairs
-      .union(matPairs.select(col("b").as("a"), col("a").as("b")))
-      .coalesce(p)
+    val p = math.max(1, math.min(2000, (2 * nPairs / 500000L).toInt + 1))
     val spark = pairs.sparkSession
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", p)
     try {
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
+      var edges = matPairs
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct().coalesce(p).localCheckpoint()
       var it = 0
       var converged = false
       while (!converged && it < maxIters) {
-        // min label among neighbors, folded with the node's own label; the
-        // changed flag rides along so convergence costs no extra join
-        val nbr = edges.join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
-          .groupBy(col("a").as("id")).agg(min("lbl").as("nlbl"))
-        val updated = labels.join(nbr, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("new_lbl"),
-            (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
-          .localCheckpoint()
-        converged = updated.filter(col("chg")).isEmpty
-        labels = updated.select(col("id"), col("new_lbl").as("lbl"))
+        val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
+        // stable edge set = star forest (each node → its component min):
+        // both sides are distinct, so same count + empty one-way except
+        // means set equality
+        converged = next.count() == edges.count() && next.except(edges).isEmpty
+        edges = next
         it += 1
       }
-      // exiting via the iteration cap means some component's min-label
-      // eccentricity exceeds maxIters and its labels are NOT the closure
-      // q60's oracle checks — failing loudly beats returning wrong
-      // clusters. (Adversarially deep graphs: raise maxIters or swap the
-      // neighbor step for large-star/small-star, see scaladoc.)
+      // the cap firing at 20 two-phase rounds would need a component
+      // deeper than ~2^20 nodes — treat it as a bug and fail loudly
+      // rather than return partial labels (q60's oracle checks the full
+      // transitive closure)
       if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIters iterations; " +
+        s"connectedComponents did not converge within $maxIters star rounds; " +
           s"labels would be partial — raise maxIters")
-      labels
+      // star forest: every non-root points at its component min. Roots
+      // and nodes that only ever appeared in self-loop pairs are absent
+      // from the contracted edges — label them with themselves via the
+      // original endpoint set.
+      val nodes = matPairs.select(col("a").as("id"))
+        .union(matPairs.select(col("b").as("id"))).distinct()
+      nodes.join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 }

@@ -106,10 +106,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connectedComponents: star contraction resolves a 200-deep chain in <= 20 rounds") {
+    // a path graph is the adversarial case for min-label propagation
+    // (O(diameter) rounds — 200 here, past any sane cap); two-phase star
+    // contraction halves the depth per round, so ~8 rounds suffice
+    val chain = (0L until 199L).map(k => (k, k + 1)).toDF("i", "j")
+    val labels = Dedup.connectedComponents(chain, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("connectedComponents: distributed loop fails loudly when capped below convergence") {
-    // a 6-node path needs 5 propagation rounds; maxIters=2 must throw,
-    // not return partial labels
-    val chain = (0L until 5L).map(k => (k, k + 1)).toDF("i", "j")
+    // a 32-node path needs ~6 star rounds (depth halves per round);
+    // maxIters=2 must throw, not return partial labels
+    val chain = (0L until 31L).map(k => (k, k + 1)).toDF("i", "j")
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIters = 2, driverMaxEdges = 0L)
     }
