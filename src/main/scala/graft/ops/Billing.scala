@@ -54,22 +54,23 @@ object Billing {
           .otherwise("excluido"))
   }
 
-  /** A15 — daily ingreso/billing counters per group and class. */
+  /** A15 — daily ingreso/billing counters per group and class.
+   * UNORDERED: ordering belongs at the sink — a builder-level sort is a
+   * wasted exchange the moment a consumer (periodRollup) re-aggregates. */
   def dailyCounts(spark: SparkSession, orders: DataFrame,
                   lineitem: DataFrame): DataFrame =
     classified(spark, orders, lineitem)
       .groupBy(col("grupo"), col("ingreso").as("fecha"), col("clase"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("grupo", "fecha", "clase")
 
   /** Weekly/monthly rollup of the daily counts
-   * (agrupar_por_periodo, indicador-modelo-vs-facturacion.py:605-635). */
+   * (agrupar_por_periodo, indicador-modelo-vs-facturacion.py:605-635).
+   * Unordered, like [[dailyCounts]]. */
   def periodRollup(daily: DataFrame, period: String): DataFrame =
     daily
       .groupBy(col("grupo"),
         date_trunc(period, col("fecha")).cast("date").as("periodo"), col("clase"))
       .agg(sum("n").as("n"))
-      .orderBy("grupo", "periodo", "clase")
 
   /** Novedades counters per group (procesar_hoja_novedades,
    * indicador-modelo-vs-facturacion.py:384-407): here a "novedad" is a

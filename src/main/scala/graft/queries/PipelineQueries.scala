@@ -75,6 +75,7 @@ object PipelineQueries {
     Billing.dailyCounts(s, table(s, d, "orders"), table(s, d, "lineitem"))
       .select(col("grupo"), date_format(col("fecha"), "yyyy-MM-dd").as("fecha"),
         col("clase"), col("n"))
+      .orderBy("grupo", "fecha", "clase")
   }
 
   val q48BillingMonthly: Q = Q("q48_billing_monthly",
@@ -89,6 +90,7 @@ object PipelineQueries {
       "month")
       .select(col("grupo"), date_format(col("periodo"), "yyyy-MM-dd").as("periodo"),
         col("clase"), col("n"))
+      .orderBy("grupo", "periodo", "clase")
   }
 
   val q49BillingSummary: Q = Q("q49_billing_summary",
