@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DoubleDotProduct, Md5PrefixLong, MinHashBands, Shingles3, SimHash60}
+import graft.functions.{DoubleDotProduct, LangId, Md5PrefixLong, MinHashBands, Shingles3, SimHash60}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -33,7 +33,11 @@ object GraftExtensions {
     ("minhash_bands", classOf[MinHashBands],
       (exprs: Seq[Expression]) => MinHashBands(exprs.head)),
     ("shingles3", classOf[Shingles3],
-      (exprs: Seq[Expression]) => Shingles3(exprs.head)))
+      (exprs: Seq[Expression]) => Shingles3(exprs.head)),
+    ("lang_id", classOf[LangId],
+      (exprs: Seq[Expression]) => LangId(exprs.head,
+        graft.text.TextAnalysis.langMarkers.map(_._1).toArray,
+        graft.text.TextAnalysis.langMarkers.map(_._2.toArray).toArray)))
 
   /** Imperative registration for an already-built session (tests,
     * notebooks). */

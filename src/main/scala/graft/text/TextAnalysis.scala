@@ -80,9 +80,21 @@ object TextAnalysis {
   /**
    * Predicted language = argmax of marker-hit counts, 'und' when no marker
    * hits at all. Deterministic tie-break: earlier entry in `langMarkers`
-   * wins (strict `>` while folding in declaration order).
+   * wins. Native one-pass kernel ([[graft.functions.LangId]]) — the
+   * folded Column spelling ([[predictLangExpr]], kept for the parity
+   * test) pays one interpreted `filter()` pass per language plus
+   * CollapseProject re-evaluation of every score the argmax references.
    */
   def predictLang(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.LangId(
+      ColumnBridge.expression(tokens(text)),
+      langMarkers.map(_._1).toArray,
+      langMarkers.map(_._2.toArray).toArray))
+  }
+
+  /** Expression-only spelling of [[predictLang]] (parity reference). */
+  private[graft] def predictLangExpr(text: Column): Column = {
     val scored = langMarkers.map { case (lang, ms) => (lang, langScore(text, ms)) }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, sc)) =>

@@ -81,6 +81,25 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() == 0)
   }
 
+  test("LangId kernel matches the folded filter/argmax expression spelling") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.predictLang(col("text")).as("native"),
+      TextAnalysis.predictLangExpr(col("text")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // tie-break + und cases pinned explicitly
+    import spark.implicits._
+    val edge = Seq(
+      "the de xx",        // en=1 es=1 tie -> earlier entry (en) wins
+      "zzz qqq",          // no markers -> und
+      "de la y the and is the") // en=4 beats es=3
+      .toDF("text")
+      .select(TextAnalysis.predictLang(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(edge == Seq("en", "und", "en"))
+  }
+
   test("MinHashBands kernel matches the composed signature+band spelling") {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
