@@ -44,8 +44,20 @@ object TextAnalysis {
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
     "de", "el", "la", "que", "y", "en", "der", "die", "und", "le", "et")
 
-  /** Fraction of tokens that are (multilingual) stopwords. */
+  /** Fraction of tokens that are (multilingual) stopwords. Native
+   * one-pass counter ([[graft.functions.WordSetCount]]); the
+   * `size(filter(...))` spelling ([[stopwordRatioExpr]], parity
+   * reference) is interpreted per element. */
   def stopwordRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val t = tokens(text)
+    val hits = ColumnBridge.column(graft.functions.WordSetCount(
+      ColumnBridge.expression(t), stopwords.toArray))
+    hits.cast("double") / greatest(size(t), lit(1))
+  }
+
+  /** Expression-only spelling of [[stopwordRatio]] (parity reference). */
+  private[graft] def stopwordRatioExpr(text: Column): Column = {
     val t = tokens(text)
     size(filter(t, w => w.isin(stopwords: _*)))
       .cast("double") / greatest(size(t), lit(1))

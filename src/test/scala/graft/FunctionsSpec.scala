@@ -100,6 +100,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(edge == Seq("en", "und", "en"))
   }
 
+  test("WordSetCount kernel matches the size(filter) stopword spelling") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.stopwordRatio(col("text")).as("native"),
+      TextAnalysis.stopwordRatioExpr(col("text")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
   test("MinHashBands kernel matches the composed signature+band spelling") {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
