@@ -173,7 +173,11 @@ object CurationQueries {
     val batch = Dedup.exactDedup(table(s, d, "documents"))
     val sFp = streamed.select(TextAnalysis.fingerprint(col("text")).as("fp"))
     val bFp = batch.select(TextAnalysis.fingerprint(col("text")).as("fp"))
-    val matches = sFp.exceptAll(bFp).isEmpty && bFp.exceptAll(sFp).isEmpty
+      .localCheckpoint() // referenced twice below; dedup runs once
+    // both sides are fingerprint-distinct by construction, so equal
+    // counts + one empty set-difference proves set equality (one batch
+    // pass instead of two exceptAll scans)
+    val matches = sFp.count() == bFp.count() && sFp.except(bFp).isEmpty
     streamed.agg(count(lit(1)).as("n_unique"))
       .select(col("n_unique"), lit(matches).as("matches_batch"))
   }
