@@ -76,6 +76,30 @@ object Sources {
   def lastColumnContaining(df: DataFrame, sub: String): Option[String] =
     df.columns.reverseIterator.find(_.toLowerCase.contains(sub.toLowerCase))
 
+  /**
+   * Header-offset scan (SURVEY.md S3 — the reference's
+   * `pd.read_excel(..., header=N)` pattern: N junk rows precede the real
+   * header). Reads the file as text, drops the first `skipLines`
+   * physical lines, then parses the remainder as headered CSV.
+   * `zipWithIndex` assigns global line numbers in file order (its
+   * per-partition offsets come from one lightweight count pass), so the
+   * drop is exact at any parallelism; everything downstream is a normal
+   * CSV scan Catalyst can prune.
+   */
+  def csvHeaderOffset(spark: SparkSession, path: String, skipLines: Int,
+                      sep: String = ","): DataFrame = {
+    import spark.implicits._
+    val body = spark.read.textFile(path).rdd
+      .zipWithIndex()
+      .filter(_._2 >= skipLines.toLong)
+      .map(_._1)
+      .toDS()
+    spark.read
+      .option("header", "true").option("sep", sep)
+      .option("inferSchema", "true")
+      .csv(body)
+  }
+
   /** Catalog check before plan construction (SURVEY.md S6):
    * require the named tables to exist under sfDir. */
   def requireTables(spark: SparkSession, sfDir: String, names: Seq[String]): Unit = {

@@ -57,6 +57,18 @@ class SourcesSpec extends AnyFunSuite with SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("csvHeaderOffset skips junk rows before the header (SURVEY.md S3)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdr")
+    val f = dir.resolve("report.csv")
+    java.nio.file.Files.write(f,
+      ("REPORTE MENSUAL;;\nGenerado: 2024-01-01;;\n;;\n" + // 3 junk lines
+        "id;nombre;valor\n1;ana;10\n2;luis;20\n").getBytes("UTF-8"))
+    val df = Sources.csvHeaderOffset(spark, f.toString, skipLines = 3, sep = ";")
+    assert(df.columns.toSeq == Seq("id", "nombre", "valor"))
+    assert(df.count() == 2)
+    assert(df.select("valor").collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 20))
+  }
+
   test("CSV sink + scan round-trip (SURVEY.md S5/S8)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val src = Sources.table(spark, sf001, "nation")
