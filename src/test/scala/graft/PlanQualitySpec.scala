@@ -76,6 +76,26 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q40: bounded exact baseline joins via broadcast, never a cartesian shuffle") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q40_cosine_neardup")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"q40 lost its broadcast pair loop:\n$p")
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q40 plans a cartesian shuffle:\n$p")
+  }
+
+  test("q59: banded LSH reads the checkpointed signature table, zero corpus re-scans") {
+    // the signature projection (id, unitVec, buckets) is localCheckpointed
+    // in one corpus pass; candidate generation AND verification must read
+    // it — any FileSourceScan of embeddings here is a regression to the
+    // round-2 4-scan plan
+    val ss = scans(plan("q59_neardup_lsh"))
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.contains("embeddings"))
+    assert(ss.isEmpty, s"q59 re-scans the corpus: $ss")
+  }
+
   test("headline scans never read the full document text for metadata-only queries") {
     // q43 multimodal metadata never touches the payload bytes column
     val ss = scans(plan("q43_multimodal_meta"))
