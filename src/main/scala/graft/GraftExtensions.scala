@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DoubleDotProduct, LangId, Md5PrefixLong, MinHashBands, Shingles3, SimHash60}
+import graft.functions.{DoubleDotProduct, LangId, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, UnitVec}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -34,6 +34,10 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => MinHashBands(exprs.head)),
     ("shingles3", classOf[Shingles3],
       (exprs: Seq[Expression]) => Shingles3(exprs.head)),
+    ("unit_vec", classOf[UnitVec],
+      (exprs: Seq[Expression]) => UnitVec(exprs.head)),
+    ("md5_long_array", classOf[Md5LongArray],
+      (exprs: Seq[Expression]) => Md5LongArray(exprs.head)),
     ("lang_id", classOf[LangId],
       (exprs: Seq[Expression]) => LangId(exprs.head,
         graft.text.TextAnalysis.langMarkers.map(_._1).toArray,

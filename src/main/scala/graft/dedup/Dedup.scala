@@ -3,7 +3,6 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Exprs
 import graft.text.TextAnalysis
 
 /**
@@ -83,12 +82,15 @@ object Dedup {
    * at 16 longs per doc. */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    // hash INSIDE the transform, then explode longs — the exploded rows
+    // hash BEFORE the explode (native Md5LongArray — the transform
+    // spelling interprets the hash per element), so the exploded rows
     // carry 8 bytes instead of the ~20-char shingle strings
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashed = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(shingles(col(textCol)))))
     val exploded = docs
-      .select(col(idCol),
-        explode(transform(shingles(col(textCol)),
-          s => Exprs.md5Long(s) % P)).as("hp"))
+      .select(col(idCol), explode(hashed).as("h0"))
+      .select(col(idCol), (col("h0") % P).as("hp"))
     val aggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hp") + lit(b)) % P).as(s"m$i")
     }
@@ -165,15 +167,17 @@ object Dedup {
       ColumnBridge.expression(hashedToks)))
   }
 
-  /** Adds `fp` (60-bit SimHash of textCol) via an intermediate
-   * hashed-token array column. */
+  /** Adds `fp` (60-bit SimHash of textCol) via the native tokenize→hash
+   * kernel chain (Md5LongArray → SimHash60 — both codegen'd; the
+   * `transform(tokens, md5Long)` spelling interprets the hash per
+   * token). */
   def withSimhash(docs: DataFrame, textCol: String = "text",
-                  fpCol: String = "fp"): DataFrame =
-    docs
-      .withColumn("_htoks", transform(TextAnalysis.tokens(col(textCol)),
-        t => Exprs.md5Long(t)))
-      .withColumn(fpCol, simhashFromHashes(col("_htoks")))
-      .drop("_htoks")
+                  fpCol: String = "fp"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hashed = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(TextAnalysis.tokens(col(textCol)))))
+    docs.withColumn(fpCol, simhashFromHashes(hashed))
+  }
 
   /** Hamming distance between two 60-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

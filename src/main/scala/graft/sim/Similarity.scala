@@ -44,16 +44,25 @@ object Similarity {
   }
 
   /**
-   * Unit-normalized double vector, computed ONCE per row (norm in its own
-   * projection step so it isn't re-evaluated per pair downstream — the
-   * difference between O(pairs) and O(3·pairs) dot products in the
-   * quadratic stages). Zero vectors map to zero vectors.
+   * Unit-normalized double vector via the native [[graft.functions.UnitVec]]
+   * kernel — one codegen'd call per row. The Column spelling
+   * ([[unitVecExpr]], kept as the parity reference) interprets the
+   * division per element and lets CollapseProject re-inline the norm
+   * into the lambda (recomputing it per element). Zero vectors map to
+   * zero vectors.
    */
-  def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame =
-    df.withColumn("_nrm", norm(col(vecCol)))
-      .withColumn(outCol, transform(col(vecCol),
-        x => when(col("_nrm") === 0, 0.0).otherwise(x.cast("double") / col("_nrm"))))
-      .drop("_nrm")
+  def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    df.withColumn(outCol, ColumnBridge.column(
+      graft.functions.UnitVec(ColumnBridge.expression(col(vecCol)))))
+  }
+
+  /** Expression-only spelling of [[withUnitVec]]'s output column
+   * (parity reference). */
+  private[graft] def unitVecExpr(vec: Column): Column = {
+    val nrm = norm(vec)
+    transform(vec, x => when(nrm === 0, 0.0).otherwise(x.cast("double") / nrm))
+  }
 
   /**
    * Brute-force cosine top-k: for each query vector, the k nearest corpus

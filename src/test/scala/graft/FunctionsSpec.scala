@@ -100,6 +100,35 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(edge == Seq("en", "und", "en"))
   }
 
+  test("UnitVec kernel matches the norm+transform spelling on real embeddings") {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val native = ColumnBridge.column(graft.functions.UnitVec(
+      ColumnBridge.expression(col("embedding"))))
+    val both = emb.select(native.as("native"),
+      Similarity.unitVecExpr(col("embedding")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // zero vector maps to zero vector
+    import spark.implicits._
+    val z = Seq(Array(0.0f, 0.0f)).toDF("embedding")
+    val u = Similarity.withUnitVec(z, "embedding", "u")
+      .select("u").collect()(0).getSeq[Double](0)
+    assert(u == Seq(0.0, 0.0))
+  }
+
+  test("Md5LongArray kernel matches transform(md5Long) per element") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val toks = TextAnalysis.tokens(col("text"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val native = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(toks)))
+    val builtin = transform(toks, t => Exprs.md5Long(t))
+    val both = docs.select(native.as("native"), builtin.as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
   test("WordSetCount kernel matches the size(filter) stopword spelling") {
     import graft.text.TextAnalysis
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
