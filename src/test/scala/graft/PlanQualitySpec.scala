@@ -96,6 +96,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(ss.isEmpty, s"q59 re-scans the corpus: $ss")
   }
 
+  test("EP3 billing pipeline prunes orders/lineitem scans to the needed columns") {
+    val s = spark
+    val summary = graft.ops.Billing.fullExecutiveSummary(s,
+      graft.io.Sources.table(s, sf001, "orders"),
+      graft.io.Sources.table(s, sf001, "lineitem"))
+    val byTable = scans(summary.queryExecution.sparkPlan)
+      .groupBy(_.relation.location.rootPaths.head.toString.split("/").last)
+    val lineitemCols = byTable("lineitem.parquet")
+      .flatMap(_.requiredSchema.fieldNames).toSet
+    val ordersCols = byTable("orders.parquet")
+      .flatMap(_.requiredSchema.fieldNames).toSet
+    assert(lineitemCols.subsetOf(
+      Set("l_orderkey", "l_shipdate", "l_returnflag", "l_linestatus")),
+      s"lineitem reads extra columns: $lineitemCols")
+    assert(ordersCols.subsetOf(
+      Set("o_orderkey", "o_orderpriority", "o_orderdate")),
+      s"orders reads extra columns: $ordersCols")
+  }
+
   test("headline scans never read the full document text for metadata-only queries") {
     // q43 multimodal metadata never touches the payload bytes column
     val ss = scans(plan("q43_multimodal_meta"))
