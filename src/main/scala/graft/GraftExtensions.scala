@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DoubleDotProduct, LangId, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, UnitVec}
+import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, UnitVec}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -34,6 +34,8 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => MinHashBands(exprs.head)),
     ("shingles3", classOf[Shingles3],
       (exprs: Seq[Expression]) => Shingles3(exprs.head)),
+    ("long_word_extra_units", classOf[LongWordExtraUnits],
+      (exprs: Seq[Expression]) => LongWordExtraUnits(exprs.head)),
     ("unit_vec", classOf[UnitVec],
       (exprs: Seq[Expression]) => UnitVec(exprs.head)),
     ("md5_long_array", classOf[Md5LongArray],

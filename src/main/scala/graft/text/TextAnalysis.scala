@@ -23,9 +23,22 @@ object TextAnalysis {
   /**
    * BPE-ish subword count estimate without a vocab: words + extra units
    * for long words (every 6 chars beyond the first 6 ≈ one more merge
-   * unit) + punctuation marks, a common serving-cost proxy.
+   * unit) + punctuation marks, a common serving-cost proxy. The
+   * long-word pass is the native [[graft.functions.LongWordExtraUnits]]
+   * kernel; [[approxBpeTokenCountExpr]] keeps the interpreted
+   * `aggregate` spelling as the parity reference.
    */
   def approxBpeTokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val words = tokens(text)
+    val longWordExtra = ColumnBridge.column(graft.functions.LongWordExtraUnits(
+      ColumnBridge.expression(words)))
+    (size(words) + longWordExtra + punctCount(text)).cast("long")
+  }
+
+  /** Expression-only spelling of [[approxBpeTokenCount]] (parity
+   * reference). */
+  private[graft] def approxBpeTokenCountExpr(text: Column): Column = {
     val words = tokens(text)
     val longWordExtra = aggregate(words, lit(0L),
       (acc, w) => acc + floor(greatest(length(w) - 1, lit(0)) / 6).cast("long"))

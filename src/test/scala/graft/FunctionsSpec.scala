@@ -129,6 +129,15 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() == 0)
   }
 
+  test("LongWordExtraUnits kernel matches the aggregate BPE spelling") {
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.approxBpeTokenCount(col("text")).as("native"),
+      TextAnalysis.approxBpeTokenCountExpr(col("text")).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+  }
+
   test("WordSetCount kernel matches the size(filter) stopword spelling") {
     import graft.text.TextAnalysis
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
