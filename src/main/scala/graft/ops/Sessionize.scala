@@ -92,4 +92,29 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /**
+   * Drive the streaming sessionizer over the finite harness events
+   * parquet to completion (memory sink + processAllAvailable; the
+   * trailing no-data micro-batch advances the watermark and fires the
+   * event-time timeouts) and return the emitted sessions. Sessions
+   * still open at the final watermark — those ending within ~2 gaps of
+   * the last event — remain in state, exactly as they would on a live
+   * stream.
+   */
+  def runStreamToBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    val name = "stream_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val stream = spark.readStream
+      .schema(graft.streaming.StreamingDemand.eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = sessionizeStream(stream, gapMinutes).toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }

@@ -182,6 +182,49 @@ object CurationQueries {
       .select(col("n_unique"), lit(matches).as("matches_batch"))
   }
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState, event-
+   * time timeout) driven to completion on the harness events — the
+   * custom-state twin of q55 exercised on real data. Emitted sessions
+   * must EXACTLY match batch sessions (hash-gated subset verdict), and
+   * every session that provably closed before the final watermark
+   * (ended > 2 gaps + slop before the last event) must have been
+   * emitted — sessions still open at end-of-stream legitimately stay in
+   * state, as on a live stream. */
+  val q68StreamSessions: Q = Q("q68_stream_sessions",
+    """SELECT * FROM (VALUES
+         ('closed_sessions_all_emitted', TRUE),
+         ('stream_nonempty', TRUE),
+         ('stream_subset_of_batch', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val gapMin = 30
+    val events = table(s, d, "events")
+    val batch = graft.ops.Sessionize.sessionizeBatch(events, gapMinutes = gapMin)
+      .select("user_id", "start_epoch", "end_epoch", "n_events")
+      .localCheckpoint()
+    val streamed = graft.ops.Sessionize.runStreamToBatch(s, d, gapMinutes = gapMin)
+      .select("user_id", "start_epoch", "end_epoch", "n_events")
+      .localCheckpoint()
+    val maxTs = events.agg(max(unix_timestamp(col("ts")))).collect()(0).getLong(0)
+    // a session whose last event precedes the final watermark by more
+    // than one gap (+60s boundary slop) must have timed out and been
+    // emitted; anything younger may legitimately still be open state
+    val closedHorizon = maxTs - 2L * gapMin * 60 - 60
+    val subset = streamed.except(batch).isEmpty
+    val closedEmitted = batch.filter(col("end_epoch") < closedHorizon)
+      .except(streamed).isEmpty
+    val nonempty = streamed.count() > 0
+    s.range(1).select(
+      lit(closedEmitted).as("closed_sessions_all_emitted"),
+      lit(nonempty).as("stream_nonempty"),
+      lit(subset).as("stream_subset_of_batch"))
+      .selectExpr("""stack(3,
+        'closed_sessions_all_emitted', closed_sessions_all_emitted,
+        'stream_nonempty', stream_nonempty,
+        'stream_subset_of_batch', stream_subset_of_batch) AS (chk, ok)""")
+      .orderBy("chk")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
-    q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup)
+    q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
+    q68StreamSessions)
 }
