@@ -93,5 +93,38 @@ object ExtraQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches)
+  /** D2 — configured partitioner with pinned groups: URGENT deals only
+   * into partitions {1,3}, LOW only into {2,4}, everything else across
+   * all 4 — the md5-seeded ordering, per-width ntile deal and pinned
+   * mapping are all replayed in the oracle, so the custom partition
+   * CONFIG semantics (not just the balanced D1 deal, q28) are
+   * hash-checked. */
+  val q69PartitionConfig: Q = Q("q69_partition_config",
+    """WITH a AS (SELECT o_orderkey AS id, o_orderpriority AS grupo,
+                         md5(CAST(o_orderkey AS VARCHAR) || '|' || '42') AS k
+                  FROM orders WHERE o_orderkey < 4000),
+       t AS (SELECT id, grupo,
+                    ntile(4) OVER w AS t4,
+                    ntile(2) OVER w AS t2
+             FROM a WINDOW w AS (PARTITION BY grupo ORDER BY k, id)),
+       p AS (SELECT id, grupo,
+                    CASE WHEN grupo = '1-URGENT' THEN ([1, 3])[t2]
+                         WHEN grupo = '5-LOW' THEN ([2, 4])[t2]
+                         ELSE t4 END AS partition_id
+             FROM t)
+       SELECT CAST(partition_id AS BIGINT) AS partition_id, grupo,
+              count(DISTINCT id) AS n_ids, count(*) AS n_rows
+       FROM p GROUP BY 1, 2 ORDER BY partition_id, grupo""") { (s, d) =>
+    val orders = table(s, d, "orders").filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey").as("id"), col("o_orderpriority").as("grupo"))
+    val assigned = graft.ops.Windows.seededNtileConfigured(
+      orders, "grupo", "id", n = 4,
+      allowed = Map("1-URGENT" -> Seq(1, 3), "5-LOW" -> Seq(2, 4)))
+    graft.ops.Windows.partitionStats(assigned, "partition_id", "grupo", "id")
+      .select(col("partition_id").cast("long").as("partition_id"),
+        col("grupo"), col("n_ids"), col("n_rows"))
+  }
+
+  val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
+    q69PartitionConfig)
 }
