@@ -125,6 +125,21 @@ object ExtraQueries {
         col("grupo"), col("n_ids"), col("n_rows"))
   }
 
+  /** S5/S8 — CSV sink + scan round-trip, hash-gated: nation is written
+   * to a headered CSV and read back with its parquet schema; the oracle
+   * reads the PARQUET truth, so any value/type/quoting loss in the CSV
+   * path breaks the hash. */
+  val q70CsvRoundtrip: Q = Q("q70_csv_roundtrip",
+    """SELECT n_nationkey, n_name, n_regionkey
+       FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val nation = table(s, d, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.option("header", "true").schema(nation.schema).csv(dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
-    q69PartitionConfig)
+    q69PartitionConfig, q70CsvRoundtrip)
 }
