@@ -389,6 +389,35 @@ object TextQueries {
     recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
   }
 
+  /** Multimodal DECODE stage exercised on harness data: the
+   * per-partition batch decoder (the one sanctioned mapPartitions) runs
+   * over every blob, and its width/height outputs must sum to the SQL
+   * arithmetic truth recomputed from byte counts — so the batch-iteration
+   * path is hash-gated, not just spec'd. channels/mean-byte (not
+   * SQL-expressible) ride as verdict booleans; the frame-sample planner's
+   * fan-out count (8 frames every 2 → 4/media) is also recomputed. */
+  val q71DecodeStats: Q = Q("q71_decode_stats",
+    """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS b FROM documents)
+       SELECT CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(16 + b % 64) AS BIGINT) AS sum_w,
+              CAST(sum(16 + (b // 64) % 64) AS BIGINT) AS sum_h,
+              TRUE AS channels_ok, TRUE AS mean_byte_ok,
+              CAST(count(*) * 4 AS BIGINT) AS n_frames
+       FROM m""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val media = Multimodal.asMediaTable(table(s, d, "documents"))
+    val decoded = Multimodal.decodeFeatures(media)
+    val nFrames = Multimodal.planFrameSample(media, nFrames = 8, everyK = 2).count()
+    decoded.agg(
+      count(lit(1)).as("n_media"),
+      sum(col("width").cast("long")).as("sum_w"),
+      sum(col("height").cast("long")).as("sum_h"),
+      bool_and(col("channels") === 3).as("channels_ok"),
+      bool_and(col("mean_byte") >= 0.0 && col("mean_byte") <= 255.0).as("mean_byte_ok"))
+      .select(col("n_media"), col("sum_w"), col("sum_h"),
+        col("channels_ok"), col("mean_byte_ok"), lit(nFrames).as("n_frames"))
+  }
+
   // ------------------------------------------------- end-to-end curation
 
   /** Full curation pipeline in one declarative plan — the shape of a
@@ -450,5 +479,5 @@ object TextQueries {
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
-    q58Curation, q59NearDupLsh)
+    q58Curation, q59NearDupLsh, q71DecodeStats)
 }
