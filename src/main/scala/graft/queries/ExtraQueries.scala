@@ -140,6 +140,27 @@ object ExtraQueries {
       .orderBy("n_nationkey")
   }
 
+  /** S3 — header-offset scan, hash-gated: region is exported to a CSV
+   * with a 3-line report preamble above the header (the reference's
+   * `header=N` sheet shape); `csvHeaderOffset` must recover exactly the
+   * parquet truth the oracle reads. */
+  val q72HeaderOffset: Q = Q("q72_header_offset",
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+       FROM region ORDER BY r_regionkey""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdr_q")
+    val f = dir.resolve("report.csv")
+    val rows = table(s, d, "region")
+      .select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")
+      .collect() // region is a 5-row dimension; this builds the fixture, not the plan
+      .map(r => s"${r.getInt(0)};${r.getString(1)}")
+    java.nio.file.Files.write(f,
+      ("REPORTE REGIONES;\nGenerado: fixture;\n;\n" +
+        "r_regionkey;r_name\n" + rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    graft.io.Sources.csvHeaderOffset(s, f.toString, skipLines = 3, sep = ";")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
-    q69PartitionConfig, q70CsvRoundtrip)
+    q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset)
 }
