@@ -90,6 +90,28 @@ object Curation {
       .filter(col("n_shared") >= minShingles)
   }
 
+  // ------------------------------------------------------- repetition signal
+
+  /**
+   * Gopher-style repetition signal per document: the fraction of all
+   * 3-shingles taken by the single most repeated one (near 1.0 = the
+   * document is one phrase looping — a standard pretraining-quality
+   * filter axis alongside [[graft.text.TextAnalysis.qualityScore]]).
+   * Two-phase aggregation on (doc, shingle) then doc — map-side partial
+   * counts absorb the repetition itself, so a pathological looping
+   * document contributes ONE hot row per distinct shingle, not one per
+   * occurrence.
+   */
+  def repetitionStats(docs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol))).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_trigrams"), max("c").as("max_rep"))
+      .withColumn("rep_ratio",
+        round(col("max_rep") / col("n_trigrams").cast("double"), 4))
+
   // ------------------------------------------------------------ PII masking
 
   /** Digit masking: every digit → 'X' (ids, phones, account numbers). */

@@ -224,7 +224,28 @@ object CurationQueries {
       .orderBy("chk")
   }
 
+  /** Gopher-style repetition quality signal: fraction of a document's
+   * 3-shingles taken by its single most repeated one — the standard
+   * looping-document filter axis, hash-checked per doc. */
+  val q74Repetition: Q = Q("q74_repetition",
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+       sh AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1, 1)),
+                     k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS g
+              FROM tok WHERE len(w) >= 3),
+       c AS (SELECT doc_id, g, count(*) AS c FROM sh GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+              CAST(max(c) AS BIGINT) AS max_rep,
+              round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS rep_ratio
+       FROM c WHERE doc_id < 100 GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    Curation.repetitionStats(
+      table(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
-    q68StreamSessions)
+    q68StreamSessions, q74Repetition)
 }

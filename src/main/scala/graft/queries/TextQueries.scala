@@ -418,6 +418,27 @@ object TextQueries {
         col("channels_ok"), col("mean_byte_ok"), lit(nFrames).as("n_frames"))
   }
 
+  /** Token-window chunking (64-token chunks, stride 16 → 48-token
+   * overlap) — the context-length preparation step of a pretraining/RAG
+   * pipeline, fully replayed in the oracle via list slicing. */
+  val q73Chunking: Q = Q("q73_chunking",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                  FROM documents WHERE doc_id < 50),
+       s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 16)) AS st FROM t),
+       c AS (SELECT doc_id, st // 16 AS chunk_idx,
+                    array_to_string(list_slice(w, st + 1, st + 64), ' ') AS chunk_text,
+                    len(list_slice(w, st + 1, st + 64)) AS n_chunk_tokens
+             FROM s)
+       SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+              CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    TextAnalysis.chunkTokens(
+      table(s, d, "documents").filter(col("doc_id") < 50),
+      chunkSize = 64, stride = 16)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ------------------------------------------------- end-to-end curation
 
   /** Full curation pipeline in one declarative plan — the shape of a
@@ -479,5 +500,5 @@ object TextQueries {
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
-    q58Curation, q59NearDupLsh, q71DecodeStats)
+    q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking)
 }

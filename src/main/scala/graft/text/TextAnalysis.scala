@@ -128,6 +128,27 @@ object TextAnalysis {
     when(best._2 === 0, "und").otherwise(best._1)
   }
 
+  /**
+   * Fixed-size token-window chunking with stride — the context-length
+   * preparation step of a pretraining/RAG pipeline: chunk c starts at
+   * token c·stride and spans `chunkSize` tokens (the final chunk may be
+   * shorter; overlap = chunkSize − stride). Pure per-row expansion
+   * (map-side, then the explode fan-out) — no shuffle, so at 100 TB the
+   * chunker runs at scan speed and only the chunk rows move downstream.
+   */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, chunkSize: Int,
+                  stride: Int, textCol: String = "text",
+                  idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+        st => concat_ws(" ", slice(toks, st + 1, lit(chunkSize)))))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(tokens(col("chunk_text"))).cast("long"))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
    * the exact-dedup key. */
   def fingerprint(text: Column): Column =
