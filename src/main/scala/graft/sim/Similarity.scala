@@ -185,9 +185,47 @@ object Similarity {
     }.reduce(_ + _)
 
   /**
+   * OR-amplified banded LSH top-k — [[lshTopK]]'s recall fix: a corpus
+   * vector is a candidate when ANY of `bands` independent
+   * `rowsPerBand`-bit buckets collides with the query's (a single
+   * AND-only 2^8 bucket misses ~30% of even 0.99-cosine neighbors; with
+   * 4×4 banding the miss probability for near-identical vectors is
+   * ~(1-p^4)^4 ≈ 0). The corpus signature (id, unitVec, band buckets) is
+   * projected in ONE pass and localCheckpointed — candidate generation
+   * and re-ranking read the materialized projection; the bounded query
+   * side broadcasts, so the corpus never shuffles before the per-query
+   * top-k window.
+   */
+  def bandedLshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                    bands: Int = 4, rowsPerBand: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    def sig(df: DataFrame, id: String, u: String, b: String) =
+      withUnitVec(df, vecCol, u).select(col(idCol).as(id), col(u),
+        array((0 until bands).map(bb =>
+          bandBucket(col(vecCol), dim, bb, rowsPerBand)): _*).as(b))
+    val cSig = sig(corpus, "nid", "cu", "cb").localCheckpoint()
+    val qSig = sig(queries, "qid", "qu", "qb")
+    val cB = cSig.select(col("nid"), posexplode(col("cb")).as(Seq("band", "bucket")))
+    val qB = qSig.select(col("qid"), posexplode(col("qb")).as(Seq("band", "bucket")))
+    val cand = cB.join(broadcast(qB), Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val scored = cand
+      .join(cSig.select("nid", "cu"), Seq("nid"))
+      .join(broadcast(qSig.select("qid", "qu")), Seq("qid"))
+      .withColumn("sim", round(dot(col("qu"), col("cu")), 4))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
+  /**
    * Bucketed ANN top-k: corpus bucketed once, each query probes only its
    * own bucket. Joins on the bucket id — a plain shuffle/broadcast
-   * equi-join; candidate count per query ≈ corpus/2^8.
+   * equi-join; candidate count per query ≈ corpus/2^8. For the
+   * recall-amplified variant see [[bandedLshTopK]].
    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
