@@ -46,9 +46,13 @@ object Bench {
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Short keys ("q63" not "q63_contamination") and ms precision keep the
+    // whole line under ~1.5 KB so it survives a bounded log-tail capture;
+    // full names live in SparkEntry.registry in the same order.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
