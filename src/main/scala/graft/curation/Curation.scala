@@ -112,6 +112,134 @@ object Curation {
       .withColumn("rep_ratio",
         round(col("max_rep") / col("n_trigrams").cast("double"), 4))
 
+  // ------------------------------------------------------- cross-doc spans
+
+  /**
+   * Cross-document span (passage) dedup signal — the line/paragraph-dedup
+   * analog (RefinedWeb/CCNet style) for corpora without line structure:
+   * a k-token span occurring in >= `minDocs` DISTINCT documents is
+   * "common" (boilerplate, templates, licensing headers), and each doc is
+   * scored by the fraction of its distinct spans that are common.
+   *
+   * Two corpus scans (span inventory + per-doc scoring), both pure
+   * map-side explodes into ONE hash shuffle each; the hot-span set is
+   * rare by construction (it's the cross-doc overlap), so AQE broadcasts
+   * it and the scoring join is map-side. Spans are distinct WITHIN a doc
+   * first (array_distinct before the explode) so in-doc repetition —
+   * q74's separate axis — can't promote a span to "common".
+   *
+   * Returns per-doc (idCol, carryCols*, n_spans, n_common, common_ratio).
+   */
+  def spanStats(docs: DataFrame, spanTokens: Int, minDocs: Int,
+                textCol: String = "text", idCol: String = "doc_id",
+                carryCols: Seq[String] = Nil): DataFrame = {
+    def spans(keep: Seq[String]) = docs
+      .select(keep.map(col) :+
+        explode(array_distinct(Dedup.shingles(col(textCol), spanTokens))).as("s"): _*)
+      .select(keep.map(col) :+ Exprs.md5Long(col("s")).as("h"): _*)
+    val common = spans(Seq(idCol))
+      .groupBy("h").agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("_hot"))
+    spans(idCol +: carryCols)
+      .join(common, Seq("h"), "left")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_spans"), count(col("_hot")).as("n_common"))
+      .withColumn("common_ratio",
+        round(col("n_common") / col("n_spans").cast("double"), 4))
+  }
+
+  // ---------------------------------------------------------- group quotas
+
+  /**
+   * Per-group retention quota: keep the top `k` rows of each group by
+   * `scoreCol` (desc; ties break on `idCol` asc — deterministic at any
+   * partitioning). THE mixture-balancing primitive when a cap, not a
+   * rate, is the target ("at most N docs per domain"): one shuffle on
+   * the group key, rank window, filter — the filter prunes before
+   * anything downstream, so over-represented domains never reach the
+   * training sink.
+   */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+                   k: Int, idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .withColumn("quota_rank", col("_rank").cast("long"))
+      .drop("_rank")
+  }
+
+  // ------------------------------------------------------ unigram surprisal
+
+  /**
+   * Unigram-LM surprisal score per document: mean `-ln P(token)` under
+   * the corpus's own unigram distribution — the cheap perplexity proxy
+   * that flags gibberish (high surprisal) and boilerplate (low) without
+   * a trained model. Two passes: a vocabulary aggregate (bounded by
+   * distinct-token count, NOT corpus size — natural-language vocabularies
+   * plateau in the millions, broadcastable), then a map-side-joined
+   * per-doc aggregate.
+   *
+   * Cross-engine determinism: per-token surprisal is quantized to
+   * integer MILLI-nats (`round(-ln(c/total)*1000)` → BIGINT) before the
+   * per-doc sum — integer arithmetic is associativity-proof where a
+   * double sum would hash-differ on addition order.
+   *
+   * Returns per-doc (idCol, carryCols*, n_tok, sum_mnat, avg_mnat).
+   */
+  def surprisalStats(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     carryCols: Seq[String] = Nil): DataFrame = {
+    val tok = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        explode(TextAnalysis.tokens(col(textCol))).as("token"): _*)
+    // vocabulary is bounded by distinct-token count, not corpus size —
+    // materialize it once (localCheckpoint): both consumers (the total
+    // aggregate and the mnat table) would otherwise re-scan the corpus
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = vocab.agg(sum("c").as("total"))
+    val mnats = vocab.crossJoin(broadcast(total))
+      .withColumn("mnat",
+        round(-log(col("c") / col("total").cast("double")) * 1000.0, 0).cast("long"))
+      .select("token", "mnat")
+    tok.join(mnats, "token")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_tok"), sum("mnat").as("sum_mnat"))
+      .withColumn("avg_mnat",
+        round(col("sum_mnat") / col("n_tok").cast("double"), 2))
+  }
+
+  // ------------------------------------------------------- sequence packing
+
+  /**
+   * GPT-style sequence packing plan: concatenate each group's documents
+   * in `idCol` order and cut every `budget` tokens. Computed as pure
+   * window arithmetic — the running token offset places every document at
+   * [cum_before, cum_before + n_tok), from which its start/end bin and
+   * boundary-split flag follow in closed form. One shuffle on the group
+   * key; no sequential state, so the plan scales to any corpus (contrast
+   * greedy first-fit, which is inherently serial per group).
+   *
+   * Returns one row per doc: (groupCol, idCol, n_tok, cum_before,
+   * start_bin, end_bin, is_split).
+   */
+  def packSequences(docs: DataFrame, groupCol: String, budget: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(groupCol), col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("start_bin", floor(col("cum_before") / budget).cast("long"))
+      .withColumn("end_bin",
+        floor((col("cum_before") + col("n_tok") - 1) / budget).cast("long"))
+      .withColumn("is_split", col("end_bin") > col("start_bin"))
+  }
+
   // ------------------------------------------------------------ PII masking
 
   /** Digit masking: every digit → 'X' (ids, phones, account numbers). */

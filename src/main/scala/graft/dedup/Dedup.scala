@@ -65,10 +65,13 @@ object Dedup {
       // concat_ws spelling is interpreted per element)
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(graft.functions.Shingles3(ColumnBridge.expression(w)))
-    } else
-      transform(
-        sequence(lit(1), greatest(size(w) - (k - 1), lit(1))),
-        i => concat_ws(" ", (0 until k).map(o => element_at(w, (i + o).cast("int"))): _*))
+    } else {
+      // same one-pass kernel, parameterized by k (parity vs the
+      // transform + concat_ws spelling asserted in FunctionsSpec)
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(
+        graft.functions.ShinglesK(ColumnBridge.expression(w), k))
+    }
   }
 
   // --------------------------------------------------------------- minhash

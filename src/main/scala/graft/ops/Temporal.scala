@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal join operators Spark lacks natively: the as-of join and the
+ * interval (range) join — both expressed as single-shuffle declarative
+ * plans rather than inequality joins, which Catalyst would otherwise
+ * plan as a cartesian/broadcast-nested-loop explosion.
+ *
+ * As-of join (union + ordered window): tag both inputs, union them, and
+ * carry the most recent right-side payload forward with
+ * `last(_, ignoreNulls)` over a (key, time) window. ONE hash shuffle on
+ * the key, linear scan within each key — at 100 TB this is the
+ * sort-merge-shaped plan a native as-of operator would produce, with no
+ * per-row probe and no range-condition blowup. (DuckDB/kdb expose the
+ * same semantics as ASOF JOIN; the oracle replays ours with it.)
+ *
+ * Range join (bucketize + equi-join): map each interval to the coarse
+ * time buckets it covers (bounded fan-out = interval span / bucket
+ * width), equi-join point events on (key, bucket), then apply the exact
+ * containment predicate. The equi-join shuffles on (key, bucket) — the
+ * skew-safe scalable shape — while the residual range filter runs
+ * map-side post-join.
+ */
+object Temporal {
+
+  /**
+   * As-of join: for every left row, attach `valCols` from the latest
+   * right row of the same `key` with `rightTime <= leftTime`
+   * (backward-looking, inclusive). Right rows must be unique per
+   * (key, rightTime) — pre-dedup with [[latestPerKeyTime]] when the
+   * source can carry same-second duplicates; uniqueness is what makes
+   * the match deterministic in every engine.
+   *
+   * Left columns all survive; attached columns are named `asof_<col>`
+   * plus `asof_time` (null when no right row precedes the left row).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               valCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("_at", col(leftTime))
+      .withColumn("_side", lit(1))
+    val r = right.select(
+      col(key) +: col(rightTime).as("_at") +: lit(0).as("_side") +:
+        col(rightTime).as("_rt") +: valCols.map(c => col(c).as(s"_rv_$c")): _*)
+    // right rows sort BEFORE left rows at the same timestamp (side 0 < 1)
+    // → a right row at exactly leftTime is visible: inclusive as-of.
+    val w = Window.partitionBy(key).orderBy(col("_at").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("asof_time", last(col("_rt"), ignoreNulls = true).over(w))
+    val attached = valCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
+    }
+    attached.filter(col("_side") === 1)
+      .drop("_at", "_side", "_rt")
+      .drop(valCols.map(c => s"_rv_$c"): _*)
+  }
+
+  /** Keep one row per (key, time): the one with the greatest `tiebreak`
+   * — the deterministic pre-dedup an as-of right side needs. */
+  def latestPerKeyTime(df: DataFrame, key: String, time: String,
+                       tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key, time).orderBy(col(tiebreak).desc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /**
+   * Interval-point range join: pair every left interval
+   * [`loCol`, `hiCol`] (inclusive, epoch seconds) with the right rows of
+   * the same `key` whose `timeCol` falls inside it. Fan-out per left row
+   * is `(hi-lo)/bucketSec + 1` coarse buckets — keep bucketSec within ~a
+   * few× the typical span so the explode stays bounded. Returns
+   * left ⋈ right matched rows (inner).
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+                loCol: String, hiCol: String, timeCol: String,
+                bucketSec: Long): DataFrame = {
+    val l = left.withColumn(
+      "_bkt",
+      explode(sequence(floor(col(loCol) / bucketSec).cast("long"),
+        floor(col(hiCol) / bucketSec).cast("long"))))
+    val r = right.withColumn(
+      "_bkt", floor(col(timeCol) / bucketSec).cast("long"))
+    l.join(r, Seq(key, "_bkt"))
+      .filter(col(timeCol) >= col(loCol) && col(timeCol) <= col(hiCol))
+      .drop("_bkt")
+  }
+}

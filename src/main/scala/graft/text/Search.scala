@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyword search over the corpus: BM25 (Okapi) scoring — the standard
+ * lexical ranking function (Robertson & Zaragoza 2009).
+ *
+ * Plan shape at scale: the corpus is tokenized map-side and immediately
+ * filtered to the query terms, so the term-frequency table that reaches
+ * the first shuffle is |query terms| × matching docs — a sliver of the
+ * corpus. Document length comes from the same scan (no second pass over
+ * text), corpus stats (N, avgdl) are a 1-row aggregate joined in by
+ * cross join (broadcast of one row), and per-term document frequencies
+ * aggregate the already-tiny tf table.
+ *
+ * Cross-engine determinism: each per-term partial score is quantized to
+ * integer MICRO-units (`round(x*1e6)` → BIGINT) before the per-doc sum,
+ * so the sum is exact integer arithmetic — associativity-proof under any
+ * partitioning, and bit-identical in the DuckDB oracle. (A raw double
+ * sum would hash-differ on addition order.)
+ */
+object Search {
+
+  // NB: every constant below appears as an explicit double literal (2.2,
+  // not K1+1.0): the JVM's 1.2+1.0 rounds to a DIFFERENT double than the
+  // literal 2.2 a SQL engine parses, which would shift scores by an ulp
+  // and break bit-exact oracle replay.
+  val K1 = 1.2
+  val B = 0.75
+  private val K1Plus1 = 2.2
+  private val OneMinusB = 0.25
+
+  /**
+   * BM25 top-`k` docs for `terms` (lowercase). Output:
+   * (doc_id, carry passthrough cols, n_terms_hit, score_micro, score, rank).
+   * Ties break on doc_id — fully deterministic.
+   */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               carryCols: Seq[String] = Nil): DataFrame = {
+    val termList = array(terms.map(lit): _*)
+    val base = docs.select(
+      col(idCol) +: TextAnalysis.tokens(col(textCol)).as("toks") +:
+        carryCols.map(col): _*)
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // corpus stats: one row, broadcast by construction
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    // tf of query terms only — the explode is filtered BEFORE any shuffle.
+    // Materialized once (localCheckpoint): both consumers below (df and
+    // the scoring join) would otherwise each re-scan the corpus; the tf
+    // table is |terms| × matching docs — the natural cut point.
+    val tf = base
+      .select(col(idCol) +: col("dl") +: carryCols.map(col) :+
+        explode(col("toks")).as("term"): _*)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol) +: col("dl") +: carryCols.map(col) :+ col("term"): _*)
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+
+    // per-term df over the tf table (terms × docs, tiny)
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * K1Plus1) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl")))
+
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_micro", round(termScore * 1e6, 0).cast("long"))
+      .groupBy(col(idCol) +: carryCols.map(col): _*)
+      .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
+      .withColumn("score", (col("score_micro") / 1e6).cast("double"))
+
+    scored
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("_one", lit(1))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_one")
+          .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
+      .drop("_one")
+  }
+}
