@@ -168,6 +168,26 @@ object Relational {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /**
+   * Skew-safe salted equi-join: the build side is replicated once per
+   * salt value, the (skewed) probe side routes each row to a
+   * deterministic salt — `md5(saltSource) % salts`, NOT rand(), so the
+   * routing is reproducible across retries — and the join runs on
+   * (key, salt). A hot key's rows thereby spread over `salts` reducers
+   * instead of hammering one. Result is salt-independent: exactly the
+   * plain join's rows (q87's oracle proves it by hash). Use when one
+   * join key dominates; the build-side blowup costs |build| × salts, so
+   * keep `salts` small (4-16) and the build side the smaller input.
+   */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int, saltSource: Column): DataFrame = {
+    val p = probe.withColumn("_salt",
+      pmod(Exprs.md5Long(saltSource), lit(salts.toLong)))
+    val b = build.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    p.join(b, keys :+ "_salt").drop("_salt")
+  }
+
   // ------------------------------------------------------------- argmax
 
   /** Global extreme with argmax attribution (SURVEY.md A8):

@@ -111,10 +111,12 @@ object Sessionize {
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val q = sessionizeStream(stream, gapMinutes).toDF()
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    graft.streaming.StreamingDemand.withStatePartitions(spark, 8) {
+      val q = sessionizeStream(stream, gapMinutes).toDF()
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 }

@@ -365,7 +365,212 @@ object ScaleQueries {
       .orderBy("cluster")
   }
 
+  // --------------------------------------------------------- rolling window
+
+  /** 7-row trailing average of daily order revenue — the moving-average
+   * window family. Daily sums route through DECIMAL (order-independent),
+   * the rolling sum aggregates the already-exact daily decimals, and the
+   * average is integer micro-unit floor division — rounding a double
+   * quotient to 2 decimals sits on half-cent boundaries where Spark's
+   * BigDecimal HALF_UP and DuckDB's double rounding disagree (seen live
+   * at sf0.01: 2116706.41 vs .40), so no double is ever rounded here. */
+  val q84RollingAvg: Q = Q("q84_rolling_avg",
+    """WITH daily AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+       r AS (SELECT day,
+               CAST(round(rev, 2) AS DOUBLE) AS revenue,
+               CAST(sum(rev) OVER w * 1000000 AS BIGINT) AS rs_micro,
+               count(*) OVER w AS n_days
+             FROM daily
+             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT day, revenue,
+              CAST(rs_micro // n_days AS DOUBLE) / 1e6 AS avg_7d
+       FROM r ORDER BY day""") { (s, d) =>
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      .select(col("day"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        (sum("rev").over(w) * 1000000).cast("long").as("rs_micro"),
+        count(lit(1)).over(w).as("n_days"))
+      .selectExpr("day", "revenue",
+        "CAST(rs_micro div n_days AS DOUBLE) / 1e6 AS avg_7d")
+      .orderBy("day")
+  }
+
+  // ----------------------------------------------------- exact percentiles
+
+  /** Exact interpolated percentiles (p50/p90) of per-day event counts by
+   * type — both engines use the same index = p*(n-1) linear
+   * interpolation over integer counts, so the doubles agree bit-exactly. */
+  val q85Percentiles: Q = Q("q85_percentiles",
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n FROM events GROUP BY 1, 2)
+       SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n_days,
+              round(quantile_cont(n, 0.5), 2) AS p50,
+              round(quantile_cont(n, 0.9), 2) AS p90
+       FROM daily GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    table(s, d, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(n, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n, 0.9)"), 2).as("p90"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------------ cube
+
+  /** CUBE over (status, priority): all four grouping sets in one pass —
+   * Spark expands the cube BEFORE the shuffle (one exchange for all
+   * rollup levels). Null group labels are coalesced to 'ALL' so the
+   * label, not engine-specific null ordering, carries the semantics;
+   * grouping_id is emitted and checked bit-for-bit. */
+  val q86Cube: Q = Q("q86_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              count(*) AS n,
+              CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM orders
+       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       ORDER BY gid, status, priority""") { (s, d) =>
+    table(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("revenue"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  // ------------------------------------------------------------ salted join
+
+  /** Skew-safe salted join proven semantics-preserving: lineitem routed
+   * by a deterministic md5 salt, orders replicated per salt, joined on
+   * (orderkey, salt) — the oracle replays a PLAIN join, so the salting
+   * is hash-proven to change the plan, not the result. */
+  val q87SaltedJoin: Q = Q("q87_salted_join",
+    """SELECT o.o_orderstatus,
+              count(*) AS n_items,
+              CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    graft.ops.Relational.saltedJoin(
+        probe = table(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_linenumber")),
+        build = table(s, d, "orders").select("o_orderkey", "o_orderstatus"),
+        keys = Seq("o_orderkey"), salts = 8,
+        saltSource = concat_ws("#", col("o_orderkey"), col("l_linenumber")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --------------------------------------------------- fixed-k group sample
+
+  /** Deterministic fixed-size per-stratum sample: the k docs with the
+   * smallest md5 hash per (lang) — uniform-without-replacement by hash
+   * order (the distributed equivalent of a per-group reservoir), fully
+   * reproducible at any partitioning. */
+  val q88GroupSample: Q = Q("q88_group_sample",
+    """WITH h AS (SELECT lang, doc_id,
+           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hk
+         FROM documents)
+       SELECT lang, doc_id,
+              row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS pick
+       FROM h QUALIFY pick <= 4 ORDER BY lang, pick""") { (s, d) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    table(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.ops.Exprs.md5Long(col("doc_id")).as("hk"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= 4)
+      .select("lang", "doc_id", "pick")
+      .orderBy("lang", "pick")
+  }
+
+  // ---------------------------------------------------- stream-static join
+
+  /** Stream-static enrichment: the event stream broadcast-joins the
+   * customer dimension per micro-batch and aggregates per segment. The
+   * oracle replays the BATCH join+agg in SQL — the streaming output
+   * itself is hash-checked against batch truth. */
+  val q89StreamEnrich: Q = Q("q89_stream_enrich",
+    """SELECT c.c_mktsegment,
+              count(*) AS n_events,
+              count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS n_purchases
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    graft.streaming.StreamingDemand.runEnrichedToBatch(s, d,
+      dim = table(s, d, "customer").select("c_custkey", "c_mktsegment"),
+      dimKey = "c_custkey", dimAttr = "c_mktsegment")
+  }
+
+  // -------------------------------------------------------------- histogram
+
+  /** Fixed-width histogram of document length per language — bucket
+   * assignment is pure integer arithmetic (`least(n_chars div 100, 9)`),
+   * so the distribution is bit-identical in any engine. */
+  val q90Histogram: Q = Q("q90_histogram",
+    """SELECT lang, least(n_chars // 100, 9) AS bucket, count(*) AS n
+       FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""") { (s, d) =>
+    table(s, d, "documents")
+      .groupBy(col("lang"),
+        least(expr("n_chars div 100"), lit(9L)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "bucket")
+  }
+
+  // --------------------------------------------------------- column profile
+
+  /** One-pass per-column data-quality profile of the documents table —
+   * null/blank/exact-distinct counts for every column, computed in a
+   * single aggregate and unpivoted driver-side (bounded by column count). */
+  val q91Profile: Q = Q("q91_profile",
+    """WITH s AS (SELECT count(*) AS n_rows,
+             count(CASE WHEN doc_id IS NULL THEN 1 END) AS nu_doc_id,
+             count(DISTINCT doc_id) AS d_doc_id,
+             count(CASE WHEN text IS NULL THEN 1 END) AS nu_text,
+             count(CASE WHEN trim(text) = '' THEN 1 END) AS b_text,
+             count(DISTINCT text) AS d_text,
+             count(CASE WHEN lang IS NULL THEN 1 END) AS nu_lang,
+             count(CASE WHEN trim(lang) = '' THEN 1 END) AS b_lang,
+             count(DISTINCT lang) AS d_lang,
+             count(CASE WHEN source IS NULL THEN 1 END) AS nu_source,
+             count(CASE WHEN trim(source) = '' THEN 1 END) AS b_source,
+             count(DISTINCT source) AS d_source,
+             count(CASE WHEN n_chars IS NULL THEN 1 END) AS nu_n_chars,
+             count(DISTINCT n_chars) AS d_n_chars
+           FROM documents)
+       SELECT t.* FROM s, LATERAL (VALUES
+         ('doc_id', nu_doc_id, CAST(0 AS BIGINT), d_doc_id, n_rows),
+         ('text', nu_text, b_text, d_text, n_rows),
+         ('lang', nu_lang, b_lang, d_lang, n_rows),
+         ('source', nu_source, b_source, d_source, n_rows),
+         ('n_chars', nu_n_chars, CAST(0 AS BIGINT), d_n_chars, n_rows))
+         t("column", n_null, n_blank, n_distinct, n_rows)
+       ORDER BY "column"""") { (s, d) =>
+    graft.ops.Profile.profile(table(s, d, "documents"))
+      .orderBy("column")
+  }
+
   val all: Seq[Q] = Seq(q75AsofJoin, q76RangeJoin, q77Bm25, q78SpanDedup,
     q79DomainQuota, q80Surprisal, q81SeqPacking, q82Int8Quant,
-    q83ClusterKeepBest)
+    q83ClusterKeepBest, q84RollingAvg, q85Percentiles, q86Cube,
+    q87SaltedJoin, q88GroupSample, q89StreamEnrich, q90Histogram,
+    q91Profile)
 }

@@ -61,10 +61,12 @@ object StreamingDedup {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .withColumn("_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
-    val q = dedupDocStream(stream, "_ts").drop("_ts")
-      .writeStream.outputMode("append").format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    StreamingDemand.withStatePartitions(spark, 8) {
+      val q = dedupDocStream(stream, "_ts").drop("_ts")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 }

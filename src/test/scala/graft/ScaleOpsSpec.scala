@@ -114,6 +114,20 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(col("native") =!= col("ref")).isEmpty)
   }
 
+  test("saltedJoin: identical rows to the plain join on skewed keys") {
+    // 90% of probe rows share one hot key
+    val probe = spark.range(2000).select(
+      when(col("id") % 10 === 0, col("id") % 7).otherwise(0L).as("k"),
+      col("id").as("pid"))
+    val build = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+    val salted = graft.ops.Relational.saltedJoin(
+      probe, build, Seq("k"), salts = 4, saltSource = col("pid"))
+    val plain = probe.join(build, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "pid", "tag").except(plain.select("k", "pid", "tag")).isEmpty)
+    assert(plain.select("k", "pid", "tag").except(salted.select("k", "pid", "tag")).isEmpty)
+  }
+
   test("topKPerGroup: cap respected, deterministic tiebreak") {
     val df = Seq(
       ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.1),
