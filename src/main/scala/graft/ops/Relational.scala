@@ -188,6 +188,26 @@ object Relational {
     p.join(b, keys :+ "_salt").drop("_salt")
   }
 
+  /**
+   * Latest-wins upsert (the MERGE/SCD refresh primitive without a table
+   * format): delta rows replace base rows sharing the same key; base
+   * rows without a delta survive unchanged. One shuffle on the key, rank
+   * window, filter — the declarative shape a storage-level MERGE compiles
+   * to anyway. Each side must be key-unique (pre-dedup with
+   * [[graft.ops.Windows]] first-per-key otherwise); with multiple delta
+   * generations, call iteratively or pre-collapse the delta to its
+   * latest generation.
+   */
+  def upsertLatest(base: DataFrame, delta: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_v").desc)
+    base.withColumn("_v", lit(0))
+      .unionByName(delta.withColumn("_v", lit(1)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_v", "_rn")
+  }
+
   // ------------------------------------------------------------- argmax
 
   /** Global extreme with argmax attribution (SURVEY.md A8):

@@ -568,9 +568,47 @@ object ScaleQueries {
       .orderBy("column")
   }
 
+  // ---------------------------------------------------------------- upsert
+
+  /** Latest-wins upsert: a delta (every 10th order re-priced +10% and
+   * re-prioritized) merged into the base snapshot; delta rows replace,
+   * untouched rows survive. Prices are integer CENTS throughout —
+   * +10% on 2-decimal money lands on half-cent ties where decimal and
+   * double rounding diverge across engines, so the re-price is
+   * `cents*110 div 100` (exact floor, any engine). The oracle replays
+   * the merge as anti-join + union — same semantics, independently
+   * spelled. */
+  val q92Upsert: Q = Q("q92_upsert",
+    """WITH base AS (SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+       delta AS (SELECT o_orderkey, 'X-UPDATED' AS o_orderpriority,
+             cents * 110 // 100 AS cents
+           FROM base WHERE o_orderkey % 10 = 0),
+       merged AS (
+         SELECT * FROM base
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+         UNION ALL SELECT * FROM delta)
+       SELECT o_orderpriority, count(*) AS n,
+              CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100 AS total
+       FROM merged GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val base = table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val delta = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        lit("X-UPDATED").as("o_orderpriority"),
+        expr("cents * 110 div 100").as("cents"))
+    graft.ops.Relational.upsertLatest(base, delta, Seq("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum("cents").cast("double") / 100).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q75AsofJoin, q76RangeJoin, q77Bm25, q78SpanDedup,
     q79DomainQuota, q80Surprisal, q81SeqPacking, q82Int8Quant,
     q83ClusterKeepBest, q84RollingAvg, q85Percentiles, q86Cube,
     q87SaltedJoin, q88GroupSample, q89StreamEnrich, q90Histogram,
-    q91Profile)
+    q91Profile, q92Upsert)
 }

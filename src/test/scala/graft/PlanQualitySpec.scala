@@ -115,6 +115,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"orders reads extra columns: $ordersCols")
   }
 
+  test("q76: the range join plans as an equi-join (hash/broadcast), never a nested loop") {
+    // the bucketize-then-equi-join rewrite is the whole point: if Spark
+    // ever sees the raw inequality predicate it falls back to a
+    // BroadcastNestedLoopJoin/cartesian — |intervals| × |events| at scale
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q76_range_join")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q76 degenerated to a nested-loop/cartesian join:\n$p")
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    val equi = p.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(equi.nonEmpty, s"q76 plans no equi-join:\n$p")
+  }
+
+  test("q75: the as-of join is window-based — exactly one join-free shuffle per stage") {
+    // union + ordered window, no join operator at all: the plan must
+    // contain zero joins (the classic as-of-as-range-join would appear
+    // here as a nested loop)
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("q75_asof_join")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q75 plans a nested-loop/cartesian join:\n$p")
+  }
+
   test("headline scans never read the full document text for metadata-only queries") {
     // q43 multimodal metadata never touches the payload bytes column
     val ss = scans(plan("q43_multimodal_meta"))
