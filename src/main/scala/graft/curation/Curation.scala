@@ -211,6 +211,112 @@ object Curation {
         round(col("sum_mnat") / col("n_tok").cast("double"), 2))
   }
 
+  // ------------------------------------------------------ bigram surprisal
+
+  /**
+   * Bigram-LM surprisal per document: mean `-ln P(w2 | w1)` under the
+   * corpus's own bigram distribution, where
+   * `P(w2|w1) = c(w1 w2) / c(w1 ·)` and `c(w1 ·)` sums the bigram counts
+   * sharing the prefix — the next step up from [[surprisalStats]]'s
+   * unigram model, sensitive to word ORDER (shuffled text scores high
+   * even when its unigrams are ordinary). Same scale shape: the bigram
+   * vocabulary aggregate is bounded by distinct-bigram count (not corpus
+   * size) and materialized once; the per-doc pass joins it map-side.
+   * Documents under 2 tokens have no bigrams and drop out naturally.
+   *
+   * Per-bigram surprisal is quantized to integer MILLI-nats before the
+   * per-doc sum (associativity-proof — same rationale as
+   * [[surprisalStats]]).
+   *
+   * Returns per-doc (idCol, carryCols*, n_bigrams, sum_mnat, avg_mnat).
+   */
+  def bigramSurprisalStats(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           carryCols: Seq[String] = Nil): DataFrame = {
+    val big = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+
+        explode(Dedup.shingles(col(textCol), 2)).as("bg"): _*)
+    // bigram vocabulary: one corpus pass, bounded by distinct bigrams;
+    // localCheckpoint — the prefix rollup and the mnat join both read it
+    val vocab = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val prefixTotals = vocab
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c2").as("c1"))
+    val mnats = vocab
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefixTotals, "w1")
+      .withColumn("mnat",
+        round(-log(col("c2") / col("c1").cast("double")) * 1000.0, 0).cast("long"))
+      .select("bg", "mnat")
+    big.join(mnats, "bg")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_bigrams"), sum("mnat").as("sum_mnat"))
+      .withColumn("avg_mnat",
+        round(col("sum_mnat") / col("n_bigrams").cast("double"), 2))
+  }
+
+  // ------------------------------------------- importance weights (DSIR)
+
+  /**
+   * Hashed-n-gram importance weights (the DSIR recipe, Xie et al. 2023):
+   * score how target-like each document is as the sum of per-token
+   * log-ratios `ln(p_target(b) / p_raw(b))` over hashed feature buckets
+   * `b = md5(token) mod buckets`, with add-one smoothing on both
+   * distributions. Positive = the doc's vocabulary leans toward the
+   * target slice; the weights drive importance RESAMPLING of a raw corpus
+   * toward a target domain without training a classifier.
+   *
+   * Scale shape: the bucket table is FIXED-SIZE (`buckets` rows — build
+   * it once per corpus snapshot and broadcast), both corpus passes are
+   * map-side explode → two-phase count, and the per-doc score join is an
+   * equi-join on the bucket id. Per-token log-ratios are quantized to
+   * integer MILLI-nats before the per-doc sum (order-proof).
+   *
+   * Returns per-doc (idCol, carryCols*, n_tok, sum_mnat, avg_mnat).
+   */
+  def dsirStats(docs: DataFrame, isTarget: Column, buckets: Int,
+                textCol: String = "text", idCol: String = "doc_id",
+                carryCols: Seq[String] = Nil): DataFrame = {
+    val tok = docs.select(
+      (col(idCol) +: carryCols.map(col)) :+ isTarget.as("_t") :+
+        explode(TextAnalysis.tokens(col(textCol))).as("token"): _*)
+      .withColumn("b", pmod(Exprs.md5Long(col("token")), lit(buckets.toLong)))
+    // bucketed counts: bounded at `buckets` rows regardless of corpus size
+    val counts = tok.groupBy("b")
+      .agg(count(lit(1)).as("cr"), count(when(col("_t"), 1)).as("ct"))
+      .localCheckpoint()
+    val totals = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .withColumn("mnat",
+        round((log((col("ct") + 1).cast("double") / (col("tt") + buckets))
+          - log((col("cr") + 1).cast("double") / (col("tr") + buckets)))
+          * 1000.0, 0).cast("long"))
+      .select("b", "mnat")
+    tok.join(broadcast(lam), "b")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_tok"), sum("mnat").as("sum_mnat"))
+      .withColumn("avg_mnat",
+        round(col("sum_mnat") / col("n_tok").cast("double"), 2))
+  }
+
+  // ------------------------------------------------------ train/val split
+
+  /**
+   * Deterministic train/val/test split label from a row id: md5
+   * basis-point key under `trainBp` → train, under `trainBp + valBp` →
+   * val, else test. Pure map-side, reproducible at any partitioning or
+   * retry — and because the key is the SAME [[samplingKey]] family, a
+   * doc keeps its split across pipeline re-runs (no train/test leakage
+   * from reshuffles, the property `rand()` splits lose).
+   */
+  def splitLabel(id: Column, trainBp: Int, valBp: Int): Column = {
+    val k = samplingKey(id)
+    when(k < trainBp, "train")
+      .when(k < trainBp + valBp, "val")
+      .otherwise("test")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /**

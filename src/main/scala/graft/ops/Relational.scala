@@ -208,6 +208,38 @@ object Relational {
       .drop("_v", "_rn")
   }
 
+  // ---------------------------------------------------------------- SCD2
+
+  /**
+   * Slowly-changing-dimension (type 2) history build from a change log:
+   * per key, order events by `seqCol` (ties on `tieCol` — deterministic),
+   * keep only rows where the tracked attribute actually CHANGES
+   * (lag-compare), then close each version with the next change's
+   * sequence value (`lead`). Open versions have null `valid_to`.
+   *
+   * One shuffle: both window passes and the change filter share the
+   * (key) partitioning and (seq, tie) order, so Spark plans a single
+   * exchange + sort reused across the chain — the warehouse
+   * dimension-versioning primitive at log scale.
+   *
+   * Returns (key, attr, valid_from = seqCol's value, valid_to exclusive,
+   * version 1..n per key, is_current).
+   */
+  def scd2Versions(log: DataFrame, keyCol: String, seqCol: String,
+                   tieCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(seqCol).asc, col(tieCol).asc)
+    val changes = log
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .drop("_prev")
+    val w2 = Window.partitionBy(keyCol).orderBy(col(seqCol).asc, col(tieCol).asc)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w2))
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   // ------------------------------------------------------------- argmax
 
   /** Global extreme with argmax attribution (SURVEY.md A8):

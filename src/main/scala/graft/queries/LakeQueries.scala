@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.curation.Curation
+import graft.ops.{Layout, Relational}
+import graft.text.TextAnalysis
+
+/**
+ * Round-5 lake/LM operators: JSONL round-trip (the LLM-native
+ * interchange format), SCD2 dimension versioning, bigram-LM surprisal,
+ * DSIR-style hashed importance weights, deterministic train/val/test
+ * splits, range-sorted data-skipping file layout, and a stream-stream
+ * interval join. Every oracle replays the full arithmetic (md5
+ * spellings, integer milli-nat quantization) so the semantics are
+ * hash-checked end to end.
+ */
+object LakeQueries {
+
+  // --------------------------------------------------------- JSONL roundtrip
+
+  /** S5/S8 analog for the LLM-native format: documents are written to
+   * JSONL and read back with the parquet schema; the oracle reads the
+   * PARQUET truth, so any escaping/unicode/type loss in the JSON path
+   * breaks the hash. The signature is an order-proof 60-bit XOR over
+   * per-text md5 prefixes — a single flipped character in one document
+   * flips the group signature. */
+  val q93JsonlRoundtrip: Q = Q("q93_jsonl_roundtrip",
+    """SELECT source, count(*) AS n_docs,
+              CAST(bit_xor(('0x'||substr(md5(text),1,15))::BIGINT) AS BIGINT) AS text_sig,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+              count(DISTINCT doc_id) AS n_ids
+       FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+    val docs = table(s, d, "documents")
+    docs.write.mode("overwrite").json(dir)
+    s.read.schema(docs.schema).json(dir)
+      .withColumn("h", graft.ops.Exprs.md5Long(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("text_sig"),
+        sum("n_chars").as("sum_chars"),
+        count_distinct(col("doc_id")).as("n_ids"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------------- SCD2
+
+  /** SCD2 dimension-history build from the order log: per customer,
+   * priority-change events become effective-dated versions
+   * (valid_from/valid_to, version number, current flag) — the
+   * warehouse dimension-versioning primitive. The oracle replays the
+   * lag-filter-lead chain. */
+  val q94Scd2: Q = Q("q94_scd2",
+    """WITH ch AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+                          o_orderkey AS tie, o_orderpriority AS attr
+                   FROM orders WHERE o_custkey < 100),
+       l AS (SELECT k, d, tie, attr,
+                    lag(attr) OVER (PARTITION BY k ORDER BY d, tie) AS prev
+             FROM ch),
+       f AS (SELECT k, d, tie, attr FROM l WHERE prev IS NULL OR prev <> attr),
+       v AS (SELECT k, attr, d AS valid_from,
+                    lead(d) OVER w AS valid_to,
+                    row_number() OVER w AS version
+             FROM f WINDOW w AS (PARTITION BY k ORDER BY d, tie))
+       SELECT k AS custkey, CAST(version AS BIGINT) AS version, attr AS priority,
+              strftime(valid_from, '%Y-%m-%d') AS valid_from,
+              coalesce(strftime(valid_to, '%Y-%m-%d'), 'open') AS valid_to,
+              (valid_to IS NULL) AS is_current
+       FROM v ORDER BY custkey, version""") { (s, d) =>
+    val log = table(s, d, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey").as("tie"), col("o_orderpriority").as("attr"))
+    Relational.scd2Versions(log, "k", "d", "tie", "attr")
+      .select(col("k").as("custkey"), col("version"), col("attr").as("priority"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("open"))
+          .as("valid_to"),
+        col("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  // ------------------------------------------------------- bigram surprisal
+
+  /** Bigram-LM surprisal (mean -ln P(w2|w1) in integer milli-nats) for
+   * the q80 doc slice — the word-ORDER-sensitive perplexity proxy; the
+   * oracle rebuilds the bigram model and replays the quantized sum. */
+  val q95BigramSurprisal: Q = Q("q95_bigram_surprisal",
+    """WITH tok AS (SELECT doc_id, lang,
+           string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       bg AS (SELECT doc_id, lang,
+                unnest(list_transform(range(1, len(w)), k -> w[k]||' '||w[k+1])) AS bg
+              FROM tok WHERE len(w) >= 2),
+       v AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+       pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+               FROM v GROUP BY 1),
+       m AS (SELECT bg, CAST(round(-ln(c2 / CAST(c1 AS DOUBLE)) * 1000) AS BIGINT) AS mnat
+             FROM v JOIN pre ON split_part(v.bg, ' ', 1) = pre.w1)
+       SELECT doc_id, lang, count(*) AS n_bigrams,
+              CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+              round(CAST(sum(mnat) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS avg_mnat
+       FROM bg JOIN m USING (bg)
+       WHERE doc_id < 120
+       GROUP BY doc_id, lang ORDER BY doc_id""") { (s, d) =>
+    Curation.bigramSurprisalStats(
+        table(s, d, "documents")
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 2),
+        carryCols = Seq("lang"))
+      .filter(col("doc_id") < 120)
+      .select("doc_id", "lang", "n_bigrams", "sum_mnat", "avg_mnat")
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------- DSIR importance weights
+
+  /** DSIR-style hashed-unigram importance weights toward the English
+   * slice (target = lang 'en', raw = full corpus, 256 hashed buckets,
+   * add-one smoothing) — the importance-resampling primitive; the
+   * oracle replays the bucket hash, both smoothed distributions, and
+   * the milli-nat per-doc sum. */
+  val q96DsirWeights: Q = Q("q96_dsir_weights",
+    """WITH tok AS (SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+         FROM documents),
+       tb AS (SELECT doc_id, lang, (lang = 'en') AS t,
+                     ('0x'||substr(md5(token),1,15))::BIGINT % 256 AS b
+              FROM tok),
+       cnt AS (SELECT b, count(*) AS cr, count(*) FILTER (WHERE t) AS ct
+               FROM tb GROUP BY b),
+       tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+               FROM cnt),
+       lam AS (SELECT b,
+                 CAST(round((ln((ct + 1) / CAST(tt + 256 AS DOUBLE))
+                           - ln((cr + 1) / CAST(tr + 256 AS DOUBLE))) * 1000)
+                      AS BIGINT) AS mnat
+               FROM cnt CROSS JOIN tot)
+       SELECT doc_id, lang, count(*) AS n_tok,
+              CAST(sum(mnat) AS BIGINT) AS sum_mnat,
+              round(CAST(sum(mnat) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS avg_mnat
+       FROM tb JOIN lam USING (b)
+       WHERE doc_id < 120
+       GROUP BY doc_id, lang ORDER BY doc_id""") { (s, d) =>
+    Curation.dsirStats(table(s, d, "documents"),
+        isTarget = col("lang") === "en", buckets = 256,
+        carryCols = Seq("lang"))
+      .filter(col("doc_id") < 120)
+      .select("doc_id", "lang", "n_tok", "sum_mnat", "avg_mnat")
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------ train/val/test split
+
+  /** Deterministic hash split (80/10/10 in basis points) with per-split
+   * language composition — reproducible at any partitioning, so a doc
+   * can never migrate between train and test across re-runs. */
+  val q97HashSplit: Q = Q("q97_hash_split",
+    """SELECT split, lang, count(*) AS n FROM (
+         SELECT lang,
+                CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          % 10000 < 8000 THEN 'train'
+                     WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          % 10000 < 9000 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents)
+       GROUP BY 1, 2 ORDER BY split, lang""") { (s, d) =>
+    table(s, d, "documents")
+      .groupBy(Curation.splitLabel(col("doc_id"), 8000, 1000).as("split"),
+        col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  // -------------------------------------------------- range-sorted file layout
+
+  /** Data-skipping layout proof: orders re-written range-partitioned +
+   * sorted on the order date, then the per-file min/max intervals are
+   * re-derived from the data and checked DISJOINT (what makes footer
+   * pruning effective). Content totals replay against the source —
+   * layout verdicts are data-independent, so the check is deterministic
+   * at any scale. */
+  val q98FileLayout: Q = Q("q98_file_layout",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS span_lo,
+              strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS span_hi,
+              TRUE AS files_bounded, TRUE AS files_disjoint
+       FROM orders""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val src = table(s, d, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+    val reread = Layout.rangeSortedWrite(src, "od", "o_orderkey", 8, dir)
+    val iv = Layout.fileIntervals(reread, "od")
+      .withColumn("prev_hi",
+        lag(col("hi"), 1).over(Window.orderBy(col("lo"), col("hi"), col("file"))))
+    iv.agg(
+      sum("n").as("n_rows"),
+      date_format(min("lo"), "yyyy-MM-dd").as("span_lo"),
+      date_format(max("hi"), "yyyy-MM-dd").as("span_hi"),
+      (count(lit(1)) <= 8).as("files_bounded"),
+      expr("bool_and(prev_hi IS NULL OR prev_hi < lo)").as("files_disjoint"))
+  }
+
+  // ------------------------------------------------- stream-stream join
+
+  /** Stream-STREAM attribution join on harness data: clicks joined to
+   * the same user's purchases in the trailing hour (both sides
+   * watermarked, state evicted past the bound), rolled up per user.
+   * The oracle replays the BATCH interval join — the streaming output
+   * itself is hash-checked against batch truth. */
+  val q99StreamJoin: Q = Q("q99_stream_join",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+       p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+       j AS (SELECT c.user_id AS user_id, c.event_id AS cid, p.event_id AS pid
+             FROM c JOIN p ON c.user_id = p.user_id
+                          AND p.sec >= c.sec - 3600 AND p.sec <= c.sec)
+       SELECT user_id, count(*) AS n_pairs,
+              count(DISTINCT cid) AS n_clicks,
+              count(DISTINCT pid) AS n_purchases
+       FROM j GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    graft.streaming.StreamingDemand.runIntervalJoinToBatch(s, d)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks"),
+        count_distinct(col("p_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
+    q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin)
+}

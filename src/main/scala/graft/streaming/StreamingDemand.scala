@@ -82,6 +82,45 @@ object StreamingDemand {
   }
 
   /**
+   * Stream-STREAM interval self-join: clicks joined to the same user's
+   * purchases in the trailing hour, both sides watermarked — the
+   * attribution-join pattern (Spark buffers each side in keyed state and
+   * evicts it once the other side's watermark passes the join bound, so
+   * state stays bounded on an unbounded stream). Event time is floored
+   * to WHOLE SECONDS before the join (`ts DIV 1e9` on the raw nanos):
+   * the interval arithmetic is then exact integer-second logic the
+   * DuckDB oracle replays verbatim — micro-precision bounds would
+   * disagree at the fractional boundary.
+   *
+   * Returns the matched (c_user, click_id, c_ts, purchase_id, p_ts)
+   * pairs, materialized to a batch frame.
+   */
+  def runIntervalJoinToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(evType: String, prefix: String) = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === evType)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"))
+    withStatePartitions(spark, 8) {
+      val q = joined
+        .select(col("c_user"), col("c_id"), col("c_ts"), col("p_id"), col("p_ts"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /**
    * Run the stream over a (finite) parquet path to completion and return
    * the materialized result: epoch-second window start per event type.
    * Output mode "complete" so late batches restate the full table.
