@@ -300,6 +300,62 @@ object Curation {
         round(col("sum_mnat") / col("n_tok").cast("double"), 2))
   }
 
+  // ------------------------------------------- weighted sampling (A-ES)
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (the
+   * Efraimidis–Spirakis exponential-keys scheme): each row draws a
+   * reproducible uniform `u` from its id hash and is ranked by
+   * `-ln(u) / w` ascending — the k smallest keys are a weight-
+   * proportional sample. Keys are quantized to integer micro-nats
+   * before ranking (ties then break on the id), so the selection is
+   * bit-reproducible in any engine at any partitioning. The top-k is a
+   * TakeOrdered (per-partition heads + driver merge of k) — no global
+   * sort materializes at scale. This is the quality-weighted
+   * mixture-sampling primitive ("sample 10M docs ∝ quality score").
+   */
+  def weightedSampleTopK(df: DataFrame, idCol: String, weight: Column,
+                         k: Int): DataFrame = {
+    val u = (samplingKey(col(idCol)).cast("double") + 0.5) / 10000.0
+    df.withColumn("wkey", round(-log(u) / weight * 1e6, 0).cast("long"))
+      .orderBy(col("wkey").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // ------------------------------------------------ PMI collocations
+
+  /**
+   * Top pointwise-mutual-information bigram collocations over the
+   * corpus: `PMI(w1,w2) = ln( c12 * N / (c1 * c2) )` with marginals
+   * taken over the bigram table, restricted to bigrams seen at least
+   * `minCount` times. Everything after the bigram count is
+   * vocabulary-sized; PMI is quantized to integer milli-nats.
+   */
+  def pmiTopK(docs: DataFrame, minCount: Int, k: Int,
+              textCol: String = "text"): DataFrame = {
+    val c12 = docs
+      .select(explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val m1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val m2 = c12.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum("c12").as("c2"))
+    val n = c12.agg(sum("c12").as("nb"))
+    c12.filter(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n))
+      .withColumn("pmi_mnat",
+        round(log(col("c12") * col("nb") / (col("c1") * col("c2")).cast("double"))
+          * 1000.0, 0).cast("long"))
+      .select(col("bg").as("bigram"), col("c12").as("n"), col("pmi_mnat"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pmi_mnat").desc, col("bigram").asc))
+          .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ------------------------------------------------------ train/val split
 
   /**

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.curation.Curation
+import graft.ops.Funnel
+import graft.text.{Search, TextAnalysis}
+
+/**
+ * Round-5 analytics operators: ordered funnels, cohort retention,
+ * weighted sampling without replacement, TF-IDF keyword extraction, PMI
+ * collocations, and incremental stream-CDC apply. Oracles replay the
+ * full arithmetic (md5 uniforms, integer milli-nat quantization) so the
+ * semantics are hash-checked.
+ */
+object AnalyticsQueries {
+
+  // ----------------------------------------------------------------- funnel
+
+  /** Ordered view→click→purchase funnel: stage k counts users whose
+   * earliest stage-k event is at-or-after their stage k-1 entry. The
+   * chained min(when) windows all share the user partitioning (one
+   * exchange); the oracle replays the same window chain. */
+  val q100Funnel: Q = Q("q100_funnel",
+    """WITH e AS (SELECT user_id, event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN sec END)
+                          OVER (PARTITION BY user_id) AS f0 FROM e),
+       w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND sec >= f0 THEN sec END)
+                          OVER (PARTITION BY user_id) AS f1 FROM w1),
+       w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND sec >= f1 THEN sec END)
+                          OVER (PARTITION BY user_id) AS f2 FROM w2),
+       d AS (SELECT DISTINCT user_id, f0, f1, f2 FROM w3)
+       SELECT 'stage1_view' AS stage, count(f0) AS n_users FROM d
+       UNION ALL SELECT 'stage2_click', count(f1) FROM d
+       UNION ALL SELECT 'stage3_purchase', count(f2) FROM d
+       ORDER BY stage""") { (s, d) =>
+    val staged = Funnel.stageTimes(
+      table(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("sec")),
+      "user_id", "sec", "event_type", Seq("view", "click", "purchase"))
+    staged.select("user_id", "f0", "f1", "f2").distinct()
+      .agg(count("f0").as("n0"), count("f1").as("n1"), count("f2").as("n2"))
+      .selectExpr("""stack(3,
+        'stage1_view', n0, 'stage2_click', n1, 'stage3_purchase', n2)
+        AS (stage, n_users)""")
+      .orderBy("stage")
+  }
+
+  // ------------------------------------------------------- cohort retention
+
+  /** Weekly cohort retention matrix (first-event week × week offset,
+   * distinct active users) — bounded by weeks², not events. */
+  val q101CohortRetention: Q = Q("q101_cohort_retention",
+    """WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+       f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+       a AS (SELECT DISTINCT e.user_id, cohort,
+                    CAST((epoch(wk) - epoch(cohort)) // 604800 AS BIGINT) AS week_offset
+             FROM e JOIN f USING (user_id))
+       SELECT strftime(cohort, '%Y-%m-%d') AS cohort, week_offset,
+              count(*) AS n_users
+       FROM a WHERE week_offset <= 8 GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    Funnel.cohortRetention(table(s, d, "events"), "user_id", "ts", maxWeeks = 8)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  // ------------------------------------------------------- weighted sample
+
+  /** Quality-weighted sample without replacement (Efraimidis–Spirakis
+   * exponential keys, md5-derived uniforms, integer micro-nat ranking):
+   * the 20 docs sampled ∝ (quality + 0.1). The oracle replays the
+   * uniform, the weight, and the key arithmetic exactly. */
+  val q102WeightedSample: Q = Q("q102_weighted_sample",
+    s"""WITH ${ScaleQueries.qualityCte},
+       s AS (SELECT doc_id, score,
+               CAST(round(-ln(((('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                                % 10000) + 0.5) / 10000.0)
+                    / (score + 0.1) * 1e6) AS BIGINT) AS wkey
+             FROM q)
+       SELECT doc_id, score, wkey,
+              row_number() OVER (ORDER BY wkey, doc_id) AS rank
+       FROM s QUALIFY rank <= 20 ORDER BY rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Curation.weightedSampleTopK(
+        table(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("score")),
+        "doc_id", weight = col("score") + 0.1, k = 20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("wkey").asc, col("doc_id").asc))
+          .cast("long"))
+      .select("doc_id", "score", "wkey", "rank")
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------------------- TF-IDF keywords
+
+  /** TF-IDF keyword extraction: top-3 terms per doc (idf over the FULL
+   * corpus, integer tf × milli-nat idf scores) for the q-slice. */
+  val q103TfidfKeywords: Q = Q("q103_tfidf_keywords",
+    """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+         FROM documents),
+       tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+       sc AS (SELECT doc_id, token, tf,
+                CAST(round(ln(nd / CAST(df AS DOUBLE)) * 1000) AS BIGINT) AS idf_mnat
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+       r AS (SELECT doc_id, token, tf, idf_mnat,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf * idf_mnat DESC, token) AS rank
+             FROM sc)
+       SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+              CAST(tf AS BIGINT) AS tf, idf_mnat,
+              CAST(tf * idf_mnat AS BIGINT) AS score_m
+       FROM r WHERE doc_id < 60 AND rank <= 3 ORDER BY doc_id, rank""") { (s, d) =>
+    Search.tfidfTopTerms(table(s, d, "documents"), k = 3)
+      .filter(col("doc_id") < 60)
+      .select("doc_id", "rank", "token", "tf", "idf_mnat", "score_m")
+      .orderBy("doc_id", "rank")
+  }
+
+  // ---------------------------------------------------- PMI collocations
+
+  /** Top-30 PMI bigram collocations (marginals over the bigram table,
+   * min count 5, integer milli-nat PMI) — the association-mining
+   * operator; the oracle rebuilds both marginals and the quantized PMI. */
+  val q104Pmi: Q = Q("q104_pmi",
+    """WITH tok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+       bg AS (SELECT unnest(list_transform(range(1, len(w)), k -> w[k]||' '||w[k+1])) AS bg
+              FROM tok WHERE len(w) >= 2),
+       c AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+       m1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM c GROUP BY 1),
+       m2 AS (SELECT split_part(bg, ' ', 2) AS w2, sum(c12) AS c2 FROM c GROUP BY 1),
+       n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c),
+       p AS (SELECT bg, c12,
+               CAST(round(ln(c12 * nb / CAST(c1 * c2 AS DOUBLE)) * 1000) AS BIGINT) AS pmi_mnat
+             FROM c JOIN m1 ON split_part(c.bg, ' ', 1) = m1.w1
+                    JOIN m2 ON split_part(c.bg, ' ', 2) = m2.w2
+                    CROSS JOIN n
+             WHERE c12 >= 5)
+       SELECT bg AS bigram, CAST(c12 AS BIGINT) AS n, pmi_mnat,
+              row_number() OVER (ORDER BY pmi_mnat DESC, bg) AS rank
+       FROM p QUALIFY rank <= 30 ORDER BY rank""") { (s, d) =>
+    Curation.pmiTopK(
+        table(s, d, "documents")
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 2),
+        minCount = 5, k = 30)
+      .orderBy("rank")
+  }
+
+  // ----------------------------------------------------- stream CDC apply
+
+  /** Incremental latest-wins CDC apply: the event log streamed in 4
+   * micro-batches, each folded into the keyed target via the
+   * commutative max-merge; the final per-user latest-event table is
+   * rolled up by event type and hash-checked against the batch
+   * argmax truth. */
+  val q105StreamUpsert: Q = Q("q105_stream_upsert",
+    """WITH e AS (SELECT user_id, event_id, event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       r AS (SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sec DESC, event_id DESC) AS rn
+             FROM e)
+       SELECT event_type, count(*) AS n_users
+       FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    graft.streaming.StreamingUpsert.runLatestWinsToBatch(s, d, nFiles = 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------- sliding stream windows
+
+  /** Sliding event-time windows (2 h / 30 min slide) over the January
+   * slice: every event lands in exactly 4 overlapping windows. The
+   * oracle replays the window algebra as integer arithmetic
+   * (`((sec // 1800) - k) * 1800`, k ∈ 0..3) over the same slice —
+   * the streaming output is hash-checked against window math, not
+   * another Spark run. 1704067200 = 2024-02-01 UTC. */
+  val q106StreamSliding: Q = Q("q106_stream_sliding",
+    """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                  FROM events
+                  WHERE CAST(floor(epoch(ts)) AS BIGINT) < 1704067200),
+       x AS (SELECT event_type, ((sec // 1800) - k) * 1800 AS window_epoch
+             FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+       SELECT window_epoch, event_type, count(*) AS n
+       FROM x GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    graft.streaming.StreamingDemand.runSlidingToBatch(s, d, maxTs = 1704067200L)
+      .orderBy("window_epoch", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
+    q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding)
+}

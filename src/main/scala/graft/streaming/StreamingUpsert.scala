@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Incremental CDC apply: a change stream folded into a latest-wins
+ * keyed target, one micro-batch at a time via `foreachBatch` — the
+ * streaming MERGE pattern (what a lakehouse `MERGE INTO` does per
+ * batch, expressed engine-side). The merge is a per-key `max(struct)`
+ * — commutative and associative — so the final target is independent
+ * of file/batch arrival order, which is what makes the operator safe
+ * on an out-of-order stream.
+ */
+object StreamingUpsert {
+
+  private val stagedSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("sec", LongType),
+    StructField("event_id", LongType), StructField("event_type", StringType)))
+
+  /** Per-key latest-wins reduction: keep each user's event with the
+    * greatest (sec, event_id). */
+  private def latest(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max(struct(col("sec"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.sec").as("sec"),
+        col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
+
+  /**
+   * Stage the events table into `nFiles` parquet files, stream them
+   * back ONE FILE PER MICRO-BATCH, and fold each batch into the
+   * accumulated target with the latest-wins merge. The target is
+   * localCheckpointed per batch — bounded lineage however many batches
+   * arrive (the state is the keyed target itself, not stream state).
+   * Returns the final target (one row per user: their latest event).
+   */
+  def runLatestWinsToBatch(spark: SparkSession, dir: String,
+                           nFiles: Int = 4): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+
+    @volatile var target: DataFrame = null
+    val q = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = latest(batch)
+        target = latest(if (target == null) delta else target.unionByName(delta))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    target
+  }
+}

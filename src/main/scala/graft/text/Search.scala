@@ -87,4 +87,35 @@ object Search {
           .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
       .drop("_one")
   }
+
+  /**
+   * TF-IDF keyword extraction: the top-`k` terms of each document by
+   * `tf × idf`, where `idf = ln(N / df)` over the WHOLE corpus. The idf
+   * factor is quantized to integer milli-nats and multiplied by the
+   * integer term frequency, so scores (and hence ranks, with the term
+   * as tiebreak) are exact integer arithmetic in any engine. Plan
+   * shape: one tokenize pass → (doc, term) count; document frequencies
+   * and N aggregate that same table (vocabulary-sized); the per-doc
+   * top-k is a rank window over the scored tf table.
+   */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy((col("tf") * col("idf_mnat")).desc, col("token").asc)
+    tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("idf_mnat",
+        round(log(col("nd") / col("df").cast("double")) * 1000.0, 0).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"),
+        col("idf_mnat"), (col("tf") * col("idf_mnat")).as("score_m"))
+  }
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.curation.Curation
+import graft.ops.Funnel
+import graft.text.Search
+
+/** Round-5 analytics operators: funnels, cohorts, weighted sampling,
+  * TF-IDF, PMI, and the streaming CDC apply. */
+class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("stageTimes: later stages gated by earlier entry times") {
+    import spark.implicits._
+    // user 1: view@10, click@20, purchase@30  -> full funnel
+    // user 2: click@5, view@10 (click BEFORE view) -> no stage-2 entry
+    // user 3: view@10, purchase@20 (no click)      -> stage 1 only
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 5L, "click"), (2L, 10L, "view"),
+      (3L, 10L, "view"), (3L, 20L, "purchase"))
+      .toDF("user_id", "sec", "event_type")
+    val staged = Funnel.stageTimes(ev, "user_id", "sec", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "f0", "f1", "f2").distinct()
+      .orderBy("user_id").collect()
+    assert(staged.map(r => (r.getLong(0),
+      Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSeq == Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(10L), None, None),
+      (3L, Some(10L), None, None)))
+  }
+
+  test("cohortRetention: offsets counted from the first-event week") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-08 10:00:00"), // w0, w1
+      (2L, "2024-01-01 12:00:00"),                              // w0 only
+      (3L, "2024-01-08 09:00:00"))                              // cohort w1
+      .toDF("user_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val m = Funnel.cohortRetention(ev, "user_id", "ts", maxWeeks = 4)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("c"),
+        col("week_offset"), col("n_users"))
+      .orderBy("c", "week_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(m == Seq(("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("weightedSampleTopK: heavier weights sampled more often") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("id")
+      .withColumn("w", when(col("id") < 1000L, 10.0).otherwise(0.1))
+    val picked = Curation.weightedSampleTopK(df, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 100)
+    val heavy = picked.count(_ < 1000L)
+    assert(heavy > 90, s"heavy group underrepresented: $heavy/100")
+    // deterministic across invocations
+    val again = Curation.weightedSampleTopK(df, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0))
+    assert(picked.toSeq == again.toSeq)
+  }
+
+  test("tfidfTopTerms: corpus-wide terms rank below distinctive ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common zebra zebra"), (2L, "common yak"), (3L, "common wolf"))
+      .toDF("doc_id", "text")
+    val top = Search.tfidfTopTerms(docs, k = 1)
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    // 'common' has idf=ln(1)=0 -> distinctive term wins every doc
+    assert(top == Seq("zebra", "yak", "wolf"))
+  }
+
+  test("pmiTopK: collocated pair beats independent pair") {
+    import spark.implicits._
+    // "tick tock" always together (5x); "red" pairs with varied words
+    val docs = Seq(
+      (1L, "tick tock tick tock tick tock tick tock tick tock"),
+      (2L, "red car red boat red tree red lamp red door"))
+      .toDF("doc_id", "text")
+    val rows = Curation.pmiTopK(docs, minCount = 5, k = 10)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getString(0) == "tick tock")
+  }
+
+  test("runLatestWinsToBatch equals batch argmax truth") {
+    val out = graft.streaming.StreamingUpsert
+      .runLatestWinsToBatch(spark, sf001, nFiles = 3)
+    val truth = graft.io.Sources.table(spark, sf001, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(max(struct(col("sec"), col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("m.sec"), col("m.event_id"), col("m.event_type"))
+    assert(out.count() == truth.count())
+    assert(out.exceptAll(truth).isEmpty && truth.exceptAll(out).isEmpty)
+  }
+}

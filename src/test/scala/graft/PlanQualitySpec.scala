@@ -144,6 +144,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"q75 plans a nested-loop/cartesian join:\n$p")
   }
 
+  test("q94: SCD2 window chain shares ONE exchange (lag filter + lead/version)") {
+    // both window passes and the change filter key on the customer —
+    // a second exchange would mean the chain lost its co-partitioning
+    val p = plan("q94_scd2")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1, s"q94 plans ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("q100: funnel stage windows share one user-keyed exchange") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q100_funnel")
+    val windows = p.collect { case w: WindowExec => w }
+    assert(windows.size == 3, s"expected 3 chained stage windows:\n$p")
+    // windows(1) + distinct pair(1) + global collapse(1)
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 3, s"q100 plans ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("q102: weighted sample plans a TakeOrdered, not a global sort") {
+    val p = plan("q102_weighted_sample")
+    val takeOrdered = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, s"q102 lost its top-k short-circuit:\n$p")
+  }
+
   test("headline scans never read the full document text for metadata-only queries") {
     // q43 multimodal metadata never touches the payload bytes column
     val ss = scans(plan("q43_multimodal_meta"))
