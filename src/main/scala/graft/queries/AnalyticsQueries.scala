@@ -183,16 +183,16 @@ object AnalyticsQueries {
    * oracle replays the window algebra as integer arithmetic
    * (`((sec // 1800) - k) * 1800`, k ∈ 0..3) over the same slice —
    * the streaming output is hash-checked against window math, not
-   * another Spark run. 1704067200 = 2024-02-01 UTC. */
+   * another Spark run. 1706745600 = 2024-02-01 UTC. */
   val q106StreamSliding: Q = Q("q106_stream_sliding",
     """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
                   FROM events
-                  WHERE CAST(floor(epoch(ts)) AS BIGINT) < 1704067200),
+                  WHERE CAST(floor(epoch(ts)) AS BIGINT) < 1706745600),
        x AS (SELECT event_type, ((sec // 1800) - k) * 1800 AS window_epoch
              FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
        SELECT window_epoch, event_type, count(*) AS n
        FROM x GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
-    graft.streaming.StreamingDemand.runSlidingToBatch(s, d, maxTs = 1704067200L)
+    graft.streaming.StreamingDemand.runSlidingToBatch(s, d, maxTs = 1706745600L)
       .orderBy("window_epoch", "event_type")
   }
 

@@ -228,6 +228,60 @@ object LakeQueries {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------- schema evolution
+
+  /** Parquet schema evolution: half the docs written with the v1 schema
+   * (doc_id, lang), the other half appended with v2 (+ n_chars); the
+   * mergeSchema read must unify the footers and null-backfill v1 rows.
+   * The oracle recomputes the same per-lang totals from the parquet
+   * truth with the v2-only arithmetic spelled as a CASE. */
+  val q107SchemaEvolution: Q = Q("q107_schema_evolution",
+    """SELECT lang, count(*) AS n_rows,
+              count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_v2,
+              CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars_v2
+       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val docs = table(s, d, "documents")
+    docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(dir)
+    docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_chars")).as("n_v2"),
+        sum("n_chars").as("sum_chars_v2"))
+      .orderBy("lang")
+  }
+
+  // ----------------------------------------------------------- compaction
+
+  /** Small-file compaction (the lake-maintenance primitive): documents
+   * scattered into 64 round-robin files, then compacted to ≤4 with a
+   * shuffle-free coalesce; content equality is proven by the same
+   * order-proof XOR signature as q93, file-count movement by verdicts. */
+  val q108Compaction: Q = Q("q108_compaction",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(bit_xor(('0x'||substr(md5(text),1,15))::BIGINT) AS BIGINT) AS text_sig,
+              TRUE AS was_fragmented, TRUE AS is_compacted
+       FROM documents""") { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = table(s, d, "documents").select("doc_id", "text")
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val small = s.read.parquet(s"$base/small")
+    val nSmall = small.select(input_file_name()).distinct().count()
+    small.coalesce(4).write.mode("overwrite").parquet(s"$base/compact")
+    val compact = s.read.parquet(s"$base/compact")
+    val nCompact = compact.select(input_file_name()).distinct().count()
+    compact
+      .withColumn("h", graft.ops.Exprs.md5Long(col("text")))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("text_sig"),
+        lit(nSmall >= 16).as("was_fragmented"),
+        lit(nCompact <= 4 && nCompact < nSmall).as("is_compacted"))
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
-    q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin)
+    q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
+    q107SchemaEvolution, q108Compaction)
 }

@@ -181,7 +181,7 @@ object ScaleQueries {
   private val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-doc quality score — q32's exact spelling (hash-proven). */
-  private val qualityCte =
+  private[queries] val qualityCte =
     s"""q AS (SELECT doc_id, source,
          round(least(length(text) / 500.0, 1.0) * 0.5
            + least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))

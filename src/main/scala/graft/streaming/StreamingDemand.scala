@@ -82,6 +82,38 @@ object StreamingDemand {
   }
 
   /**
+   * SLIDING event-time windows (2 h length, 30 min slide): every event
+   * lands in exactly 4 overlapping windows — the smoothing/trend shape
+   * tumbling windows can't express. Event time is floored to whole
+   * seconds (`ts DIV 1e9`) so the window arithmetic is exact integer
+   * logic the oracle replays as `((sec // 1800) - k) * 1800, k ∈ 0..3`.
+   * Windowed state is freed as the watermark passes each window end.
+   * `maxTs` (exclusive, epoch seconds) bounds the slice driven through
+   * the stream.
+   */
+  def runSlidingToBatch(spark: SparkSession, dir: String,
+                        maxTs: Long): DataFrame = {
+    val name = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+        .filter(col("ts") < timestamp_seconds(lit(maxTs)))
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(unix_timestamp(col("window.start")).as("window_epoch"),
+        col("event_type"), col("n"))
+  }
+
+  /**
    * Stream-STREAM interval self-join: clicks joined to the same user's
    * purchases in the trailing hour, both sides watermarked — the
    * attribution-join pattern (Spark buffers each side in keyed state and
