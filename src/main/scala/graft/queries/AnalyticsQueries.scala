@@ -196,6 +196,33 @@ object AnalyticsQueries {
       .orderBy("window_epoch", "event_type")
   }
 
+  // ---------------------------------------------------------- SemDeDup
+
+  /** Embedding semantic dedup (SemDeDup): seeded-k-means cells, greedy
+   * keep-lowest-id within-cell drop at cosine ≥ 0.95. Centroids are
+   * driver-trained (not SQL-expressible), so the hash gate carries the
+   * replayable corpus count plus contract verdicts computed FROM the
+   * decision table — partition exactness, keeper validity at the
+   * threshold, cell bound; the quantitative semantics (planted
+   * near-twins get dropped) are pinned in SimilaritySpec. */
+  val q109SemDedup: Q = Q("q109_semdedup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS partition_ok,
+              TRUE AS dropped_have_keeper, TRUE AS cells_bounded
+       FROM embeddings""") { (s, d) =>
+    graft.sim.Similarity.semDedup(table(s, d, "embeddings"),
+        nClusters = 16, tauMicro = 950000L)
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_kept"), 1)).as("nk"),
+        count(when(!col("is_kept"), 1)).as("nd"),
+        min(when(!col("is_kept"), col("keeper_sim_micro"))).as("min_ks"),
+        max("cluster").as("max_cell"))
+      .select(col("n").as("n_vecs"),
+        (col("nk") + col("nd") === col("n")).as("partition_ok"),
+        coalesce(col("min_ks") >= 950000L, lit(true)).as("dropped_have_keeper"),
+        (col("max_cell") < 16 && col("max_cell") >= 0).as("cells_bounded"))
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
-    q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding)
+    q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
+    q109SemDedup)
 }

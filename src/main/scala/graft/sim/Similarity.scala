@@ -242,4 +242,41 @@ object Similarity {
       .select(col("qid"), col("bucket"), col("nid"),
         col("rank").cast("long").as("rank"), col("sim"))
   }
+
+  /**
+   * Semantic dedup over embeddings (the SemDeDup recipe, Abbas et al.
+   * 2023): k-means-partition the corpus ([[Ivf.buildIndex]] — seeded,
+   * deterministic), then WITHIN each cell drop every vector that has a
+   * lower-id neighbor at cosine ≥ `tauMicro` (micro-units; the greedy
+   * keep-lowest-id rule, same determinism contract as the text dedup
+   * family). The quadratic pair pass is confined to a cell — that
+   * bounding is the algorithm's entire point: size `nClusters` ~
+   * sqrt(corpus) so cells stay ~sqrt(N) and the per-cell work stays
+   * flat as the corpus grows. One corpus pass projects
+   * (id, cluster, unit-vec) and is localCheckpointed; the cell
+   * self-join and the decision join both read that bounded projection
+   * (the q59 single-scan discipline).
+   *
+   * Returns one row per vector: (id, cluster, keeper_id,
+   * keeper_sim_micro, is_kept) — keeper_id is the smallest-id
+   * near-duplicate that caused the drop (null for kept rows).
+   */
+  def semDedup(corpus: DataFrame, nClusters: Int, tauMicro: Long,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val index = Ivf.buildIndex(corpus, nClusters, idCol, vecCol)
+    val u = withUnitVec(index.assigned, vecCol, "u")
+      .select(col(idCol).as("id"), col("cluster"), col("u"))
+      .localCheckpoint()
+    val a = u.select(col("id").as("i"), col("cluster"), col("u").as("ua"))
+    val b = u.select(col("id").as("j"), col("cluster"), col("u").as("ub"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("i") < col("j"))
+      .withColumn("sim_micro", round(dot(col("ua"), col("ub")) * 1e6, 0).cast("long"))
+      .filter(col("sim_micro") >= tauMicro)
+      .groupBy(col("j").as("id"))
+      .agg(min("i").as("keeper_id"), max("sim_micro").as("keeper_sim_micro"))
+    u.select("id", "cluster")
+      .join(dropped, Seq("id"), "left")
+      .withColumn("is_kept", col("keeper_id").isNull)
+  }
 }

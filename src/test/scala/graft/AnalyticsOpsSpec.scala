@@ -87,6 +87,37 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getString(0) == "tick tock")
   }
 
+  test("semDedup: parallel classes collapse to their lowest id; twins dropped") {
+    import spark.implicits._
+    // 40 well-separated base vectors (axis-aligned, distinct axes) plus
+    // identical twins of the first 10 at ids 100..109: a twin always
+    // lands in its base's cell (same nearest centroid) at cosine 1.0
+    val dim = 8
+    def axisVec(i: Int): Array[Float] = {
+      val v = new Array[Float](dim)
+      v(i % dim) = 1.0f + (i / dim) * 0.1f // same direction per residue class
+      v
+    }
+    val base = (0 until 40).map(i => (i.toLong, axisVec(i)))
+    val twins = (0 until 10).map(i => (100L + i, axisVec(i)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val dec = graft.sim.Similarity
+      .semDedup(df, nClusters = 8, tauMicro = 999000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    (100L until 110L).foreach { id =>
+      assert(!dec(id), s"twin $id should be dropped")
+    }
+    // every base vector whose direction is unique among ids < 40 with a
+    // distinct scale is NOT a near-dup at tau=0.999 unless exactly
+    // parallel; ids 0..7 are each parallel to 8..15 etc. — so kept set
+    // must at least contain the lowest id of each parallel class
+    (0L until 8L).foreach { id =>
+      assert(dec(id), s"class representative $id should be kept")
+    }
+    val kept = dec.count(_._2)
+    assert(kept + dec.count(!_._2) == 50)
+  }
+
   test("runLatestWinsToBatch equals batch argmax truth") {
     val out = graft.streaming.StreamingUpsert
       .runLatestWinsToBatch(spark, sf001, nFiles = 3)
