@@ -222,7 +222,177 @@ object AnalyticsQueries {
         (col("max_cell") < 16 && col("max_cell") >= 0).as("cells_bounded"))
   }
 
+  // ------------------------------------------------- RANGE-frame window
+
+  /** Calendar 7-DAY trailing revenue (RANGE frame on an integer day
+   * index) — distinct from q84's ROWS frame: missing days shrink the
+   * window instead of reaching further back. Money stays DECIMAL until
+   * the integer micro-unit division (q84's determinism rule). */
+  val q110RangeWindow: Q = Q("q110_range_window",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders WHERE o_orderdate >= DATE '1998-01-01' GROUP BY 1),
+       i AS (SELECT d, rev, date_diff('day', DATE '1970-01-01', d) AS di FROM daily),
+       r AS (SELECT d,
+               CAST(round(rev, 2) AS DOUBLE) AS revenue,
+               CAST(sum(rev) OVER w * 1000000 AS BIGINT) AS rs_micro,
+               count(*) OVER w AS n_days
+             FROM i
+             WINDOW w AS (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT strftime(d, '%Y-%m-%d') AS day, revenue,
+              CAST(rs_micro // n_days AS DOUBLE) / 1e6 AS avg_7d, n_days
+       FROM r ORDER BY day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("di").rangeBetween(-6, Window.currentRow)
+    table(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01"))
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+      .withColumn("di", datediff(col("d"), to_date(lit("1970-01-01"))))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        (sum("rev").over(w) * 1000000).cast("long").as("rs_micro"),
+        count(lit(1)).over(w).as("n_days"))
+      .selectExpr("day", "revenue",
+        "CAST(rs_micro div n_days AS DOUBLE) / 1e6 AS avg_7d", "n_days")
+      .orderBy("day")
+  }
+
+  // --------------------------------------------------- MAD outlier flags
+
+  /** Robust outlier detection per event type: median ± 3×MAD over daily
+   * counts (median absolute deviation — outlier-proof where stddev is
+   * not). Both medians use the q85-proven interpolated-percentile
+   * parity; the flag compares integers scaled by the doubled medians. */
+  val q111MadOutliers: Q = Q("q111_mad_outliers",
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             count(*) AS n FROM events GROUP BY 1, 2),
+       med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+               FROM daily GROUP BY event_type),
+       dev AS (SELECT d.event_type, d.n, m.med, abs(d.n - m.med) AS ad
+               FROM daily d JOIN med m USING (event_type)),
+       mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+               FROM dev GROUP BY event_type)
+       SELECT d.event_type,
+              CAST(count(*) AS BIGINT) AS n_days,
+              round(first(d.med), 2) AS med,
+              round(first(ma.mad), 2) AS mad,
+              CAST(count(*) FILTER (WHERE abs(d.n - d.med) > 3 * ma.mad) AS BIGINT) AS n_outliers
+       FROM dev d JOIN mad ma USING (event_type)
+       GROUP BY d.event_type ORDER BY d.event_type""") { (s, d) =>
+    // the daily aggregate is bounded (days × types) and feeds FOUR
+    // consumers (med, dev, mad, flag) — materialize it once or the plan
+    // re-scans events per consumer (caught by PlanQualitySpec's ≤2-scan
+    // invariant)
+    val daily = table(s, d, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(first("med"), 2).as("med"),
+        round(first("mad"), 2).as("mad"),
+        count(when(abs(col("n") - col("med")) > col("mad") * 3, 1))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // -------------------------------------------------- distribution entropy
+
+  /** Shannon entropy of the source mix within each language (integer
+   * milli-nat terms — the mixture-diversity health metric for corpus
+   * balancing). */
+  val q112Entropy: Q = Q("q112_entropy",
+    """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+       t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY lang),
+       e AS (SELECT c.lang, c.n, t.tot,
+               CAST(round(-(c.n / CAST(t.tot AS DOUBLE))
+                    * ln(c.n / CAST(t.tot AS DOUBLE)) * 1000) AS BIGINT) AS term_mnat
+             FROM c JOIN t USING (lang))
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+              CAST(sum(term_mnat) AS BIGINT) AS entropy_mnat
+       FROM e GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val c = table(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val t = c.groupBy("lang").agg(sum("n").as("tot"))
+    c.join(t, "lang")
+      .withColumn("p", col("n") / col("tot").cast("double"))
+      .withColumn("term_mnat", round(-col("p") * log(col("p")) * 1000.0, 0).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sources"), sum("term_mnat").as("entropy_mnat"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------- ordered list agg
+
+  /** Ordered array aggregation: each user's first three event types in
+   * time order, as a joined string — the collect_list/sort_array
+   * surface (pandas' groupby-apply list idiom) made deterministic via
+   * the (sec, event_id) total order. */
+  val q113OrderedList: Q = Q("q113_ordered_list",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                  FROM events WHERE user_id < 200)
+       SELECT user_id,
+              array_to_string(
+                (list(event_type ORDER BY sec, event_id))[1:3], ',') AS first3
+       FROM e GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    table(s, d, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(struct(col("sec"), col("event_id"),
+            col("event_type")))), 1, 3),
+          x => x.getField("event_type")), ",").as("first3"))
+      .orderBy("user_id")
+  }
+
+  // ----------------------------------------------------------- set ops
+
+  /** Full set-operation family on one-year customer activity: INTERSECT
+   * (retained), EXCEPT both ways (churned/new) — closes SURVEY U3 from
+   * test-only to hash-gated. */
+  val q114SetOps: Q = Q("q114_set_ops",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                  WHERE year(CAST(o_orderdate AS DATE)) = 1997),
+       b AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(CAST(o_orderdate AS DATE)) = 1998)
+       SELECT 'churned' AS cohort,
+              (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n
+       UNION ALL
+       SELECT 'new', (SELECT count(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+       UNION ALL
+       SELECT 'retained', (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+       ORDER BY cohort""") { (s, d) =>
+    val o = table(s, d, "orders")
+      .select(col("o_custkey"), year(to_date(col("o_orderdate"))).as("y"))
+    // each distinct key set feeds all three set ops — materialize once
+    // (bounded by customer count) instead of six orders scans
+    val a = o.filter(col("y") === 1997).select("o_custkey").distinct()
+      .localCheckpoint()
+    val b = o.filter(col("y") === 1998).select("o_custkey").distinct()
+      .localCheckpoint()
+    val churned = a.except(b).agg(count(lit(1)).as("n"))
+      .select(lit("churned").as("cohort"), col("n"))
+    val fresh = b.except(a).agg(count(lit(1)).as("n"))
+      .select(lit("new").as("cohort"), col("n"))
+    val retained = a.intersect(b).agg(count(lit(1)).as("n"))
+      .select(lit("retained").as("cohort"), col("n"))
+    churned.unionAll(fresh).unionAll(retained).orderBy("cohort")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
-    q109SemDedup)
+    q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
+    q113OrderedList, q114SetOps)
 }
