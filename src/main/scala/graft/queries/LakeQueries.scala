@@ -281,7 +281,76 @@ object LakeQueries {
         lit(nCompact <= 4 && nCompact < nSmall).as("is_compacted"))
   }
 
+  // --------------------------------------------------------- bucketed join
+
+  /** Co-located big-big join via BUCKETED tables: both sides written
+   * bucketBy(8) on the join key, so the sort-merge join consumes the
+   * bucket layout with NO exchange on either side (pinned in
+   * PlanQualitySpec) — at 100 TB this is the difference between
+   * shuffling the fact table per join and never shuffling it at all.
+   * The oracle replays the plain join, so the layout provably changes
+   * the plan, not the result. */
+  val q115BucketedJoin: Q = Q("q115_bucketed_join",
+    """SELECT o_orderstatus, count(*) AS n,
+              CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // drop catalog entries, then clear the db directory itself — a
+    // previous SESSION's orphaned managed-table location (metadata gone,
+    // files left) would otherwise fail the write with
+    // LOCATION_ALREADY_EXISTS
+    s.sql("DROP TABLE IF EXISTS graft_q115.li_b")
+    s.sql("DROP TABLE IF EXISTS graft_q115.ord_b")
+    val wh = s.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", "")
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(wh, "graft_q115.db"))
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_q115")
+    table(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("graft_q115.li_b")
+    table(s, d, "orders").select("o_orderkey", "o_orderstatus")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("graft_q115.ord_b")
+    s.table("graft_q115.li_b")
+      .join(s.table("graft_q115.ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ---------------------------------------------------- partition pruning
+
+  /** Hive-style partitioned write + partition-pruned read: events
+   * re-written partitionBy(month), then a one-month query that must
+   * touch exactly one partition directory (PartitionFilters pinned in
+   * PlanQualitySpec — the scan-1-of-N-directories shape that makes
+   * time-range queries O(slice) instead of O(corpus)). */
+  val q116PartitionPruning: Q = Q("q116_partition_pruning",
+    """SELECT event_type, count(*) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+       FROM events WHERE strftime(ts, '%Y-%m') = '2024-01'
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    table(s, d, "events")
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .write.partitionBy("month").mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("month") === "2024-01")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
-    q107SchemaEvolution, q108Compaction)
+    q107SchemaEvolution, q108Compaction, q115BucketedJoin,
+    q116PartitionPruning)
 }

@@ -170,6 +170,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(takeOrdered.nonEmpty, s"q102 lost its top-k short-circuit:\n$p")
   }
 
+  test("q115: bucketed join plans no exchange on either side") {
+    // with broadcast off, only the final aggregate may shuffle — the
+    // join itself must consume the bucket layout
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q115_bucketed_join")
+      val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1,
+        s"bucketed join still shuffles (${shuffles.size} exchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q116: month filter prunes to one partition directory") {
+    val ss = scans(plan("q116_partition_pruning"))
+      .filter(_.relation.partitionSchema.fieldNames.contains("month"))
+    assert(ss.nonEmpty, "no partitioned scan in q116's plan")
+    ss.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "[]") != "[]",
+        s"month predicate did not become a partition filter: ${s.metadata}")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"expected 1 pruned partition, scanned ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("headline scans never read the full document text for metadata-only queries") {
     // q43 multimodal metadata never touches the payload bytes column
     val ss = scans(plan("q43_multimodal_meta"))
