@@ -391,8 +391,63 @@ object AnalyticsQueries {
     churned.unionAll(fresh).unionAll(retained).orderBy("cohort")
   }
 
+  // ------------------------------------------------- fuzzy record linkage
+
+  /** Blocked fuzzy matching (entity-resolution shape): candidate
+   * customer-name pairs inside a (nation, name-prefix) BLOCK, scored by
+   * Levenshtein edit distance ≤ 3. The block key turns the quadratic
+   * all-pairs compare into an equi-join whose per-block pair count is
+   * bounded — the classic record-linkage blocking discipline; both
+   * engines implement the same plain edit distance. */
+  val q117FuzzyMatch: Q = Q("q117_fuzzy_match",
+    """WITH c AS (SELECT c_custkey, c_nationkey, c_name AS nm FROM customer),
+       p AS (SELECT levenshtein(a.nm, b.nm) AS dist
+             FROM c a JOIN c b
+               ON a.c_nationkey = b.c_nationkey
+              AND substr(a.nm, 1, 13) = substr(b.nm, 1, 13)
+              AND a.c_custkey < b.c_custkey)
+       SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
+       FROM p WHERE dist <= 3 GROUP BY dist ORDER BY dist""") { (s, d) =>
+    val c = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
+        substring(col("c_name"), 1, 13).as("blk"))
+    val a = c.select(col("c_custkey").as("i"), col("c_nationkey"),
+      col("blk"), col("nm").as("nma"))
+    val b = c.select(col("c_custkey").as("j"), col("c_nationkey"),
+      col("blk"), col("nm").as("nmb"))
+    a.join(b, Seq("c_nationkey", "blk"))
+      .filter(col("i") < col("j"))
+      .withColumn("dist", levenshtein(col("nma"), col("nmb")).cast("long"))
+      .filter(col("dist") <= 3)
+      .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
+  // ---------------------------------------------------- regex extraction
+
+  /** Regex extraction over semi-structured payloads: all digit runs in
+   * the event props JSON, counted and summed per event type — the
+   * regexp_extract_all surface on a dialect-neutral pattern. */
+  val q118RegexExtract: Q = Q("q118_regex_extract",
+    """WITH x AS (SELECT event_type,
+           regexp_extract_all(props, '[0-9]+') AS nums FROM events)
+       SELECT event_type, count(*) AS n_events,
+              CAST(sum(len(nums)) AS BIGINT) AS n_numbers,
+              CAST(sum(list_transform(nums, v -> CAST(v AS BIGINT))
+                       [1]) AS BIGINT) AS sum_first
+       FROM x GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    table(s, d, "events")
+      .select(col("event_type"),
+        expr("regexp_extract_all(props, '[0-9]+', 0)").as("nums"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(size(col("nums"))).as("n_numbers"),
+        sum(element_at(col("nums"), 1).cast("long")).as("sum_first"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
-    q113OrderedList, q114SetOps)
+    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract)
 }
