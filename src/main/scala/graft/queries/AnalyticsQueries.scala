@@ -404,13 +404,13 @@ object AnalyticsQueries {
        p AS (SELECT levenshtein(a.nm, b.nm) AS dist
              FROM c a JOIN c b
                ON a.c_nationkey = b.c_nationkey
-              AND substr(a.nm, 1, 13) = substr(b.nm, 1, 13)
+              AND substr(a.nm, 1, 15) = substr(b.nm, 1, 15)
               AND a.c_custkey < b.c_custkey)
        SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_pairs
        FROM p WHERE dist <= 3 GROUP BY dist ORDER BY dist""") { (s, d) =>
     val c = table(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
-        substring(col("c_name"), 1, 13).as("blk"))
+        substring(col("c_name"), 1, 15).as("blk"))
     val a = c.select(col("c_custkey").as("i"), col("c_nationkey"),
       col("blk"), col("nm").as("nma"))
     val b = c.select(col("c_custkey").as("j"), col("c_nationkey"),
