@@ -342,7 +342,7 @@ object Curation {
     val m2 = c12.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
       .agg(sum("c12").as("c2"))
     val n = c12.agg(sum("c12").as("nb"))
-    c12.filter(col("c12") >= minCount)
+    val scored = c12.filter(col("c12") >= minCount)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
       .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n))
@@ -350,10 +350,13 @@ object Curation {
         round(log(col("c12") * col("nb") / (col("c1") * col("c2")).cast("double"))
           * 1000.0, 0).cast("long"))
       .select(col("bg").as("bigram"), col("c12").as("n"), col("pmi_mnat"))
+    // top-k first (TakeOrdered — per-partition heads, driver merge of k),
+    // THEN rank the k survivors: a global row_number window here would
+    // drag the whole qualifying vocabulary through one partition
+    scored.orderBy(col("pmi_mnat").desc, col("bigram").asc).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("pmi_mnat").desc, col("bigram").asc))
           .cast("long"))
-      .filter(col("rank") <= k)
   }
 
   // ------------------------------------------------------ train/val split
