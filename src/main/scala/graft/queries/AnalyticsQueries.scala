@@ -446,8 +446,42 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------ full outer join
+
+  /** FULL OUTER reconciliation of two daily series (clicks vs
+   * purchases): days present on either side survive, absences surface
+   * as explicit missing flags — the two-source reconciliation shape
+   * (closes the one join type the suite didn't yet hash-check). */
+  val q119FullOuter: Q = Q("q119_full_outer",
+    """WITH a AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_click
+                  FROM events WHERE event_type = 'click' GROUP BY 1),
+       b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_purchase
+             FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       SELECT coalesce(a.day, b.day) AS day,
+              coalesce(n_click, 0) AS n_click,
+              coalesce(n_purchase, 0) AS n_purchase,
+              (a.day IS NULL) AS click_missing,
+              (b.day IS NULL) AS purchase_missing
+       FROM a FULL OUTER JOIN b ON a.day = b.day ORDER BY day""") { (s, d) =>
+    def daily(t: String, out: String) = table(s, d, "events")
+      .filter(col("event_type") === t)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(out))
+    val a = daily("click", "n_click")
+    val b = daily("purchase", "n_purchase")
+    a.join(b.withColumnRenamed("day", "day_b"),
+        a("day") === col("day_b"), "full_outer")
+      .select(coalesce(col("day"), col("day_b")).as("day"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        col("day").isNull.as("click_missing"),
+        col("day_b").isNull.as("purchase_missing"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
-    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract)
+    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
+    q119FullOuter)
 }
