@@ -230,9 +230,13 @@ object Curation {
    *
    * Returns per-doc (idCol, carryCols*, n_bigrams, sum_mnat, avg_mnat).
    */
-  def bigramSurprisalStats(docs: DataFrame, textCol: String = "text",
+  def bigramSurprisalStats(docs0: DataFrame, textCol: String = "text",
                            idCol: String = "doc_id",
                            carryCols: Seq[String] = Nil): DataFrame = {
+    // Dedup.shingles(_, 2) never returns empty (a 1-token doc yields its
+    // lone word) — filter sub-bigram docs HERE so they can't pollute the
+    // model, whatever the caller passes
+    val docs = docs0.filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
     val big = docs.select(
       (col(idCol) +: carryCols.map(col)) :+
         explode(Dedup.shingles(col(textCol), 2)).as("bg"): _*)
@@ -333,7 +337,9 @@ object Curation {
    */
   def pmiTopK(docs: DataFrame, minCount: Int, k: Int,
               textCol: String = "text"): DataFrame = {
+    // same sub-bigram guard as [[bigramSurprisalStats]]
     val c12 = docs
+      .filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
       .select(explode(Dedup.shingles(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
       .localCheckpoint()

@@ -86,6 +86,22 @@ object Sources {
    * drop is exact at any parallelism; everything downstream is a normal
    * CSV scan Catalyst can prune.
    */
+  /** Temp scratch directory deleted on JVM exit (shutdown hook,
+    * recursive): the round-trip/layout queries stage full table copies —
+    * without cleanup every bench/verify run would leak one copy per
+    * query under /tmp. */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   def csvHeaderOffset(spark: SparkSession, path: String, skipLines: Int,
                       sep: String = ","): DataFrame = {
     import spark.implicits._

@@ -45,8 +45,11 @@ object Funnel {
     val first = wk.groupBy(userCol).agg(min("wk").as("cohort"))
     wk.distinct()
       .join(first, userCol)
+      // whole-day difference, not epoch seconds: DST-shifted week
+      // boundaries are 604800±3600 s apart, which truncates to the wrong
+      // offset in non-UTC sessions — calendar-day arithmetic is tz-proof
       .withColumn("week_offset",
-        ((unix_timestamp(col("wk")) - unix_timestamp(col("cohort"))) / 604800L)
+        (datediff(to_date(col("wk")), to_date(col("cohort"))) / 7)
           .cast("long"))
       .filter(col("week_offset") <= maxWeeks)
       .groupBy(col("cohort"), col("week_offset"))

@@ -23,18 +23,22 @@ object Profile {
     val total = count(lit(1)).as("_total")
     val isStr = df.schema.fields.map(f =>
       f.name -> (f.dataType == org.apache.spark.sql.types.StringType)).toMap
-    val aggs = df.columns.flatMap { c =>
+    // index-based aliases + escaped label literals: raw column names with
+    // spaces/dots/quotes would otherwise break the generated stack() SQL
+    val aggs = df.columns.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$i"),
         (if (isStr(c)) count(when(trim(col(c)) === "", 1)) else lit(0L))
-          .as(s"__blank_$c"),
+          .as(s"__blank_$i"),
         (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dist_$c"))
+         else approx_count_distinct(col(c))).as(s"__dist_$i"))
     }
+    def lbl(c: String): String =
+      "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val one = df.agg(total, aggs: _*)
     one.selectExpr(
-      s"stack(${df.columns.length}, ${df.columns.map(c =>
-        s"'$c', __null_$c, __blank_$c, __dist_$c").mkString(", ")}) " +
+      s"stack(${df.columns.length}, ${df.columns.zipWithIndex.map { case (c, i) =>
+        s"${lbl(c)}, __null_$i, __blank_$i, __dist_$i" }.mkString(", ")}) " +
         "AS (column, n_null, n_blank, n_distinct)",
       "_total AS n_rows")
       .select("column", "n_null", "n_blank", "n_distinct", "n_rows")

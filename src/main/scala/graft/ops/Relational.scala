@@ -228,10 +228,14 @@ object Relational {
   def scd2Versions(log: DataFrame, keyCol: String, seqCol: String,
                    tieCol: String, attrCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(seqCol).asc, col(tieCol).asc)
+    // null-safe change detection: first row by rank (NOT by `_prev` null,
+    // which conflates with a null previous VALUE), value compare with
+    // `<=>` so a change to/from null is still a change
     val changes = log
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col(attrCol), 1).over(w))
-      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
-      .drop("_prev")
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(attrCol)))
+      .drop("_rn", "_prev")
     val w2 = Window.partitionBy(keyCol).orderBy(col(seqCol).asc, col(tieCol).asc)
     changes
       .withColumn("valid_from", col(seqCol))

@@ -44,21 +44,25 @@ object Temporal {
     val l = left
       .withColumn("_at", col(leftTime))
       .withColumn("_side", lit(1))
+    // the matched row rides as ONE struct: `last(ignoreNulls)` then skips
+    // left rows (struct null there) but never a right row — a right row
+    // whose payload column is null still carries its own (time, null),
+    // instead of leaking an older row's non-null payload
     val r = right.select(
-      col(key) +: col(rightTime).as("_at") +: lit(0).as("_side") +:
-        col(rightTime).as("_rt") +: valCols.map(c => col(c).as(s"_rv_$c")): _*)
+      col(key), col(rightTime).as("_at"), lit(0).as("_side"),
+      struct(col(rightTime).as("_t") +: valCols.map(col): _*).as("_rrow"))
     // right rows sort BEFORE left rows at the same timestamp (side 0 < 1)
     // → a right row at exactly leftTime is visible: inclusive as-of.
     val w = Window.partitionBy(key).orderBy(col("_at").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("asof_time", last(col("_rt"), ignoreNulls = true).over(w))
+      .withColumn("_asof", last(col("_rrow"), ignoreNulls = true).over(w))
+      .withColumn("asof_time", col("_asof._t"))
     val attached = valCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_rv_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"asof_$c", col(s"_asof.$c"))
     }
     attached.filter(col("_side") === 1)
-      .drop("_at", "_side", "_rt")
-      .drop(valCols.map(c => s"_rv_$c"): _*)
+      .drop("_at", "_side", "_rrow", "_asof")
   }
 
   /** Keep one row per (key, time): the one with the greatest `tiebreak`

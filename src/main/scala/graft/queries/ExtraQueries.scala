@@ -132,7 +132,7 @@ object ExtraQueries {
   val q70CsvRoundtrip: Q = Q("q70_csv_roundtrip",
     """SELECT n_nationkey, n_name, n_regionkey
        FROM nation ORDER BY n_nationkey""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val dir = graft.io.Sources.scratchDir("graft_csv_rt")
     val nation = table(s, d, "nation")
     nation.write.mode("overwrite").option("header", "true").csv(dir)
     s.read.option("header", "true").schema(nation.schema).csv(dir)
@@ -147,7 +147,7 @@ object ExtraQueries {
   val q72HeaderOffset: Q = Q("q72_header_offset",
     """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
        FROM region ORDER BY r_regionkey""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_hdr_q")
+    val dir = java.nio.file.Paths.get(graft.io.Sources.scratchDir("graft_hdr_q"))
     val f = dir.resolve("report.csv")
     val rows = table(s, d, "region")
       .select(col("r_regionkey"), col("r_name")).orderBy("r_regionkey")

@@ -32,7 +32,7 @@ object LakeQueries {
               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
               count(DISTINCT doc_id) AS n_ids
        FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_rt").toString
+    val dir = graft.io.Sources.scratchDir("graft_jsonl_rt")
     val docs = table(s, d, "documents")
     docs.write.mode("overwrite").json(dir)
     s.read.schema(docs.schema).json(dir)
@@ -186,7 +186,7 @@ object LakeQueries {
               strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS span_hi,
               TRUE AS files_bounded, TRUE AS files_disjoint
        FROM orders""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val dir = graft.io.Sources.scratchDir("graft_layout")
     val src = table(s, d, "orders")
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
     val reread = Layout.rangeSortedWrite(src, "od", "o_orderkey", 8, dir)
@@ -240,7 +240,7 @@ object LakeQueries {
               count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_v2,
               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars_v2
        FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val dir = graft.io.Sources.scratchDir("graft_evo")
     val docs = table(s, d, "documents")
     docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
       .write.mode("overwrite").parquet(dir)
@@ -265,7 +265,7 @@ object LakeQueries {
               CAST(bit_xor(('0x'||substr(md5(text),1,15))::BIGINT) AS BIGINT) AS text_sig,
               TRUE AS was_fragmented, TRUE AS is_compacted
        FROM documents""") { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val base = graft.io.Sources.scratchDir("graft_compact")
     val docs = table(s, d, "documents").select("doc_id", "text")
     docs.repartition(64).write.mode("overwrite").parquet(s"$base/small")
     val small = s.read.parquet(s"$base/small")
@@ -336,7 +336,7 @@ object LakeQueries {
               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
        FROM events WHERE strftime(ts, '%Y-%m') = '2024-01'
        GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = graft.io.Sources.scratchDir("graft_part")
     table(s, d, "events")
       .withColumn("month", date_format(col("ts"), "yyyy-MM"))
       .write.partitionBy("month").mode("overwrite").parquet(dir)

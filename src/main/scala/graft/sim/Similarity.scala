@@ -274,7 +274,10 @@ object Similarity {
       .withColumn("sim_micro", round(dot(col("ua"), col("ub")) * 1e6, 0).cast("long"))
       .filter(col("sim_micro") >= tauMicro)
       .groupBy(col("j").as("id"))
-      .agg(min("i").as("keeper_id"), max("sim_micro").as("keeper_sim_micro"))
+      // keeper_sim_micro must be the similarity TO keeper_id (min_by),
+      // not an independent max over all qualifying neighbors
+      .agg(min("i").as("keeper_id"),
+        min_by(col("sim_micro"), col("i")).as("keeper_sim_micro"))
     u.select("id", "cluster")
       .join(dropped, Seq("id"), "left")
       .withColumn("is_kept", col("keeper_id").isNull)

@@ -87,9 +87,12 @@ object StreamingDemand {
    * tumbling windows can't express. Event time is floored to whole
    * seconds (`ts DIV 1e9`) so the window arithmetic is exact integer
    * logic the oracle replays as `((sec // 1800) - k) * 1800, k ∈ 0..3`.
-   * Windowed state is freed as the watermark passes each window end.
-   * `maxTs` (exclusive, epoch seconds) bounds the slice driven through
-   * the stream.
+   * NB: this harness driver materializes via complete-mode (all windows
+   * retained — that is what lets the memory sink restate the full
+   * table); a LIVE unbounded deployment of the same aggregation must
+   * use append mode, where the watermark does evict each window's state
+   * past its end. `maxTs` (exclusive, epoch seconds) bounds the slice
+   * driven through the stream.
    */
   def runSlidingToBatch(spark: SparkSession, dir: String,
                         maxTs: Long): DataFrame = {

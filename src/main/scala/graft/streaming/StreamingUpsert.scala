@@ -37,7 +37,7 @@ object StreamingUpsert {
    */
   def runLatestWinsToBatch(spark: SparkSession, dir: String,
                            nFiles: Int = 4): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val stage = graft.io.Sources.scratchDir("graft_cdc")
     graft.io.Sources.table(spark, dir, "events")
       .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
         col("event_id"), col("event_type"))

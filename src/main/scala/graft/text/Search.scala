@@ -40,7 +40,6 @@ object Search {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                carryCols: Seq[String] = Nil): DataFrame = {
-    val termList = array(terms.map(lit): _*)
     val base = docs.select(
       col(idCol) +: TextAnalysis.tokens(col(textCol)).as("toks") +:
         carryCols.map(col): _*)

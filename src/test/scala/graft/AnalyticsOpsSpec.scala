@@ -118,6 +118,24 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(kept + dec.count(!_._2) == 50)
   }
 
+  test("semDedup: keeper_sim_micro belongs to keeper_id's pair") {
+    import spark.implicits._
+    // j=5 has lower-id neighbors 1 (sim ~0.985) and 3 (sim 1.0): keeper
+    // is min id 1, and the reported sim must be sim(1,5), not max sim
+    val base = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val tilt = Array(0.985f, 0.1723f, 0.0f, 0.0f) // cos vs base ~0.985
+    val df = Seq((1L, base), (3L, tilt), (5L, tilt))
+      .toDF("vec_id", "embedding")
+    val row = graft.sim.Similarity
+      .semDedup(df, nClusters = 1, tauMicro = 950000L)
+      .filter(col("id") === 5L)
+      .select("keeper_id", "keeper_sim_micro").collect().head
+    assert(row.getLong(0) == 1L)
+    val simTo1 = row.getLong(1)
+    assert(simTo1 < 1000000L, s"keeper sim must be the ~0.985 pair, got $simTo1")
+    assert(simTo1 > 950000L)
+  }
+
   test("runLatestWinsToBatch equals batch argmax truth") {
     val out = graft.streaming.StreamingUpsert
       .runLatestWinsToBatch(spark, sf001, nFiles = 3)

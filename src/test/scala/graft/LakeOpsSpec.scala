@@ -31,6 +31,35 @@ class LakeOpsSpec extends AnyFunSuite with SparkSpec {
     assert(v.count(_.getBoolean(5)) == 2) // one current version per key
   }
 
+  test("scd2Versions: null attribute values are real versions, not skipped changes") {
+    import spark.implicits._
+    // A -> null -> A must produce THREE versions; a naive lag-null filter
+    // drops the null version and merges the As
+    val log = Seq(
+      (1L, "2020-01-01", 10L, Some("A")),
+      (1L, "2020-01-02", 11L, None),
+      (1L, "2020-01-03", 12L, Some("A")))
+      .toDF("k", "ds", "tie", "attr")
+      .withColumn("d", to_date(col("ds"))).drop("ds")
+    val v = Relational.scd2Versions(log, "k", "d", "tie", "attr")
+      .select("version", "attr", "valid_to")
+      .orderBy("version").collect()
+    assert(v.length == 3, s"expected 3 versions, got ${v.length}")
+    assert(v.map(r => Option(r.get(1)).map(_.toString)).toSeq ==
+      Seq(Some("A"), None, Some("A")))
+    assert(Option(v(0).getDate(2)).map(_.toString).contains("2020-01-02"))
+    assert(Option(v(1).getDate(2)).map(_.toString).contains("2020-01-03"))
+  }
+
+  test("bigramSurprisal: sub-bigram docs are excluded inside the operator") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.bigramSurprisalStats(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "1-token/empty docs must not reach the bigram model")
+  }
+
   test("bigramSurprisal: deterministic-text bigrams score zero, rare ones positive") {
     import spark.implicits._
     // corpus: "a b" x3 and "a c" x1 -> P(b|a)=3/4, P(c|a)=1/4

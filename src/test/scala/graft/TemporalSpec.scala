@@ -70,4 +70,17 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     // appear exactly once
     assert(Temporal.rangeJoin(left, right, "k", "lo", "hi", "t", 100L).count() == 1)
   }
+
+  test("asofJoin: a matched right row with a NULL payload stays null (no carry from older rows)") {
+    import spark.implicits._
+    // right: (t=5, v=42), (t=10, v=null); left at t=12 matches t=10 —
+    // the attached value must be the t=10 row's null, NOT 42
+    val left = Seq((1L, 12L)).toDF("k", "lt")
+    val right = Seq((1L, 5L, Some(42.0)), (1L, 10L, None))
+      .toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(left, right, "k", "lt", "rt", Seq("v"))
+      .select("asof_time", "asof_v").collect().head
+    assert(out.getLong(0) == 10L)
+    assert(out.isNullAt(1), s"expected null payload from the matched row, got ${out.get(1)}")
+  }
 }
