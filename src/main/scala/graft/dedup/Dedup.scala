@@ -333,4 +333,40 @@ object Dedup {
         .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
+
+  /**
+   * PageRank over an undirected pair graph (power iteration, damping
+   * 0.85): per-edge contributions are quantized to integer micro-units
+   * — `round(0.85 · r(u) / deg(u))` — before the per-node sum, so every
+   * iteration is exact integer arithmetic at any partitioning (the
+   * whole run replays in SQL as `iters` unrolled join+group CTEs).
+   * Ranks start uniform at 1e6 micro; each step is one edge-list join +
+   * one node-keyed aggregate — the standard distributed power-iteration
+   * shape (edge list checkpointed once, rank table checkpointed per
+   * round to keep lineage flat). Bidirectional edges mean no dangling
+   * nodes: every node in a pair re-receives mass each round.
+   *
+   * Returns (v, r): node id and its micro-unit rank after `iters`.
+   */
+  def pageRankMicro(pairs: DataFrame, iters: Int = 3,
+                    iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val edges = pairs.select(col(iCol).cast("long").as("src"),
+        col(jCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(jCol).cast("long").as("src"),
+        col(iCol).cast("long").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src").localCheckpoint()
+    var ranks = deg.select(col("src").as("v"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = withDeg.join(ranks, col("src") === col("v"))
+        .select(col("dst"),
+          round(lit(0.85) * col("r") / col("d"), 0).cast("long").as("c"))
+        .groupBy("dst")
+        .agg((lit(150000L) + sum("c")).as("r"))
+        .select(col("dst").as("v"), col("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

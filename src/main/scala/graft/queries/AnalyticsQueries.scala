@@ -479,9 +479,50 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  // ------------------------------------------------------------- PageRank
+
+  /** Distributed PageRank (3 power iterations, damping 0.85) over the
+   * MinHash near-dup graph: per-edge contributions quantized to integer
+   * micro-units, so the ENTIRE iterative computation replays in SQL as
+   * three unrolled join+group CTEs — an iterative graph algorithm under
+   * the hash gate, not just a rows-only smoke check. */
+  val q120Pagerank: Q = Q("q120_pagerank",
+    s"""WITH ${TextQueries.minhashPairCtes},
+       edges AS (SELECT i AS src, j AS dst FROM pairs
+                 UNION ALL SELECT j AS src, i AS dst FROM pairs),
+       deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM deg),
+       r1 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r0.r / deg.d) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r0 ON e.src = r0.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst),
+       r2 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r1.r / deg.d) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r1 ON e.src = r1.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst),
+       r3 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r2.r / deg.d) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r2 ON e.src = r2.v JOIN deg ON e.src = deg.src
+              GROUP BY e.dst)
+       SELECT v AS doc_id, r AS rank_micro,
+              row_number() OVER (ORDER BY r DESC, v) AS rnk
+       FROM r3 QUALIFY rnk <= 20 ORDER BY rnk""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    graft.dedup.Dedup.pageRankMicro(
+        graft.dedup.Dedup.minhashCandidates(docs), iters = 3)
+      .orderBy(col("r").desc, col("v").asc).limit(20)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("v").asc))
+          .cast("long"))
+      .select(col("v").as("doc_id"), col("r").as("rank_micro"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
-    q119FullOuter)
+    q119FullOuter, q120Pagerank)
 }

@@ -136,6 +136,19 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
     assert(simTo1 > 950000L)
   }
 
+  test("pageRankMicro: star hub outranks leaves; mass conserved per round shape") {
+    import spark.implicits._
+    // star graph: node 0 connected to 1..5 -> hub must outrank any leaf
+    val pairs = (1L to 5L).map(j => (0L, j)).toDF("i", "j")
+    val r = graft.dedup.Dedup.pageRankMicro(pairs, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 6)
+    val hub = r(0L)
+    (1L to 5L).foreach(j => assert(hub > r(j), s"hub $hub <= leaf ${r(j)}"))
+    // leaves are symmetric -> identical ranks
+    assert((1L to 5L).map(r).toSet.size == 1)
+  }
+
   test("runLatestWinsToBatch equals batch argmax truth") {
     val out = graft.streaming.StreamingUpsert
       .runLatestWinsToBatch(spark, sf001, nFiles = 3)
