@@ -520,9 +520,76 @@ object AnalyticsQueries {
       .orderBy("rnk")
   }
 
+  // ------------------------------------------------- distribution windows
+
+  /** percent_rank / cume_dist per language over document length — the
+   * normalized-position window family (deterministic: the window order
+   * carries a doc_id tiebreak, and both engines round the SAME IEEE
+   * double). */
+  val q121PercentRank: Q = Q("q121_percent_rank",
+    """WITH d AS (SELECT lang, doc_id, n_chars FROM documents WHERE doc_id < 100)
+       SELECT lang, doc_id, n_chars,
+              round(percent_rank() OVER w, 4) AS pr,
+              round(cume_dist() OVER w, 4) AS cd
+       FROM d WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+       ORDER BY lang, doc_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    table(s, d, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("lang", "doc_id")
+  }
+
+  // ----------------------------------------------------- gaps and islands
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user (the
+   * day-index-minus-row-number grouping idiom), rolled up to longest
+   * streak, streak count, and the first day of the earliest longest
+   * streak. */
+  val q122Streaks: Q = Q("q122_streaks",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events WHERE user_id < 300),
+       g AS (SELECT user_id, day,
+               CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+             FROM d),
+       s AS (SELECT user_id, grp, count(*) AS len,
+                    strftime(min(day), '%Y-%m-%d') AS start_day
+             FROM g GROUP BY 1, 2),
+       x AS (SELECT user_id, len, start_day,
+                    max(len) OVER (PARTITION BY user_id) AS mx FROM s)
+       SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(count(*) AS BIGINT) AS n_streaks,
+              min(CASE WHEN len = mx THEN start_day END) AS first_longest_start
+       FROM x GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val days = table(s, d, "events")
+      .filter(col("user_id") < 300)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val streaks = days
+      .withColumn("grp",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long")
+          - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"),
+        date_format(min("day"), "yyyy-MM-dd").as("start_day"))
+    streaks
+      .withColumn("mx", max("len").over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        min(when(col("len") === col("mx"), col("start_day")))
+          .as("first_longest_start"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
-    q119FullOuter, q120Pagerank)
+    q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks)
 }
