@@ -127,6 +127,25 @@ object Dedup {
       .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** MinHash band candidates ACROSS two corpora (probe docs from `left`
+    * matched against `right`) — the retrieval twin of
+    * [[minhashCandidates]]: same fused map-side signature kernel on both
+    * sides, equi-join on (band, bucket), so a benchmark/query set finds
+    * its near-matches in a 100 TB corpus without any all-pairs stage.
+    * Returns (i = left id, j = right id, n_bands). */
+  def minhashCandidatesAcross(left: DataFrame, right: DataFrame,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bands(df: DataFrame, out: String) = {
+      val bc = ColumnBridge.column(graft.functions.MinHashBands(
+        ColumnBridge.expression(graft.text.TextAnalysis.tokens(col(textCol)))))
+      df.select(col(idCol).as(out), posexplode(bc).as(Seq("bi", "bk")))
+    }
+    bands(left, "i").join(bands(right, "j"), Seq("bi", "bk"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
+  }
+
   // --------------------------------------------------------- exact jaccard
 
   /**

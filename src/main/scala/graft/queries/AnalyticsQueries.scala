@@ -587,9 +587,70 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------ cross-corpus doc retrieval
+
+  /** Nearest-document retrieval by lexical similarity: each benchmark
+   * (src0) doc finds its best non-src0 match — MinHash band candidates
+   * across the two corpora, exact trigram-Jaccard verify on the
+   * survivors, integer micro-unit scores, top-1 per probe. The oracle
+   * replays bands AND the exact verify, so the full retrieval decision
+   * is hash-checked. */
+  val q123NearestDoc: Q = Q("q123_nearest_doc",
+    s"""WITH ${TextQueries.minhashCrossPairCtes},
+       sz AS (SELECT doc_id, len(s) AS n FROM xsh),
+       ex AS (SELECT p.i, p.j, p.n_bands,
+                CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                CAST(sa.n + sb.n - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+              FROM xpairs p
+              JOIN xsh a ON p.i = a.doc_id JOIN xsh b ON p.j = b.doc_id
+              JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id),
+       sc AS (SELECT i, j, n_bands, inter, uni,
+                CAST(inter * 1000000 // uni AS BIGINT) AS jacc_micro,
+                row_number() OVER (PARTITION BY i
+                                   ORDER BY inter * 1000000 // uni DESC, j) AS rn
+              FROM ex)
+       SELECT i AS probe_doc, j AS match_doc, n_bands, inter, uni, jacc_micro
+       FROM sc WHERE rn = 1 ORDER BY probe_doc""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    // candidate pairs feed BOTH the intersection subtree and the final
+    // join — checkpoint them (bounded: band collisions) or each consumer
+    // re-runs both band scans
+    val cands = graft.dedup.Dedup.minhashCandidatesAcross(
+      left = docs.filter(col("source") === "src0"),
+      right = docs.filter(col("source") =!= "src0"))
+      .localCheckpoint()
+    // one shingle-hash inventory for BOTH the intersection join and the
+    // set sizes (checkpointed: candidates + sizes share it)
+    val hashes = docs
+      .select(col("doc_id"),
+        explode(array_distinct(graft.dedup.Dedup.shingles(col("text")))).as("sh"))
+      .select(col("doc_id"), graft.ops.Exprs.md5Long(col("sh")).as("h"))
+      .localCheckpoint()
+    val sizes = hashes.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(hashes.select(col("doc_id").as("i"), col("h")), Seq("i"))
+      .join(hashes.select(col("doc_id").as("j"), col("h")), Seq("j", "h"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy("i")
+      .orderBy(col("jacc_micro").desc, col("j").asc)
+    cands.join(inter, Seq("i", "j"))
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("jacc_micro", expr("inter * 1000000 div uni"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("i").as("probe_doc"), col("j").as("match_doc"),
+        col("n_bands"), col("inter"), col("uni"), col("jacc_micro"))
+      .orderBy("probe_doc")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
-    q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks)
+    q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
+    q123NearestDoc)
 }

@@ -157,6 +157,42 @@ object TextQueries {
         GROUP BY 1, 2)"""
   }
 
+  /** Cross-corpus variant of [[minhashPairCtes]]: same tokenize → shingle
+    * → minhash → band chain with `source` carried, ending in
+    * `xpairs(i, j, n_bands)` where i is a src0 (benchmark) doc and j a
+    * non-src0 corpus doc. Shared by q123 (nearest-doc retrieval). */
+  private[queries] val minhashCrossPairCtes: String = {
+    val mins = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a*hp + $b) % $P) AS m$i"
+    }.mkString(",\n    ")
+    val bands = (0 until numBands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString("||'_'||")
+      s"md5($ms) AS band$b"
+    }.mkString(", ")
+    val bandIdx = (0 until numBands).map(b => s"'$b'").mkString(",")
+    val bandCols = (0 until numBands).map(b => s"band$b").mkString(",")
+    s"""xtok AS (
+        SELECT doc_id, source, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents),
+      xsh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, greatest(len(w)-1, 1)),
+                      k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS s
+        FROM xtok WHERE len(w) >= 3),
+      xhashed AS (
+        SELECT doc_id, source, ('0x'||substr(md5(s2),1,15))::BIGINT % $P AS hp
+        FROM (SELECT doc_id, source, unnest(s) AS s2 FROM xsh)),
+      xminh AS (SELECT doc_id, source, $mins FROM xhashed GROUP BY doc_id, source),
+      xbanded AS (SELECT doc_id, source, $bands FROM xminh),
+      xpairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_bands
+        FROM (SELECT doc_id, source, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM xbanded) a
+        JOIN (SELECT doc_id, source, unnest([$bandIdx]) bi, unnest([$bandCols]) bk FROM xbanded) b
+          ON a.bi = b.bi AND a.bk = b.bk
+         AND a.source = 'src0' AND b.source <> 'src0'
+        GROUP BY 1, 2)"""
+  }
+
   val q36MinhashPairs: Q = Q("q36_minhash_pairs",
     s"""WITH $minhashPairCtes
       SELECT i, j, n_bands FROM pairs ORDER BY i, j""") { (s, d) =>
