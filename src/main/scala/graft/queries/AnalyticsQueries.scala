@@ -647,10 +647,58 @@ object AnalyticsQueries {
       .orderBy("probe_doc")
   }
 
+  // ------------------------------------------------- split leakage audit
+
+  /** Dedup-aware split leakage: near-dup clusters (MinHash → connected
+   * components) crossed with the q97 hash split — a cluster spanning
+   * train AND test means near-duplicate contamination across the
+   * boundary, the eval-integrity failure dedup-aware splitting exists
+   * to prevent. The oracle replays the closure (recursive CTE), the
+   * split CASE, and the leak verdict per cluster. */
+  val q124SplitLeakage: Q = Q("q124_split_leakage",
+    s"""WITH RECURSIVE ${TextQueries.minhashPairCtes},
+       edges AS (SELECT i AS a, j AS b FROM pairs
+                 UNION ALL SELECT j AS a, i AS b FROM pairs),
+       reach(src, dst) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       lbl AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster
+               FROM reach GROUP BY src),
+       sp AS (SELECT doc_id,
+                CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          % 10000 < 8000 THEN 'train'
+                     WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                          % 10000 < 9000 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM documents),
+       cl AS (SELECT l.cluster,
+                CAST(count(*) AS BIGINT) AS n_members,
+                CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
+                (count(DISTINCT CASE WHEN s.split IN ('train') THEN 1 END) > 0
+                 AND count(DISTINCT CASE WHEN s.split IN ('test', 'val') THEN 1 END) > 0)
+                  AS leaks
+              FROM lbl l JOIN sp s USING (doc_id) GROUP BY l.cluster)
+       SELECT cluster, n_members, n_splits, leaks
+       FROM cl ORDER BY cluster""") { (s, d) =>
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    val cc = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.minhashCandidates(docs))
+    cc.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .withColumn("split", Curation.splitLabel(col("doc_id"), 8000, 1000))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        count_distinct(col("split")).as("n_splits"),
+        (count(when(col("split") === "train", 1)) > 0 &&
+          count(when(col("split").isin("test", "val"), 1)) > 0).as("leaks"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
-    q123NearestDoc)
+    q123NearestDoc, q124SplitLeakage)
 }
