@@ -695,10 +695,76 @@ object AnalyticsQueries {
       .orderBy("cluster")
   }
 
+  // ---------------------------------------------------- transition matrix
+
+  /** First-order Markov transition matrix over each user's event
+   * sequence (lag window, one user-keyed shuffle): per (prev → cur)
+   * pair, count and row-conditional probability in integer basis
+   * points — the behavioral-modeling primitive. */
+  val q125Transitions: Q = Q("q125_transitions",
+    """WITH e AS (SELECT user_id, event_type, event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       l AS (SELECT user_id, event_type AS cur,
+                    lag(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY sec, event_id) AS prev
+             FROM e),
+       t AS (SELECT prev, cur, count(*) AS n FROM l
+             WHERE prev IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT prev, sum(n) AS tn FROM t GROUP BY prev)
+       SELECT t.prev, t.cur, CAST(n AS BIGINT) AS n,
+              CAST(n * 10000 // tn AS BIGINT) AS pct_bp
+       FROM t JOIN tot USING (prev) ORDER BY prev, cur""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    val t = table(s, d, "events")
+      .select(col("user_id"), col("event_type").as("cur"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("prev").agg(sum("n").as("tn"))
+    t.join(tot, "prev")
+      .select(col("prev"), col("cur"), col("n"),
+        expr("n * 10000 div tn").as("pct_bp"))
+      .orderBy("prev", "cur")
+  }
+
+  // ------------------------------------------------------- seasonal index
+
+  /** Monthly seasonality index of order value: month's average order
+   * value over the global average, in integer milli-units (DECIMAL
+   * money → exact micro conversion → integer division — no double ever
+   * rounds). */
+  val q126SeasonalIndex: Q = Q("q126_seasonal_index",
+    """WITH m AS (SELECT month(CAST(o_orderdate AS DATE)) AS mon,
+                         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev,
+                         count(*) AS n
+                  FROM orders GROUP BY 1),
+       g AS (SELECT CAST(sum(rev) * 1000000 AS BIGINT) // CAST(sum(n) AS BIGINT) AS g_micro
+             FROM m)
+       SELECT mon, CAST(n AS BIGINT) AS n_orders,
+              CAST(CAST(rev * 1000000 AS BIGINT) // n AS BIGINT) AS avg_micro,
+              CAST((CAST(rev * 1000000 AS BIGINT) // n) * 1000 // g_micro AS BIGINT)
+                AS seasonal_milli
+       FROM m CROSS JOIN g ORDER BY mon""") { (s, d) =>
+    val m = table(s, d, "orders")
+      .groupBy(month(to_date(col("o_orderdate"))).cast("long").as("mon"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"),
+        count(lit(1)).as("n"))
+    val g = m.agg(
+      expr("CAST(sum(rev) * 1000000 AS BIGINT) div sum(n)").as("g_micro"))
+    m.crossJoin(broadcast(g))
+      .select(col("mon"), col("n").as("n_orders"),
+        expr("CAST(rev * 1000000 AS BIGINT) div n").as("avg_micro"),
+        expr("(CAST(rev * 1000000 AS BIGINT) div n) * 1000 div g_micro")
+          .as("seasonal_milli"))
+      .orderBy("mon")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
-    q123NearestDoc, q124SplitLeakage)
+    q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex)
 }
