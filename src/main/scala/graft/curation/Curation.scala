@@ -317,11 +317,17 @@ object Curation {
    * TakeOrdered (per-partition heads + driver merge of k) — no global
    * sort materializes at scale. This is the quality-weighted
    * mixture-sampling primitive ("sample 10M docs ∝ quality score").
+   *
+   * Precondition: `weight` must be strictly positive. `w = 0` makes
+   * the key Infinity (an ANSI cast error), `w < 0` inverts the
+   * ranking; rows violating it are dropped here rather than letting
+   * either corruption through silently.
    */
   def weightedSampleTopK(df: DataFrame, idCol: String, weight: Column,
                          k: Int): DataFrame = {
     val u = (samplingKey(col(idCol)).cast("double") + 0.5) / 10000.0
-    df.withColumn("wkey", round(-log(u) / weight * 1e6, 0).cast("long"))
+    df.filter(weight > 0)
+      .withColumn("wkey", round(-log(u) / weight * 1e6, 0).cast("long"))
       .orderBy(col("wkey").asc, col(idCol).asc)
       .limit(k)
   }
@@ -336,11 +342,19 @@ object Curation {
    * vocabulary-sized; PMI is quantized to integer milli-nats.
    */
   def pmiTopK(docs: DataFrame, minCount: Int, k: Int,
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text"): DataFrame =
+    pmiTopKFromTokens(
+      docs.select(TextAnalysis.tokens(col(textCol)).as("toks")),
+      minCount, k)
+
+  /** [[pmiTopK]] over an already-tokenized `toks` table (e.g. the
+   * shared [[graft.text.TokenizedCorpus]] view — the corpus then pays
+   * tokenization once per session across all token pipelines). */
+  def pmiTopKFromTokens(toks: DataFrame, minCount: Int, k: Int): DataFrame = {
     // same sub-bigram guard as [[bigramSurprisalStats]]
-    val c12 = docs
-      .filter(size(TextAnalysis.tokens(col(textCol))) >= 2)
-      .select(explode(Dedup.shingles(col(textCol), 2)).as("bg"))
+    val c12 = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(Dedup.shinglesFromTokens(col("toks"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
       .localCheckpoint()
     val m1 = c12.groupBy(substring_index(col("bg"), " ", 1).as("w1"))

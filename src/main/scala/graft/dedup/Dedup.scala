@@ -58,19 +58,24 @@ object Dedup {
    * of a multiset equals min-hash of its set; array_intersect/union have
    * set semantics), and the O(n²) array_distinct was measurable at scan
    * speed. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = TextAnalysis.tokens(text)
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), k)
+
+  /** [[shingles]] over an already-tokenized array column — the entry
+   * point for pipelines that share a materialized tokenized view
+   * ([[graft.text.TokenizedCorpus]]) instead of re-tokenizing text. */
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column = {
     if (k == 3) {
       // native one-pass kernel for the standard case (the transform +
       // concat_ws spelling is interpreted per element)
       import org.apache.spark.sql.graft.ColumnBridge
-      ColumnBridge.column(graft.functions.Shingles3(ColumnBridge.expression(w)))
+      ColumnBridge.column(graft.functions.Shingles3(ColumnBridge.expression(toks)))
     } else {
       // same one-pass kernel, parameterized by k (parity vs the
       // transform + concat_ws spelling asserted in FunctionsSpec)
       import org.apache.spark.sql.graft.ColumnBridge
       ColumnBridge.column(
-        graft.functions.ShinglesK(ColumnBridge.expression(w), k))
+        graft.functions.ShinglesK(ColumnBridge.expression(toks), k))
     }
   }
 
@@ -240,8 +245,14 @@ object Dedup {
    * MapReduce and Beyond"): every neighbor v > u is re-attached to
    * m(u) = min(Γ(u) ∪ {u}). One groupBy + one join on the node id;
    * output edges are oriented large→small with no self loops. */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private def largeStar(edges: DataFrame, p: Int): DataFrame = {
+    // parallelism is set STRUCTURALLY: one repartition(p, a) feeds both
+    // the groupBy and the join (each requires clustering on `a`, which
+    // hashpartitioning(a, p) satisfies → no further exchange), so the
+    // loop's width is independent of spark.sql.shuffle.partitions and
+    // concurrent queries in the same session
     val bi = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(p, col("a"))
     val mins = bi.groupBy("a").agg(min("b").as("mnb"))
       .select(col("a"), least(col("mnb"), col("a")).as("m"))
     bi.join(mins, Seq("a")).filter(col("b") > col("a"))
@@ -251,9 +262,10 @@ object Dedup {
   /** Small-star phase: for each node u (edges arrive oriented a=u > b),
    * all smaller neighbors and u itself re-attach to m = min(Γ⁻(u)).
    * Same dataflow shape as [[largeStar]]. */
-  private def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("a").agg(min("b").as("m"))
-    val moved = edges.join(mins, Seq("a"))
+  private def smallStar(edges: DataFrame, p: Int): DataFrame = {
+    val keyed = edges.repartition(p, col("a"))
+    val mins = keyed.groupBy("a").agg(min("b").as("m"))
+    val moved = keyed.join(mins, Seq("a"))
       .filter(col("b") =!= col("m"))
       .select(col("b").as("a"), col("m").as("b"))
     moved.union(mins.select(col("a"), col("m").as("b")))
@@ -314,43 +326,43 @@ object Dedup {
     // produced it, and running every per-iteration stage at the corpus's
     // shuffle width made task scheduling dominate (measured 6.6s of
     // 7.9s on a ~300-edge graph). ~500k edges per partition, capped.
+    // iteration width p is applied structurally (repartition inside the
+    // star phases and before each distinct) — NO session-conf mutation,
+    // so two CC queries can run concurrently in one session without
+    // racing on spark.sql.shuffle.partitions (ConcurrencySpec)
     val p = math.max(1, math.min(2000, (2 * nPairs / 500000L).toInt + 1))
-    val spark = pairs.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", p)
-    try {
-      var edges = matPairs
-        .select(greatest(col("a"), col("b")).as("a"),
-          least(col("a"), col("b")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct().coalesce(p).localCheckpoint()
-      var it = 0
-      var converged = false
-      while (!converged && it < maxIters) {
-        val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
-        // stable edge set = star forest (each node → its component min):
-        // both sides are distinct, so same count + empty one-way except
-        // means set equality
-        converged = next.count() == edges.count() && next.except(edges).isEmpty
-        edges = next
-        it += 1
-      }
-      // the cap firing at 20 two-phase rounds would need a component
-      // deeper than ~2^20 nodes — treat it as a bug and fail loudly
-      // rather than return partial labels (q60's oracle checks the full
-      // transitive closure)
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIters star rounds; " +
-          s"labels would be partial — raise maxIters")
-      // star forest: every non-root points at its component min. Roots
-      // and nodes that only ever appeared in self-loop pairs are absent
-      // from the contracted edges — label them with themselves via the
-      // original endpoint set.
-      val nodes = matPairs.select(col("a").as("id"))
-        .union(matPairs.select(col("b").as("id"))).distinct()
-      nodes.join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
-        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    var edges = matPairs
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .repartition(p, col("a"), col("b")).distinct().localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = smallStar(largeStar(edges, p), p)
+        .repartition(p, col("a"), col("b")).distinct().localCheckpoint()
+      // stable edge set = star forest (each node → its component min):
+      // both sides are distinct, so same count + empty one-way except
+      // means set equality
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    // the cap firing at 20 two-phase rounds would need a component
+    // deeper than ~2^20 nodes — treat it as a bug and fail loudly
+    // rather than return partial labels (q60's oracle checks the full
+    // transitive closure)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters star rounds; " +
+        s"labels would be partial — raise maxIters")
+    // star forest: every non-root points at its component min. Roots
+    // and nodes that only ever appeared in self-loop pairs are absent
+    // from the contracted edges — label them with themselves via the
+    // original endpoint set.
+    val nodes = matPairs.select(col("a").as("id"))
+      .union(matPairs.select(col("b").as("id"))).distinct()
+    nodes.join(edges.select(col("a").as("id"), col("b").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /**

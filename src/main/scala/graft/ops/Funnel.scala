@@ -40,11 +40,15 @@ object Funnel {
    */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       maxWeeks: Int): DataFrame = {
+    // ONE scan of events: the distinct (user, week) table is computed
+    // once (map-side partial distinct collapses the event volume), and
+    // the cohort week is a window-min over it — no second events scan,
+    // no join, exactly one user-keyed exchange in the whole plan
+    // (pinned in PlanQualitySpec)
     val wk = events.select(col(userCol),
-      date_trunc("week", col(tsCol)).as("wk"))
-    val first = wk.groupBy(userCol).agg(min("wk").as("cohort"))
-    wk.distinct()
-      .join(first, userCol)
+      date_trunc("week", col(tsCol)).as("wk")).distinct()
+    val w = Window.partitionBy(userCol)
+    wk.withColumn("cohort", min("wk").over(w))
       // whole-day difference, not epoch seconds: DST-shifted week
       // boundaries are 604800±3600 s apart, which truncates to the wrong
       // offset in non-UTC sessions — calendar-day arithmetic is tz-proof

@@ -118,8 +118,10 @@ object AnalyticsQueries {
               CAST(tf AS BIGINT) AS tf, idf_mnat,
               CAST(tf * idf_mnat AS BIGINT) AS score_m
        FROM r WHERE doc_id < 60 AND rank <= 3 ORDER BY doc_id, rank""") { (s, d) =>
-    Search.tfidfTopTerms(table(s, d, "documents"), k = 3)
-      .filter(col("doc_id") < 60)
+    // shared tokenized view + doc slice pushed into the operator: the
+    // rank window sees only the requested docs, never the whole corpus
+    Search.tfidfTopTermsFromTokens(graft.text.TokenizedCorpus(s, d), k = 3,
+        docFilter = Some(col("doc_id") < 60))
       .select("doc_id", "rank", "token", "tf", "idf_mnat", "score_m")
       .orderBy("doc_id", "rank")
   }
@@ -147,9 +149,7 @@ object AnalyticsQueries {
        SELECT bg AS bigram, CAST(c12 AS BIGINT) AS n, pmi_mnat,
               row_number() OVER (ORDER BY pmi_mnat DESC, bg) AS rank
        FROM p QUALIFY rank <= 30 ORDER BY rank""") { (s, d) =>
-    Curation.pmiTopK(
-        table(s, d, "documents")
-          .filter(size(TextAnalysis.tokens(col("text"))) >= 2),
+    Curation.pmiTopKFromTokens(graft.text.TokenizedCorpus(s, d),
         minCount = 5, k = 30)
       .orderBy("rank")
   }
@@ -442,7 +442,7 @@ object AnalyticsQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(size(col("nums"))).as("n_numbers"),
-        sum(element_at(col("nums"), 1).cast("long")).as("sum_first"))
+        sum(expr("try_element_at(nums, 1)").cast("long")).as("sum_first"))
       .orderBy("event_type")
   }
 
@@ -635,7 +635,10 @@ object AnalyticsQueries {
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     val w = Window.partitionBy("i")
       .orderBy(col("jacc_micro").desc, col("j").asc)
-    cands.join(inter, Seq("i", "j"))
+    // left join: a band collision with zero shared shingles must still
+    // rank (inter = 0, jacc_micro = 0) exactly like the oracle's ex CTE
+    cands.join(inter, Seq("i", "j"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
       .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
       .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
       .withColumn("uni", col("na") + col("nb") - col("inter"))

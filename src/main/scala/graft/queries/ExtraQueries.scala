@@ -161,6 +161,83 @@ object ExtraQueries {
       .orderBy("r_regionkey")
   }
 
+  /** S6 — table-presence validation as a hash-gated verdict (closes the
+   * last SURVEY row that was test-only): one row per required table with
+   * its present flag, plus a negative control proving the check actually
+   * FIRES on a missing name (a validator that never rejects is no
+   * validator). The oracle pins every verdict TRUE. */
+  val q127RequireTables: Q = Q("q127_require_tables",
+    """SELECT tbl, present FROM (VALUES
+         ('__negative_control', TRUE), ('customer', TRUE),
+         ('documents', TRUE), ('embeddings', TRUE), ('events', TRUE),
+         ('lineitem', TRUE), ('nation', TRUE), ('orders', TRUE),
+         ('part', TRUE), ('region', TRUE), ('supplier', TRUE))
+         AS t(tbl, present)
+       ORDER BY tbl""") { (s, d) =>
+    import s.implicits._
+    // the real check: throws (query fails loudly) if any table is gone
+    graft.io.Sources.requireTables(s, d, graft.io.Sources.tableNames)
+    // negative control: a bogus name MUST be rejected
+    val missingCaught =
+      try { graft.io.Sources.requireTables(s, d, Seq("graft_no_such_table")); false }
+      catch { case _: IllegalArgumentException => true }
+    (graft.io.Sources.tableNames.map(n =>
+      (n, new java.io.File(s"$d/$n.parquet").exists())) :+
+      ("__negative_control", missingCaught))
+      .toDF("tbl", "present").orderBy("tbl")
+  }
+
+  /** D4 — comparar_particiones equivalence check (app.py:183-209) as a
+   * hash-gated single-row verdict: the seeded deal's invariants —
+   * chunks DISJOINT (no id in two partitions), union = input, sizes
+   * within a group differ ≤1, and two independent runs produce
+   * IDENTICAL assignments. Disjoint/total/balanced are genuinely
+   * replayed by the oracle over the same md5 deal; determinism is
+   * Spark-side real (two runs compared) and oracle-pinned TRUE. */
+  val q128PartitionEquiv: Q = Q("q128_partition_equiv",
+    """WITH a AS (SELECT o_orderkey AS id, o_orderpriority AS grupo,
+                         md5(CAST(o_orderkey AS VARCHAR) || '|' || '42') AS k
+                  FROM orders WHERE o_orderkey < 4000),
+       t AS (SELECT id, grupo,
+                    ntile(4) OVER (PARTITION BY grupo ORDER BY k, id) AS pid
+             FROM a),
+       sz AS (SELECT grupo, pid, count(DISTINCT id) AS sz FROM t GROUP BY 1, 2)
+       SELECT CAST((SELECT count(DISTINCT id) FROM a) AS BIGINT) AS n_ids,
+              CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_chunks,
+              (SELECT count(*) = count(DISTINCT id) FROM t) AS disjoint,
+              (SELECT count(*) FROM t) = (SELECT count(DISTINCT id) FROM a) AS total,
+              (SELECT bool_and(mx - mn <= 1) FROM
+                 (SELECT grupo, max(sz) AS mx, min(sz) AS mn
+                  FROM sz GROUP BY grupo)) AS balanced,
+              TRUE AS deterministic""") { (s, d) =>
+    val orders = table(s, d, "orders").filter(col("o_orderkey") < 4000)
+      .select(col("o_orderkey").as("id"), col("o_orderpriority").as("grupo"))
+    def deal() = graft.ops.Windows.seededNtile(
+      orders, Seq("grupo"), "id", n = 4).select("id", "grupo", "partition_id")
+    val a1 = deal().localCheckpoint() // consumed by 3 verdict branches
+    val sizes = a1.groupBy("grupo", "partition_id")
+      .agg(countDistinct("id").as("sz"))
+    val balanced = sizes.groupBy("grupo")
+      .agg((max("sz") - min("sz") <= 1).as("b"))
+      .agg(min(col("b")).as("balanced")) // bool min = AND
+    val counts = a1.agg(count(lit(1)).as("n_rows"),
+      countDistinct("id").as("n_ids"))
+    val nChunks = sizes.agg(count(lit(1)).as("n_chunks"))
+    // determinism: a second independent run must agree on every id
+    val mismatches = a1.join(deal().withColumnRenamed("partition_id", "p2"),
+        Seq("id", "grupo"))
+      .filter(col("partition_id") =!= col("p2"))
+      .agg(count(lit(1)).as("n_bad"))
+    counts.crossJoin(broadcast(nChunks)).crossJoin(broadcast(balanced))
+      .crossJoin(broadcast(mismatches))
+      .select(col("n_ids"), col("n_chunks"),
+        (col("n_rows") === col("n_ids")).as("disjoint"),
+        (col("n_rows") === col("n_ids")).as("total"),
+        col("balanced"),
+        (col("n_bad") === 0).as("deterministic"))
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
-    q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset)
+    q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
+    q127RequireTables, q128PartitionEquiv)
 }

@@ -295,27 +295,23 @@ object LakeQueries {
               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1 ORDER BY 1""") { (s, d) =>
-    // drop catalog entries, then clear the db directory itself — a
-    // previous SESSION's orphaned managed-table location (metadata gone,
-    // files left) would otherwise fail the write with
-    // LOCATION_ALREADY_EXISTS
-    s.sql("DROP TABLE IF EXISTS graft_q115.li_b")
-    s.sql("DROP TABLE IF EXISTS graft_q115.ord_b")
-    val wh = s.conf.get("spark.sql.warehouse.dir").replaceFirst("^file:", "")
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
-    rmrf(new java.io.File(wh, "graft_q115.db"))
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_q115")
+    // per-run unique database rooted in a scratch dir: no shared
+    // warehouse path, so concurrent sessions can't clobber each other
+    // and no filesystem delete happens inside the query body (the
+    // scratch dir's shutdown hook reclaims the files; the returned
+    // DataFrame stays lazy so the tables must outlive this function)
+    val db = "graft_q115_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val loc = graft.io.Sources.scratchDir("graft_q115_db")
+    s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     table(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable("graft_q115.li_b")
+      .format("parquet").saveAsTable(s"$db.li_b")
     table(s, d, "orders").select("o_orderkey", "o_orderstatus")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable("graft_q115.ord_b")
-    s.table("graft_q115.li_b")
-      .join(s.table("graft_q115.ord_b"),
+      .format("parquet").saveAsTable(s"$db.ord_b")
+    s.table(s"$db.li_b")
+      .join(s.table(s"$db.ord_b"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),

@@ -98,14 +98,47 @@ object Search {
    * top-k is a rank window over the scored tf table.
    */
   def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
-    val tf = docs
-      .select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+                    idCol: String = "doc_id",
+                    docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    tfidfTopTermsFromTokens(
+      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks")),
+      k, idCol, docFilter)
+
+  /**
+   * [[tfidfTopTerms]] over an already-tokenized `(id, toks)` table
+   * (e.g. the shared [[TokenizedCorpus]] view). Plan shape — nothing
+   * corpus×vocab-sized is ever materialized:
+   *
+   *  1. ONE vocab-sized aggregate serves both df and N: each doc emits
+   *     its DISTINCT tokens plus one null marker row, so after map-side
+   *     partial aggregation only (vocab + 1) rows reach the exchange —
+   *     the null group's count IS the document count.
+   *  2. The per-doc tf table is built only for the docs the caller
+   *     asked for (`docFilter`): at 100 TB "keywords for this slice"
+   *     reads the slice, never ranks the whole corpus.
+   */
+  def tfidfTopTermsFromTokens(toks: DataFrame, k: Int,
+                              idCol: String = "doc_id",
+                              docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val emptyArr = array().cast("array<string>")
+    // null-safe: a doc with NULL text must still count toward N (its
+    // marker row) while contributing no tokens — coalesce before concat,
+    // since concat(…, NULL) would swallow the marker
+    val stats = toks
+      .select(explode(concat(array(lit(null).cast("string")),
+        coalesce(array_distinct(col("toks")), emptyArr))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // vocab-sized; read by both df and N below
+    val n = stats.filter(col("token").isNull).select(col("cnt").as("nd"))
+    val df = stats.filter(col("token").isNotNull)
+      .select(col("token"), col("cnt").as("df"))
+    val sliced = docFilter match {
+      case Some(f) => toks.filter(f)
+      case None => toks
+    }
+    val tf = sliced
+      .select(col(idCol), explode(col("toks")).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("nd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol)
       .orderBy((col("tf") * col("idf_mnat")).desc, col("token").asc)

@@ -162,6 +162,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(shuffles.size <= 3, s"q100 plans ${shuffles.size} exchanges:\n$p")
   }
 
+  test("q101: cohort retention is join-free with ONE user-keyed exchange") {
+    // the cohort week is a window-min over the distinct (user, week)
+    // table — the old shape joined a separate first-week aggregate back
+    // in, re-shuffling events on the user twice
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val p = plan("q101_cohort_retention")
+    val joins = p.collect {
+      case j: SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"q101 reintroduced a join:\n$p")
+    val userKeyed = p.collect { case s: ShuffleExchangeExec => s }.filter {
+      _.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.flatMap(_.references.toSeq.map(_.name)).toSet == Set("user_id")
+        case _ => false
+      }
+    }
+    assert(userKeyed.size <= 1,
+      s"q101 shuffles on the user ${userKeyed.size} times:\n$p")
+  }
+
   test("q102: weighted sample plans a TakeOrdered, not a global sort") {
     val p = plan("q102_weighted_sample")
     val takeOrdered = p.collect {
