@@ -38,22 +38,69 @@ object Bench {
       graft.dedup.Dedup.simhashCandidates(docsW).count()
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(64).count()
     } catch { case _: Throwable => () }
+    // cold-start attribution: per-query deltas between rounds are only
+    // meaningful if one-time warmup costs are visible. Tables are
+    // pre-touched above; what remains cold inside the timed loop is (a)
+    // the FIRST query to spin up the streaming machinery (state store +
+    // micro-batch executor classloading, ~1-2s) and (b) any harness
+    // table whose warmup touch failed. Both are tagged into "cold"
+    // (query -> reason) WITHOUT changing the timed numbers.
+    val streamStarts = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+          streamStarts.incrementAndGet(); ()
+        }
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    val touched = scala.collection.mutable.Set[String](tables: _*) // warmup
+    val cold = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
     val results = selected.map { q =>
+      val streamsBefore = streamStarts.get()
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val df = try { val d = q.fn(spark, sfDir); d.count(); Some(d) }
+               catch { case _: Throwable => None }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed annotation pass
+      if (streamsBefore == 0 && streamStarts.get() > 0)
+        cold(q.name) = "stream_init"
+      df.foreach { d =>
+        val first = d.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                f.location.rootPaths.map(_.toString)
+                  .filter(_.contains(sfDir))
+                  .flatMap(p => tables.find(t => p.endsWith(s"$t.parquet")))
+              case _ => Seq.empty[String]
+            }
+        }.flatten.filterNot(touched.contains)
+        if (first.nonEmpty) {
+          cold.getOrElseUpdate(q.name, s"first_scan:${first.mkString("+")}")
+          touched ++= first
+        }
+      }
+      q.name -> dt
     }
     // Short keys ("q63" not "q63_contamination") and ms precision keep the
     // whole line under ~1.5 KB so it survives a bounded log-tail capture;
     // full names live in SparkEntry.registry in the same order.
+    def short(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f"
+      "\"" + short(k) + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
+    val coldJson = cold.map { case (k, v) =>
+      "\"" + short(k) + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -58,6 +58,30 @@ object Curation {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Bounded-memory heavy-hitters over a key column: Misra–Gries sketch
+   * ([[graft.functions.MisraGriesAgg]], `capacity` counters per
+   * partition buffer) → `(token, est)` rows, estimate-descending.
+   *
+   * This is [[vocabTopK]]'s 100 TB escape hatch: the exact path shuffles
+   * the full (group, token) vocabulary, which for web-scale n-gram
+   * vocabularies is itself TB-sized — the sketch ships `capacity`
+   * counters per partition and guarantees (for true count c over N
+   * rows): est ≤ c, c − est ≤ N/(capacity+1), and every key with
+   * c > N/(capacity+1) survives. Survivors then need only an exact
+   * confirmation pass over the candidate set. Gate on those bounds, not
+   * on raw survivor hashes — tail survivors depend on merge order.
+   */
+  def heavyHitters(df: DataFrame, key: Column, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sketch = ColumnBridge.column(
+      graft.functions.MisraGriesAgg(ColumnBridge.expression(key), capacity)
+        .toAggregateExpression())
+    df.agg(sketch.as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.est").as("est"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /**

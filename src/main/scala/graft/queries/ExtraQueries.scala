@@ -237,7 +237,47 @@ object ExtraQueries {
         (col("n_bad") === 0).as("deterministic"))
   }
 
+  /** Heavy-hitters sketch vs exact (q56 pattern): a deterministic skewed
+   * key stream — ~70% of orders collapse onto 3 hot keys, the rest stay
+   * unique — aggregated by the bounded-memory Misra–Gries sketch with
+   * only 64 counters (far fewer than the distinct-key count, so the
+   * sketch genuinely decrements/evicts). The hash gate pins the
+   * GUARANTEED properties per hot key: present in the sketch (its count
+   * clears the N/(m+1) survival bound), estimate ≤ exact, undercount ≤
+   * N/(m+1). Exact counts are fully replayed by the oracle; the raw
+   * tail-survivor set is deliberately NOT gated (merge-order-dependent
+   * by design). */
+  val q129HeavyHitters: Q = Q("q129_heavy_hitters",
+    """WITH k AS (SELECT CASE WHEN o_orderkey % 10 < 7
+                              THEN 'hot_' || CAST(o_orderkey % 3 AS VARCHAR)
+                              ELSE 'cold_' || CAST(o_orderkey AS VARCHAR) END AS k
+                  FROM orders),
+       e AS (SELECT k, count(*) AS n_exact FROM k GROUP BY k
+             ORDER BY n_exact DESC, k LIMIT 3)
+       SELECT k, n_exact, TRUE AS present, TRUE AS est_le_exact,
+              TRUE AS err_within_bound
+       FROM e ORDER BY k""") { (s, d) =>
+    val m = 64
+    val keyed = table(s, d, "orders").select(
+      when(col("o_orderkey") % 10 < 7,
+        concat(lit("hot_"), (col("o_orderkey") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("o_orderkey").cast("string")))
+        .as("k"))
+      .localCheckpoint() // sketch, exact counts and N all read it
+    val sketch = graft.curation.Curation.heavyHitters(keyed, col("k"), m)
+    val n = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.groupBy("k").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("k").asc).limit(3)
+      .join(sketch.withColumnRenamed("token", "k"), Seq("k"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("k"), col("n_exact"),
+        col("est").isNotNull.as("present"),
+        (col("est") <= col("n_exact")).as("est_le_exact"),
+        (col("n_exact") - col("est") <= col("n_total") / (m + 1)).as("err_within_bound"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
-    q127RequireTables, q128PartitionEquiv)
+    q127RequireTables, q128PartitionEquiv, q129HeavyHitters)
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
@@ -201,6 +202,64 @@ object LakeQueries {
       expr("bool_and(prev_hi IS NULL OR prev_hi < lo)").as("files_disjoint"))
   }
 
+  /** Z-ORDER (2-dim Morton) layout with a file-skipping proof on BOTH
+   * columns: orders re-written 16 files range-sorted on the interleaved
+   * (custkey, orderdate) bucket code, then a narrow slice per dimension
+   * is checked against the per-file min/max footer view — each must
+   * touch at most half the files. The negative control re-writes the
+   * table single-dim sorted (q98's layout) and shows the same DATE
+   * slice touches nearly every file there, and strictly more than under
+   * Z-order: one-dimensional sort cannot skip on the second column;
+   * the Z-curve skips on both. File-touch counts depend on sampled
+   * range boundaries, so the gate pins verdict bounds, not raw counts
+   * (the q98 disjointness pattern). */
+  val q132Zorder: Q = Q("q132_zorder",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              TRUE AS z_prunes_custkey, TRUE AS z_prunes_date,
+              TRUE AS linear_blind_on_date, TRUE AS z_beats_linear_on_date
+       FROM orders""") { (s, d) =>
+    import graft.ops.Layout
+    val dir = graft.io.Sources.scratchDir("graft_zorder")
+    val src = table(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .localCheckpoint() // feeds bounds scan + two layout writes
+    val b = src.agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
+      .head()
+    val (ckLo, ckHi) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
+    val (dLo, dHi) = (b.getDate(2), b.getDate(3))
+    val dSpan = dHi.toLocalDate.toEpochDay - dLo.toLocalDate.toEpochDay
+    // 2-bit buckets → a 4×4 Morton grid over 16 files, so each file
+    // covers ~one (custkey, date) cell and footer min/max stats stay
+    // tight on BOTH dimensions (measured: either slice touches ≤8 of
+    // 16 files at sf0.001–0.1; the linear layout touches 16/16 on date)
+    val bucketA = floor((col("o_custkey") - ckLo) * 4 / (ckHi - ckLo + 1))
+    val bucketB = floor(datediff(col("od"), lit(dLo)) * 4 / (dSpan + 1))
+    val z = Layout.zOrderedWrite(src, bucketA, bucketB, bits = 2,
+      numFiles = 16, path = s"$dir/z")
+    val lin = Layout.rangeSortedWrite(src, "o_custkey", "o_orderkey",
+      numFiles = 16, path = s"$dir/linear")
+    // slice per dimension: the middle 1/8 of each value span
+    val ckSliceLo = ckLo + (ckHi - ckLo) / 2
+    val ckSliceHi = ckLo + (ckHi - ckLo) * 5 / 8
+    val dSliceLo = date_add(lit(dLo), (dSpan / 2).toInt)
+    val dSliceHi = date_add(lit(dLo), (dSpan * 5 / 8).toInt)
+    def touched(reread: org.apache.spark.sql.DataFrame, dim: String,
+                lo: Column, hi: Column) =
+      Layout.fileIntervals(reread, dim)
+        .filter(col("hi") >= lo && col("lo") <= hi)
+        .agg(count(lit(1)).as(s"t")).head().getLong(0)
+    val tA = touched(z, "o_custkey", lit(ckSliceLo), lit(ckSliceHi))
+    val tB = touched(z, "od", dSliceLo, dSliceHi)
+    val tBLin = touched(lin, "od", dSliceLo, dSliceHi)
+    src.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(tA <= 10).as("z_prunes_custkey"),
+        lit(tB <= 10).as("z_prunes_date"),
+        lit(tBLin >= 14).as("linear_blind_on_date"),
+        lit(tB < tBLin).as("z_beats_linear_on_date"))
+  }
+
   // ------------------------------------------------- stream-stream join
 
   /** Stream-STREAM attribution join on harness data: clicks joined to
@@ -225,6 +284,45 @@ object LakeQueries {
       .agg(count(lit(1)).as("n_pairs"),
         count_distinct(col("c_id")).as("n_clicks"),
         count_distinct(col("p_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  /** Stream-stream LEFT-OUTER interval join — attribution with MISSES:
+   * clicks with no same-user purchase in the trailing hour surface as
+   * null-padded rows once the watermark passes their eviction bound
+   * (q99 only ever sees matches). Clicks are cut off > 1 h before the
+   * stream's max event time so every miss row flushes on a finite
+   * replay; the oracle applies the identical cutoff to the batch
+   * left-join truth, so the streaming outer output — including the
+   * null rows — is hash-checked, not just asserted. */
+  val q131StreamOuterJoin: Q = Q("q131_stream_outer_join",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       mx AS (SELECT max(sec) AS m FROM e),
+       c AS (SELECT event_id, user_id, sec FROM e, mx
+             WHERE event_type = 'click' AND sec < m - 7300),
+       p AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'purchase'),
+       j AS (SELECT c.user_id AS user_id, c.event_id AS cid, p.event_id AS pid
+             FROM c LEFT JOIN p ON c.user_id = p.user_id
+                               AND p.sec >= c.sec - 3600 AND p.sec <= c.sec)
+       SELECT user_id, count(*) AS n_rows,
+              CAST(count(pid) AS BIGINT) AS n_pairs,
+              count(DISTINCT cid) AS n_clicks,
+              count(DISTINCT CASE WHEN pid IS NULL THEN cid END) AS n_miss_clicks
+       FROM j GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val maxSec = table(s, d, "events")
+      .agg(max(unix_timestamp(col("ts")))).head().getLong(0) // scalar bound
+    // cutoff = watermark delay (1 h) + join interval (1 h) + margin:
+    // outer state for a click evicts only once the watermark passes
+    // click-time + the interval span, so a 1-hour-only cutoff leaves
+    // the last hour's miss rows stuck in state on a finite replay
+    graft.streaming.StreamingDemand
+      .runLeftOuterIntervalJoinToBatch(s, d, cutoffSec = maxSec - 7300)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_id")).as("n_pairs"),
+        count_distinct(col("c_id")).as("n_clicks"),
+        count_distinct(when(col("p_id").isNull, col("c_id"))).as("n_miss_clicks"))
       .orderBy("user_id")
   }
 
@@ -348,5 +446,5 @@ object LakeQueries {
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
-    q116PartitionPruning)
+    q116PartitionPruning, q131StreamOuterJoin, q132Zorder)
 }

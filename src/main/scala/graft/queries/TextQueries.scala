@@ -425,6 +425,48 @@ object TextQueries {
     recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
   }
 
+  /** IVF "build once, probe many": the index (assignment + centroid
+   * tables) is persisted to a scratch dir once per session; this query
+   * is PROBE-ONLY — no training, no corpus scan (IvfSpec pins that the
+   * probe plan's file scans touch only the index directory). Gates:
+   * result-set completeness, exact cosine re-rank, the q54 recall
+   * floor vs brute force, and probe ≡ fresh in-query build (training
+   * is deterministic, so the persisted index must reproduce it
+   * exactly). */
+  val q130IvfProbe: Q = Q("q130_ivf_probe",
+    """SELECT * FROM (VALUES
+         ('probe_equals_build', TRUE), ('recall_floor', TRUE),
+         ('rows_complete', TRUE), ('sims_exact', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val dir = graft.sim.Ivf.persistedIndex(s, d, nClusters = 64)
+    val probe = graft.sim.Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+      .localCheckpoint()
+    val fresh = graft.sim.Ivf.ivfTopK(q, emb, k = k, nClusters = 64, nProbe = 8)
+    val buildOk = probe.unionAll(fresh).groupBy("qid", "nid", "rank", "sim")
+      .agg(count(lit(1)).as("c"))
+      .agg(bool_and(col("c") === 2).as("ok")) // every row in BOTH sets
+      .select(lit("probe_equals_build").as("chk"), col("ok"))
+    val bf = Similarity.bruteForceTopK(q, emb, k = k)
+    val u = Similarity.withUnitVec(emb, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val simsOk = probe
+      .join(u.select(col("vec_id").as("qid"), col("u").as("qu")), Seq("qid"))
+      .join(u.select(col("vec_id").as("nid"), col("u").as("nu")), Seq("nid"))
+      .select((col("sim") === round(Similarity.dot(col("qu"), col("nu")), 4)).as("eq"))
+      .agg(bool_and(col("eq")).as("ok"))
+      .select(lit("sims_exact").as("chk"), col("ok"))
+    val rowsOk = probe.groupBy("qid").agg(count(lit(1)).as("k"))
+      .agg((count(lit(1)) === 50 && min("k") === k && max("k") === k).as("ok"))
+      .select(lit("rows_complete").as("chk"), col("ok"))
+    val recallOk = probe.select("qid", "nid").intersect(bf.select("qid", "nid"))
+      .agg((count(lit(1)).cast("double") / lit(50 * k) >= 0.25).as("ok"))
+      .select(lit("recall_floor").as("chk"), col("ok"))
+    buildOk.unionAll(recallOk).unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
+  }
+
   /** Multimodal DECODE stage exercised on harness data: the
    * per-partition batch decoder (the one sanctioned mapPartitions) runs
    * over every blob, and its width/height outputs must sum to the SQL
@@ -536,5 +578,5 @@ object TextQueries {
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
-    q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking)
+    q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe)
 }

@@ -144,6 +144,71 @@ object Ivf {
     IvfIndex(assigned, centroids, centers)
   }
 
+  // ----------------------------------------------- build once, probe many
+
+  /** Persist a built index to `dir`: the assignment table
+   * `(idCol, cluster, cu)` — unit vectors precomputed so probes never
+   * touch the raw corpus — and the `(cluster, centroid)` table. This is
+   * the "build once, probe many" split a real ANN service runs: the
+   * build pays the corpus scan + training ONCE; every probe afterwards
+   * reads only the index. */
+  def persistIndex(corpus: DataFrame, dir: String, nClusters: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   trainSample: Long = 65536L): Unit = {
+    val index = buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
+    Similarity.withUnitVec(index.assigned, vecCol, "cu")
+      .select(col(idCol), col("cluster"), col("cu"))
+      .write.mode("overwrite").parquet(s"$dir/assigned")
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Memoized [[persistIndex]] over the harness embeddings table — one
+   * persisted index per (session, sfDir, nClusters), shared by every
+   * probe query in the session. */
+  private val persisted = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Int), String]()
+  def persistedIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                     nClusters: Int): String =
+    persisted.computeIfAbsent((spark, sfDir, nClusters),
+      (key: (org.apache.spark.sql.SparkSession, String, Int)) => {
+        val dir = graft.io.Sources.scratchDir("graft_ivf_index")
+        persistIndex(graft.io.Sources.table(key._1, key._2, "embeddings"),
+          dir, key._3)
+        dir
+      })
+
+  /**
+   * Probe-only ANN top-k against a persisted index: NO training, NO
+   * corpus scan, NO k-means job — the centroid table (nClusters rows)
+   * is read to the driver for the codegen'd probe kernel, candidates
+   * equi-join inside the probed cells, exact cosine re-rank
+   * (IvfSpec pins that the plan's file scans touch ONLY the index
+   * directory). Results are identical to [[ivfTopK]] with the same
+   * parameters — training is deterministic, so a rebuilt index IS the
+   * persisted one (q130 gates this).
+   */
+  def probeIndex(queries: DataFrame, dir: String, k: Int, nProbe: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect() // bounded: nClusters rows
+      .map(_.getSeq[Double](1).toArray)
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val probes = Similarity.withUnitVec(queries, vecCol, "qu")
+      .select(col(idCol).as("qid"), col("qu"),
+        explode(nearestK(col(vecCol), centers, nProbe)).as("cluster"))
+    val scored = assigned
+      .select(col(idCol).as("nid"), col("cu"), col("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(Similarity.dot(col("qu"), col("cu")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+  }
+
   /**
    * ANN top-k through the index: each query probes its `nProbe` nearest
    * cells (native kernel — no centroid join, no window), exact cosine

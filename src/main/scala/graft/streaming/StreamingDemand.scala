@@ -156,6 +156,53 @@ object StreamingDemand {
   }
 
   /**
+   * LEFT-OUTER stream-stream interval join — attribution WITH misses:
+   * every click either pairs with the same user's purchases in the
+   * trailing hour or, once the watermark passes its eviction bound, is
+   * emitted once with null purchase columns. Spark holds the unmatched
+   * left row in keyed state and null-pads it only when no future right
+   * row can match (global watermark > click time) — bounded state on an
+   * unbounded stream, and the miss rows arrive exactly once.
+   *
+   * `cutoffSec` (exclusive, epoch seconds) must trail the stream's max
+   * event time by MORE than watermark delay + join interval (1 h + 1 h
+   * here): outer state for a click is only evicted — and its miss row
+   * only emitted — once the watermark passes click-time plus the
+   * interval span, and on a FINITE replay the final watermark stops at
+   * max(ts) − 1 h. Clicks past the cutoff would sit in state forever;
+   * the cutoff keeps the replayed slice deterministic (the q131 oracle
+   * applies the same cutoff to the batch truth).
+   */
+  def runLeftOuterIntervalJoinToBatch(spark: SparkSession, dir: String,
+                                      cutoffSec: Long): DataFrame = {
+    val name = "stream_louter_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    def side(evType: String, prefix: String) = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("event_type") === evType)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+    val clicks = side("click", "c")
+      .filter(col("c_ts") < timestamp_seconds(lit(cutoffSec)))
+    val joined = clicks.join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+        col("p_ts") <= col("c_ts"),
+      "left_outer")
+    withStatePartitions(spark, 8) {
+      val q = joined
+        .select(col("c_user"), col("c_id"), col("c_ts"), col("p_id"), col("p_ts"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
+  /**
    * Run the stream over a (finite) parquet path to completion and return
    * the materialized result: epoch-second window start per event type.
    * Output mode "complete" so late batches restate the full table.

@@ -118,4 +118,37 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // bucketize: floor semantics incl. negatives
     assert(rows(0).getDouble(3) == 1000.0 && rows(2).getDouble(3) == -1000.0)
   }
+
+  test("heavyHitters: exact when capacity exceeds the distinct-key count") {
+    val keys = (0 until 1000).map(i => s"k${i % 7}")
+    val df = keys.toDF("k").repartition(8) // force cross-partition merges
+    val got = Curation.heavyHitters(df, $"k", capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exact)
+  }
+
+  test("heavyHitters: MG bounds hold under genuine eviction") {
+    // 3 hot keys × 200 + 400 unique cold keys; capacity 16 << 403 distinct
+    val keys = (0 until 600).map(i => s"hot${i % 3}") ++
+      (0 until 400).map(i => s"cold$i")
+    val n = keys.size.toLong // 1000
+    val m = 16
+    val bound = n.toDouble / (m + 1) // ≈ 58.8
+    val df = keys.toDF("k").repartition(8)
+    val est = Curation.heavyHitters(df, $"k", capacity = m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= m, s"sketch kept ${est.size} > $m counters")
+    // every key with c > N/(m+1) must survive, with est in [c - bound, c]
+    Seq("hot0", "hot1", "hot2").foreach { k =>
+      assert(est.contains(k), s"$k (count 200 > $bound) was evicted")
+      assert(est(k) <= 200L && 200L - est(k) <= bound,
+        s"$k estimate ${est(k)} outside [${200 - bound}, 200]")
+    }
+    // never overestimates: cold keys are singletons
+    est.foreach { case (k, e) =>
+      val c = if (k.startsWith("hot")) 200L else 1L
+      assert(e <= c, s"$k overestimated: $e > $c")
+    }
+  }
 }

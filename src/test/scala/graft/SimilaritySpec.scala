@@ -90,4 +90,24 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       brute.get(key).foreach(b => assert(b == r.getDouble(2)))
     }
   }
+
+  test("IVF probeIndex: plan reads ONLY the persisted index, and matches a fresh build") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings").localCheckpoint()
+    val q = emb.filter($"vec_id" < 10)
+    val dir = graft.sim.Ivf.persistedIndex(spark, sf001, nClusters = 16)
+    val probe = graft.sim.Ivf.probeIndex(q, dir, k = 3, nProbe = 2)
+    // index-reuse pin: every file scan in the probe plan is under the
+    // index dir — zero embeddings scans, zero k-means/training jobs
+    val paths = probe.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.nonEmpty, "probe plan has no index scans at all")
+    paths.foreach(p => assert(p.contains(dir), s"probe scans non-index file: $p"))
+    // deterministic training ⇒ probing the persisted index reproduces an
+    // in-query build exactly
+    val fresh = graft.sim.Ivf.ivfTopK(q, emb, k = 3, nClusters = 16, nProbe = 2)
+    assert(probe.except(fresh).isEmpty && fresh.except(probe).isEmpty,
+      "probe-only results diverge from a fresh build")
+  }
 }
