@@ -82,6 +82,28 @@ object Curation {
       .select(col("e.token").as("token"), col("e.est").as("est"))
   }
 
+  /**
+   * Sketch-then-confirm exact top-k: [[heavyHitters]] bounds the
+   * candidate set (≤ `capacity` keys), a broadcast semi join restricts
+   * the corpus to those keys, and only THEN does an exact count+top-k
+   * run — so the exact aggregate shuffles at most `capacity` distinct
+   * keys instead of the full key universe. Output (token, n_exact) is
+   * fully deterministic (exact counts, (count desc, token) order) and
+   * provably equals the all-keys exact top-k whenever the k-th true
+   * count clears the sketch's N/(capacity+1) survival bound — the
+   * two-pass "sketch candidates, confirm exactly" shape a 100 TB top-k
+   * actually runs.
+   */
+  def heavyHittersConfirmed(df: DataFrame, key: Column, capacity: Int,
+                            k: Int): DataFrame = {
+    val cands = heavyHitters(df, key, capacity).select("token")
+    df.select(key.as("token"))
+      .join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------- decontamination
 
   /**

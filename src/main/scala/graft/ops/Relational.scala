@@ -248,6 +248,40 @@ object Relational {
 
   /** Global extreme with argmax attribution (SURVEY.md A8):
    * `max_by(struct(attrs), value)` — single reduction, no sort. */
+  /**
+   * Grouped least-squares line fit from EXACT integer moments: y is
+   * pre-quantized to integer micro-units, x is a small integer feature,
+   * and slope/intercept come from the closed-form normal equations
+   *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+   *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+   * where every Σ is an exact BIGINT sum — associativity-proof at any
+   * partitioning — and only the FINAL division is floating point (one
+   * IEEE op, identical in every engine). This is the distributed
+   * grouped-OLS primitive: one map-side-combined aggregate per group,
+   * no driver collect, where `ml.Forecast` fits one model on one
+   * collected table. Output: group, n, slope_q, intercept_q (quantized
+   * y-units per unit of x / at x=0), rounded to 4 decimals.
+   *
+   * Overflow headroom: the moment products must fit BIGINT — with
+   * milli-quantized y ≤ 1e6 and x ≤ 100 that holds to ~1e9 rows per
+   * group; beyond that, coarsen the quantization (the bound scales
+   * linearly with it).
+   */
+  def groupedLinearFit(df: DataFrame, groupCol: String, x: Column,
+                       yQuant: Column): DataFrame = {
+    val agg = df.groupBy(groupCol).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast("long")).as("sx"),
+      sum(x.cast("long") * x.cast("long")).as("sxx"),
+      sum(yQuant).as("sy"),
+      sum(x.cast("long") * yQuant).as("sxy"))
+    agg.select(col(groupCol), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_q"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("intercept_q"))
+  }
+
   def argmax(df: DataFrame, value: Column, attrs: Column*): DataFrame =
     df.agg(max(value).as("max_value"),
       max_by(struct(attrs: _*), value).as("arg"))

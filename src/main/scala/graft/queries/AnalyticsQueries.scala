@@ -764,10 +764,62 @@ object AnalyticsQueries {
       .orderBy("mon")
   }
 
+  // ------------------------------------------------- unpivot round-trip
+
+  /** Pivot → UNPIVOT round-trip: the wide per-day event-type count
+   * matrix melted back to long form, absent combinations surfacing as
+   * explicit nulls (`Dataset.unpivot`, the melt surface q11's pivot
+   * lacked an inverse for). The oracle rebuilds the same long table
+   * from a day × type cross join left-joined to the counts. */
+  val q135Unpivot: Q = Q("q135_unpivot",
+    """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+       d AS (SELECT DISTINCT day FROM e),
+       t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+       c AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2)
+       SELECT d.day, t.event_type, c.n AS n
+       FROM d CROSS JOIN t LEFT JOIN c USING (day, event_type)
+       ORDER BY day, event_type""") { (s, d) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    table(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy("day", "event_type")
+  }
+
+  // --------------------------------------------------- grouped regression
+
+  /** Distributed grouped OLS (value-vs-hour trend per event type) from
+   * EXACT integer moments: y milli-quantized, every Σ an exact BIGINT,
+   * only the final slope/intercept division floating point — so the
+   * full normal-equation arithmetic replays bit-identically in SQL
+   * (where `ml.Forecast` fits one model on one collected table, this
+   * fits one line PER GROUP with a single map-side-combined
+   * aggregate). */
+  val q136GroupedRegression: Q = Q("q136_grouped_regression",
+    """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                         CAST(round(value * 1000) AS BIGINT) AS y FROM events),
+       a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                    sum(y) AS sy, sum(x*y) AS sxy
+             FROM e GROUP BY event_type)
+       SELECT event_type, n,
+              round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 4) AS slope_q,
+              round(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx), 4) AS intercept_q
+       FROM a ORDER BY event_type""") { (s, d) =>
+    graft.ops.Relational.groupedLinearFit(
+      table(s, d, "events"),
+      "event_type",
+      x = hour(col("ts")),
+      yQuant = round(col("value") * 1000, 0).cast("long"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
-    q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex)
+    q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex,
+    q135Unpivot, q136GroupedRegression)
 }

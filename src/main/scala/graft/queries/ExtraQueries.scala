@@ -263,11 +263,18 @@ object ExtraQueries {
         concat(lit("hot_"), (col("o_orderkey") % 3).cast("string")))
         .otherwise(concat(lit("cold_"), col("o_orderkey").cast("string")))
         .as("k"))
-      .localCheckpoint() // sketch, exact counts and N all read it
+      .localCheckpoint() // sketch, confirmation pass and N all read it
+    // the scale shape end-to-end: sketch bounds the candidates, the
+    // exact count+top-k runs ONLY over sketch survivors (≤m distinct
+    // keys reach the exact aggregate — never the full key universe)
     val sketch = graft.curation.Curation.heavyHitters(keyed, col("k"), m)
-    val n = keyed.agg(count(lit(1)).as("n_total"))
-    keyed.groupBy("k").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint() // ≤m rows; feeds the semi join AND the est join
+    val confirmed = keyed
+      .join(broadcast(sketch.select(col("token").as("k"))), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("k").asc).limit(3)
+    val n = keyed.agg(count(lit(1)).as("n_total"))
+    confirmed
       .join(sketch.withColumnRenamed("token", "k"), Seq("k"), "left")
       .crossJoin(broadcast(n))
       .select(col("k"), col("n_exact"),
@@ -277,7 +284,49 @@ object ExtraQueries {
       .orderBy("k")
   }
 
+  /** HLL sketch PERSISTENCE + rollup — the incremental-distinct pattern
+   * a 100 TB metrics pipeline runs: per-day DataSketches HLL sketches of
+   * the user set are computed once, persisted as a binary sketch table,
+   * and later rollups UNION-MERGE the stored sketches instead of
+   * re-scanning raw events (30 days of events collapse to 30 sketch
+   * rows; a month-over-month distinct is then sketch-table-sized).
+   * Exact daily/global distincts are fully replayed by the oracle;
+   * sketch estimates ride as 5%-band verdicts (lgConfigK=12 rsd is
+   * ~1.6%; q56 pattern — raw sketch bytes are algorithm-internal and
+   * never gated). */
+  val q133HllRollup: Q = Q("q133_hll_rollup",
+    """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events),
+       per AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+               FROM e GROUP BY day),
+       g AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS merged_exact FROM e)
+       SELECT day, exact_distinct, TRUE AS day_est_within_5pct,
+              (SELECT merged_exact FROM g) AS merged_exact,
+              TRUE AS merged_est_within_5pct
+       FROM per ORDER BY day""") { (s, d) =>
+    val dir = graft.io.Sources.scratchDir("graft_hll")
+    table(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+        count_distinct(col("user_id")).as("exact_distinct"))
+      .write.mode("overwrite").parquet(s"$dir/daily_sketches")
+    val sketches = s.read.parquet(s"$dir/daily_sketches")
+    val merged = sketches.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk))").as("m_est"))
+      .crossJoin(broadcast(table(s, d, "events")
+        .agg(count_distinct(col("user_id")).as("merged_exact"))))
+    sketches
+      .withColumn("day_est", expr("hll_sketch_estimate(sk)"))
+      .crossJoin(broadcast(merged))
+      .select(col("day"), col("exact_distinct"),
+        (abs(col("day_est") - col("exact_distinct"))
+          <= col("exact_distinct") * 0.05).as("day_est_within_5pct"),
+        col("merged_exact"),
+        (abs(col("m_est") - col("merged_exact"))
+          <= col("merged_exact") * 0.05).as("merged_est_within_5pct"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
-    q127RequireTables, q128PartitionEquiv, q129HeavyHitters)
+    q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup)
 }

@@ -177,6 +177,31 @@ object PipelineQueries {
       .select("user_id", "session_id", "start_epoch", "end_epoch", "n_events")
   }
 
+  /** NATIVE streaming session windows (`session_window`, 30-min gap):
+   * the built-in merging-window operator, hash-checked against the SQL
+   * gap-chain replay. Window end is exclusive (last event + gap), so
+   * the replay breaks sessions on `diff >= gap` — deliberately NOT
+   * q55's `>` rule; both semantics now have a gated query. */
+  val q134SessionWindow: Q = Q("q134_session_window",
+    """WITH e AS (SELECT user_id, event_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+       l AS (SELECT user_id, event_id, sec,
+                    CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                         WHEN sec - lag(sec) OVER w >= 1800 THEN 1
+                         ELSE 0 END AS ns
+             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       s AS (SELECT user_id, sec,
+                    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             FROM l)
+       SELECT user_id, min(sec) AS start_epoch,
+              max(sec) + 1800 AS end_epoch, count(*) AS n_events
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, start_epoch""") { (s, d) =>
+    graft.streaming.StreamingDemand.runSessionWindowToBatch(s, d, gapMinutes = 30)
+      .orderBy("user_id", "start_epoch")
+  }
+
   /** EP3 executive-narrative templating (calcular/generar narrative,
    * indicador-modelo-vs-facturacion.py:1148-1292): render the billing
    * summary as the auto-generated report sentence, including the
@@ -300,5 +325,5 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     q44DemandResources, q45Capacity, q46QueueModel, q47BillingDaily,
     q48BillingMonthly, q49BillingSummary, q50Forecast, q51StreamHourly,
-    q55Sessionize, q57Narrative, q66NarrativeFull)
+    q55Sessionize, q57Narrative, q66NarrativeFull, q134SessionWindow)
 }

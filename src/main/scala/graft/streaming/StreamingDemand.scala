@@ -203,6 +203,40 @@ object StreamingDemand {
   }
 
   /**
+   * NATIVE session windows (`session_window(ts, gap)`): the built-in
+   * merging-window state operator — Spark's idiomatic spelling of gap
+   * sessionization, complementing the `flatMapGroupsWithState` twin in
+   * [[graft.ops.Sessionize]]. Window end is EXCLUSIVE (last event +
+   * gap), so an event arriving exactly `gap` after the previous one
+   * starts a NEW session — the batch replay must break on `diff >=
+   * gap`, not `>` (q55's hand-rolled chain uses `>`; q134's oracle
+   * encodes the native semantics). Complete mode for the finite-replay
+   * harness; a live deployment uses append + watermark eviction.
+   */
+  def runSessionWindowToBatch(spark: SparkSession, dir: String,
+                              gapMinutes: Int): DataFrame = {
+    val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsRawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMinutes minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).select(col("user_id"),
+      unix_timestamp(col("session_window.start")).as("start_epoch"),
+      unix_timestamp(col("session_window.end")).as("end_epoch"),
+      col("n_events"))
+  }
+
+  /**
    * Run the stream over a (finite) parquet path to completion and return
    * the materialized result: epoch-second window start per event type.
    * Output mode "complete" so late batches restate the full table.

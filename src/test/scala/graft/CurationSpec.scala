@@ -151,4 +151,15 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(e <= c, s"$k overestimated: $e > $c")
     }
   }
+
+  test("heavyHittersConfirmed: sketch-then-confirm equals the all-keys exact top-k") {
+    // same eviction fixture: hot keys clear the survival bound, so the
+    // candidate-bounded exact pass must reproduce the full exact top-k
+    val keys = (0 until 600).map(i => s"hot${i % 3}") ++
+      (0 until 400).map(i => s"cold$i")
+    val df = keys.toDF("k").repartition(8)
+    val got = Curation.heavyHittersConfirmed(df, $"k", capacity = 16, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got == List(("hot0", 200L), ("hot1", 200L), ("hot2", 200L)))
+  }
 }

@@ -194,6 +194,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(takeOrdered.nonEmpty, s"q102 lost its top-k short-circuit:\n$p")
   }
 
+  test("rank<=k window filters plan a WindowGroupLimit (top-k pushed below the exchange)") {
+    // Spark's WindowGroupLimit inserts a partial per-partition top-k
+    // BEFORE the window shuffle — at scale only k rows per group per
+    // map partition cross the wire instead of every row. Pin that the
+    // optimization stays active on the rank-filter queries.
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    Seq("q79_domain_quota", "q103_tfidf_keywords").foreach { q =>
+      val limits = plan(q).collect { case w: WindowGroupLimitExec => w }
+      assert(limits.nonEmpty, s"$q lost its WindowGroupLimit pushdown")
+    }
+  }
+
   test("q115: bucketed join plans no exchange on either side") {
     // with broadcast off, only the final aggregate may shuffle — the
     // join itself must consume the bucket layout
