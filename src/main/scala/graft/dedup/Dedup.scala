@@ -400,4 +400,54 @@ object Dedup {
     }
     ranks
   }
+
+  /**
+   * Triangle enumeration over an undirected pair graph by DEGREE
+   * ORIENTATION: every edge is directed from its lower-(degree, id)
+   * endpoint to the higher, so each node's out-neighborhood is bounded
+   * by O(√m) regardless of raw degree — the celebrity node that makes
+   * the naive id-ordered wedge join quadratic gets almost no OUT-edges
+   * and generates almost no wedges. Wedge closure is then two equi-joins
+   * on the oriented edge list (no cartesian anywhere), the standard
+   * distributed triangle-counting shape. Each triangle is found exactly
+   * once (orientation is acyclic and total), and the output normalizes
+   * node order to a < b < c — identical to what an id-ordered
+   * enumeration yields, so an oracle can replay with the simple
+   * id-ordered 3-way join while this side runs the skew-safe plan.
+   *
+   * Input: pairs(iCol, jCol); the edge list is deduped and
+   * self-loop-filtered, then checkpointed once — degree, orientation
+   * and both wedge joins read the materialized table, not the
+   * (possibly expensive) candidate pipeline.
+   */
+  def triangles(pairs: DataFrame, iCol: String = "i",
+                jCol: String = "j"): DataFrame = {
+    val e = pairs.select(
+        least(col(iCol).cast("long"), col(jCol).cast("long")).as("a"),
+        greatest(col(iCol).cast("long"), col(jCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = ed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("x"),
+        when(aFirst, col("b")).otherwise(col("a")).as("y"))
+      .localCheckpoint()
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.y") === col("e2.x"))
+      .select(col("e1.x").as("u"), col("e1.y").as("v"), col("e2.y").as("w"))
+    val tri = wedges.join(
+      o.as("e3"),
+      col("u") === col("e3.x") && col("w") === col("e3.y"),
+      "left_semi")
+    val sorted = array_sort(array(col("u"), col("v"), col("w")))
+    tri.select(element_at(sorted, 1).as("a"), element_at(sorted, 2).as("b"),
+      element_at(sorted, 3).as("c"))
+  }
 }

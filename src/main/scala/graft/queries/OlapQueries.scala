@@ -1,0 +1,459 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/**
+ * Round-6 OLAP-breadth operators: multi-dimensional CUBE subtotals,
+ * degree-oriented triangle enumeration over the near-dup graph,
+ * a Deequ-style data-quality constraint audit, incremental materialized
+ * aggregate maintenance, and the deep star join (TPC-H Q5 shape). Every
+ * oracle replays the full arithmetic so the semantics are hash-checked.
+ */
+object OlapQueries {
+
+  /** Exact (order-independent) money sum: route through DECIMAL, emit
+   * DOUBLE (CoreQueries rule — AQE-safe determinism). */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+
+  // ------------------------------------------------------------------ cube
+
+  /** Multi-dimensional CUBE: revenue/count for every subset of
+   * (returnflag, linestatus), subtotal rows marked by `grouping_id`
+   * (leftmost dim = MSB — same convention as DuckDB's GROUPING). At
+   * scale the Expand operator replicates rows 4× BEFORE the aggregate,
+   * but partial (map-side) aggregation collapses each grouping set to
+   * its group count per task, so the exchange still carries aggregate
+   * rows, not the 4× fact table. Complements q17's single-dim rollup. */
+  val q137Cube: Q = Q("q137_cube",
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n
+       FROM lineitem
+       GROUP BY CUBE (l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag, l_linestatus""") { (s, d) =>
+    table(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+  }
+
+  // ------------------------------------------------------------- triangles
+
+  /** Triangle enumeration in the MinHash near-dup graph (dup-cluster
+   * cliques): [[Dedup.triangles]] runs the degree-oriented wedge join —
+   * per-node out-degree bounded by O(√m), so one celebrity document
+   * cannot make the wedge stage quadratic — while the oracle replays
+   * the same pair set (TextQueries.minhashPairCtes) and enumerates with
+   * the naive id-ordered 3-way join. Both yield each triangle once as
+   * a < b < c, so the skew-safe plan is hash-checked against the
+   * textbook definition. */
+  val q138Triangles: Q = Q("q138_triangles",
+    s"""WITH ${TextQueries.minhashPairCtes},
+       e AS (SELECT i AS a, j AS b FROM pairs)
+       SELECT CAST(e1.a AS BIGINT) AS a, CAST(e1.b AS BIGINT) AS b,
+              CAST(e2.b AS BIGINT) AS c
+       FROM e e1 JOIN e e2 ON e2.a = e1.b
+                 JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       ORDER BY a, b, c""") { (s, d) =>
+    val docs = table(s, d, "documents")
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+    Dedup.triangles(Dedup.minhashCandidates(docs))
+      .orderBy("a", "b", "c")
+  }
+
+  // ---------------------------------------------------------- quality audit
+
+  /** Data-quality constraint audit (the Deequ/expectations shape a
+   * training-data pipeline gates ingests on): completeness, key
+   * uniqueness, referential integrity, value ranges and accepted
+   * values, each emitted as (check_name, n_ok, n_total, metric,
+   * passed). One conditional-aggregate pass per table (plus one
+   * anti-join for the foreign key) — the metrics all ride map-side
+   * combined counts, never a row-level materialization. The
+   * `nonneg_c_acctbal` check legitimately FAILS on this data (negative
+   * balances exist), so the gate proves both verdict polarities. */
+  val q139QualityAudit: Q = Q("q139_quality_audit",
+    """WITH o AS (SELECT count(*) AS n_rows, count(o_custkey) AS n_nonnull,
+                         count(DISTINCT o_orderkey) AS n_distinct FROM orders),
+       ri AS (SELECT count(*) AS n_orphan FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       l AS (SELECT count(*) AS l_rows,
+                    count(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 0.1) AS n_in_range,
+                    count(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS n_accepted
+             FROM lineitem),
+       c AS (SELECT count(*) AS c_rows,
+                    count(*) FILTER (WHERE c_acctbal >= 0) AS n_nonneg FROM customer),
+       checks AS (
+         SELECT 'completeness_o_custkey' AS check_name, n_nonnull AS n_ok, n_rows AS n_total FROM o
+         UNION ALL SELECT 'uniqueness_o_orderkey', n_distinct, n_rows FROM o
+         UNION ALL SELECT 'ref_orders_customer', o.n_rows - ri.n_orphan, o.n_rows FROM o, ri
+         UNION ALL SELECT 'range_l_discount', n_in_range, l_rows FROM l
+         UNION ALL SELECT 'accepted_values_l_returnflag', n_accepted, l_rows FROM l
+         UNION ALL SELECT 'nonneg_c_acctbal', n_nonneg, c_rows FROM c)
+       SELECT check_name, CAST(n_ok AS BIGINT) AS n_ok,
+              CAST(n_total AS BIGINT) AS n_total,
+              round(CAST(n_ok AS DOUBLE) / n_total, 6) AS metric,
+              n_ok = n_total AS passed
+       FROM checks ORDER BY check_name""") { (s, d) =>
+    val oAgg = table(s, d, "orders").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("n_nonnull"),
+      count_distinct(col("o_orderkey")).as("n_distinct"))
+    val orphans = table(s, d, "orders")
+      .join(table(s, d, "customer").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    val lAgg = table(s, d, "lineitem").agg(
+      count(lit(1)).as("l_rows"),
+      count(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 1))
+        .as("n_in_range"),
+      count(when(col("l_returnflag").isin("A", "N", "R"), 1)).as("n_accepted"))
+    val cAgg = table(s, d, "customer").agg(
+      count(lit(1)).as("c_rows"),
+      count(when(col("c_acctbal") >= 0, 1)).as("n_nonneg"))
+    oAgg.crossJoin(broadcast(orphans)).crossJoin(broadcast(lAgg))
+      .crossJoin(broadcast(cAgg))
+      .select(expr("""stack(6,
+          'completeness_o_custkey', n_nonnull, n_rows,
+          'uniqueness_o_orderkey', n_distinct, n_rows,
+          'ref_orders_customer', n_rows - n_orphan, n_rows,
+          'range_l_discount', n_in_range, l_rows,
+          'accepted_values_l_returnflag', n_accepted, l_rows,
+          'nonneg_c_acctbal', n_nonneg, c_rows) AS (check_name, n_ok, n_total)"""))
+      .select(col("check_name"), col("n_ok"), col("n_total"),
+        round(col("n_ok").cast("double") / col("n_total"), 6).as("metric"),
+        (col("n_ok") === col("n_total")).as("passed"))
+      .orderBy("check_name")
+  }
+
+  // ------------------------------------------------------- incremental agg
+
+  /** Incremental materialized-aggregate maintenance: the daily order
+   * rollup for CLOSED months is computed once and persisted; when the
+   * current month's data arrives, only that month is re-aggregated and
+   * unioned with the stored base — the closed partitions are never
+   * re-scanned (at 100 TB the nightly job reads one day, not three
+   * years). Day-partitioned groups are disjoint across the cutoff, so
+   * base ∪ delta is PROVABLY the full re-aggregation — which is exactly
+   * what the oracle computes from raw orders. The cutoff scalar (first
+   * day of the max month) is a bounded driver collect (q43 pattern). */
+  val q140IncrementalAgg: Q = Q("q140_incremental_agg",
+    """SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM orders GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val orders = table(s, d, "orders")
+    // collect the cutoff as a STRING and cast back to the column's own
+    // type — immune to the TIMESTAMP vs TIMESTAMP_NTZ external-type
+    // split (a typed getTimestamp breaks when parquet maps to NTZ)
+    val cutoffStr = orders
+      .agg(date_format(date_trunc("MONTH", max(col("o_orderdate"))),
+        "yyyy-MM-dd HH:mm:ss").as("c"))
+      .head().getString(0)
+    val cutoff = lit(cutoffStr).cast(orders.schema("o_orderdate").dataType)
+    def dailyAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("revenue"))
+    val dir = graft.io.Sources.scratchDir("graft_incr")
+    dailyAgg(orders.filter(col("o_orderdate") < cutoff))
+      .write.mode("overwrite").parquet(s"$dir/base")
+    s.read.parquet(s"$dir/base")
+      .unionByName(dailyAgg(orders.filter(col("o_orderdate") >= cutoff)))
+      .orderBy("day")
+  }
+
+  // ------------------------------------------------------------- star join
+
+  /** Deep star join (TPC-H Q5 shape): local-supplier revenue per nation
+   * for one region and year — lineitem ⋈ supplier(broadcast) ⋈ orders ⋈
+   * customer with the c_nationkey = s_nationkey "local supplier"
+   * predicate folded into the customer join, then nation/region
+   * broadcast and a nation-sized aggregate. The only big-big exchanges
+   * are orders⋈customer (custkey) and lineitem⋈orders (orderkey); the
+   * date filter prunes orders BEFORE its shuffle, and every dimension
+   * rides a broadcast — the canonical 100 TB star-join plan. */
+  val q141StarJoin: Q = Q("q141_star_join",
+    """SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM lineitem, orders, customer, supplier, nation, region
+       WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+    val orders = table(s, d, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    table(s, d, "lineitem")
+      .join(broadcast(table(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(table(s, d, "customer"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  // ------------------------------------------------- sliding distinct users
+
+  /** Rolling 7-day distinct users per day — the sliding-window
+   * count-distinct a DAU/WAU dashboard needs, which no plain window
+   * frame can express (distinct doesn't decompose over frames). Scale
+   * shape: events first collapse to the distinct (day, user) table,
+   * each row then explodes to the ≤7 window-end days it contributes to
+   * (a BOUNDED 7× expansion of the already-aggregated table, never the
+   * raw stream), and one count-distinct shuffle keyed by window-end
+   * finishes. The oracle replays with the equivalent range self-join. */
+  val q142SlidingDistinct: Q = Q("q142_sliding_distinct",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       days AS (SELECT DISTINCT day FROM du),
+       w AS (SELECT d.day, du.user_id FROM days d
+             JOIN du ON du.day BETWEEN d.day - 6 AND d.day)
+       SELECT strftime(day, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS u7
+       FROM w GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val du = table(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val days = du.select(col("day").as("wend")).distinct()
+    du.select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"),
+        col("user_id"))
+      .join(broadcast(days), Seq("wend"), "left_semi")
+      .groupBy("wend")
+      .agg(count_distinct(col("user_id")).as("u7"))
+      .select(date_format(col("wend"), "yyyy-MM-dd").as("day"), col("u7"))
+      .orderBy("day")
+  }
+
+  // -------------------------------------------------- correlation matrix
+
+  /** Pairwise Pearson correlation of daily counts between event types,
+   * from EXACT integer moments (q136's trick extended with the sqrt
+   * denominator): all Σ are BIGINT sums over the zero-filled day×type
+   * count table, and the oracle mirrors the final float expression
+   * shape exactly — `num / sqrt(d1 · d2)` — so r replays
+   * bit-identically. The moment aggregate runs on the day-keyed
+   * self-join of a DAYS×TYPES-sized table (bounded, broadcastable),
+   * never on raw events. */
+  val q143Correlation: Q = Q("q143_correlation",
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+       d AS (SELECT DISTINCT day FROM e), t AS (SELECT DISTINCT event_type FROM e),
+       c AS (SELECT day, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+       f AS (SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+             FROM d CROSS JOIN t LEFT JOIN c USING (day, event_type)),
+       p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
+                    sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n*a.n) AS sxx,
+                    sum(b.n*b.n) AS syy, sum(a.n*b.n) AS sxy
+             FROM f a JOIN f b USING (day) WHERE a.event_type < b.event_type
+             GROUP BY 1, 2)
+       SELECT ta, tb,
+              round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+                    6) AS r
+       FROM p ORDER BY ta, tb""") { (s, d) =>
+    // ONE events scan: the (day,type) count table is checkpointed and
+    // the day/type domains derive from IT (not from events re-scans) —
+    // the zero-fill cross join then runs on bounded broadcast sides
+    val c = table(s, d, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val f = c.select("day").distinct()
+      .crossJoin(broadcast(c.select("event_type").distinct()))
+      .join(c, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = f.select(col("day"), col("event_type").as("ta"), col("n").as("xn"))
+    val b = f.select(col("day"), col("event_type").as("tb"), col("n").as("yn"))
+    a.join(b, Seq("day")).filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n"),
+        sum("xn").as("sx"), sum("yn").as("sy"),
+        sum(col("xn") * col("xn")).as("sxx"),
+        sum(col("yn") * col("yn")).as("syy"),
+        sum(col("xn") * col("yn")).as("sxy"))
+      .select(col("ta"), col("tb"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("r"))
+      .orderBy("ta", "tb")
+  }
+
+  // ---------------------------------------------------- last-touch attribution
+
+  /** Last-touch click attribution: each purchase is credited to the
+   * same user's most recent click within a 1-hour horizon (nullable
+   * miss rows kept — the attribution-with-misses marketing shape). One
+   * user-keyed exchange: a carry-forward `last(_, ignoreNulls)` window
+   * drags the latest click (id, time) past every event, then the
+   * purchase filter and horizon test are map-side. Timestamps compare
+   * as exact epoch micros (no float time arithmetic). */
+  val q144Attribution: Q = Q("q144_attribution",
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       w AS (SELECT *,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c_id,
+               last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS c_us
+             FROM e)
+       SELECT event_id AS purchase_id,
+              CASE WHEN us - c_us <= 3600000000 THEN c_id END AS click_id,
+              CASE WHEN us - c_us <= 3600000000 THEN us - c_us END AS gap_us
+       FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val horizon = 3600000000L // 1 hour in micros
+    table(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("c_id",
+        last(when(col("event_type") === "click", col("event_id")), true).over(w))
+      .withColumn("c_us",
+        last(when(col("event_type") === "click", col("us")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        when(col("us") - col("c_us") <= horizon, col("c_id")).as("click_id"),
+        when(col("us") - col("c_us") <= horizon, col("us") - col("c_us"))
+          .as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // --------------------------------------------------- time-weighted average
+
+  /** Time-weighted average (TWAP) of event values per (day, type): each
+   * event's value holds until the next event of the same group (or
+   * midnight), so the weight is the exact micros interval — BIGINT ×
+   * milli-quantized value keeps the weighted sum exact at any
+   * partitioning; only the final Σwv/Σw division is floating point
+   * (mirrored in the oracle). One (day,type)-keyed window exchange,
+   * reused by the aggregate. */
+  val q145Twap: Q = Q("q145_twap",
+    """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id,
+                         epoch_us(ts) AS us, CAST(round(value*1000) AS BIGINT) AS v,
+                         epoch_us(CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)) AS day_end
+                  FROM events),
+       w AS (SELECT day, event_type, v,
+                    coalesce(lead(us) OVER (PARTITION BY day, event_type
+                                            ORDER BY us, event_id), day_end) - us AS wt
+             FROM e)
+       SELECT day, event_type,
+              round(CAST(sum(v*wt) AS DOUBLE) / sum(wt), 4) AS twap_milli
+       FROM w GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("day", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    table(s, d, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 1000, 0).cast("long").as("v"),
+        unix_micros(date_trunc("DAY", col("ts")) + expr("INTERVAL 1 DAY"))
+          .as("day_end"))
+      .withColumn("wt",
+        coalesce(lead(col("us"), 1).over(w), col("day_end")) - col("us"))
+      .groupBy("day", "event_type")
+      .agg(round(sum(col("v") * col("wt")).cast("double") / sum(col("wt")), 4)
+        .as("twap_milli"))
+      .orderBy("day", "event_type")
+  }
+
+  // ----------------------------------------------------------- A/B test lift
+
+  /** A/B lift with a two-proportion pooled z-score: arms assigned by the
+   * engine's deterministic md5 user split (no rand() — reproducible at
+   * any scale/partitioning), conversion = any purchase over the value
+   * threshold, and the z statistic is computed from EXACT per-arm
+   * BIGINT counts with the float expression shape mirrored in the
+   * oracle. One user-keyed aggregate then an arm-sized (2-row)
+   * reduction — nothing driver-side. */
+  val q146AbLift: Q = Q("q146_ab_lift",
+    """WITH a AS (SELECT user_id,
+                    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT % 2 AS arm,
+                    max(CASE WHEN event_type = 'purchase' AND value > 90 THEN 1 ELSE 0 END) AS conv
+                  FROM events GROUP BY 1, 2),
+       s AS (SELECT arm, count(*) AS n, sum(conv) AS c FROM a GROUP BY arm),
+       p AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+                    max(CASE WHEN arm = 0 THEN c END) AS c0,
+                    max(CASE WHEN arm = 1 THEN n END) AS n1,
+                    max(CASE WHEN arm = 1 THEN c END) AS c1 FROM s)
+       SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+              CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+              round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+                    sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                         * (1.0/n0 + 1.0/n1)), 6) AS z
+       FROM p""") { (s, d) =>
+    val arms = table(s, d, "events")
+      .groupBy(col("user_id"),
+        (graft.curation.Curation.samplingKey(col("user_id")) % 2).as("arm"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90, 1)
+        .otherwise(0)).as("conv"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val p = arms.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("c"))).as("c0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("c"))).as("c1"))
+    val pool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    p.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      round((col("c1").cast("double") / col("n1") -
+          col("c0").cast("double") / col("n0")) /
+        sqrt(pool * (lit(1) - pool) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+  }
+
+  // -------------------------------------------------------- ratio to parent
+
+  /** Hierarchical ratio-to-parent: each nation's order revenue as a
+   * share of its region's total. The share window runs over the
+   * NATION-SIZED aggregate (≤25 rows), never the fact table — the
+   * two-pass agg-then-window shape that keeps pct-of-parent safe at
+   * 100 TB. Dimensions broadcast; revenue routes through DECIMAL. */
+  val q147RatioToParent: Q = Q("q147_ratio_to_parent",
+    """WITH nrev AS (SELECT r_name, n_name,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM orders, customer, nation, region
+         WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+           AND n_regionkey = r_regionkey
+         GROUP BY 1, 2)
+       SELECT r_name, n_name, revenue,
+              round(revenue / sum(revenue) OVER (PARTITION BY r_name), 6) AS share
+       FROM nrev ORDER BY r_name, n_name""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nrev = table(s, d, "orders")
+      .join(table(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(moneySum(col("o_totalprice")).as("revenue"))
+    nrev
+      .withColumn("share",
+        round(col("revenue") / sum(col("revenue"))
+          .over(Window.partitionBy("r_name")), 6))
+      .orderBy("r_name", "n_name")
+  }
+
+  val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
+    q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
+    q144Attribution, q145Twap, q146AbLift, q147RatioToParent)
+}

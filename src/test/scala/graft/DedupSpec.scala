@@ -126,6 +126,21 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("triangles: degree-oriented enumeration matches brute force on a known graph") {
+    // K4 on {0,1,2,3} (4 triangles) + a pendant edge + a hub star that
+    // closes exactly one extra triangle (100-101-102); duplicate and
+    // reversed input pairs must not double-count
+    val star = (103L to 120L).map(k => (100L, k))
+    val edges = (Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (100L, 101L), (101L, 102L), (102L, 100L),
+      (1L, 0L), (0L, 1L)) ++ star).toDF("i", "j")
+    val got = Dedup.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L),
+      (100L, 101L, 102L))
+    assert(got == expected)
+  }
+
   test("shingles: distinct 3-gram count") {
     val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
       .collect()(0).getInt(0)
