@@ -206,6 +206,57 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q141: star join broadcasts every dimension (supplier/nation/region)") {
+    // the only big-big exchanges allowed are orders⋈customer (custkey)
+    // and lineitem⋈orders (orderkey); every dimension must ride a
+    // broadcast — a shuffled dim join would re-partition the fact table
+    // once per dimension at 100 TB
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val p = plan("q141_star_join")
+    val bcasts = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bcasts.size >= 3, s"expected >=3 broadcast dim joins:\n$p")
+    val shuffled = p.collect { case j: SortMergeJoinExec => j }
+    assert(shuffled.size <= 2, s"more than 2 big-big joins:\n$p")
+  }
+
+  /** Physical plan WITH exchanges materialized (EnsureRequirements) —
+    * `sparkPlan` predates exchange insertion, so equality assertions on
+    * exchange COUNTS must prepare the executed plan; AQE is disabled for
+    * the preparation so the shape is deterministic (nothing runs). */
+  private def executedNoAqe(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def hashExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    p.collect { case s: ShuffleExchangeExec => s }.filter {
+      _.outputPartitioning match {
+        case _: HashPartitioning => true
+        case _ => false
+      }
+    }
+  }
+
+  test("q144: attribution window shuffles on the user exactly once") {
+    val p = executedNoAqe("q144_attribution")
+    val hashed = hashExchanges(p)
+    assert(hashed.size == 1,
+      s"q144 plans ${hashed.size} hash exchanges (want 1 user-keyed):\n$p")
+  }
+
+  test("q145: TWAP window partitioning is reused by the aggregate (one hash exchange)") {
+    // the lead() window partitions by (day, event_type); the TWAP
+    // groupBy uses the SAME keys, so Catalyst must not re-shuffle —
+    // at scale a second exchange would double the job's shuffle volume
+    val p = executedNoAqe("q145_twap")
+    val hashed = hashExchanges(p)
+    assert(hashed.size == 1,
+      s"q145 plans ${hashed.size} hash exchanges (want 1 shared):\n$p")
+  }
+
   test("q115: bucketed join plans no exchange on either side") {
     // with broadcast off, only the final aggregate may shuffle — the
     // join itself must consume the bucket layout
