@@ -286,4 +286,24 @@ object Relational {
     df.agg(max(value).as("max_value"),
       max_by(struct(attrs: _*), value).as("arg"))
       .select(col("max_value"), col("arg.*"))
+
+  /**
+   * Snapshot diff (table reconciliation): classify every key across two
+   * table versions as added / removed / changed / unchanged by comparing
+   * a caller-supplied payload HASH — the content-digest full-outer-join
+   * shape a lake diff/audit runs. One key-keyed exchange per side; the
+   * payload digests are computed map-side, so the shuffle carries
+   * (key, hash), never the row payloads. Callers hash STRING columns
+   * (md5 over a delimited concat) — float formatting is engine-specific
+   * and would poison a cross-engine digest.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+                   payload: Column): DataFrame =
+    oldDf.select(col(key), payload.as("h_old"))
+      .join(newDf.select(col(key), payload.as("h_new")), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change_type"))
 }

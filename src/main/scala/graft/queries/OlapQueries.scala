@@ -453,7 +453,147 @@ object OlapQueries {
       .orderBy("r_name", "n_name")
   }
 
+  // ------------------------------------------------------ frequent itemsets
+
+  /** Frequent item PAIRS (market-basket support counting, the A-priori
+   * first pass): baskets = distinct parts per order, candidate pairs
+   * generated by an order-keyed self-join — the blow-up is bounded by
+   * basket size squared (TPC-H baskets are ~4 items), never corpus², and
+   * the support aggregate is an ordinary pair-keyed count with map-side
+   * combine. The basket table materializes once (localCheckpoint) so
+   * both join sides read it without re-scanning lineitem. Top-20 by
+   * (support, pair) via TakeOrdered — no global sort. */
+  val q148BasketPairs: Q = Q("q148_basket_pairs",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       pr AS (SELECT a.p AS pa, b2.p AS pb, count(*) AS support
+              FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p GROUP BY 1, 2)
+       SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb, support
+       FROM pr ORDER BY support DESC, pa, pb LIMIT 20""") { (s, d) =>
+    val b = table(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint()
+    b.select(col("o"), col("p").as("pa"))
+      .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  // -------------------------------------------------------- max concurrency
+
+  /** Maximum concurrency via the sweep-line: each event holds a 5-minute
+   * interval, every interval emits a +1/-1 delta point MAP-SIDE (one
+   * scan, a 2× bounded explode — no self-join over intervals), and one
+   * type-keyed running sum finds the peak. The (t, delta, id) total
+   * order puts interval ENDS before coincident starts — exact [s, e)
+   * semantics, deterministic at any partitioning. */
+  val q149MaxConcurrency: Q = Q("q149_max_concurrency",
+    """WITH iv AS (SELECT event_type, event_id, epoch_us(ts) AS s,
+                          epoch_us(ts) + 300000000 AS e FROM events),
+       pts AS (SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+               UNION ALL SELECT event_type, e, -1, event_id FROM iv),
+       r AS (SELECT event_type,
+                    sum(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+             FROM pts)
+       SELECT event_type, CAST(max(conc) AS BIGINT) AS peak
+       FROM r GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("t"), col("d"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type"), col("event_id"),
+        explode(array(
+          struct(col("us").as("t"), lit(1).as("d")),
+          struct((col("us") + 300000000L).as("t"), lit(-1).as("d"))))
+          .as("pt"))
+      .select(col("event_type"), col("event_id"),
+        col("pt.t").as("t"), col("pt.d").as("d"))
+      .withColumn("conc", sum(col("d")).over(w))
+      .groupBy("event_type")
+      .agg(max(col("conc")).as("peak"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------- OHLC bars
+
+  /** OHLC candle bars per (day, type): open/close are argmin/argmax over
+   * the total (time, id) order — `min_by`/`max_by` with a struct key is
+   * a single reduction with no window, no sort, map-side combinable
+   * (Spark's associative argmin beats a first_value window at scale).
+   * The oracle spells the same thing as ordered-set `first`/`last`. */
+  val q150Ohlc: Q = Q("q150_ohlc",
+    """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id,
+                         epoch_us(ts) AS us, value FROM events)
+       SELECT day, event_type,
+              first(value ORDER BY us, event_id) AS open,
+              max(value) AS high, min(value) AS low,
+              last(value ORDER BY us, event_id) AS close,
+              count(*) AS volume
+       FROM e GROUP BY 1, 2 ORDER BY 1, 2""") { (s, d) =>
+    table(s, d, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy("day", "event_type")
+      .agg(
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .orderBy("day", "event_type")
+  }
+
+  // ----------------------------------------------------------- snapshot diff
+
+  /** Snapshot diff / reconciliation ([[graft.ops.Relational.snapshotDiff]]):
+   * v2 of the orders table derives deterministically from v1 (drop keys
+   * ≡0 mod 97, flip status on ≡0 mod 13, insert shifted copies of ≡0 mod
+   * 101), then the content-digest full outer join classifies every key;
+   * only the non-unchanged rows are emitted. The digest is md5 over
+   * STRING columns only — float formatting is engine-specific and would
+   * poison a cross-engine hash. The shuffle carries (key, hash), never
+   * payloads. */
+  val q151SnapshotDiff: Q = Q("q151_snapshot_diff",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+                            o_orderpriority AS pr FROM orders),
+       v2 AS (SELECT k, CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st, pr
+              FROM base WHERE k % 97 <> 0
+              UNION ALL
+              SELECT k + 10000000, 'O', pr FROM base WHERE k % 101 = 0),
+       a AS (SELECT k, md5(st || '|' || pr) AS h FROM base),
+       b AS (SELECT k, md5(st || '|' || pr) AS h FROM v2),
+       d AS (SELECT coalesce(a.k, b.k) AS k,
+                    CASE WHEN a.h IS NULL THEN 'added'
+                         WHEN b.h IS NULL THEN 'removed'
+                         WHEN a.h <> b.h THEN 'changed'
+                         ELSE 'unchanged' END AS change_type
+             FROM a FULL OUTER JOIN b ON a.k = b.k)
+       SELECT CAST(k AS BIGINT) AS k, change_type FROM d
+       WHERE change_type <> 'unchanged' ORDER BY k""") { (s, d) =>
+    val base = table(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_orderpriority").as("pr"))
+      .localCheckpoint() // v1 and the derived v2 both read it — one scan
+    val v2 = base.filter(col("k") % 97 =!= 0)
+      .select(col("k"),
+        when(col("k") % 13 === 0, lit("X")).otherwise(col("st")).as("st"),
+        col("pr"))
+      .unionByName(base.filter(col("k") % 101 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("O").as("st"), col("pr")))
+    graft.ops.Relational
+      .snapshotDiff(base, v2, "k", md5(concat_ws("|", col("st"), col("pr"))))
+      .filter(col("change_type") =!= "unchanged")
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
-    q144Attribution, q145Twap, q146AbLift, q147RatioToParent)
+    q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
+    q149MaxConcurrency, q150Ohlc, q151SnapshotDiff)
 }

@@ -98,4 +98,24 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     val r = Relational.argmax(df, col("v"), col("name"), col("i")).collect()(0)
     assert(r.getDouble(0) == 30.0 && r.getString(1) == "y" && r.getInt(2) == 2)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v2 = Seq((2L, "b"), (3L, "C"), (4L, "d")).toDF("k", "v")
+    val got = Relational.snapshotDiff(v1, v2, "k", md5(col("v")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("groupedLinearFit recovers an exact line per group") {
+    // y = 3x + 2 (milli-quantized) for g=a; y = -x + 10 for g=b
+    val rows = (0 to 10).flatMap(x =>
+      Seq(("a", x, 3000L * x + 2000L), ("b", x, -1000L * x + 10000L)))
+    val df = rows.toDF("g", "x", "y")
+    val got = Relational.groupedLinearFit(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((3000.0, 2000.0)))
+    assert(got("b") == ((-1000.0, 10000.0)))
+  }
 }
