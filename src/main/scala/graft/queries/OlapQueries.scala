@@ -592,8 +592,71 @@ object OlapQueries {
       .orderBy("k")
   }
 
+  // ------------------------------------------------------ feature covariance
+
+  /** One-pass EXACT feature-covariance over the embedding corpus: each
+   * row expands to its d(d−1)/2 upper-triangle pair products ENTIRELY
+   * map-side (array `transform`/`flatten` — no self-join, no per-id
+   * shuffle), partial aggregation combines them to 2016 groups per
+   * task, and the n²-scaled covariance `n·Σxy − Σx·Σy` is exact BIGINT
+   * on milli-quantized values — the top-20 strongest off-diagonal pairs
+   * replay bit-for-bit. Headroom: |v|≤~1000 ⇒ n·Σxy ≤ n²·10⁶, BIGINT to
+   * n≈3M rows; past that, route the two final products through
+   * DECIMAL(38,0) (the shape is unchanged). TakeOrdered, no global
+   * sort. The redundant-feature audit an embedding pipeline runs before
+   * dimension pruning. */
+  val q152FeatureCov: Q = Q("q152_feature_cov",
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+                  FROM embeddings),
+       n AS (SELECT count(*) AS nn FROM q),
+       m AS (SELECT i, sum(v[i+1]) AS s FROM q, range(0,64) t(i) GROUP BY i),
+       p AS (SELECT i.i AS i, j.j AS j, sum(v[i.i+1]*v[j.j+1]) AS sxy
+             FROM q, range(0,64) i(i), range(0,64) j(j) WHERE i.i < j.j
+             GROUP BY 1, 2)
+       SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+              CAST(n.nn*p.sxy - mi.s*mj.s AS BIGINT) AS cov_q
+       FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
+       ORDER BY abs(cov_q) DESC, p.i, p.j LIMIT 20""") { (s, d) =>
+    val q = table(s, d, "embeddings")
+      .select(expr("transform(embedding, x -> cast(round(x*1000, 0) as bigint))")
+        .as("v"))
+      .localCheckpoint() // marginals, pairs and N all read the quantized table
+    val nAgg = q.agg(count(lit(1)).as("nn"))
+    val marg = q.select(posexplode(col("v")).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum("vi").as("s"))
+    val pairs = q
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 62), i ->
+             transform(sequence(i + 1, 63), j ->
+               named_struct('i', i, 'j', j, 'p', v[i] * v[j]))))""")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("sxy"))
+    pairs
+      .join(broadcast(marg.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(nAgg))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("nn") * col("sxy") - col("si") * col("sj")).as("cov_q"))
+      .orderBy(abs(col("cov_q")).desc, col("i"), col("j"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------- streaming OHLC
+
+  /** STREAMING OHLC bars ([[graft.streaming.StreamingOhlc]]): the event
+   * stream folds into per-(day,type) candles one micro-batch at a time;
+   * every merge component is commutative+associative (struct extrema +
+   * sum), so arrival order cannot change the bars — proven by
+   * hash-matching q150's one-shot batch aggregate, oracle included. */
+  val q153StreamOhlc: Q = Q("q153_stream_ohlc",
+    q150Ohlc.oracle.get) { (s, d) =>
+    graft.streaming.StreamingOhlc.runOhlcToBatch(s, d)
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
-    q149MaxConcurrency, q150Ohlc, q151SnapshotDiff)
+    q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
+    q153StreamOhlc)
 }

@@ -141,6 +141,22 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("property: triangles matches driver brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { _ =>
+      val n = 12 + rnd.nextInt(20)
+      val edges = (0 until 3 * n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val norm = edges.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val expected = (for {
+        (a, b) <- norm; (b2, c) <- norm if b2 == b && norm((a, c))
+      } yield (a, b, c)).toSet
+      val got = Dedup.triangles(edges.toDF("i", "j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"n=$n edges=$norm")
+    }
+  }
+
   test("shingles: distinct 3-gram count") {
     val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
       .collect()(0).getInt(0)
