@@ -82,6 +82,22 @@ object Curation {
       .select(col("e.token").as("token"), col("e.est").as("est"))
   }
 
+  /** GROUPED Misra–Gries: one bounded sketch PER GROUP (the native
+    * `TypedImperativeAggregate` is mergeable, so it drops into an
+    * ordinary groupBy — map-side partial sketches combine before the
+    * exchange). Per-group guarantees are the global ones with the
+    * group's own N: est ≤ exact, undercount ≤ N_g/(capacity+1). */
+  def heavyHittersGrouped(df: DataFrame, group: String, key: Column,
+                          capacity: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sketch = ColumnBridge.column(
+      graft.functions.MisraGriesAgg(ColumnBridge.expression(key), capacity)
+        .toAggregateExpression())
+    df.groupBy(group).agg(sketch.as("hh"))
+      .select(col(group), explode(col("hh")).as("e"))
+      .select(col(group), col("e.token").as("token"), col("e.est").as("est"))
+  }
+
   /**
    * Sketch-then-confirm exact top-k: [[heavyHitters]] bounds the
    * candidate set (≤ `capacity` keys), a broadcast semi join restricts

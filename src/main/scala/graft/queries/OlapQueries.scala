@@ -654,9 +654,54 @@ object OlapQueries {
       .orderBy("day", "event_type")
   }
 
+  // ------------------------------------------------- grouped sketch top-k
+
+  /** PER-GROUP Misra–Gries top-k (q129's global sketch dropped into an
+   * ordinary groupBy — the native aggregate is mergeable, so each
+   * language gets its own bounded 64-counter sketch with map-side
+   * partial combine): sketch candidates → semi-join confirm → exact
+   * per-language top-3, with per-group MG guarantees riding as
+   * verdicts (est ≤ exact; undercount·(cap+1) ≤ N_g in exact integer
+   * arithmetic). The oracle replays the exact all-keys top-3 — valid
+   * because the top tokens clear the survival bound by construction. */
+  val q154GroupedSketchTopk: Q = Q("q154_grouped_sketch_topk",
+    """WITH t AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                  FROM documents),
+       c AS (SELECT lang, token, count(*) AS n_exact FROM t GROUP BY 1, 2),
+       r AS (SELECT lang, token, n_exact,
+                    row_number() OVER (PARTITION BY lang ORDER BY n_exact DESC, token) AS rank
+             FROM c)
+       SELECT lang, rank, token, CAST(n_exact AS BIGINT) AS n_exact,
+              TRUE AS est_le_exact, TRUE AS bound_ok
+       FROM r WHERE rank <= 3 ORDER BY lang, rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = table(s, d, "documents")
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .localCheckpoint() // sketch, confirm pass and N_g all read it
+    val sk = graft.curation.Curation
+      .heavyHittersGrouped(toks, "lang", col("token"), 64)
+      .localCheckpoint() // ≤64·langs rows; feeds semi join AND est join
+    val ng = toks.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val confirmed = toks
+      .join(broadcast(sk.select("lang", "token")), Seq("lang", "token"),
+        "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("n_exact"))
+    confirmed
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_exact").desc, col("token"))))
+      .filter(col("rank") <= 3)
+      .join(broadcast(sk), Seq("lang", "token"), "left")
+      .join(broadcast(ng), Seq("lang"))
+      .select(col("lang"), col("rank"), col("token"), col("n_exact"),
+        (col("est") <= col("n_exact")).as("est_le_exact"),
+        ((col("n_exact") - col("est")) * 65 <= col("n_g")).as("bound_ok"))
+      .orderBy("lang", "rank")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
-    q153StreamOhlc)
+    q153StreamOhlc, q154GroupedSketchTopk)
 }

@@ -152,6 +152,21 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("heavyHittersGrouped: per-group sketches are isolated and exact under capacity") {
+    // each group's sketch sees only its own keys: g1's hot key must not
+    // appear in g2's sketch, and with capacity >= distinct keys the
+    // per-group estimates are exact counts
+    val rows = (0 until 90).map(i => ("g1", s"hot")) ++
+      (0 until 10).map(i => ("g1", s"cold$i")) ++
+      (0 until 50).map(i => ("g2", s"other"))
+    val df = rows.toDF("g", "k").repartition(8)
+    val got = Curation.heavyHittersGrouped(df, "g", $"k", capacity = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("g1", "hot")) == 90L)
+    assert(got(("g2", "other")) == 50L)
+    assert(!got.contains(("g2", "hot")))
+  }
+
   test("heavyHittersConfirmed: sketch-then-confirm equals the all-keys exact top-k") {
     // same eviction fixture: hot keys clear the survival bound, so the
     // candidate-bounded exact pass must reproduce the full exact top-k
