@@ -699,9 +699,37 @@ object OlapQueries {
       .orderBy("lang", "rank")
   }
 
+  // ----------------------------------------------------- partition checksums
+
+  /** Anti-entropy partition checksums: per-day row count + XOR-fold of a
+   * per-row content digest — XOR is commutative/associative, so the
+   * fingerprint is independent of row order, partitioning, and merge
+   * sequence (exactly why replica-verification protocols use it). One
+   * map-side digest + one day-keyed aggregate; comparing two replicas'
+   * checksum tables is then a day-count-sized diff, never a row-level
+   * scan. Digest covers STRING-rendered key columns only (engine-stable
+   * formatting; the md5-prefix spelling is the engine's standard
+   * replayable hash). */
+  val q155PartitionChecksum: Q = Q("q155_partition_checksum",
+    """WITH h AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+         ('0x'||substr(md5(CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+                           CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+       FROM events)
+       SELECT day, count(*) AS n, bit_xor(hv) AS checksum
+       FROM h GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    table(s, d, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        graft.ops.Exprs.md5Long(concat_ws("|",
+          col("event_id").cast("string"), col("event_type"),
+          col("user_id").cast("string"))).as("hv"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(hv)").as("checksum"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
-    q153StreamOhlc, q154GroupedSketchTopk)
+    q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum)
 }
