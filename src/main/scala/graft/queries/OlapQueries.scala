@@ -727,9 +727,67 @@ object OlapQueries {
       .orderBy("day")
   }
 
+  // ------------------------------------------------------- grouping sets
+
+  /** Explicit GROUPING SETS over the time hierarchy — grand total, per
+   * year, per month in ONE pass (`Dataset.groupingSets`, the custom-set
+   * surface q137's full CUBE can't express: 3 chosen sets, not 2^d).
+   * Expand replicates rows 3×, but partial aggregation collapses each
+   * set to its group count per task before the exchange. */
+  val q156GroupingSets: Q = Q("q156_grouping_sets",
+    """SELECT y, ym, CAST(GROUPING(y, ym) AS BIGINT) AS gid, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM (SELECT strftime(o_orderdate, '%Y') AS y,
+                    strftime(o_orderdate, '%Y-%m') AS ym, o_totalprice FROM orders)
+       GROUP BY GROUPING SETS ((), (y), (y, ym))
+       ORDER BY gid, y, ym""") { (s, d) =>
+    table(s, d, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy").as("y"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_totalprice"))
+      .groupingSets(Seq(Seq.empty, Seq(col("y")), Seq(col("y"), col("ym"))),
+        col("y"), col("ym"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy("gid", "y", "ym")
+  }
+
+  // --------------------------------------------------- equi-depth histogram
+
+  /** Equi-depth (quartile) histogram: exact interpolated percentile
+   * boundaries (q85-proven DuckDB parity) broadcast back over one more
+   * scan for the bucket counts — the two-pass plan that never sorts the
+   * fact table globally (a single-pass NTILE would need exactly that
+   * global sort at 100 TB). */
+  val q157EquiDepth: Q = Q("q157_equidepth_histogram",
+    """WITH b AS (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+                         percentile_cont(0.50) WITHIN GROUP (ORDER BY value) AS q2,
+                         percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+                  FROM events)
+       SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                   WHEN value <= q3 THEN 2 ELSE 3 END AS bucket,
+              count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+       FROM events, b GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val bounds = table(s, d, "events").agg(
+      expr("percentile(value, 0.25)").as("q1"),
+      expr("percentile(value, 0.50)").as("q2"),
+      expr("percentile(value, 0.75)").as("q3"))
+    table(s, d, "events")
+      .crossJoin(broadcast(bounds))
+      .select(col("value"),
+        when(col("value") <= col("q1"), 0)
+          .when(col("value") <= col("q2"), 1)
+          .when(col("value") <= col("q3"), 2).otherwise(3).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
-    q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum)
+    q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
+    q156GroupingSets, q157EquiDepth)
 }
