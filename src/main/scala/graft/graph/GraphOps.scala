@@ -1,0 +1,88 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph primitives beyond the near-dup pipeline's connected
+ * components / PageRank / triangles ([[graft.dedup.Dedup]]): building an
+ * item co-occurrence graph from a bipartite relation, and bounded-round
+ * k-core decomposition by synchronous peeling.
+ *
+ * Scale shape: the bipartite projection is the classic quadratic
+ * hot-spot — one group with 10^5 members emits 10^10 pairs — so the
+ * projection REQUIRES a per-group cap and drops hub groups explicitly
+ * (the standard recipe; a hub group's pairs carry almost no signal and
+ * would dominate the shuffle). The peel is a fixed number of synchronous
+ * rounds, each one degree-aggregate + two semi-joins, all partitioned by
+ * vertex — no driver-side graph state, lineage cut per round.
+ */
+object GraphOps {
+
+  /**
+   * Undirected co-occurrence edges (i < j) between items sharing a
+   * group, from groups with at most `maxGroupSize` distinct items.
+   * Pairs per group are bounded by C(maxGroupSize, 2); the final
+   * distinct collapses repeated co-occurrence into one edge.
+   */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroupSize: Int): DataFrame = {
+    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("it")).distinct()
+    val ok = gi.groupBy("g").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") <= maxGroupSize)
+      .select("g")
+    val inGroups = gi.join(ok, "g")
+    inGroups.as("a")
+      .join(inGroups.as("b"),
+        col("a.g") === col("b.g") && col("a.it") < col("b.it"))
+      .select(col("a.it").as("i"), col("b.it").as("j"))
+      .distinct()
+  }
+
+  /**
+   * k-core by `rounds` synchronous peels: each round drops vertices with
+   * degree < k and the edges touching them; survivors of round r are the
+   * (r-peel) approximation of the k-core, exact once a round removes
+   * nothing. Returns surviving vertices with their residual degree.
+   * Each round's edge set is localCheckpoint'ed — the next round's two
+   * semi-joins and the degree aggregate would otherwise re-run the whole
+   * peel history.
+   */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("i").as("v"))
+        .unionAll(e.select(col("j").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+    var e = edges.localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select("v")
+      e = e
+        .join(keep.withColumnRenamed("v", "i"), Seq("i"), "left_semi")
+        .join(keep.withColumnRenamed("v", "j"), Seq("j"), "left_semi")
+        .select("i", "j")
+        .localCheckpoint()
+    }
+    degrees(e).filter(col("deg") >= k)
+  }
+
+  /** DuckDB replay of [[kCorePeel]] as unrolled CTEs: `ed0` must be
+    * bound by the caller; emits `d0, v1, ed1, …, ed{rounds}` and a final
+    * `kcore` CTE (v, deg). */
+  def kCoreOracleCtes(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    for (r <- 0 until rounds) {
+      b ++= s"""d$r AS (SELECT v, count(*) AS deg FROM (
+                SELECT i AS v FROM ed$r UNION ALL SELECT j AS v FROM ed$r)
+                GROUP BY v),
+             v${r + 1} AS (SELECT v FROM d$r WHERE deg >= $k),
+             ed${r + 1} AS (SELECT i, j FROM ed$r
+                WHERE i IN (SELECT v FROM v${r + 1})
+                  AND j IN (SELECT v FROM v${r + 1})),
+             """
+    }
+    b ++= s"""kcore AS (SELECT v, count(*) AS deg FROM (
+              SELECT i AS v FROM ed$rounds UNION ALL SELECT j AS v FROM ed$rounds)
+              GROUP BY v HAVING count(*) >= $k)"""
+    b.toString
+  }
+}

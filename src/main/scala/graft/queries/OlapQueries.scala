@@ -784,10 +784,79 @@ object OlapQueries {
       .orderBy("bucket")
   }
 
+  // ------------------------------------------------------- purge cascade
+
+  /** Right-to-erasure purge cascade: a deterministic customer tombstone
+   * list cascades through orders to lineitem, and each table reports
+   * (purged, kept, survivor checksum) in ONE conditional-aggregate pass
+   * — the checksum (q155's XOR fold) is what a post-purge verification
+   * compares against the replica. The small tombstone root broadcasts;
+   * the order-key cascade is an ordinary semi/left join that AQE may
+   * broadcast or shuffle by size — no driver-side key lists. */
+  val q158PurgeCascade: Q = Q("q158_purge_cascade",
+    """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+       delo AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       c AS (SELECT 'customer' AS tbl,
+               count(*) FILTER (WHERE c_custkey % 53 = 0) AS n_purged,
+               count(*) FILTER (WHERE c_custkey % 53 <> 0) AS n_kept,
+               bit_xor(CASE WHEN c_custkey % 53 <> 0
+                 THEN ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,15))::BIGINT END) AS survivor_checksum
+             FROM customer),
+       o AS (SELECT 'orders',
+               count(*) FILTER (WHERE o_orderkey IN (SELECT * FROM delo)),
+               count(*) FILTER (WHERE o_orderkey NOT IN (SELECT * FROM delo)),
+               bit_xor(CASE WHEN o_orderkey NOT IN (SELECT * FROM delo)
+                 THEN ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT END)
+             FROM orders),
+       l AS (SELECT 'lineitem',
+               count(*) FILTER (WHERE l_orderkey IN (SELECT * FROM delo)),
+               count(*) FILTER (WHERE l_orderkey NOT IN (SELECT * FROM delo)),
+               bit_xor(CASE WHEN l_orderkey NOT IN (SELECT * FROM delo)
+                 THEN ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)||'|'||CAST(l_linenumber AS VARCHAR)),1,15))::BIGINT END)
+             FROM lineitem)
+       SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+       ORDER BY tbl""") { (s, d) =>
+    import graft.ops.Exprs.md5Long
+    def audit(df: org.apache.spark.sql.DataFrame, tbl: String,
+              purged: org.apache.spark.sql.Column,
+              keyStr: org.apache.spark.sql.Column) =
+      df.withColumn("hv", md5Long(keyStr)).agg(
+        count(when(purged, 1)).as("n_purged"),
+        count(when(!purged, 1)).as("n_kept"),
+        expr("bit_xor(CASE WHEN NOT __purged THEN hv END)")
+          .as("survivor_checksum"))
+        .select(lit(tbl).as("tbl"), col("n_purged"), col("n_kept"),
+          col("survivor_checksum"))
+    // the tombstone root and the cascaded order-key list are SMALL and
+    // read by 2 consumers each — checkpoint both so customer/orders are
+    // scanned at most twice (once per audit, once to derive the list)
+    val delC = table(s, d, "customer")
+      .filter(col("c_custkey") % 53 === 0).select(col("c_custkey"))
+      .localCheckpoint()
+    val ordersFlagged = table(s, d, "orders")
+      .join(broadcast(delC), col("o_custkey") === col("c_custkey"), "left")
+      .withColumn("__purged", col("c_custkey").isNotNull)
+    val delO = ordersFlagged.filter(col("__purged"))
+      .select(col("o_orderkey").as("k")).localCheckpoint()
+    val liFlagged = table(s, d, "lineitem")
+      .join(delO, col("l_orderkey") === col("k"), "left")
+      .withColumn("__purged", col("k").isNotNull)
+    val custAudit = audit(
+      table(s, d, "customer").withColumn("__purged", col("c_custkey") % 53 === 0),
+      "customer", col("__purged"), col("c_custkey").cast("string"))
+    val ordAudit = audit(ordersFlagged, "orders", col("__purged"),
+      col("o_orderkey").cast("string"))
+    val liAudit = audit(liFlagged, "lineitem", col("__purged"),
+      concat_ws("|", col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string")))
+    custAudit.unionByName(ordAudit).unionByName(liAudit).orderBy("tbl")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
     q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
-    q156GroupingSets, q157EquiDepth)
+    q156GroupingSets, q157EquiDepth, q158PurgeCascade)
 }

@@ -1,0 +1,208 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Exprs
+
+/**
+ * Mergeable summary sketches for approximate query processing at scale,
+ * built on the engine's replayable 60-bit md5 hash ([[Exprs.md5Long]])
+ * so every estimate is bit-reproducible in any engine — estimates use
+ * INTEGER arithmetic only (`div`, not float division), never libm calls
+ * whose last ULP could differ across runtimes.
+ *
+ * Scale shape (the reason sketches exist at 100 TB): each operator's
+ * state is FIXED-SIZE per group — k hashes (KMV), d×w cells (count-min),
+ * m bits (Bloom) — so the shuffle carries sketch cells, not raw keys,
+ * and sketches from disjoint partitions/days merge associatively
+ * (min-of-k ∪ min-of-k, cell-wise +, bit OR). The exact pre-aggregates
+ * here (distinct, groupBy) all benefit from map-side partial
+ * aggregation; nothing materializes the raw key universe on one node.
+ */
+object Sketches {
+
+  /** The KMV scale: hashes are uniform on [0, 2^60). */
+  val HashSpace: Long = 1L << 60
+
+  /**
+   * K-minimum-values (KMV / bottom-k) distinct-count sketch, one row per
+   * group: the k smallest distinct key hashes, the k-th smallest `theta`,
+   * and the classic unbiased estimate `(k-1) / (theta / 2^60)` computed
+   * as integer `(2^60 div theta) * (k-1)`.
+   *
+   * Returns (groupCols*, n_kept, theta, est_distinct). Groups with fewer
+   * than k distinct keys report their EXACT count (n_kept < k) and
+   * est_distinct = n_kept.
+   */
+  def kmvDistinct(df: DataFrame, key: Column, groupCols: Seq[String],
+                  k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val hashed = df.select((grp :+ Exprs.md5Long(key).as("h")): _*).distinct()
+    val w = Window.partitionBy(grp: _*).orderBy(col("h").asc)
+    hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(grp: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"($HashSpace div theta) * ${k - 1}")))
+  }
+
+  /**
+   * KMV set-operation sketch over TWO keyed sets A and B (audience
+   * overlap without exact distinct): take the k smallest hashes of
+   * A ∪ B; within that sample count members of A, of B, and of both.
+   * Because the bottom-k of the union is a uniform sample of the
+   * distinct union, `n_both / k` is an unbiased Jaccard estimate —
+   * reported as integer ppm alongside union/intersection size estimates
+   * (inclusion–exclusion on the union estimate, all `div` arithmetic).
+   *
+   * Input: df with `key` and boolean columns `inA`/`inB` (a key may be
+   * in both). One row out: (n_kept, theta, n_a, n_b, n_both,
+   * est_union, est_intersection, jaccard_ppm).
+   */
+  def kmvSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
+                k: Int): DataFrame = {
+    val sides = df.select(Exprs.md5Long(key).as("h"),
+        inA.as("a"), inB.as("b"))
+      .groupBy("h")
+      .agg(max(col("a")).as("a"), max(col("b")).as("b"))
+    val w = Window.orderBy(col("h").asc)
+    sides.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"),
+        count(when(col("a"), 1)).as("n_a"),
+        count(when(col("b"), 1)).as("n_b"),
+        count(when(col("a") && col("b"), 1)).as("n_both"))
+      .withColumn("est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"($HashSpace div theta) * ${k - 1}")))
+      .withColumn("est_intersection",
+        expr("est_union * n_both div n_kept"))
+      .withColumn("jaccard_ppm", expr("n_both * 1000000 div n_kept"))
+  }
+
+  /** Row-d hash of a key into [0, width): `md5Long(key # d) mod width`. */
+  def cmPos(key: Column, d: Int, width: Int): Column =
+    pmod(Exprs.md5Long(concat(key.cast("string"), lit("#" + d))),
+      lit(width.toLong))
+
+  /**
+   * Count-min sketch build: d×width cells, cell (d, pos) = total count
+   * of keys whose row-d hash lands on pos. The sketch is the aggregate —
+   * `groupBy(d, pos).sum` — so the shuffle carries ≤ d·width rows no
+   * matter how many keys stream through; daily sketches merge cell-wise.
+   */
+  def countMinBuild(df: DataFrame, key: Column, depth: Int,
+                    width: Int): DataFrame = {
+    val rows = (0 until depth).map(d =>
+      struct(lit(d).as("d"), cmPos(key, d, width).as("pos")))
+    df.select(explode(array(rows: _*)).as("cell"))
+      .groupBy(col("cell.d").as("d"), col("cell.pos").as("pos"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /**
+   * Count-min point query: estimate = min over rows d of cell
+   * (d, h_d(key)). The sketch side is tiny (≤ d·width rows) and is
+   * BROADCAST — the probe never shuffles. Upward-biased by design
+   * (collisions only add); `est >= exact` always.
+   */
+  def countMinQuery(sketch: DataFrame, probes: DataFrame, key: Column,
+                    depth: Int, width: Int): DataFrame = {
+    val withPos = (0 until depth).foldLeft(
+      probes.withColumn("__k", key.cast("string"))) { (acc, d) =>
+      acc.withColumn(s"__p$d", cmPos(col("__k"), d, width))
+    }
+    val joined = (0 until depth).foldLeft(withPos) { (acc, d) =>
+      acc.join(
+        broadcast(sketch.filter(col("d") === d)
+          .select(col("pos").as(s"__p$d"), col("c").as(s"__c$d"))),
+        Seq(s"__p$d"))
+    }
+    val est = least((0 until depth).map(d => col(s"__c$d")): _*)
+    joined.withColumn("est", est)
+      .drop(("__k" +: (0 until depth).flatMap(d => Seq(s"__p$d", s"__c$d"))): _*)
+  }
+
+  /** Position of hash j of a key in an m-bit Bloom filter. */
+  def bloomPos(key: Column, j: Int, m: Int): Column =
+    pmod(Exprs.md5Long(concat(key.cast("string"), lit("#" + j))),
+      lit(m.toLong))
+
+  /**
+   * Bloom filter build: the m-bit array packed into m/64 long words
+   * (word = pos div 64, mask = OR of 1 << (pos mod 64)) — at most m/64
+   * rows out of any build-side cardinality, the per-partition bit OR
+   * doing the compaction map-side.
+   */
+  def bloomBuild(df: DataFrame, key: Column, numHashes: Int,
+                 m: Int): DataFrame = {
+    val rows = (0 until numHashes).map(j => bloomPos(key, j, m))
+    df.select(explode(array(rows: _*)).as("pos"))
+      .select((col("pos") / 64).cast("long").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("word")
+      .agg(expr("bit_or(bit)").as("mask"))
+  }
+
+  /**
+   * Bloom membership probe: `numHashes` BROADCAST equi-joins against the
+   * ≤ m/64-row word table, testing one bit each — entirely map-side on
+   * the probe, the idiomatic "pre-filter the big fact table before the
+   * real join" shape (Spark's own runtime row-level bloom does exactly
+   * this; here it is an explicit, composable operator). Adds boolean
+   * `passCol`. Arithmetic right-shift is safe for bit 63: the sign fill
+   * only touches bits above the one `& 1` keeps.
+   */
+  def bloomProbe(words: DataFrame, probe: DataFrame, key: Column,
+                 numHashes: Int, m: Int, passCol: String): DataFrame = {
+    val tagged = (0 until numHashes).foldLeft(probe) { (acc, j) =>
+      val pos = bloomPos(key, j, m)
+      acc.withColumn(s"__w$j", (pos / 64).cast("long"))
+        .withColumn(s"__b$j", (pos % 64).cast("int"))
+        .join(broadcast(words.select(col("word").as(s"__w$j"),
+          col("mask").as(s"__m$j"))), Seq(s"__w$j"), "left")
+        .withColumn(s"__hit$j",
+          coalesce(expr(s"(shiftright(__m$j, __b$j) & 1) = 1"), lit(false)))
+    }
+    tagged
+      .withColumn(passCol,
+        (0 until numHashes).map(j => col(s"__hit$j")).reduce(_ && _))
+      .drop((0 until numHashes)
+        .flatMap(j => Seq(s"__w$j", s"__b$j", s"__m$j", s"__hit$j")): _*)
+  }
+
+  /**
+   * Distribution concentration profile per group: Shannon entropy and
+   * Gini impurity of the `value` histogram within each `groupCols` group.
+   * Entropy is quantized PER TERM — `round(c * ln(n/c) / n * 1e6)` to
+   * integer micro-nats BEFORE the sum — so the result is independent of
+   * aggregation order; Gini is exact integer arithmetic throughout
+   * (`1e6 - sum(c²)·1e6 div n²`). Two aggregates over the histogram —
+   * both with map-side partials; state is bounded by distinct values
+   * per group.
+   *
+   * Returns (groupCols*, n, n_values, entropy_micro, gini_micro).
+   */
+  def distributionProfile(df: DataFrame, groupCols: Seq[String],
+                          value: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val hist = df.select((grp :+ value.as("__v")): _*)
+      .groupBy((grp :+ col("__v")): _*)
+      .agg(count(lit(1)).as("c"))
+    val withN = hist.withColumn("n",
+      sum("c").over(Window.partitionBy(grp: _*)))
+    withN
+      .withColumn("ent_term",
+        round(col("c") * log(col("n").cast("double") / col("c"))
+          / col("n") * 1e6, 0).cast("long"))
+      .groupBy(grp: _*)
+      .agg(max("n").as("n"), count(lit(1)).as("n_values"),
+        sum("ent_term").as("entropy_micro"),
+        sum(col("c") * col("c")).as("ss"))
+      .withColumn("gini_micro", expr("1000000 - ss * 1000000 div (n * n)"))
+      .drop("ss")
+  }
+}
