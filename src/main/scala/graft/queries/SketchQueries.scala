@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Sources.table
+import graft.sketch.Sketches
+import graft.graph.GraphOps
+
+/**
+ * Round-6 approximate-query + graph operators: mergeable sketches (KMV
+ * distinct / set ops, count-min, Bloom pre-filter), distribution
+ * concentration profiling, bipartite co-occurrence + k-core peeling,
+ * Markov transition matrices, and an integer FIR smoother. Every sketch
+ * estimate is integer arithmetic over the replayable md5 hash, so the
+ * oracle re-derives the ESTIMATES exactly — accuracy vs the exact
+ * answer is part of the checked output, not a hand-waved claim.
+ */
+object SketchQueries {
+
+  private val md5sql =
+    "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
+
+  // ----------------------------------------------------- KMV distinct
+
+  /** KMV (bottom-64) distinct customers per order priority next to the
+   * exact distinct and the realized error in ppm. The sketch shuffles
+   * only distinct (group, hash) pairs and keeps 64 longs per group —
+   * at 100 TB the exact column is the expensive one; per-day KMV
+   * sketches union by re-ranking 2×64 hashes. */
+  val q159KmvDistinct: Q = Q("q159_kmv_distinct",
+    s"""WITH h AS (SELECT DISTINCT o_orderpriority AS priority,
+             ${md5sql.format("o_custkey")} AS h FROM orders),
+       r AS (SELECT priority, h,
+               row_number() OVER (PARTITION BY priority ORDER BY h) AS rk
+             FROM h),
+       s AS (SELECT priority, count(*) AS n_kept, max(h) AS theta
+             FROM r WHERE rk <= 64 GROUP BY 1),
+       ex AS (SELECT o_orderpriority AS priority,
+                count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1),
+       e AS (SELECT priority, n_kept, theta,
+               CASE WHEN n_kept < 64 THEN n_kept
+                    ELSE (${Sketches.HashSpace} // theta) * 63 END AS est_distinct,
+               n_exact
+             FROM s JOIN ex USING (priority))
+       SELECT priority, n_kept, theta, est_distinct, n_exact,
+              abs(est_distinct - n_exact) * 1000000 // n_exact AS err_ppm
+       FROM e ORDER BY priority""") { (s, d) =>
+    val orders = table(s, d, "orders")
+    val exact = orders.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count_distinct(col("o_custkey")).as("n_exact"))
+    Sketches.kmvDistinct(orders, col("o_custkey"),
+        Seq("o_orderpriority"), k = 64)
+      .withColumnRenamed("o_orderpriority", "priority")
+      .join(exact, "priority")
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
+      .orderBy("priority")
+  }
+
+  // ----------------------------------------------------- KMV set ops
+
+  /** Audience overlap WITHOUT exact distinct: the bottom-128 sketch of
+   * the click ∪ purchase user sets estimates union size, intersection
+   * size, and Jaccard (members of both inside the uniform bottom-k
+   * sample), next to the exact answers for realized accuracy. The
+   * classic "overlap of two 10^10-key sets" shape: exact needs a
+   * full-key shuffle, the sketch needs 128 longs per side. */
+  val q160KmvSetOps: Q = Q("q160_kmv_setops",
+    s"""WITH e AS (SELECT ${md5sql.format("user_id")} AS h,
+             event_type = 'click' AS a, event_type = 'purchase' AS b
+           FROM events WHERE event_type IN ('click', 'purchase')),
+       g AS (SELECT h, max(a) AS a, max(b) AS b FROM e GROUP BY h),
+       r AS (SELECT *, row_number() OVER (ORDER BY h) AS rk FROM g),
+       s AS (SELECT count(*) AS n_kept, max(h) AS theta,
+               count(*) FILTER (WHERE a) AS n_a,
+               count(*) FILTER (WHERE b) AS n_b,
+               count(*) FILTER (WHERE a AND b) AS n_both
+             FROM r WHERE rk <= 128),
+       est AS (SELECT *,
+               CASE WHEN n_kept < 128 THEN n_kept
+                    ELSE (${Sketches.HashSpace} // theta) * 127 END AS est_union
+             FROM s),
+       ex AS (SELECT
+               count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_a,
+               count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_b,
+               count(DISTINCT user_id) AS exact_union
+             FROM events WHERE event_type IN ('click', 'purchase'))
+       SELECT n_kept, theta, n_a, n_b, n_both, est_union,
+              est_union * n_both // n_kept AS est_intersection,
+              n_both * 1000000 // n_kept AS jaccard_ppm,
+              exact_a, exact_b, exact_union,
+              (exact_a + exact_b - exact_union) * 1000000 // exact_union
+                AS exact_jaccard_ppm
+       FROM est CROSS JOIN ex""") { (s, d) =>
+    val e = table(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+    val exact = e.agg(
+      count_distinct(when(col("event_type") === "click", col("user_id")))
+        .as("exact_a"),
+      count_distinct(when(col("event_type") === "purchase", col("user_id")))
+        .as("exact_b"),
+      count_distinct(col("user_id")).as("exact_union"))
+    Sketches.kmvSetOps(e, col("user_id"),
+        col("event_type") === "click", col("event_type") === "purchase",
+        k = 128)
+      .crossJoin(exact)
+      .withColumn("exact_jaccard_ppm",
+        expr("(exact_a + exact_b - exact_union) * 1000000 div exact_union"))
+  }
+
+  // ------------------------------------------------------- count-min
+
+  /** Count-min heavy-hitter estimates: a 3×1024-cell sketch of per-user
+   * event counts probed at the 10 exact top users; `est >= exact`
+   * always (collisions only add), and the overcount column is the
+   * realized bias. The sketch aggregate ships ≤3072 cells whatever the
+   * stream volume; daily sketches merge cell-wise. */
+  val q161CountMin: Q = Q("q161_count_min",
+    """WITH cells AS (SELECT dd.d,
+             ('0x'||substr(md5(CAST(user_id AS VARCHAR)||'#'||dd.d),1,15))::BIGINT
+               % 1024 AS pos
+           FROM events CROSS JOIN (VALUES (0), (1), (2)) dd(d)),
+       sk AS (SELECT d, pos, count(*) AS c FROM cells GROUP BY 1, 2),
+       ex AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+       top AS (SELECT * FROM ex ORDER BY exact DESC, user_id LIMIT 10),
+       est AS (SELECT t.user_id, t.exact, min(sk.c) AS est
+               FROM top t JOIN sk
+                 ON sk.pos = ('0x'||substr(md5(CAST(t.user_id AS VARCHAR)
+                              ||'#'||sk.d),1,15))::BIGINT % 1024
+               GROUP BY 1, 2)
+       SELECT user_id, exact, est, est - exact AS overcount
+       FROM est ORDER BY exact DESC, user_id""") { (s, d) =>
+    val ev = table(s, d, "events")
+    // the sketch feeds three broadcast probes — checkpoint its 3072
+    // cells or each probe join replans the full build scan
+    val sketch = Sketches.countMinBuild(ev, col("user_id"),
+      depth = 3, width = 1024).localCheckpoint()
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id")).limit(10)
+    Sketches.countMinQuery(sketch, top, col("user_id"),
+        depth = 3, width = 1024)
+      .withColumn("overcount", col("est") - col("exact"))
+      .select("user_id", "exact", "est", "overcount")
+      .orderBy(col("exact").desc, col("user_id"))
+  }
+
+  // ---------------------------------------------------- Bloom pre-filter
+
+  /** Bloom-filter pre-filter audit: the BUILDING-segment custkeys packed
+   * into a 16384-bit / 3-hash filter (256 long words), probed by every
+   * order entirely map-side via broadcast word joins; per priority the
+   * exact member count, the Bloom pass count, and the realized false
+   * positives. The explicit form of the "cheap bitmap before the
+   * expensive join" shape — at 100 TB the filter drops most of the
+   * fact table before any shuffle. */
+  val q162BloomFilter: Q = Q("q162_bloom_filter",
+    """WITH bk AS (SELECT c_custkey AS k FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+       bits AS (SELECT DISTINCT
+             ('0x'||substr(md5(CAST(k AS VARCHAR)||'#'||jj.j),1,15))::BIGINT
+               % 16384 AS pos
+           FROM bk CROSS JOIN (VALUES (0), (1), (2)) jj(j)),
+       p AS (SELECT o_orderpriority AS priority,
+               o_custkey IN (SELECT k FROM bk) AS ex,
+               (('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'#0'),1,15))::BIGINT
+                  % 16384) IN (SELECT pos FROM bits)
+               AND (('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'#1'),1,15))::BIGINT
+                  % 16384) IN (SELECT pos FROM bits)
+               AND (('0x'||substr(md5(CAST(o_custkey AS VARCHAR)||'#2'),1,15))::BIGINT
+                  % 16384) IN (SELECT pos FROM bits) AS pass
+             FROM orders)
+       SELECT priority, count(*) AS n_orders,
+              count(*) FILTER (WHERE ex) AS n_exact,
+              count(*) FILTER (WHERE pass) AS n_pass,
+              count(*) FILTER (WHERE pass AND NOT ex) AS n_false_pos
+       FROM p GROUP BY priority ORDER BY priority""") { (s, d) =>
+    val bk = table(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    // 256 words feed three probe joins — checkpoint, don't re-scan
+    val words = Sketches.bloomBuild(bk, col("k"), numHashes = 3, m = 16384)
+      .localCheckpoint()
+    Sketches.bloomProbe(words, table(s, d, "orders"), col("o_custkey"),
+        numHashes = 3, m = 16384, passCol = "pass")
+      .join(broadcast(bk.withColumnRenamed("k", "o_custkey")
+        .withColumn("__in", lit(true))), Seq("o_custkey"), "left")
+      .withColumn("ex", coalesce(col("__in"), lit(false)))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("ex"), 1)).as("n_exact"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        count(when(col("pass") && !col("ex"), 1)).as("n_false_pos"))
+      .orderBy("priority")
+  }
+
+  // -------------------------------------------- distribution profile
+
+  /** Temporal concentration per event type: Shannon entropy (integer
+   * micro-nats, per-term quantized so the sum is order-proof) and Gini
+   * impurity (pure integer arithmetic) of each type's hour-of-day
+   * histogram — the "is this traffic bursty or uniform" profiling
+   * primitive; state is one 24-bucket histogram per group. */
+  val q163EntropyProfile: Q = Q("q163_entropy_profile",
+    """WITH h AS (SELECT event_type, hour(ts) AS hr, count(*) AS c
+                  FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, c,
+               CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             FROM h),
+       t AS (SELECT event_type, n, c,
+               CAST(round(c * ln(CAST(n AS DOUBLE) / c) / n * 1e6) AS BIGINT) AS ent
+             FROM w)
+       SELECT event_type, max(n) AS n, count(*) AS n_values,
+              CAST(sum(ent) AS BIGINT) AS entropy_micro,
+              1000000 - CAST(sum(c * c) AS BIGINT) * 1000000
+                // (max(n) * max(n)) AS gini_micro
+       FROM t GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    Sketches.distributionProfile(table(s, d, "events"),
+        Seq("event_type"), hour(col("ts")).cast("long"))
+      .select("event_type", "n", "n_values", "entropy_micro", "gini_micro")
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------ k-core
+
+  /** k-core of the supplier co-supply graph (suppliers sharing a part,
+   * from parts with ≤15 suppliers — the per-group cap that keeps a
+   * bipartite projection from going quadratic on hub groups): 3
+   * synchronous peel rounds at k=8, survivors with residual degree.
+   * The oracle unrolls the identical peels as nested CTEs. */
+  val q164KCore: Q = Q("q164_kcore",
+    s"""WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS it
+                    FROM lineitem),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       ed0 AS (SELECT DISTINCT a.it AS i, b.it AS j
+               FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+               WHERE a.g IN (SELECT g FROM ok)),
+       ${GraphOps.kCoreOracleCtes(k = 8, rounds = 3)}
+       SELECT v AS supplier, CAST(deg AS BIGINT) AS deg
+       FROM kcore ORDER BY supplier""") { (s, d) =>
+    val edges = GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
+      "l_partkey", "l_suppkey", maxGroupSize = 15)
+    GraphOps.kCorePeel(edges, k = 8, rounds = 3)
+      .select(col("v").as("supplier"), col("deg"))
+      .orderBy("supplier")
+  }
+
+  // ------------------------------------------------ Markov transitions
+
+  /** First-order Markov transition matrix over per-user event-type
+   * sequences (ties broken by event_id): transition counts and row-
+   * normalized probabilities in integer ppm. One user-keyed window
+   * shuffle + one tiny (types²) aggregate — the behavioral-model
+   * fitting step at any scale. */
+  val q165MarkovTransitions: Q = Q("q165_markov_transitions",
+    """WITH s AS (SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+       t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+             FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       tot AS (SELECT from_type, sum(n) AS tn FROM t GROUP BY 1)
+       SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+              CAST(n * 1000000 // tn AS BIGINT) AS p_ppm
+       FROM t JOIN tot USING (from_type)
+       ORDER BY from_type, to_type""") { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tn", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p_ppm", expr("n * 1000000 div tn"))
+      .drop("tn")
+      .orderBy("from_type", "to_type")
+  }
+
+  // ------------------------------------------------- integer FIR smoother
+
+  /** Exponential-shaped FIR smoother over daily order counts per
+   * priority: binary weights 64,32,…,1 over the 7 trailing observed
+   * days (zero-padded at series start), normalized to millionths by
+   * integer division — a bit-reproducible EWMA stand-in (true EWMA's
+   * float recursion is order-fragile; binary-weight FIR is exact).
+   * One date-keyed aggregate + one priority-keyed window. */
+  val q166FirSmoother: Q = Q("q166_fir_smoother",
+    """WITH dly AS (SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+       l AS (SELECT priority, day, c,
+               coalesce(lag(c, 1) OVER w, 0) AS c1,
+               coalesce(lag(c, 2) OVER w, 0) AS c2,
+               coalesce(lag(c, 3) OVER w, 0) AS c3,
+               coalesce(lag(c, 4) OVER w, 0) AS c4,
+               coalesce(lag(c, 5) OVER w, 0) AS c5,
+               coalesce(lag(c, 6) OVER w, 0) AS c6
+             FROM dly WINDOW w AS (PARTITION BY priority ORDER BY day))
+       SELECT priority, day, CAST(c AS BIGINT) AS c,
+              CAST(c*64 + c1*32 + c2*16 + c3*8 + c4*4 + c5*2 + c6
+                AS BIGINT) AS wsum,
+              CAST((c*64 + c1*32 + c2*16 + c3*8 + c4*4 + c5*2 + c6)
+                * 1000000 // 127 AS BIGINT) AS ewma_micro
+       FROM l ORDER BY priority, day""") { (s, d) =>
+    val w = Window.partitionBy("priority").orderBy("day")
+    val lagged = (1 to 6).foldLeft(
+      table(s, d, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("c"))) { (acc, i) =>
+      acc.withColumn(s"c$i", coalesce(lag("c", i).over(w), lit(0L)))
+    }
+    lagged
+      .withColumn("wsum", expr(
+        "c*64 + c1*32 + c2*16 + c3*8 + c4*4 + c5*2 + c6"))
+      .withColumn("ewma_micro", expr("wsum * 1000000 div 127"))
+      .select("priority", "day", "c", "wsum", "ewma_micro")
+      .orderBy("priority", "day")
+  }
+
+  val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
+    q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
+    q166FirSmoother)
+}

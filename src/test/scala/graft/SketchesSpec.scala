@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sketch.Sketches
+import graft.graph.GraphOps
+
+class SketchesSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("kmvDistinct: under-k groups report the exact distinct count") {
+    val df = Seq.tabulate(40)(i => (s"g${i % 2}", i / 2)).toDF("g", "k")
+    val out = Sketches.kmvDistinct(df, col("k"), Seq("g"), k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g0").getAs[Long]("n_kept") == 20)
+    assert(out("g0").getAs[Long]("est_distinct") == 20)
+  }
+
+  test("kmvDistinct: estimate is within 3/sqrt(k) of truth at k=256") {
+    val n = 20000
+    val df = (1 to n).toDF("k").withColumn("g", lit("all"))
+    val est = Sketches.kmvDistinct(df, col("k"), Seq("g"), k = 256)
+      .head().getAs[Long]("est_distinct")
+    val rel = math.abs(est.toDouble - n) / n
+    assert(rel < 3.0 / math.sqrt(256), s"est=$est rel=$rel")
+  }
+
+  test("kmvSetOps: disjoint sets estimate zero intersection") {
+    val df = ((1 to 500).map(i => (i, true, false)) ++
+      (1001 to 1500).map(i => (i, false, true))).toDF("k", "a", "b")
+    val r = Sketches.kmvSetOps(df, col("k"), col("a"), col("b"), k = 64).head()
+    assert(r.getAs[Long]("n_both") == 0)
+    assert(r.getAs[Long]("jaccard_ppm") == 0)
+  }
+
+  test("kmvSetOps: identical sets estimate full overlap") {
+    val df = (1 to 500).map(i => (i, true, true)).toDF("k", "a", "b")
+    val r = Sketches.kmvSetOps(df, col("k"), col("a"), col("b"), k = 64).head()
+    assert(r.getAs[Long]("jaccard_ppm") == 1000000L)
+    assert(r.getAs[Long]("est_intersection") == r.getAs[Long]("est_union"))
+  }
+
+  test("count-min: estimate never undercounts, exact when collision-free") {
+    val df = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"k$i")).toDF("k")
+    val sk = Sketches.countMinBuild(df, col("k"), depth = 3, width = 1024)
+    val exact = df.groupBy("k").agg(count(lit(1)).as("exact"))
+    val got = Sketches.countMinQuery(sk, exact, col("k"), 3, 1024)
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"))
+    }
+    // 31 keys into 3x1024 cells: the min over 3 rows is exact w.h.p.
+    val hot = got.find(_.getString(0) == "hot").get
+    assert(hot.getAs[Long]("est") == 50)
+  }
+
+  test("bloom: no false negatives, word table bounded by m/64") {
+    val build = (1 to 200).toDF("k")
+    val words = Sketches.bloomBuild(build, col("k"), numHashes = 3, m = 4096)
+    assert(words.count() <= 64)
+    val probe = (1 to 400).toDF("k")
+    val out = Sketches.bloomProbe(words, probe, col("k"), 3, 4096, "pass")
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    (1 to 200).foreach(k => assert(out(k), s"false negative on $k"))
+  }
+
+  test("distributionProfile: uniform maxes entropy, point mass zeroes it") {
+    val df = ((1 to 64).map(i => ("uni", i % 4)) ++
+      (1 to 64).map(_ => ("point", 7))).toDF("g", "v")
+    val out = Sketches.distributionProfile(df, Seq("g"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("point").getAs[Long]("entropy_micro") == 0)
+    assert(out("point").getAs[Long]("gini_micro") == 0)
+    // uniform over 4 values: entropy = ln 4 = 1.386294 nats, gini = 0.75
+    assert(math.abs(out("uni").getAs[Long]("entropy_micro") - 1386294L) <= 4)
+    assert(out("uni").getAs[Long]("gini_micro") == 750000L)
+  }
+
+  test("coOccurrenceEdges: hub groups are dropped, pairs are i<j distinct") {
+    val df = (Seq(("small", 1), ("small", 2), ("small", 3)) ++
+      (1 to 10).map(i => ("hub", i)) ++
+      Seq(("dup", 1), ("dup", 2), ("dup", 2))).toDF("g", "it")
+    val edges = GraphOps.coOccurrenceEdges(df, "g", "it", maxGroupSize = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(edges == Set((1, 2), (1, 3), (2, 3)))
+  }
+
+  test("kCorePeel: strips the tail, keeps the clique") {
+    // K4 on 1..4 plus a pendant path 4-5-6: 2-core = the K4 exactly
+    val k4 = for (i <- 1 to 4; j <- (i + 1) to 4) yield (i, j)
+    val edges = (k4 ++ Seq((4, 5), (5, 6))).toDF("i", "j")
+    val core = GraphOps.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getAs[Int]("v") -> r.getAs[Long]("deg")).toMap
+    assert(core.keySet == Set(1, 2, 3, 4))
+    assert(core.values.forall(_ == 3))
+  }
+
+  test("kCoreOracleCtes unrolls the requested number of rounds") {
+    val sql = GraphOps.kCoreOracleCtes(k = 2, rounds = 4)
+    assert(sql.contains("ed4") && !sql.contains("ed5"))
+    assert(sql.contains("kcore AS"))
+  }
+}
