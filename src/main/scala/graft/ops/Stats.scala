@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact order-statistics and distribution-shape operators, all defined
+ * so any engine reproduces them bit-for-bit: medians/percentiles are
+ * PICKED elements (the value at a deterministic rank, never an
+ * interpolated average), ratios are integer ppm, and every rank has a
+ * total order (value, then tiebreak key).
+ *
+ * Scale shape: each operator is one window over the group key plus one
+ * aggregate — the window shuffle is the only exchange, and the
+ * aggregate's state per group is O(1). Nothing collects to the driver.
+ */
+object Stats {
+
+  /** Lower median per group: the element at rank (n+1) div 2 in
+   * (value, tiebreak) order — exact, no interpolation. Returns
+   * (groupCols*, n, med). */
+  def lowerMedian(df: DataFrame, groupCols: Seq[String], value: Column,
+                  tiebreak: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(value.asc, tiebreak.asc)
+    df.withColumn("__v", value)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .groupBy(grp: _*)
+      .agg(max("__n").as("n"),
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__v")))
+          .as("med"))
+  }
+
+  /**
+   * Robust outlier count per group via the median-absolute-deviation
+   * rule: |v - median| > k × MAD, both medians exact lower medians.
+   * Join-free: the median and the MAD are unbounded-partition window
+   * maxes over the SAME group key, so the whole operator is one scan,
+   * one hash exchange, and two in-partition sorts. Returns
+   * (groupCols*, n, med, mad, n_outliers).
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+                  tiebreak: Column, k: Int): DataFrame = {
+    val grp = groupCols.map(col)
+    val wAll = Window.partitionBy(grp: _*)
+    val wOrd = Window.partitionBy(grp: _*)
+      .orderBy(col("__v").asc, col("__t").asc)
+    val wOrd2 = Window.partitionBy(grp: _*)
+      .orderBy(col("__d").asc, col("__t").asc)
+    df.select((grp :+ value.as("__v") :+ tiebreak.as("__t")): _*)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("med",
+        max(when(col("__rn") === expr("(__n + 1) div 2"), col("__v")))
+          .over(wAll))
+      .withColumn("__d", abs(col("__v") - col("med")))
+      .withColumn("__rn2", row_number().over(wOrd2))
+      .withColumn("mad",
+        max(when(col("__rn2") === expr("(__n + 1) div 2"), col("__d")))
+          .over(wAll))
+      .groupBy(grp: _*)
+      .agg(max("__n").as("n"), max("med").as("med"), max("mad").as("mad"),
+        count(when(col("__d") > col("mad") * k, 1)).as("n_outliers"))
+  }
+
+  /**
+   * Quantile normalization: each row's value mapped to its empirical
+   * quantile in ppm within its group — `(rank-1) * 1e6 div (n-1)` over
+   * the (value, tiebreak) total order. The feature-scaling step that
+   * makes heterogenous columns comparable; one window shuffle. Adds
+   * `q_ppm`.
+   */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String],
+                        value: Column, tiebreak: Column): DataFrame = {
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(value.asc, tiebreak.asc)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(grp: _*)))
+      .withColumn("q_ppm",
+        when(col("__n") === 1, 0L)
+          .otherwise(expr("(__rn - 1) * 1000000 div (__n - 1)")))
+      .drop("__rn", "__n")
+  }
+
+  /**
+   * Group-size skew report for a prospective shuffle key: key count,
+   * row count, the biggest key's share (ppm), picked p50/p90/p99 group
+   * sizes (element at rank ceil(q·n_keys) in (size, key) order), and
+   * `skew_ratio_ppm` = max_size / mean_size in ppm (1e6 = perfectly
+   * balanced). THE pre-flight check before choosing a partition key at
+   * 100 TB — one aggregate to key counts (map-side combined), one
+   * window over the small key-count table.
+   */
+  def skewReport(df: DataFrame, key: Column, dim: String): DataFrame = {
+    val counts = df.select(key.cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").asc, col("k").asc)
+    counts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nk", count(lit(1)).over())
+      .agg(max("nk").as("n_keys"), sum("c").as("n_rows"), max("c").as("max_c"),
+        max(when(col("rn") === expr("(nk + 1) div 2"), col("c"))).as("p50_c"),
+        max(when(col("rn") === expr("(9 * nk + 9) div 10"), col("c"))).as("p90_c"),
+        max(when(col("rn") === expr("(99 * nk + 99) div 100"), col("c"))).as("p99_c"))
+      .select(lit(dim).as("dim"), col("n_keys"), col("n_rows"), col("max_c"),
+        expr("max_c * 1000000 div (n_rows div n_keys)").as("skew_ratio_ppm"),
+        expr("max_c * 1000000 div n_rows").as("max_share_ppm"),
+        col("p50_c"), col("p90_c"), col("p99_c"))
+  }
+
+  /**
+   * Benford first-significant-digit audit of a positive numeric column:
+   * per digit 1–9 the observed count, observed frequency (ppm), the
+   * Benford expectation `log10(1 + 1/d)` (ppm), and the absolute
+   * deviation — the classic fabricated-data screen. Map-side digit
+   * extraction, 9-row aggregate.
+   */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val digits = df
+      .filter(value > 0)
+      .select(substring(floor(value).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over())
+    digits
+      .withColumn("obs_ppm", expr("n * 1000000 div total"))
+      .withColumn("benford_ppm",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6, 0).cast("long"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      .drop("total")
+  }
+}

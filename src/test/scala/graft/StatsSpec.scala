@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Stats
+
+class StatsSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("lowerMedian picks the exact element, odd and even n") {
+    val df = (Seq(("odd", 5.0), ("odd", 1.0), ("odd", 3.0)) ++
+      Seq(("even", 4.0), ("even", 1.0), ("even", 2.0), ("even", 3.0)))
+      .toDF("g", "v").withColumn("t", monotonically_increasing_id())
+    val out = Stats.lowerMedian(df, Seq("g"), col("v"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("odd") == 3.0)
+    assert(out("even") == 2.0) // lower of the two middles
+  }
+
+  test("madOutliers flags the planted extreme point only") {
+    // 99 values tightly around 10, one at 1000: MAD rule must flag 1
+    val vals = (1 to 99).map(i => 10.0 + (i % 5) * 0.1) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", v, i.toLong) }
+      .toDF("g", "v", "t")
+    val r = Stats.madOutliers(df, Seq("g"), col("v"), col("t"), k = 3).head()
+    assert(r.getAs[Long]("n") == 100)
+    assert(r.getAs[Long]("n_outliers") == 1)
+    assert(r.getAs[Double]("med") < 11.0)
+  }
+
+  test("quantileNormalize maps min to 0 and max to 1e6") {
+    val df = Seq(("g", 5.0, 1L), ("g", 1.0, 2L), ("g", 9.0, 3L),
+      ("g", 3.0, 4L), ("solo", 7.0, 5L)).toDF("g", "v", "t")
+    val out = Stats.quantileNormalize(df, Seq("g"), col("v"), col("t"))
+      .collect().map(r => (r.getDouble(1), r.getAs[Long]("q_ppm"))).toMap
+    assert(out(1.0) == 0L)
+    assert(out(9.0) == 1000000L)
+    assert(out(7.0) == 0L) // single-element group defines q = 0
+  }
+
+  test("skewReport: uniform keys report ~1e6 skew ratio, hot key inflates it") {
+    val uniform = (1 to 100).map(i => i % 10).toDF("k")
+    val u = Stats.skewReport(uniform, col("k"), "u").head()
+    assert(u.getAs[Long]("n_keys") == 10)
+    assert(u.getAs[Long]("skew_ratio_ppm") == 1000000L)
+    val hot = ((1 to 91).map(_ => 0) ++ (1 to 9)).toDF("k")
+    val h = Stats.skewReport(hot, col("k"), "h").head()
+    assert(h.getAs[Long]("max_c") == 91)
+    assert(h.getAs[Long]("skew_ratio_ppm") == 9100000L) // 9.1x the mean of 10
+  }
+
+  test("benfordAudit extracts first significant digits with exact ppm") {
+    // 30 values starting with 1, 10 with 2, 10 with 9
+    val vals = Seq.fill(30)(123.4) ++ Seq.fill(10)(2.7) ++ Seq.fill(10)(9999.0)
+    val out = Stats.benfordAudit(vals.toDF("v"), col("v"))
+      .collect().map(r => r.getAs[Long]("digit") -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 9L))
+    assert(out(1L).getAs[Long]("n") == 30)
+    assert(out(1L).getAs[Long]("obs_ppm") == 600000L)
+    // Benford expectation for digit 1: log10(2) = 0.301030 -> 301030 ppm
+    assert(out(1L).getAs[Long]("benford_ppm") == 301030L)
+    assert(out(1L).getAs[Long]("dev_ppm") == 298970L)
+  }
+}
