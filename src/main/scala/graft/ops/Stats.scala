@@ -112,6 +112,68 @@ object Stats {
   }
 
   /**
+   * Categorical distribution drift between two slices A and B of one
+   * keyed stream: add-one-smoothed KL(A‖B), KL(B‖A), and Jensen–Shannon
+   * divergence over the union vocabulary, each quantized PER TERM to
+   * integer micro-nats before the sum (order-proof). One
+   * vocabulary-bounded aggregate + one broadcast of the 1-row totals —
+   * the "did yesterday's corpus shift" monitor: state is O(vocab), never
+   * O(rows). Returns one row (n_a, n_b, vocab, kl_ab_micro, kl_ba_micro,
+   * jsd_micro).
+   */
+  def categoricalDrift(df: DataFrame, value: Column,
+                       isA: Column): DataFrame = {
+    val counts = df.select(value.as("__v"), isA.as("__a"))
+      .groupBy("__v")
+      .agg(count(when(col("__a"), 1)).as("ca"),
+        count(when(!col("__a"), 1)).as("cb"))
+    val totals = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    counts.join(broadcast(totals))
+      .withColumn("pa", (col("ca") + 1).cast("double") / (col("na") + col("v")))
+      .withColumn("pb", (col("cb") + 1).cast("double") / (col("nb") + col("v")))
+      .withColumn("m", (col("pa") + col("pb")) / 2)
+      .withColumn("t_ab", round(col("pa") * log(col("pa") / col("pb")) * 1e6, 0).cast("long"))
+      .withColumn("t_ba", round(col("pb") * log(col("pb") / col("pa")) * 1e6, 0).cast("long"))
+      .withColumn("t_js",
+        round((col("pa") * log(col("pa") / col("m"))
+          + col("pb") * log(col("pb") / col("m"))) / 2 * 1e6, 0).cast("long"))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"), max("v").as("vocab"),
+        sum("t_ab").as("kl_ab_micro"), sum("t_ba").as("kl_ba_micro"),
+        sum("t_js").as("jsd_micro"))
+  }
+
+  /**
+   * Pearson chi-square contributions for a two-way contingency table:
+   * observed cell counts vs independence expectation
+   * `rowTotal·colTotal/n`, each cell's `(o-e)²/e` quantized to integer
+   * micros then summed per row value (order-proof). Only OBSERVED cells
+   * contribute — an o=0 cell is never materialized, so on sparse tables
+   * the statistic is a lower bound (dense tables, like hours×types, are
+   * exact). The table is |rows|×|cols| — tiny after one map-combined
+   * aggregate. Returns
+   * (rowCol, n, chi2_micro) per row value; the caller sums for the
+   * global statistic.
+   */
+  def chiSquareByRow(df: DataFrame, rowVal: Column,
+                     colVal: Column): DataFrame = {
+    val cells = df.select(rowVal.as("__r"), colVal.as("__c"))
+      .groupBy("__r", "__c").agg(count(lit(1)).as("o"))
+    val w = Window.partitionBy(lit(1))
+    cells
+      .withColumn("rt", sum("o").over(Window.partitionBy("__r")))
+      .withColumn("ct", sum("o").over(Window.partitionBy("__c")))
+      .withColumn("n", sum("o").over(w))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("t",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e") * 1e6, 0)
+          .cast("long"))
+      .groupBy(col("__r"))
+      .agg(max("rt").as("n"), sum("t").as("chi2_micro"))
+  }
+
+  /**
    * Benford first-significant-digit audit of a positive numeric column:
    * per digit 1–9 the observed count, observed frequency (ppm), the
    * Benford expectation `log10(1 + 1/d)` (ppm), and the absolute

@@ -103,7 +103,7 @@ object SketchQueries {
     Sketches.kmvSetOps(e, col("user_id"),
         col("event_type") === "click", col("event_type") === "purchase",
         k = 128)
-      .crossJoin(exact)
+      .crossJoin(broadcast(exact))
       .withColumn("exact_jaccard_ppm",
         expr("(exact_a + exact_b - exact_union) * 1000000 div exact_union"))
   }

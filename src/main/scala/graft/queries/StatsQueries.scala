@@ -131,6 +131,294 @@ object StatsQueries {
       .orderBy("digit")
   }
 
+  // ------------------------------------------------ repetition signals
+
+  /** Gopher-style within-document repetition signals for the doc slice:
+   * modal-bigram share and the fraction of bigram/trigram occurrences
+   * belonging to a repeated n-gram, all in ppm — the "spammy template
+   * text" filter signals from the Gopher/MassiveText quality rules
+   * (Rae et al. 2021). Per-doc explode → count → per-doc aggregate;
+   * entirely data-parallel, no corpus-wide state. */
+  val q171RepetitionSignals: Q = Q("q171_repetition_signals",
+    """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents WHERE doc_id < 80),
+       t AS (SELECT doc_id, w FROM tok WHERE len(w) >= 3),
+       bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                k -> w[k]||' '||w[k+1])) AS g FROM t),
+       bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+       bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 max(c) AS max_bg,
+                 CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+                   AS dup_bg
+               FROM bgc GROUP BY 1),
+       tg AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS g FROM t),
+       tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+       tga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                 CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+                   AS dup_tg
+               FROM tgc GROUP BY 1)
+       SELECT doc_id, n_bigrams,
+              max_bg * 1000000 // n_bigrams AS top_bigram_ppm,
+              dup_bg * 1000000 // n_bigrams AS dup_bigram_ppm,
+              n_trigrams,
+              dup_tg * 1000000 // n_trigrams AS dup_trigram_ppm
+       FROM bga JOIN tga USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+    import graft.text.TextAnalysis
+    import graft.dedup.Dedup
+    val t = table(s, d, "documents").filter(col("doc_id") < 80)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    def gramStats(k: Int, nCol: String, dupCol: String, withMax: Boolean) = {
+      val counts = t
+        .select(col("doc_id"),
+          explode(Dedup.shinglesFromTokens(col("w"), k)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as(nCol), max("c").as("__mx"),
+          coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as(dupCol))
+      if (withMax) counts else counts.drop("__mx")
+    }
+    gramStats(2, "n_bigrams", "dup_bg", withMax = true)
+      .join(gramStats(3, "n_trigrams", "dup_tg", withMax = false), "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("__mx * 1000000 div n_bigrams").as("top_bigram_ppm"),
+        expr("dup_bg * 1000000 div n_bigrams").as("dup_bigram_ppm"),
+        col("n_trigrams"),
+        expr("dup_tg * 1000000 div n_trigrams").as("dup_trigram_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ embedding health audit
+
+  /** Embedding-column health audit per label: vector count, wrong-width
+   * vectors, zero vectors, and min/p50/max squared norm — norms in
+   * per-element-quantized integer micros (round(x²·1e6) summed), so the
+   * reduction is order-proof and the p50 is a picked element. The
+   * pre-flight screen before any ANN/clustering job; map-side per
+   * vector, one label-keyed window. */
+  val q172EmbeddingHealth: Q = Q("q172_embedding_health",
+    """WITH h AS (SELECT label, vec_id, len(embedding) AS dim,
+             CAST(list_sum(list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
+                    AS BIGINT))) AS BIGINT) AS norm2_micro
+           FROM embeddings),
+       r AS (SELECT *, row_number() OVER (PARTITION BY label
+                         ORDER BY norm2_micro, vec_id) AS rn,
+               count(*) OVER (PARTITION BY label) AS n FROM h)
+       SELECT label, max(n) AS n_vecs,
+              count(*) FILTER (WHERE dim <> 64) AS n_bad_dim,
+              count(*) FILTER (WHERE norm2_micro = 0) AS n_zero_norm,
+              min(norm2_micro) AS min_norm2_micro,
+              max(CASE WHEN rn = (n + 1) // 2 THEN norm2_micro END)
+                AS p50_norm2_micro,
+              max(norm2_micro) AS max_norm2_micro
+       FROM r GROUP BY label ORDER BY label""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = table(s, d, "embeddings")
+      .select(col("label"), col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(col("embedding"), lit(0L), (acc, x) =>
+          acc + round(x.cast("double") * x.cast("double") * 1e6, 0)
+            .cast("long")).as("norm2_micro"))
+    h.withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy("norm2_micro", "vec_id")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        count(when(col("dim") =!= 64, 1)).as("n_bad_dim"),
+        count(when(col("norm2_micro") === 0, 1)).as("n_zero_norm"),
+        min("norm2_micro").as("min_norm2_micro"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("norm2_micro")))
+          .as("p50_norm2_micro"),
+        max("norm2_micro").as("max_norm2_micro"))
+      .orderBy("label")
+  }
+
+  // ------------------------------------------------ bit-shift tree rollup
+
+  /** Hierarchical subtree rollup WITHOUT iteration: in the implicit
+   * binary tree where parent(id) = id >> 1 (ids = doc_id + 1), every
+   * node's ancestor chain is just the shift sequence id >> 0..15 — so
+   * one explode + one aggregate computes every subtree's size and
+   * character total, the materialized-path trick that replaces a
+   * recursive join at any scale. Reported for the 15 shallowest nodes. */
+  val q173TreeRollup: Q = Q("q173_tree_rollup",
+    """WITH n AS (SELECT doc_id + 1 AS id, n_chars FROM documents),
+       a AS (SELECT n.id >> k.k AS node, n_chars
+             FROM n CROSS JOIN generate_series(0, 15) k(k)
+             WHERE n.id >> k.k >= 1)
+       SELECT node, count(*) AS n_desc, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM a WHERE node <= 15 GROUP BY node ORDER BY node""") { (s, d) =>
+    table(s, d, "documents")
+      .select((col("doc_id") + 1).as("id"), col("n_chars"),
+        explode(sequence(lit(0), lit(15))).as("k"))
+      .withColumn("node", expr("shiftright(id, k)"))
+      .filter(col("node") >= 1 && col("node") <= 15)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_desc"), sum("n_chars").as("sum_chars"))
+      .orderBy("node")
+  }
+
+  // ------------------------------------------------ moving exact median
+
+  /** 7-day moving MEDIAN of daily order counts per priority — the
+   * spike-robust smoother q166's FIR cannot be (a mean follows
+   * outliers; a median ignores them). Exact picked-element median per
+   * trailing window: each day contributes itself to its next 7 target
+   * days (a bounded 7× map-side explode, no range self-join), then one
+   * (priority, day)-keyed rank pick. days are indexed by row position
+   * in the observed series, matching lag-style frames. */
+  val q174MovingMedian: Q = Q("q174_moving_median",
+    """WITH dly AS (SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+       ix AS (SELECT priority, day, c,
+                row_number() OVER (PARTITION BY priority ORDER BY day) AS i
+              FROM dly),
+       ct AS (SELECT priority, i + o.o AS ti, c, i AS src
+              FROM ix CROSS JOIN generate_series(0, 6) o(o)),
+       tgt AS (SELECT ct.priority, ct.ti, ct.c, ct.src,
+                 row_number() OVER (PARTITION BY ct.priority, ct.ti
+                                    ORDER BY ct.c, ct.src) AS rn,
+                 count(*) OVER (PARTITION BY ct.priority, ct.ti) AS n
+               FROM ct),
+       md AS (SELECT priority, ti,
+                max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_c
+              FROM tgt GROUP BY 1, 2)
+       SELECT ix.priority, ix.day, CAST(ix.c AS BIGINT) AS c,
+              CAST(md.med_c AS BIGINT) AS med7_c
+       FROM ix JOIN md ON ix.priority = md.priority AND ix.i = md.ti
+       ORDER BY ix.priority, ix.day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dly = table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ix = dly.withColumn("i", row_number().over(
+        Window.partitionBy("priority").orderBy("day")))
+      .localCheckpoint() // read twice: contribution explode + final join
+    val md = ix
+      .select(col("priority"), col("c"), col("i").as("src"),
+        explode(sequence(lit(0), lit(6))).as("o"))
+      .withColumn("ti", col("src") + col("o"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("priority", "ti").orderBy("c", "src")))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("priority", "ti")))
+      .groupBy("priority", "ti")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("c")))
+        .as("med7_c"))
+      .withColumnRenamed("priority", "mp")
+    ix.join(md, col("priority") === col("mp") && col("i") === col("ti"))
+      .select(col("priority"), col("day"), col("c"), col("med7_c"))
+      .orderBy("priority", "day")
+  }
+
+  // ------------------------------------------------ sequential path mining
+
+  /** Top event-type 3-step paths per user stream (lead×2 over the same
+   * user-keyed sort q165's Markov matrix uses — this is its 2nd-order
+   * sibling): global support counts with rank, ties broken on the
+   * path. ONE window shuffle, then a types³-bounded aggregate. */
+  val q175PathMining: Q = Q("q175_path_mining",
+    """WITH s AS (SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       p AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS support
+             FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1),
+       r AS (SELECT path, support,
+               row_number() OVER (ORDER BY support DESC, path) AS rank
+             FROM p)
+       SELECT path, support, rank FROM r WHERE rank <= 25 ORDER BY rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    table(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead("e1", 1).over(w))
+      .withColumn("e3", lead("e1", 2).over(w))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("support"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("path"))).cast("long"))
+      .filter(col("rank") <= 25)
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------------ corpus drift monitor
+
+  /** Token-distribution drift between the src0 corpus slice and the
+   * rest: add-one-smoothed KL both directions + Jensen–Shannon, in
+   * per-term-quantized integer micro-nats — the "did today's crawl
+   * shift" monitor whose state is O(vocabulary), never O(tokens).
+   * Detects what exact-count diffing can't summarize. */
+  val q176CorpusDrift: Q = Q("q176_corpus_drift",
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS v,
+             source = 'src0' AS a
+           FROM documents),
+       c AS (SELECT v, count(*) FILTER (WHERE a) AS ca,
+               count(*) FILTER (WHERE NOT a) AS cb FROM tok GROUP BY v),
+       t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb, count(*) AS vv FROM c),
+       x AS (SELECT na, nb, vv, (ca + 1.0) / (na + vv) AS pa,
+               (cb + 1.0) / (nb + vv) AS pb
+             FROM c CROSS JOIN t),
+       y AS (SELECT na, nb, vv,
+               CAST(round(pa * ln(pa / pb) * 1e6) AS BIGINT) AS tab,
+               CAST(round(pb * ln(pb / pa) * 1e6) AS BIGINT) AS tba,
+               CAST(round((pa * ln(pa / ((pa + pb) / 2))
+                    + pb * ln(pb / ((pa + pb) / 2))) / 2 * 1e6) AS BIGINT) AS tjs
+             FROM x)
+       SELECT max(na) AS n_a, max(nb) AS n_b, max(vv) AS vocab,
+              CAST(sum(tab) AS BIGINT) AS kl_ab_micro,
+              CAST(sum(tba) AS BIGINT) AS kl_ba_micro,
+              CAST(sum(tjs) AS BIGINT) AS jsd_micro
+       FROM y""") { (s, d) =>
+    import graft.text.TextAnalysis
+    Stats.categoricalDrift(
+      table(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("v"),
+          (col("source") === "src0").as("a")),
+      col("v"), col("a"))
+  }
+
+  // ------------------------------------------- chi-square independence
+
+  /** Pearson chi-square of event type × hour-of-day: per-type
+   * contribution of `(observed − expected)²/expected` against the
+   * independence expectation, in per-cell-quantized micros — the
+   * statistical form of q163's entropy question ("is traffic timing
+   * type-dependent"), one map-combined aggregate over a types×24
+   * table. */
+  val q177ChiSquare: Q = Q("q177_chi_square",
+    """WITH cells AS (SELECT event_type AS r, hour(ts) AS c, count(*) AS o
+                      FROM events GROUP BY 1, 2),
+       w AS (SELECT r, o,
+               CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+               CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+               CAST(sum(o) OVER () AS BIGINT) AS n FROM cells),
+       t AS (SELECT r, rt,
+               CAST(round((o - CAST(rt AS DOUBLE) * ct / n)
+                    * (o - CAST(rt AS DOUBLE) * ct / n)
+                    / (CAST(rt AS DOUBLE) * ct / n) * 1e6) AS BIGINT) AS tt
+             FROM w)
+       SELECT r AS event_type, max(rt) AS n,
+              CAST(sum(tt) AS BIGINT) AS chi2_micro
+       FROM t GROUP BY r ORDER BY r""") { (s, d) =>
+    Stats.chiSquareByRow(table(s, d, "events"),
+        col("event_type"), hour(col("ts")).cast("long"))
+      .select(col("__r").as("event_type"), col("n"), col("chi2_micro"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
-    q170BenfordAudit)
+    q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
+    q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
+    q177ChiSquare)
 }

@@ -69,8 +69,10 @@ object Sketches {
         inA.as("a"), inB.as("b"))
       .groupBy("h")
       .agg(max(col("a")).as("a"), max(col("b")).as("b"))
-    val w = Window.orderBy(col("h").asc)
-    sides.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // bottom-k via orderBy+limit = TakeOrdered (per-partition heads +
+    // driver merge of k) — a global row_number window would move every
+    // distinct hash to one partition
+    sides.orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"),
         count(when(col("a"), 1)).as("n_a"),
         count(when(col("b"), 1)).as("n_b"),

@@ -49,6 +49,39 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(h.getAs[Long]("skew_ratio_ppm") == 9100000L) // 9.1x the mean of 10
   }
 
+  test("categoricalDrift: identical slices have zero divergence") {
+    val df = (for (w <- 0 until 20; _ <- 1 to 10; side <- Seq(true, false))
+      yield (s"w$w", side)).toDF("v", "a")
+    val r = Stats.categoricalDrift(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("vocab") == 20)
+    assert(r.getAs[Long]("kl_ab_micro") == 0)
+    assert(r.getAs[Long]("jsd_micro") == 0)
+  }
+
+  test("categoricalDrift: disjoint vocabularies diverge strongly") {
+    val df = ((1 to 200).map(i => (s"a${i % 10}", true)) ++
+      (1 to 200).map(i => (s"b${i % 10}", false))).toDF("v", "a")
+    val r = Stats.categoricalDrift(df, col("v"), col("a")).head()
+    assert(r.getAs[Long]("kl_ab_micro") > 2000000L) // >2 nats
+    assert(r.getAs[Long]("jsd_micro") > 500000L)
+  }
+
+  test("chiSquareByRow: independent layout yields zero, dependence shows") {
+    // perfectly proportional table -> expected == observed -> chi2 = 0
+    val indep = (for (r <- Seq("x", "y"); c <- 0 until 4; _ <- 1 to (c + 1))
+      yield (r, c)).toDF("r", "c")
+    val z = Stats.chiSquareByRow(indep, col("r"), col("c"))
+      .collect().map(_.getAs[Long]("chi2_micro"))
+    assert(z.forall(_ == 0))
+    // row x only in col 0, row y only in col 1 -> strong dependence;
+    // only OBSERVED cells contribute (o=0 cells are not materialized),
+    // so each row's contribution is its one occupied cell: (50-25)^2/25
+    val dep = (Seq.fill(50)(("x", 0)) ++ Seq.fill(50)(("y", 1))).toDF("r", "c")
+    val d = Stats.chiSquareByRow(dep, col("r"), col("c"))
+      .collect().map(_.getAs[Long]("chi2_micro"))
+    assert(d.forall(_ == 25000000L))
+  }
+
   test("benfordAudit extracts first significant digits with exact ppm") {
     // 30 values starting with 1, 10 with 2, 10 with 9
     val vals = Seq.fill(30)(123.4) ++ Seq.fill(10)(2.7) ++ Seq.fill(10)(9999.0)
