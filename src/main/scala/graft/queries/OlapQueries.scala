@@ -469,13 +469,20 @@ object OlapQueries {
               FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p GROUP BY 1, 2)
        SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb, support
        FROM pr ORDER BY support DESC, pa, pb LIMIT 20""") { (s, d) =>
-    val b = table(s, d, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-      .localCheckpoint()
-    b.select(col("o"), col("p").as("pa"))
-      .join(b.select(col("o"), col("p").as("pb")), Seq("o"))
-      .filter(col("pa") < col("pb"))
+    // basket arrays instead of a self-join: collect_set dedups the
+    // order's parts in the SAME shuffle that groups the basket, pairs
+    // are generated map-side from the sorted array (i<j for free), and
+    // the only other exchange is the pair-support aggregate. Basket
+    // width is bounded by order size, so the explode is O(k²) per
+    // order, never O(corpus²).
+    table(s, d, "lineitem")
+      .groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+                       y -> struct(x AS pa, y AS pb))))""")).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("pa"), col("pb"))
       .limit(20)
