@@ -290,4 +290,64 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
         s"q43 reads the opaque payload column: ${s.requiredSchema.fieldNames.mkString(",")}")
     }
   }
+
+  test("q162: every Bloom probe join broadcasts the word table (probe never shuffles)") {
+    val p = plan("q162_bloom_filter")
+    val bcast = p.collect { case j: BroadcastHashJoinExec => j }
+    // 3 hash-position joins + 1 exact-membership flag join, all broadcast
+    assert(bcast.size >= 4, s"q162 expected >=4 broadcast joins, got ${bcast.size}:\n$p")
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"q162 shuffles the probe side:\n$p")
+  }
+
+  test("q160: KMV bottom-k plans a TakeOrdered, not a single-partition window") {
+    val p = plan("q160_kmv_setops")
+    val takeOrdered = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, s"q160 lost its bottom-k short-circuit:\n$p")
+    val windows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"q160 plans a window over the hash universe:\n$p")
+  }
+
+  test("q169: MAD outlier screen shuffles on the group key exactly once") {
+    val p = plan("q169_mad_outliers")
+    val shuffles = p.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 1,
+      s"q169 expected one event_type exchange, got ${shuffles.size}:\n$p")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"q169 must be join-free:\n$p")
+  }
+
+  test("q173: tree rollup is one explode + one aggregate, zero joins") {
+    val p = plan("q173_tree_rollup")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.isEmpty, s"q173 hierarchy rollup must not join:\n$p")
+    val aggs = p.collect { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, s"q173 aggregate must combine map-side:\n$p")
+  }
+
+  test("q148: basket pairs come from the basket array, not a self-join") {
+    val p = plan("q148_basket_pairs")
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.isEmpty, s"q148 reverted to the self-join pair build:\n$p")
+    val takeOrdered = p.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.nonEmpty, s"q148 lost its top-k short-circuit:\n$p")
+  }
 }
