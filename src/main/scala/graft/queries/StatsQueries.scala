@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.io.Sources.table
 import graft.ops.Stats
+import graft.sketch.Sketches
 
 /**
  * Round-6 exact order-statistics + data-forensics operators: shuffle-key
@@ -12,6 +13,9 @@ import graft.ops.Stats
  * exactly in the oracle.
  */
 object StatsQueries {
+
+  private val md5sql =
+    "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
 
   // -------------------------------------------------- shuffle-skew report
 
@@ -417,8 +421,129 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------- HLL register mergeability
+
+  /** HyperLogLog-style register table over the distinct-user hash
+   * stream, built THREE ways — whole corpus, even-user half, odd-user
+   * half — with the bit-max merge of the halves proven equal to the
+   * whole-corpus registers per bucket. Registers are pure integers
+   * (bucket = h mod 64, rho = trailing zeros of the remaining bits + 1)
+   * so unlike the float harmonic-mean estimate the sketch itself
+   * replays exactly; mergeability is the property that makes
+   * per-partition/per-day sketches compose at 100 TB. */
+  val q178HllRegisters: Q = Q("q178_hll_registers",
+    s"""WITH h AS (SELECT DISTINCT ${md5sql.format("user_id")} AS h,
+             user_id % 2 = 0 AS even
+           FROM events),
+       x AS (SELECT h % 64 AS bucket, h // 64 AS rest, even FROM h),
+       r AS (SELECT bucket, even,
+               CASE WHEN rest = 0 THEN 55
+                    ELSE bit_count((rest & -rest) - 1) + 1 END AS rho
+             FROM x),
+       g AS (SELECT bucket, max(rho) AS r_all,
+               max(CASE WHEN even THEN rho END) AS ra,
+               max(CASE WHEN NOT even THEN rho END) AS rb
+             FROM r GROUP BY bucket)
+       SELECT bucket, CAST(r_all AS BIGINT) AS r_all,
+              CAST(coalesce(ra, 0) AS BIGINT) AS r_a,
+              CAST(coalesce(rb, 0) AS BIGINT) AS r_b,
+              CAST(greatest(coalesce(ra, 0), coalesce(rb, 0)) AS BIGINT)
+                AS r_merged,
+              greatest(coalesce(ra, 0), coalesce(rb, 0)) = r_all AS merge_ok
+       FROM g ORDER BY bucket""") { (s, d) =>
+    import graft.ops.Exprs
+    table(s, d, "events")
+      .select(Exprs.md5Long(col("user_id")).as("h"),
+        (col("user_id") % 2 === 0).as("even"))
+      .distinct()
+      .withColumn("bucket", expr("h % 64"))
+      .withColumn("rest", expr("h div 64"))
+      .withColumn("rho", expr(
+        "CASE WHEN rest = 0 THEN 55 ELSE bit_count((rest & -rest) - 1) + 1 END")
+        .cast("long"))
+      .groupBy("bucket")
+      .agg(max("rho").as("r_all"),
+        coalesce(max(when(col("even"), col("rho"))), lit(0L)).as("r_a"),
+        coalesce(max(when(!col("even"), col("rho"))), lit(0L)).as("r_b"))
+      .withColumn("r_merged", greatest(col("r_a"), col("r_b")))
+      .withColumn("merge_ok", col("r_merged") === col("r_all"))
+      .orderBy("bucket")
+  }
+
+  // ------------------------------------------------------ inverted index
+
+  /** Inverted-index shard build for the 10 rarest terms: per term the
+   * exact document frequency and the FIRST-50-docs posting shard,
+   * serialized comma-joined (the engine-neutral form both sides hash
+   * identically). The shard cap is the point at scale — a posting list
+   * is stored as bounded shards, never one unbounded row; the overflow
+   * stays queryable through df. One tokenize pass, one term-keyed
+   * aggregate, shard trim inside the aggregate's sorted array. */
+  val q179InvertedIndex: Q = Q("q179_inverted_index",
+    """WITH tok AS (SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+       rn AS (SELECT term, doc_id,
+                row_number() OVER (PARTITION BY term ORDER BY doc_id) AS r
+              FROM tok),
+       g AS (SELECT term, count(*) AS df,
+               string_agg(CASE WHEN r <= 50 THEN CAST(doc_id AS VARCHAR) END,
+                          ',' ORDER BY doc_id) AS postings_head
+             FROM rn GROUP BY term)
+       SELECT term, df, postings_head FROM g
+       ORDER BY df, term LIMIT 10""") { (s, d) =>
+    import graft.text.TextAnalysis
+    table(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 50), ",")
+          .as("postings_head"))
+      .orderBy("df", "term")
+      .limit(10)
+  }
+
+  // ------------------------------------------- join-size estimation (CM)
+
+  /** Self-join cardinality estimate from a count-min sketch — the
+   * planner question ("how big is lineitem ⋈ lineitem on partkey?")
+   * answered WITHOUT running the join: per sketch row the inner
+   * product of the cell vector with itself, minimized over the 3 rows,
+   * against the exact Σc² truth. The estimate reads ≤3×1024 cells; the
+   * exact side is one key-count aggregate. est ≥ exact always
+   * (collisions only add cross terms) — overcount in ppm is part of
+   * the checked output. */
+  val q180JoinSizeEstimate: Q = Q("q180_join_size_estimate",
+    """WITH cells AS (SELECT dd.d,
+             ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)||'#'||dd.d),1,15))::BIGINT
+               % 1024 AS pos
+           FROM lineitem CROSS JOIN (VALUES (0), (1), (2)) dd(d)),
+       sk AS (SELECT d, pos, count(*) AS c FROM cells GROUP BY 1, 2),
+       ip AS (SELECT d, CAST(sum(c * c) AS BIGINT) AS est FROM sk GROUP BY d),
+       e AS (SELECT min(est) AS est_pairs FROM ip),
+       kx AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+       x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM kx)
+       SELECT exact_pairs, est_pairs,
+              (est_pairs - exact_pairs) * 1000000 // exact_pairs
+                AS overcount_ppm
+       FROM x CROSS JOIN e""") { (s, d) =>
+    val li = table(s, d, "lineitem")
+    val est = Sketches.countMinBuild(li, col("l_partkey"),
+        depth = 3, width = 1024)
+      .groupBy("d").agg(sum(col("c") * col("c")).as("est"))
+      .agg(min("est").as("est_pairs"))
+    val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_pairs"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("overcount_ppm",
+        expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs"))
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
-    q177ChiSquare)
+    q177ChiSquare, q178HllRegisters, q179InvertedIndex,
+    q180JoinSizeEstimate)
 }
