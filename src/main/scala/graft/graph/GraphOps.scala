@@ -27,15 +27,18 @@ object GraphOps {
    */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
                         maxGroupSize: Int): DataFrame = {
-    val gi = df.select(col(groupCol).as("g"), col(itemCol).as("it")).distinct()
-    val ok = gi.groupBy("g").agg(count(lit(1)).as("sz"))
-      .filter(col("sz") <= maxGroupSize)
-      .select("g")
-    val inGroups = gi.join(ok, "g")
-    inGroups.as("a")
-      .join(inGroups.as("b"),
-        col("a.g") === col("b.g") && col("a.it") < col("b.it"))
-      .select(col("a.it").as("i"), col("b.it").as("j"))
+    // collect_set dedups the group's items in the SAME shuffle that
+    // groups them, the hub cap drops oversize groups BEFORE any pair
+    // exists, and pairs come map-side from the sorted array (i < j for
+    // free) — no size pre-count join, no within-group self-join
+    df.select(col(groupCol).as("g"), col(itemCol).as("it"))
+      .groupBy("g").agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= maxGroupSize)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+             transform(slice(items, i + 2, size(items)),
+                       y -> struct(x AS i, y AS j))))""")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
   }
 
