@@ -68,6 +68,47 @@ object GraphOps {
     degrees(e).filter(col("deg") >= k)
   }
 
+  /**
+   * Bounded-hop BFS from one source vertex: `rounds` synchronous
+   * relaxations, each one neighbor expansion + a min-dist aggregate —
+   * the frontier table is (vertex, dist), partitioned by vertex, no
+   * driver state beyond the source id. Exact distances for every vertex
+   * within `rounds` hops (the bounded-traversal recipe that replaces an
+   * unbounded recursive join at scale). Returns (v, dist).
+   */
+  def bfsHops(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col("i"), col("j"))
+      .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .unionAll(dist.join(e, dist("v") === e("i"))
+          .select(e("j").as("v"), (dist("dist") + 1).as("dist")))
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** DuckDB replay of [[bfsHops]] as unrolled CTEs: `ed0` (i, j,
+    * undirected as stored) and `src` (single row `v`) must be bound by
+    * the caller; emits `e` (both directions), `b0..b{rounds}`; the
+    * final `b{rounds}` is (v, dist). */
+  def bfsOracleCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""b${r + 1} AS (SELECT v, min(dist) AS dist FROM (
+            SELECT v, dist FROM b$r
+            UNION ALL
+            SELECT e.j AS v, b$r.dist + 1 AS dist
+            FROM b$r JOIN e ON b$r.v = e.i) GROUP BY v)"""
+    }
+    (Seq(
+      "e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      "b0 AS (SELECT v, 0 AS dist FROM src)") ++ steps).mkString(",\n")
+  }
+
   /** DuckDB replay of [[kCorePeel]] as unrolled CTEs: `ed0` must be
     * bound by the caller; emits `d0, v1, ed1, …, ed{rounds}` and a final
     * `kcore` CTE (v, deg). */

@@ -244,6 +244,33 @@ object SketchQueries {
       .orderBy("supplier")
   }
 
+  // ------------------------------------------------------ bounded BFS
+
+  /** Bounded-hop BFS over the q164 co-supply graph from its smallest
+   * vertex: exact shortest-path distances for everything within 3 hops
+   * — per round one neighbor expansion + one min-dist aggregate on a
+   * (vertex, dist) frontier, the bounded-traversal recipe that
+   * replaces an unbounded recursive join. Oracle unrolls the identical
+   * relaxations. */
+  val q181BfsHops: Q = Q("q181_bfs_hops",
+    s"""WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS it
+                    FROM lineitem),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       ed0 AS (SELECT DISTINCT a.it AS i, b.it AS j
+               FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+               WHERE a.g IN (SELECT g FROM ok)),
+       src AS (SELECT min(i) AS v FROM ed0),
+       ${GraphOps.bfsOracleCtes(rounds = 3)}
+       SELECT v AS supplier, CAST(dist AS BIGINT) AS dist
+       FROM b3 ORDER BY supplier""") { (s, d) =>
+    val edges = GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
+      "l_partkey", "l_suppkey", maxGroupSize = 15).localCheckpoint()
+    val src = edges.agg(min("i")).head().getLong(0) // scalar source id
+    GraphOps.bfsHops(edges, src, rounds = 3)
+      .select(col("v").as("supplier"), col("dist"))
+      .orderBy("supplier")
+  }
+
   // ------------------------------------------------ Markov transitions
 
   /** First-order Markov transition matrix over per-user event-type
@@ -320,5 +347,5 @@ object SketchQueries {
 
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
-    q166FirSmoother)
+    q166FirSmoother, q181BfsHops)
 }

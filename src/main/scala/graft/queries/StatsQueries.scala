@@ -541,9 +541,74 @@ object StatsQueries {
         expr("(est_pairs - exact_pairs) * 1000000 div exact_pairs"))
   }
 
+  // -------------------------------------------- linear gap interpolation
+
+  /** Linear interpolation over PLANTED gaps in the daily series (days
+   * with epoch-day ≡ 3 mod 7 treated as unobserved): bracketing
+   * neighbors come from frame-bounded max/min over an integer
+   * (day·1e6 + value) encoding — monotone in day, so max-preceding /
+   * min-following ARE the bracketing observations, no as-of join, one
+   * priority-keyed sort. The interpolated estimate (milli-quantized)
+   * sits next to the held-out true count, making this a self-checking
+   * imputation: the oracle replays both. Complements W3's
+   * carry-forward (step-function fill) with the two-sided fill. */
+  val q182GapInterpolation: Q = Q("q182_gap_interpolation",
+    """WITH dly AS (SELECT o_orderpriority AS priority,
+             CAST(epoch(date_trunc('day', o_orderdate)) // 86400 AS BIGINT) AS di,
+             count(*) AS y
+           FROM orders GROUP BY 1, 2),
+       f AS (SELECT priority, di, y, di % 7 <> 3 AS obs FROM dly),
+       w AS (SELECT priority, di, y, obs,
+               max(CASE WHEN obs THEN di * 1000000 + y END) OVER
+                 (PARTITION BY priority ORDER BY di
+                  ROWS UNBOUNDED PRECEDING) AS penc,
+               min(CASE WHEN obs THEN di * 1000000 + y END) OVER
+                 (PARTITION BY priority ORDER BY di
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nenc
+             FROM f),
+       g AS (SELECT priority, di, y,
+               penc // 1000000 AS pdi, penc % 1000000 AS py,
+               nenc // 1000000 AS ndi, nenc % 1000000 AS ny
+             FROM w WHERE NOT obs AND penc IS NOT NULL AND nenc IS NOT NULL)
+       SELECT priority, di, CAST(y AS BIGINT) AS y_true,
+              CAST(py AS BIGINT) AS py, CAST(ny AS BIGINT) AS ny,
+              CAST(round((py + (ny - py) * CAST(di - pdi AS DOUBLE)
+                   / (ndi - pdi)) * 1000) AS BIGINT) AS interp_milli
+       FROM g ORDER BY priority, di""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy("priority").orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("priority").orderBy("di")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        expr("CAST(unix_timestamp(date_trunc('day', o_orderdate)) div 86400 AS BIGINT)")
+          .as("di"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("obs", col("di") % 7 =!= 3)
+      // day·1e6+count encoding: monotone in day (count < 1e6), so the
+      // frame extrema decode to the bracketing observed (day, count)
+      .withColumn("penc",
+        max(when(col("obs"), col("di") * 1000000 + col("y"))).over(wPrev))
+      .withColumn("nenc",
+        min(when(col("obs"), col("di") * 1000000 + col("y"))).over(wNext))
+      .filter(!col("obs") && col("penc").isNotNull && col("nenc").isNotNull)
+      .withColumn("pdi", expr("penc div 1000000"))
+      .withColumn("py", col("penc") % 1000000)
+      .withColumn("ndi", expr("nenc div 1000000"))
+      .withColumn("ny", col("nenc") % 1000000)
+      .withColumn("interp_milli",
+        round((col("py") + (col("ny") - col("py"))
+          * (col("di") - col("pdi")).cast("double")
+          / (col("ndi") - col("pdi"))) * 1000, 0).cast("long"))
+      .select(col("priority"), col("di"), col("y").as("y_true"),
+        col("py"), col("ny"), col("interp_milli"))
+      .orderBy("priority", "di")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
-    q180JoinSizeEstimate)
+    q180JoinSizeEstimate, q182GapInterpolation)
 }

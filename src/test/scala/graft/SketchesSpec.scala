@@ -96,6 +96,19 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(core.values.forall(_ == 3))
   }
 
+  test("bfsHops: exact distances within the hop bound, unreached absent") {
+    // path 1-2-3-4-5 plus shortcut 1-4: dist(4)=1, dist(3)=2, dist(5)=2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("i", "j")
+    val d = GraphOps.bfsHops(edges, source = 1L, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // rounds=1 must not reach the 2-hop shell
+    val d1 = GraphOps.bfsHops(edges, source = 1L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("kCoreOracleCtes unrolls the requested number of rounds") {
     val sql = GraphOps.kCoreOracleCtes(k = 2, rounds = 4)
     assert(sql.contains("ed4") && !sql.contains("ed5"))
