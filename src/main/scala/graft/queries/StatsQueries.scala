@@ -606,9 +606,64 @@ object StatsQueries {
       .orderBy("priority", "di")
   }
 
+  // ---------------------------------------------- curation pipeline capstone
+
+  /** The composed curation funnel — quality filter (≥0.3) → exact dedup
+   * (keep-lowest-id per content fingerprint) → per-lang retention quota
+   * (top-60 by quality) — with per-stage surviving document and token
+   * counts: the budget sheet a corpus build ships with. Each stage is
+   * the library operator the standalone queries already hash-check;
+   * this query checks their COMPOSITION (stage order changes the
+   * counts). The scored base materializes once; four stage aggregates
+   * read it. */
+  val q183CurationPipeline: Q = Q("q183_curation_pipeline",
+    s"""WITH ${ScaleQueries.qualityCte},
+       base AS (SELECT d.doc_id, d.lang,
+                  CAST(len(string_split_regex(trim(lower(d.text)), '\\s+'))
+                    AS BIGINT) AS toks,
+                  md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS fp,
+                  q.score
+                FROM documents d JOIN q USING (doc_id)),
+       s2 AS (SELECT * FROM base WHERE score >= 0.3),
+       s3 AS (SELECT * FROM (SELECT *, row_number() OVER
+                (PARTITION BY fp ORDER BY doc_id) AS rn FROM s2)
+              WHERE rn = 1),
+       s4 AS (SELECT * FROM (SELECT *, row_number() OVER
+                (PARTITION BY lang ORDER BY score DESC, doc_id) AS qr FROM s3)
+              WHERE qr <= 60)
+       SELECT '1_raw' AS stage, count(*) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens FROM base
+       UNION ALL SELECT '2_quality', count(*), CAST(sum(toks) AS BIGINT) FROM s2
+       UNION ALL SELECT '3_dedup', count(*), CAST(sum(toks) AS BIGINT) FROM s3
+       UNION ALL SELECT '4_quota', count(*), CAST(sum(toks) AS BIGINT) FROM s4
+       ORDER BY stage""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.text.TextAnalysis
+    import graft.dedup.Dedup
+    // scored base read by all four stage aggregates — one scan, then RDD
+    val base = table(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .localCheckpoint()
+    val s2 = base.filter(col("score") >= 0.3)
+    val s3 = Dedup.exactDedup(s2)
+    val s4 = s3.withColumn("qr", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("qr") <= 60)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+    stage(base, "1_raw")
+      .unionByName(stage(s2, "2_quality"))
+      .unionByName(stage(s3, "3_dedup"))
+      .unionByName(stage(s4, "4_quota"))
+      .orderBy("stage")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
-    q180JoinSizeEstimate, q182GapInterpolation)
+    q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline)
 }
