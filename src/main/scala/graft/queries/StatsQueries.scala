@@ -661,9 +661,86 @@ object StatsQueries {
       .orderBy("stage")
   }
 
+  // --------------------------------------------- time-based RANGE frame
+
+  /** Trailing-hour running totals via a TIME-based RANGE frame (every
+   * event sees exactly the [t−3600 s, t] window — ROWS frames can't
+   * express this when event spacing varies): per-type count and
+   * milli-quantized value sum (ints in the frame sum, so aggregation
+   * order can't flip a bit). The frame sort rides ONE type-keyed
+   * exchange; output sliced to a stable id range after the windows. */
+  val q184RangeFrame: Q = Q("q184_range_frame",
+    """WITH e AS (SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(round(value * 1000) AS BIGINT) AS vmilli
+           FROM events),
+       w AS (SELECT event_id, event_type, sec,
+               count(*) OVER (PARTITION BY event_type ORDER BY sec
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                 AS n_hour,
+               CAST(sum(vmilli) OVER (PARTITION BY event_type ORDER BY sec
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS v_hour_milli
+             FROM e)
+       SELECT event_id, event_type, sec, n_hour, v_hour_milli
+       FROM w WHERE event_id < 300 ORDER BY event_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("sec")
+      .rangeBetween(-3600L, 0L)
+    table(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"),
+        round(col("value") * 1000, 0).cast("long").as("vmilli"))
+      .withColumn("n_hour", count(lit(1)).over(w))
+      .withColumn("v_hour_milli", sum("vmilli").over(w))
+      .filter(col("event_id") < 300)
+      .select("event_id", "event_type", "sec", "n_hour", "v_hour_milli")
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------- pivot/unpivot round trip
+
+  /** Wide→long inversion: q11's status pivot UNPIVOTed back to
+   * (priority, status, n) long form and inner-joined against the
+   * direct groupBy truth — count equality per cell proves
+   * pivot∘unpivot ≡ identity (zero cells drop on both sides, so the
+   * join covers exactly the observed combinations). The missing
+   * reshaping direction: pivots existed since q11, the inverse did
+   * not. */
+  val q185UnpivotRoundtrip: Q = Q("q185_unpivot_roundtrip",
+    """WITH p AS (SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+             count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+           FROM orders GROUP BY o_orderpriority),
+       u AS (SELECT o_orderpriority AS priority, upper(status) AS status, n
+             FROM p UNPIVOT (n FOR status IN (f, o, p))
+             WHERE n > 0),
+       t AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               count(*) AS n_direct
+             FROM orders GROUP BY 1, 2)
+       SELECT u.priority, u.status, u.n, t.n_direct, u.n = t.n_direct AS ok
+       FROM u JOIN t USING (priority, status)
+       ORDER BY priority, status""") { (s, d) =>
+    val pivoted = graft.ops.Relational.pivotCount(
+      table(s, d, "orders").withColumnRenamed("o_orderpriority", "priority"),
+      "priority", "o_orderstatus", Seq("F", "O", "P"))
+    val long = pivoted.selectExpr("priority",
+        "stack(3, 'F', F, 'O', O, 'P', P) AS (status, n)")
+      .filter(col("n") > 0)
+    val truth = table(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_direct"))
+    long.join(truth, Seq("priority", "status"))
+      .withColumn("ok", col("n") === col("n_direct"))
+      .orderBy("priority", "status")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
-    q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline)
+    q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
+    q184RangeFrame, q185UnpivotRoundtrip)
 }
