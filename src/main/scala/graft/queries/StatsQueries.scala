@@ -207,7 +207,7 @@ object StatsQueries {
              CAST(list_sum(list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e6)
                     AS BIGINT))) AS BIGINT) AS norm2_micro
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
        r AS (SELECT *, row_number() OVER (PARTITION BY label
                          ORDER BY norm2_micro, vec_id) AS rn,
                count(*) OVER (PARTITION BY label) AS n FROM h)
@@ -220,7 +220,11 @@ object StatsQueries {
               max(norm2_micro) AS max_norm2_micro
        FROM r GROUP BY label ORDER BY label""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // null vectors are excluded on BOTH sides: Spark's size(null) = -1
+    // while DuckDB's len(NULL) is NULL — the one place the engines'
+    // null conventions would silently diverge
     val h = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull)
       .select(col("label"), col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         aggregate(col("embedding"), lit(0L), (acc, x) =>
