@@ -741,10 +741,61 @@ object StatsQueries {
       .orderBy("priority", "status")
   }
 
+  // ------------------------------------------------- point-in-time join
+
+  /** Point-in-time join of the fact stream against its OWN SCD2
+   * dimension (q94's version intervals): every order of the tracked
+   * customers matched to the version valid at its order date
+   * (`from ≤ d < to`, open tail) — the dimensional-correctness join
+   * that using `is_current` silently gets wrong for historical facts.
+   * Key-equi join + interval filter (versions per key are few — no
+   * interval bucketing needed); per customer the order count, distinct
+   * versions touched, and how many orders agree with their version's
+   * attribute (same-day flip-flops legitimately disagree; the count is
+   * deterministic and replayed). */
+  val q186PointInTime: Q = Q("q186_point_in_time",
+    """WITH ch AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+                          o_orderkey AS tie, o_orderpriority AS attr
+                   FROM orders WHERE o_custkey < 100),
+       l AS (SELECT k, d, tie, attr,
+                    lag(attr) OVER (PARTITION BY k ORDER BY d, tie) AS prev
+             FROM ch),
+       f AS (SELECT k, d, tie, attr FROM l WHERE prev IS NULL OR prev <> attr),
+       v AS (SELECT k, attr, d AS valid_from,
+                    lead(d) OVER w AS valid_to,
+                    row_number() OVER w AS version
+             FROM f WINDOW w AS (PARTITION BY k ORDER BY d, tie)),
+       j AS (SELECT ch.k, v.version, ch.attr = v.attr AS ok
+             FROM ch JOIN v ON ch.k = v.k
+             WHERE ch.d >= v.valid_from
+               AND (v.valid_to IS NULL OR ch.d < v.valid_to))
+       SELECT k AS custkey, count(*) AS n_orders,
+              count(DISTINCT version) AS n_versions,
+              count(*) FILTER (WHERE ok) AS n_attr_match
+       FROM j GROUP BY k ORDER BY custkey""") { (s, d) =>
+    import graft.ops.Relational
+    val log = table(s, d, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey").as("tie"), col("o_orderpriority").as("attr"))
+      .localCheckpoint() // fact probe AND version build read it
+    val v = Relational.scd2Versions(log, "k", "d", "tie", "attr")
+      .select(col("k").as("vk"), col("attr").as("vattr"),
+        col("valid_from"), col("valid_to"), col("version"))
+    log.join(v, col("k") === col("vk") &&
+        col("d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("d") < col("valid_to")))
+      .groupBy(col("k").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_distinct(col("version")).as("n_versions"),
+        count(when(col("attr") === col("vattr"), 1)).as("n_attr_match"))
+      .orderBy("custkey")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
-    q184RangeFrame, q185UnpivotRoundtrip)
+    q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime)
 }
