@@ -792,10 +792,32 @@ object StatsQueries {
       .orderBy("custkey")
   }
 
+  // ------------------------------------------- streaming count-min merge
+
+  /** q161's heavy-hitter estimates recomputed from a sketch folded
+   * ACROSS MICRO-BATCHES (cell-wise addition in foreachBatch): the
+   * count-min merge is a monoid, so batch boundaries and arrival order
+   * cannot change a cell, and the streamed sketch answers the probes
+   * with byte-identical results — the same oracle as q161 gates it. */
+  val q187StreamCountMin: Q = Q("q187_stream_count_min",
+    SketchQueries.q161CountMin.oracle.get) { (s, d) =>
+    val sketch = graft.streaming.StreamingSketch
+      .runCountMinToBatch(s, d, depth = 3, width = 1024)
+    val top = table(s, d, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("user_id")).limit(10)
+    Sketches.countMinQuery(sketch, top, col("user_id"),
+        depth = 3, width = 1024)
+      .withColumn("overcount", col("est") - col("exact"))
+      .select("user_id", "exact", "est", "overcount")
+      .orderBy(col("exact").desc, col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
-    q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime)
+    q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
+    q187StreamCountMin)
 }
