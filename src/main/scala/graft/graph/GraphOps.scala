@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
  */
 object GraphOps {
 
+  /** All ordered pairs (a < b by array position) from a SORTED array
+    * column, as an array of structs — the map-side pair generator both
+    * the co-occurrence projection and basket mining (q148) share. The
+    * caller guarantees the array is sorted so position order is value
+    * order. */
+  def pairsFromSortedArray(arrCol: String, aName: String,
+                           bName: String): org.apache.spark.sql.Column =
+    expr(s"""flatten(transform($arrCol, (x, i) ->
+               transform(slice($arrCol, i + 2, size($arrCol)),
+                         y -> struct(x AS $aName, y AS $bName))))""")
+
   /**
    * Undirected co-occurrence edges (i < j) between items sharing a
    * group, from groups with at most `maxGroupSize` distinct items.
@@ -34,10 +45,7 @@ object GraphOps {
     df.select(col(groupCol).as("g"), col(itemCol).as("it"))
       .groupBy("g").agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= maxGroupSize)
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-             transform(slice(items, i + 2, size(items)),
-                       y -> struct(x AS i, y AS j))))""")).as("p"))
+      .select(explode(pairsFromSortedArray("items", "i", "j")).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
   }

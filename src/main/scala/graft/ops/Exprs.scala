@@ -204,4 +204,10 @@ object Exprs {
     ColumnBridge.column(
       graft.functions.Md5PrefixLong(ColumnBridge.expression(c.cast("string"))))
   }
+
+  /** The DuckDB spelling of [[md5Long]] as a format string (`%s` = the
+    * hashed expression) — the ONE place the oracle-side hash contract
+    * lives; query files interpolate it instead of restating it. */
+  val md5LongSql: String =
+    "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
 }

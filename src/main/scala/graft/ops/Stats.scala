@@ -174,15 +174,17 @@ object Stats {
   }
 
   /**
-   * Benford first-significant-digit audit of a positive numeric column:
-   * per digit 1–9 the observed count, observed frequency (ppm), the
+   * Benford first-significant-digit audit of a numeric column: per
+   * digit 1–9 the observed count, observed frequency (ppm), the
    * Benford expectation `log10(1 + 1/d)` (ppm), and the absolute
    * deviation — the classic fabricated-data screen. Map-side digit
-   * extraction, 9-row aggregate.
+   * extraction, 9-row aggregate. Values below 1 are excluded (for
+   * (0,1) the integer-part digit is 0, not the first significant
+   * digit — rescale such columns before auditing).
    */
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
     val digits = df
-      .filter(value > 0)
+      .filter(value >= 1)
       .select(substring(floor(value).cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))

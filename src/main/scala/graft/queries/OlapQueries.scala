@@ -478,10 +478,8 @@ object OlapQueries {
     table(s, d, "lineitem")
       .groupBy(col("l_orderkey").as("o"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-                       y -> struct(x AS pa, y AS pb))))""")).as("pr"))
+      .select(explode(
+        graft.graph.GraphOps.pairsFromSortedArray("ps", "pa", "pb")).as("pr"))
       .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("pa"), col("pb"))
@@ -828,10 +826,10 @@ object OlapQueries {
     def audit(df: org.apache.spark.sql.DataFrame, tbl: String,
               purged: org.apache.spark.sql.Column,
               keyStr: org.apache.spark.sql.Column) =
-      df.withColumn("hv", md5Long(keyStr)).agg(
-        count(when(purged, 1)).as("n_purged"),
-        count(when(!purged, 1)).as("n_kept"),
-        expr("bit_xor(CASE WHEN NOT __purged THEN hv END)")
+      df.withColumn("__p", purged).withColumn("hv", md5Long(keyStr)).agg(
+        count(when(col("__p"), 1)).as("n_purged"),
+        count(when(!col("__p"), 1)).as("n_kept"),
+        expr("bit_xor(CASE WHEN NOT __p THEN hv END)")
           .as("survivor_checksum"))
         .select(lit(tbl).as("tbl"), col("n_purged"), col("n_kept"),
           col("survivor_checksum"))

@@ -17,8 +17,7 @@ import graft.graph.GraphOps
  */
 object SketchQueries {
 
-  private val md5sql =
-    "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
+  private val md5sql = graft.ops.Exprs.md5LongSql
 
   // ----------------------------------------------------- KMV distinct
 

@@ -14,8 +14,7 @@ import graft.sketch.Sketches
  */
 object StatsQueries {
 
-  private val md5sql =
-    "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
+  private val md5sql = graft.ops.Exprs.md5LongSql
 
   // -------------------------------------------------- shuffle-skew report
 
@@ -123,7 +122,7 @@ object StatsQueries {
   val q170BenfordAudit: Q = Q("q170_benford_audit",
     """WITH dg AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
-           FROM orders WHERE o_totalprice > 0),
+           FROM orders WHERE o_totalprice >= 1),
        g AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
        t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
        SELECT digit, n, n * 1000000 // total AS obs_ppm,
@@ -171,9 +170,12 @@ object StatsQueries {
        FROM bga JOIN tga USING (doc_id) ORDER BY doc_id""") { (s, d) =>
     import graft.text.TextAnalysis
     import graft.dedup.Dedup
+    // tokenized slice feeds BOTH gram sizes — checkpoint or each
+    // gramStats re-scans and re-tokenizes the table
     val t = table(s, d, "documents").filter(col("doc_id") < 80)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
+      .localCheckpoint()
     def gramStats(k: Int, nCol: String, dupCol: String, withMax: Boolean) = {
       val counts = t
         .select(col("doc_id"),
@@ -249,20 +251,22 @@ object StatsQueries {
 
   /** Hierarchical subtree rollup WITHOUT iteration: in the implicit
    * binary tree where parent(id) = id >> 1 (ids = doc_id + 1), every
-   * node's ancestor chain is just the shift sequence id >> 0..15 — so
+   * node's ancestor chain is just the shift sequence id >> 0..20 — so
    * one explode + one aggregate computes every subtree's size and
    * character total, the materialized-path trick that replaces a
-   * recursive join at any scale. Reported for the 15 shallowest nodes. */
+   * recursive join. The shift depth must cover log2(max id) (20 ⇒ ids
+   * < 2^21; deeper corpora raise the constant, cost grows linearly).
+   * Reported for the 15 shallowest nodes. */
   val q173TreeRollup: Q = Q("q173_tree_rollup",
     """WITH n AS (SELECT doc_id + 1 AS id, n_chars FROM documents),
        a AS (SELECT n.id >> k.k AS node, n_chars
-             FROM n CROSS JOIN generate_series(0, 15) k(k)
+             FROM n CROSS JOIN generate_series(0, 20) k(k)
              WHERE n.id >> k.k >= 1)
        SELECT node, count(*) AS n_desc, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM a WHERE node <= 15 GROUP BY node ORDER BY node""") { (s, d) =>
     table(s, d, "documents")
       .select((col("doc_id") + 1).as("id"), col("n_chars"),
-        explode(sequence(lit(0), lit(15))).as("k"))
+        explode(sequence(lit(0), lit(20))).as("k"))
       .withColumn("node", expr("shiftright(id, k)"))
       .filter(col("node") >= 1 && col("node") <= 15)
       .groupBy("node")

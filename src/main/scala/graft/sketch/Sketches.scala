@@ -80,9 +80,13 @@ object Sketches {
       .withColumn("est_union",
         when(col("n_kept") < k, col("n_kept"))
           .otherwise(expr(s"($HashSpace div theta) * ${k - 1}")))
+      // n_kept = 0 (empty input) must report zeros, not divide by zero
       .withColumn("est_intersection",
-        expr("est_union * n_both div n_kept"))
-      .withColumn("jaccard_ppm", expr("n_both * 1000000 div n_kept"))
+        when(col("n_kept") === 0, lit(0L))
+          .otherwise(expr("est_union * n_both div n_kept")))
+      .withColumn("jaccard_ppm",
+        when(col("n_kept") === 0, lit(0L))
+          .otherwise(expr("n_both * 1000000 div n_kept")))
   }
 
   /** Row-d hash of a key into [0, width): `md5Long(key # d) mod width`. */
@@ -109,7 +113,9 @@ object Sketches {
    * Count-min point query: estimate = min over rows d of cell
    * (d, h_d(key)). The sketch side is tiny (≤ d·width rows) and is
    * BROADCAST — the probe never shuffles. Upward-biased by design
-   * (collisions only add); `est >= exact` always.
+   * (collisions only add); `est >= exact` always. An absent cell counts
+   * as 0 (left join + coalesce), so a key never seen by the build still
+   * gets its correct estimate of 0 instead of vanishing.
    */
   def countMinQuery(sketch: DataFrame, probes: DataFrame, key: Column,
                     depth: Int, width: Int): DataFrame = {
@@ -120,12 +126,14 @@ object Sketches {
     val joined = (0 until depth).foldLeft(withPos) { (acc, d) =>
       acc.join(
         broadcast(sketch.filter(col("d") === d)
-          .select(col("pos").as(s"__p$d"), col("c").as(s"__c$d"))),
-        Seq(s"__p$d"))
+          .select(col("pos").as(s"__p$d"), col("c").as(s"__cr$d"))),
+        Seq(s"__p$d"), "left")
+        .withColumn(s"__c$d", coalesce(col(s"__cr$d"), lit(0L)))
     }
     val est = least((0 until depth).map(d => col(s"__c$d")): _*)
     joined.withColumn("est", est)
-      .drop(("__k" +: (0 until depth).flatMap(d => Seq(s"__p$d", s"__c$d"))): _*)
+      .drop(("__k" +: (0 until depth)
+        .flatMap(d => Seq(s"__p$d", s"__c$d", s"__cr$d"))): _*)
   }
 
   /** Position of hash j of a key in an m-bit Bloom filter. */
@@ -185,6 +193,12 @@ object Sketches {
    * (`1e6 - sum(c²)·1e6 div n²`). Two aggregates over the histogram —
    * both with map-side partials; state is bounded by distinct values
    * per group.
+   *
+   * Overflow headroom: `sum(c²)·1e6` stays inside a signed long while
+   * every group has < ~3.0×10⁶ rows (worst case: all rows on one
+   * value). For bigger groups, pre-aggregate the value domain into
+   * buckets first — the profile of a bucketed histogram is the
+   * standard recourse, same as an equi-depth histogram's.
    *
    * Returns (groupCols*, n, n_values, entropy_micro, gini_micro).
    */

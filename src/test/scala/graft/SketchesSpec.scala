@@ -55,6 +55,16 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(hot.getAs[Long]("est") == 50)
   }
 
+  test("count-min: a probe key the build never saw estimates 0, not vanish") {
+    val sk = Sketches.countMinBuild(Seq("a", "b").toDF("k"), col("k"), 3, 1024)
+    val probes = Seq(("a", 1L), ("never-seen", 0L)).toDF("k", "exact")
+    val got = Sketches.countMinQuery(sk, probes, col("k"), 3, 1024)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    assert(got.keySet == Set("a", "never-seen"))
+    assert(got("never-seen") == 0L)
+    assert(got("a") >= 1L)
+  }
+
   test("bloom: no false negatives, word table bounded by m/64") {
     val build = (1 to 200).toDF("k")
     val words = Sketches.bloomBuild(build, col("k"), numHashes = 3, m = 4096)
