@@ -1,8 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Table loaders + schema-tolerance helpers.
@@ -29,17 +29,25 @@ object Sources {
 
   /** Lazy parquet scan for one table under an sf directory.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and this loader converts
-    * the raw nanos back to a (microsecond) TimestampType column. The
-    * division uses integer `DIV` — a double round-trip would lose
-    * precision above 2^53 ns (~1971). */
+    * `events.ts` has shipped in two parquet flavors across harness data
+    * generations and this loader normalizes both to session-zoned
+    * TimestampType so every downstream plan sees one type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong=true`, the column lands
+    *    as raw LongType nanos, and we rebuild micros with integer `DIV`
+    *    (a double round-trip would lose precision above 2^53 ns, ~1971).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TimestampNTZType; the naive wall-clock is UTC by construction
+    *    (driver seed data), and every session pins
+    *    `spark.sql.session.timeZone=UTC`, so the cast is value-preserving. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

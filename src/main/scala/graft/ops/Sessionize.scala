@@ -106,11 +106,7 @@ object Sessionize {
                        gapMinutes: Int = 30): DataFrame = {
     val name = "stream_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(graft.streaming.StreamingDemand.eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.streaming.StreamingDemand.eventsStream(spark, dir)
     graft.streaming.StreamingDemand.withStatePartitions(spark, 8) {
       val q = sessionizeStream(stream, gapMinutes).toDF()
         .writeStream.outputMode("append").format("memory").queryName(name)

@@ -30,21 +30,40 @@ object StreamingDemand {
     try body finally spark.conf.set(key, prev)
   }
 
-  /** events schema as Spark reads it with nanosAsLong (ts = raw nanos). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** events schema when the parquet stores ts as TIMESTAMP(NANOS), read
+    * with `nanosAsLong` (ts = raw nanos). */
+  val eventsRawSchemaNanos: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Tumbling 1-hour event-time counts with a 1-hour watermark.
-    * `dir` is the sf directory; the glob filter selects the events table
-    * (FileStreamSource requires a directory, not a file path). */
-  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsRawSchema)
+  /** events schema when the parquet stores ts as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) — Spark reads TimestampNTZType. */
+  val eventsRawSchemaMicros: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of `dir`/events.parquet with `ts` normalized to
+    * session-zoned TimestampType at micro precision — the same two-flavor
+    * normalization as [[graft.io.Sources.table]]. FileStreamSource needs
+    * an explicit schema up front, so a footer-only batch read picks the
+    * flavor first (the glob filter selects the events table;
+    * FileStreamSource requires a directory, not a file path). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val nanos = spark.read.parquet(s"$dir/events.parquet").schema
+      .exists(f => f.name == "ts" && f.dataType == LongType)
+    val raw = spark.readStream
+      .schema(if (nanos) eventsRawSchemaNanos else eventsRawSchemaMicros)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** Tumbling 1-hour event-time counts with a 1-hour watermark. */
+  def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -61,10 +80,7 @@ object StreamingDemand {
                          dim: DataFrame, dimKey: String,
                          dimAttr: String): DataFrame = {
     val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
     withStatePartitions(spark, 8) {
       // exact integer aggregates only: streaming rejects count(DISTINCT),
       // and a double sum would be micro-batch-order-dependent
@@ -98,11 +114,8 @@ object StreamingDemand {
                         maxTs: Long): DataFrame = {
     val name = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStatePartitions(spark, 8) {
-      val q = spark.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+      val q = eventsStream(spark, dir)
+        .withColumn("ts", date_trunc("second", col("ts")))
         .filter(col("ts") < timestamp_seconds(lit(maxTs)))
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
@@ -122,24 +135,21 @@ object StreamingDemand {
    * attribution-join pattern (Spark buffers each side in keyed state and
    * evicts it once the other side's watermark passes the join bound, so
    * state stays bounded on an unbounded stream). Event time is floored
-   * to WHOLE SECONDS before the join (`ts DIV 1e9` on the raw nanos):
-   * the interval arithmetic is then exact integer-second logic the
-   * DuckDB oracle replays verbatim — micro-precision bounds would
-   * disagree at the fractional boundary.
+   * to WHOLE SECONDS before the join (`date_trunc("second", ts)`): the
+   * interval arithmetic is then exact integer-second logic the DuckDB
+   * oracle replays verbatim — micro-precision bounds would disagree at
+   * the fractional boundary.
    *
    * Returns the matched (c_user, click_id, c_ts, purchase_id, p_ts)
    * pairs, materialized to a batch frame.
    */
   def runIntervalJoinToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def side(evType: String, prefix: String) = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(evType: String, prefix: String) = eventsStream(spark, dir)
       .filter(col("event_type") === evType)
       .select(col("user_id").as(s"${prefix}_user"),
         col("event_id").as(s"${prefix}_id"),
-        timestamp_seconds(expr("ts DIV 1000000000")).as(s"${prefix}_ts"))
+        date_trunc("second", col("ts")).as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
     val joined = side("click", "c").join(side("purchase", "p"),
       col("c_user") === col("p_user") &&
@@ -176,14 +186,11 @@ object StreamingDemand {
   def runLeftOuterIntervalJoinToBatch(spark: SparkSession, dir: String,
                                       cutoffSec: Long): DataFrame = {
     val name = "stream_louter_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def side(evType: String, prefix: String) = spark.readStream
-      .schema(eventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    def side(evType: String, prefix: String) = eventsStream(spark, dir)
       .filter(col("event_type") === evType)
       .select(col("user_id").as(s"${prefix}_user"),
         col("event_id").as(s"${prefix}_id"),
-        timestamp_seconds(expr("ts DIV 1000000000")).as(s"${prefix}_ts"))
+        date_trunc("second", col("ts")).as(s"${prefix}_ts"))
       .withWatermark(s"${prefix}_ts", "1 hour")
     val clicks = side("click", "c")
       .filter(col("c_ts") < timestamp_seconds(lit(cutoffSec)))
@@ -217,11 +224,8 @@ object StreamingDemand {
                               gapMinutes: Int): DataFrame = {
     val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStatePartitions(spark, 8) {
-      val q = spark.readStream
-        .schema(eventsRawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_seconds(expr("ts DIV 1000000000")))
+      val q = eventsStream(spark, dir)
+        .withColumn("ts", date_trunc("second", col("ts")))
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"),
           session_window(col("ts"), s"$gapMinutes minutes"))
