@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Sources.table
+import graft.ops.Exprs
+import graft.sim.Similarity
+import graft.text.{Search, TextAnalysis}
+
+/**
+ * Corpus-preparation operators a pretraining-data pipeline runs after
+ * cleaning and before packing: context-window chunking, tokenizer
+ * coverage (OOV rate), semantically-stratified sampling, distribution
+ * shape (skewness/kurtosis), and hybrid-retrieval rank fusion.
+ * Reference analog: the reference has no corpus stage (SURVEY.md §2.1 —
+ * it is an Excel-fed reporting app); these extend the engine the same
+ * way the dedup/ANN family does, with every arithmetic step replayed by
+ * the DuckDB oracle (md5-derived hashes, integer-micro scores, exact
+ * BIGINT moment sums).
+ */
+object CorpusQueries {
+
+  // ------------------------------------------------- context-window chunking
+
+  /** Overlapping token chunks (size 40, stride 30 — RAG/context-window
+   * chunking): one output row per chunk with its token count and a
+   * 60-bit content hash. Fully map-side at any scale: `sequence` +
+   * `explode` + `slice` expand each document independently, no shuffle
+   * at all before the presentation sort — the 100 TB shape is
+   * "read docs, write chunks". Chunk starts step by the stride while
+   * `< n_tokens`, so a final short chunk keeps the tail; DuckDB's
+   * inclusive `w[a:b]` slice and Spark's `slice(w, start, len)` both
+   * clamp at the array end. */
+  val q188Chunking: Q = Q("q188_chunking",
+    """WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents),
+       st AS (SELECT doc_id, w, unnest(range(0, len(w), 30)) AS st
+              FROM tok WHERE len(w) >= 1),
+       c AS (SELECT doc_id, st // 30 AS chunk_idx, w[st+1:st+40] AS c FROM st)
+       SELECT doc_id, chunk_idx, CAST(len(c) AS BIGINT) AS n_tok,
+              ('0x'||substr(md5(array_to_string(c, ' ')),1,15))::BIGINT AS chunk_h
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("st", explode(sequence(lit(0), size(col("w")) - 1, lit(30))))
+      .select(col("doc_id"), (col("st") / 30).cast("long").as("chunk_idx"),
+        slice(col("w"), col("st") + 1, lit(40)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_tok"),
+        Exprs.md5Long(concat_ws(" ", col("c"))).as("chunk_h"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  // --------------------------------------------------- tokenizer coverage
+
+  /** Tokenizer-coverage audit: the corpus' top-20 tokens stand in for a
+   * fixed tokenizer vocabulary; per source, the fraction of token
+   * occurrences falling OUTSIDE it (OOV rate — the go/no-go signal for
+   * tokenizer/corpus fit). Vocabulary selection is one word-count
+   * shuffle whose result is vocabulary-sized (tiny by nature), so the
+   * membership join broadcasts and the corpus streams past it map-side;
+   * the per-doc then per-source aggregates both partial map-side. Ties
+   * at the vocabulary boundary break on the token string — deterministic
+   * at any partitioning. */
+  val q189OovRate: Q = Q("q189_oov_rate",
+    """WITH tok AS (SELECT doc_id, source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+         FROM documents),
+       vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w
+                 ORDER BY c DESC, w LIMIT 20)),
+       per AS (SELECT t.doc_id, t.source, count(*) AS n_tok,
+                      sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
+               FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1, 2)
+       SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+              CAST(sum(n_oov) AS BIGINT) AS sum_oov,
+              round(avg(CAST(n_oov AS DOUBLE) / n_tok), 4) AS avg_oov_frac
+       FROM per GROUP BY source ORDER BY source""") { (s, d) =>
+    val tok = table(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(20)
+      .select(col("w"), lit(1).as("in_v"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        sum("n_oov").as("sum_oov"),
+        round(avg(col("n_oov").cast("double") / col("n_tok")), 4)
+          .as("avg_oov_frac"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------- LSH-stratified sampling
+
+  /** Semantically-stratified sample: 2 vectors per hyperplane-LSH bucket,
+   * picked by md5-hash order within the bucket (cluster-balanced data
+   * selection — uniform hash sampling over-represents dense regions;
+   * stratifying by locality bucket caps each region's contribution).
+   * One scan; the window partitions by stratum, so state per partition
+   * is the running top-2, never the bucket contents. At 100 TB the
+   * 2^8 strata of [[Similarity.numPlanes]] planes would hot-spot — the
+   * knob is more planes (strata grow 2^planes), not a different plan. */
+  val q190StratifiedSample: Q = Q("q190_stratified_sample",
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+       b AS (SELECT vec_id, CAST(${TextQueries.bucketTerms} AS BIGINT) AS stratum FROM v),
+       r AS (SELECT stratum, vec_id,
+                    row_number() OVER (PARTITION BY stratum
+                      ORDER BY ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
+                               vec_id) AS pick
+             FROM b)
+       SELECT stratum, pick, vec_id FROM r WHERE pick <= 2
+       ORDER BY stratum, pick""") { (s, d) =>
+    val w = Window.partitionBy("stratum")
+      .orderBy(Exprs.md5Long(col("vec_id")).asc, col("vec_id").asc)
+    table(s, d, "embeddings")
+      .select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), dim = 64).as("stratum"))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .filter(col("pick") <= 2)
+      .select("stratum", "pick", "vec_id")
+      .orderBy("stratum", "pick")
+  }
+
+  // ------------------------------------------------- distribution shape
+
+  /** Per-language length-distribution shape: skewness and excess
+   * kurtosis of n_chars from exact BIGINT power sums (Σx..Σx⁴) — the
+   * one-pass, merge-exact spelling of the corpus-length audit (a
+   * long-tail length distribution is a standard pretraining red flag).
+   * Every Σ is integer-exact at any partitioning; only the final
+   * central-moment arithmetic is floating point, with the expression
+   * tree mirrored token-for-token in the oracle (no `pow` — `pow` may
+   * differ by an ulp across libm implementations; squares/cubes are
+   * spelled as products and the 1.5 power as v*sqrt(v)).
+   * Headroom: Σx⁴ at n_chars ≤ 1000 overflows BIGINT past ~9e6
+   * rows/group — past that, route the sums through DECIMAL(38,0) (the
+   * house pattern for money) at unchanged plan shape. */
+  val q191Moments: Q = Q("q191_moments",
+    """WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_chars) AS BIGINT) AS s1,
+                    CAST(sum(n_chars*n_chars) AS BIGINT) AS s2,
+                    CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) AS s3,
+                    CAST(sum(n_chars*n_chars*n_chars*n_chars) AS BIGINT) AS s4
+                  FROM documents GROUP BY lang),
+       d AS (SELECT lang, n, CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2r,
+                    CAST(s3 AS DOUBLE)/n AS m3r, CAST(s4 AS DOUBLE)/n AS m4r FROM m),
+       c AS (SELECT lang, n, m2r - m1*m1 AS v,
+                    m3r - 3.0*m1*m2r + 2.0*m1*m1*m1 AS m3,
+                    m4r - 4.0*m1*m3r + 6.0*m1*m1*m2r - 3.0*m1*m1*m1*m1 AS m4
+             FROM d)
+       SELECT lang, n, round(m3 / (v * sqrt(v)), 4) AS skewness,
+              round(m4 / (v * v) - 3.0, 4) AS excess_kurtosis
+       FROM c ORDER BY lang""") { (s, d) =>
+    val x = col("n_chars")
+    val m = table(s, d, "documents").groupBy("lang").agg(
+      count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+    val dd = m.select(col("lang"), col("n"),
+      (col("s1").cast("double") / col("n")).as("m1"),
+      (col("s2").cast("double") / col("n")).as("m2r"),
+      (col("s3").cast("double") / col("n")).as("m3r"),
+      (col("s4").cast("double") / col("n")).as("m4r"))
+    val c = dd.select(col("lang"), col("n"),
+      (col("m2r") - col("m1") * col("m1")).as("v"),
+      (col("m3r") - lit(3.0) * col("m1") * col("m2r")
+        + lit(2.0) * col("m1") * col("m1") * col("m1")).as("m3"),
+      (col("m4r") - lit(4.0) * col("m1") * col("m3r")
+        + lit(6.0) * col("m1") * col("m1") * col("m2r")
+        - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")).as("m4"))
+    c.select(col("lang"), col("n"),
+      round(col("m3") / (col("v") * sqrt(col("v"))), 4).as("skewness"),
+      round(col("m4") / (col("v") * col("v")) - lit(3.0), 4)
+        .as("excess_kurtosis"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------ reciprocal-rank fusion
+
+  private val rrfTermsA = Seq("dup", "key", "fast")
+  private val rrfTermsB = Seq("merge", "stream")
+  private val rrfK = 60
+
+  /** Oracle CTE chain computing one BM25 top-20 ranking (q77's replay,
+   * parameterized by term set and CTE suffix; `base`/`d`/`stats` are
+   * shared by both rankings). */
+  private def bm25RankCtes(terms: Seq[String], sfx: String): String = {
+    val in = terms.map(t => s"'$t'").mkString(", ")
+    s"""tf$sfx AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM (SELECT b.doc_id, d.dl, unnest(b.toks) AS term
+                    FROM base b JOIN d USING (doc_id))
+              WHERE term IN ($in) GROUP BY 1, 2, 3),
+       idf$sfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf$sfx GROUP BY term),
+       sc$sfx AS (SELECT t.doc_id,
+                CAST(round(ln((s.n_docs - i.df + 0.5) / (i.df + 0.5) + 1.0)
+                     * (t.tf * CAST(2.2 AS DOUBLE))
+                     / (t.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * t.dl / s.avgdl))
+                     * 1e6) AS BIGINT) AS sm
+              FROM tf$sfx t JOIN idf$sfx i USING (term) CROSS JOIN stats s),
+       r$sfx AS (SELECT doc_id,
+                row_number() OVER (ORDER BY sum(sm) DESC, doc_id) AS rank
+              FROM sc$sfx GROUP BY doc_id QUALIFY rank <= 20)"""
+  }
+
+  /** Hybrid-retrieval rank fusion: two BM25 top-20 rankings (distinct
+   * term sets — the stand-in for the usual lexical + dense pair) fused
+   * by reciprocal-rank-fusion score Σ 1/(60+rank), quantized to integer
+   * micro-units per list BEFORE the sum so the fused ordering is exact
+   * and order-proof. A doc present in only one list contributes only
+   * that list's term (the other coalesces to 0) — full-outer fusion,
+   * never dropping a single-list hit. Both ranked lists are top-k-sized
+   * (bounded), so the fusion join and final window are driver-trivial at
+   * any corpus scale; the heavy lifting is the two BM25 passes, each
+   * term-filtered before any shuffle (see [[Search.bm25TopK]]). */
+  val q192RrfFusion: Q = Q("q192_rrf_fusion",
+    s"""WITH base AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+       ${bm25RankCtes(rrfTermsA, "a")},
+       ${bm25RankCtes(rrfTermsB, "b")},
+       f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                    a.rank AS rank_a, b.rank AS rank_b,
+                    coalesce(CAST(round(1000000.0/($rrfK + a.rank), 0) AS BIGINT), 0)
+                    + coalesce(CAST(round(1000000.0/($rrfK + b.rank), 0) AS BIGINT), 0)
+                      AS rrf_micro
+             FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id)
+       SELECT row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS fused_rank,
+              doc_id, rrf_micro, rank_a, rank_b
+       FROM f QUALIFY fused_rank <= 10 ORDER BY fused_rank""") { (s, d) =>
+    val docs = table(s, d, "documents")
+    val Seq(a0, b0) =
+      Search.bm25TopKMulti(docs, Seq(rrfTermsA, rrfTermsB), k = 20)
+    val a = a0.select(col("doc_id"), col("rank").as("rank_a"))
+    val b = b0.select(col("doc_id"), col("rank").as("rank_b"))
+    def rrfTerm(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1000000.0) / (lit(rrfK) + rank), 0).cast("long"), lit(0L))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", rrfTerm(col("rank_a")) + rrfTerm(col("rank_b")))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("fused_rank") <= 10)
+      .select("fused_rank", "doc_id", "rrf_micro", "rank_a", "rank_b")
+      .orderBy("fused_rank")
+  }
+
+  val all: Seq[Q] = Seq(q188Chunking, q189OovRate, q190StratifiedSample,
+    q191Moments, q192RrfFusion)
+}

@@ -300,7 +300,7 @@ object TextQueries {
   /** SQL replay of Similarity.lshBucket: per plane p, the signed sum over
    * dims with md5-derived ±1 signs; bit p set when the sum is >= 0.
    * Shared by q41 (bucket histogram) and q42 (bucketed top-k). */
-  private val bucketTerms = (0 until Similarity.numPlanes).map { p =>
+  private[queries] val bucketTerms = (0 until Similarity.numPlanes).map { p =>
     s"""(CASE WHEN list_sum(list_transform(range(1, 65),
          k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
                       THEN 1.0 ELSE -1.0 END))) >= 0

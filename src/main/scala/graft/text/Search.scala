@@ -88,6 +88,59 @@ object Search {
   }
 
   /**
+   * BM25 top-`k` rankings for SEVERAL term sets over ONE corpus scan —
+   * the multi-query batch shape (e.g. rank-fusion inputs, offline query
+   * evaluation). Tokenization, length stats, tf, and df are computed
+   * once for the UNION of the term sets; each ranking then filters the
+   * already-scored per-(doc, term) table, which is |union terms| ×
+   * matching docs — so adding a ranking costs a slice of a tiny table,
+   * not another corpus pass. Per-term df over the union tf table equals
+   * per-set df for every term of the set (df is per term, set-independent),
+   * so each returned frame is IDENTICAL to `bm25TopK(docs, set, k)` —
+   * asserted in TextAnalysisSpec. Output frames carry the same columns
+   * as [[bm25TopK]]: (idCol, n_terms_hit, score_micro, score, rank).
+   */
+  def bm25TopKMulti(docs: DataFrame, termSets: Seq[Seq[String]], k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): Seq[DataFrame] = {
+    val union = termSets.flatten.distinct
+    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(union: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val termScore = idf * (col("tf") * K1Plus1) /
+      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl")))
+    // scored per-(doc, term) rows for the UNION — materialized once so
+    // each ranking below is a filter+agg over a terms×docs sliver
+    val scoredTerms = tf
+      .join(df, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_micro", round(termScore * 1e6, 0).cast("long"))
+      .localCheckpoint()
+    termSets.map { ts =>
+      scoredTerms.filter(col("term").isin(ts: _*))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
+        .withColumn("score", (col("score_micro") / 1e6).cast("double"))
+        .orderBy(col("score_micro").desc, col(idCol).asc)
+        .limit(k)
+        .withColumn("_one", lit(1))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("_one")
+            .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
+        .drop("_one")
+    }
+  }
+
+  /**
    * TF-IDF keyword extraction: the top-`k` terms of each document by
    * `tf × idf`, where `idf = ln(N / df)` over the WHOLE corpus. The idf
    * factor is quantized to integer milli-nats and multiplied by the

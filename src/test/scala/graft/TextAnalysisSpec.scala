@@ -47,4 +47,16 @@ class TextAnalysisSpec extends AnyFunSuite with SparkSpec {
     val s = one[Double](TextAnalysis.stopwordRatio(lit("the of and xyz")))
     assert(s == 0.75)
   }
+
+  test("bm25TopKMulti rankings equal independent bm25TopK per term set") {
+    val docs = graft.io.Sources.table(spark, sf001, "documents")
+    val sets = Seq(Seq("dup", "key", "fast"), Seq("merge", "stream"))
+    val multi = graft.text.Search.bm25TopKMulti(docs, sets, k = 20)
+    sets.zip(multi).foreach { case (terms, got) =>
+      val want = graft.text.Search.bm25TopK(docs, terms, k = 20)
+      val g = got.orderBy("rank").collect().map(_.toSeq).toSeq
+      val w = want.orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(g == w, s"multi ranking diverges for $terms")
+    }
+  }
 }
