@@ -22,9 +22,12 @@ object CorpusQueries {
 
   // ------------------------------------------------- context-window chunking
 
-  /** Overlapping token chunks (size 40, stride 30 — RAG/context-window
-   * chunking): one output row per chunk with its token count and a
-   * 60-bit content hash. Fully map-side at any scale: `sequence` +
+  /** Whole-corpus chunk MANIFEST (size 40, stride 30): one row per chunk
+   * with its token count and a 60-bit content hash — the at-scale
+   * companion to q73's bounded chunk-text demo (q73 emits the chunk
+   * STRINGS for a 50-doc slice; this emits hashes for every doc, the
+   * form a chunk-level dedup or audit joins against without shipping
+   * text). Fully map-side at any scale: `sequence` +
    * `explode` + `slice` expand each document independently, no shuffle
    * at all before the presentation sort — the 100 TB shape is
    * "read docs, write chunks". Chunk starts step by the stride while
@@ -250,6 +253,198 @@ object CorpusQueries {
       .orderBy("fused_rank")
   }
 
+  // ------------------------------------------------- survival analysis
+
+  /** Kaplan–Meier survival over the signup→purchase funnel: per signup
+   * user, time-to-first-purchase in whole days (censored at the corpus
+   * horizon when no purchase follows), then the classic KM table per
+   * event day — n_risk, n_events, and the product-limit survival
+   * estimate. Integer skeleton end-to-end: durations, risk counts and
+   * death counts are exact at any partitioning; only the final
+   * product-limit step is floating point (exp∘Σln over the SORTED
+   * ≤horizon-sized day table — deterministic order, so no
+   * associativity hazard), mirrored exactly in the oracle. A zero
+   * survival factor (d = n_risk) can only occur on the LAST event day
+   * (nobody survives past it, so no later row exists); the ln argument
+   * is guarded to 1.0 there and the row's survival overridden to 0.0 —
+   * DuckDB hard-errors on ln(0) while Spark yields null, so the guard
+   * is a cross-engine parity requirement, not a nicety.
+   * Scale shape: two keyed aggregates over events (user-level), then
+   * everything downstream is a ≤horizon-day table. */
+  val q193Survival: Q = Q("q193_survival",
+    """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+       fp AS (SELECT s.user_id, s.t0, min(CASE WHEN e.ts >= s.t0 THEN e.ts END) AS td
+              FROM su s LEFT JOIN events e
+                ON e.user_id = s.user_id AND e.event_type = 'purchase'
+              GROUP BY s.user_id, s.t0),
+       mx AS (SELECT max(ts) AS tmax FROM events),
+       dur AS (SELECT CASE WHEN td IS NULL
+                        THEN date_diff('day', CAST(t0 AS DATE), CAST(m.tmax AS DATE))
+                        ELSE date_diff('day', CAST(t0 AS DATE), CAST(td AS DATE)) END AS t,
+                      CASE WHEN td IS NULL THEN 0 ELSE 1 END AS ev
+               FROM fp CROSS JOIN mx m),
+       tot AS (SELECT count(*) AS n FROM dur),
+       day AS (SELECT t, count(*) AS n_end, CAST(sum(ev) AS BIGINT) AS d
+               FROM dur GROUP BY t),
+       risk AS (SELECT t, n_end, d,
+                  tot.n - coalesce(sum(n_end) OVER
+                    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+                FROM day CROSS JOIN tot),
+       km AS (SELECT t, d, n_risk FROM risk WHERE d > 0)
+       SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+              d AS n_events,
+              CASE WHEN d = n_risk THEN 0.0
+                   ELSE round(exp(sum(ln(CASE WHEN d = n_risk THEN 1.0
+                                              ELSE 1.0 - CAST(d AS DOUBLE)/n_risk END))
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+              END AS survival
+       FROM km ORDER BY t""") { (s, d) =>
+    val ev = table(s, d, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val fp = su.join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("tp")), Seq("user_id"), "left")
+      .groupBy("user_id", "t0")
+      .agg(min(when(col("tp") >= col("t0"), col("tp"))).as("td"))
+    val mx = ev.agg(max("ts").as("tmax"))
+    val dur = fp.crossJoin(broadcast(mx)).select(
+      when(col("td").isNull, datediff(to_date(col("tmax")), to_date(col("t0"))))
+        .otherwise(datediff(to_date(col("td")), to_date(col("t0")))).as("t"),
+      when(col("td").isNull, 0).otherwise(1).as("ev"))
+    val tot = dur.agg(count(lit(1)).as("n"))
+    val day = dur.groupBy("t")
+      .agg(count(lit(1)).as("n_end"), sum("ev").cast("long").as("d"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = day.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum("n_end").over(wPrev), lit(0L)))
+    risk.filter(col("d") > 0)
+      .select(col("t").cast("long").as("t"),
+        col("n_risk").cast("long").as("n_risk"),
+        col("d").as("n_events"),
+        when(col("d") === col("n_risk"), lit(0.0)).otherwise(
+          round(exp(sum(log(when(col("d") === col("n_risk"), lit(1.0))
+            .otherwise(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+            .over(wCum)), 4)).as("survival"))
+      .orderBy("t")
+  }
+
+  // --------------------------------------------- rolling-window anomaly
+
+  /** Rolling z-score anomaly flags over daily event volumes: per event
+   * type, each day's count against the trailing-7-day window's mean and
+   * sample stddev, both derived from exact integer sums (Σn, Σn²) so
+   * the window statistics are partition-order-proof; the first six days
+   * of each series (incomplete window) are excluded. The anomaly flag
+   * compares the ROUNDED z so the boolean is exactly reproducible.
+   * Scale shape: one keyed day-count aggregate over events; the window
+   * runs over the (type × day) table — bounded by calendar, not data. */
+  val q194RollingZscore: Q = Q("q194_rolling_zscore",
+    """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+       w AS (SELECT event_type, day, n,
+               CAST(count(*) OVER win AS BIGINT) AS wn,
+               CAST(sum(n) OVER win AS BIGINT) AS s1,
+               CAST(sum(n*n) OVER win AS BIGINT) AS s2
+             FROM dc WINDOW win AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       z AS (SELECT event_type, day, n,
+               round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/wn)
+                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/wn) / (wn - 1)), 4)
+                 AS zscore
+             FROM w WHERE wn = 7)
+       SELECT event_type, day, n, zscore, abs(zscore) > 2.0 AS is_anomaly
+       FROM z ORDER BY event_type, day""") { (s, d) =>
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    table(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"),
+        count(lit(1)).over(win).as("wn"),
+        sum("n").over(win).as("s1"),
+        sum(col("n") * col("n")).over(win).as("s2"))
+      .filter(col("wn") === 7)
+      .withColumn("zscore",
+        round((col("n").cast("double") - col("s1").cast("double") / col("wn"))
+          / sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("wn"))
+            / (col("wn") - 1)), 4))
+      .select(col("event_type"), col("day"), col("n"), col("zscore"),
+        (abs(col("zscore")) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  // ------------------------------------------------ retrieval evaluation
+
+  /** NDCG@5 of the LSH-bucketed ANN against brute-force cosine truth —
+   * the retrieval-quality eval an ANN rollout gates on (recall@k is
+   * q54's gate; NDCG additionally penalizes ranking the hits low).
+   * Binary relevance = membership in the exact top-5; per-rank DCG and
+   * ideal-DCG terms are quantized to integer micro-units BEFORE the
+   * per-query sum (the BM25 trick), so only the final ndcg division is
+   * floating point. Queries whose bucket returns fewer than 5
+   * candidates are scored over the returned ranks (ideal shrinks with
+   * them); a query with an empty bucket is absent — both engines agree.
+   * Scale: both rankings are bucket/broadcast-bounded (q42/q39 plans);
+   * the eval join touches only 50×5 ranked rows. */
+  val q195AnnNdcg: Q = Q("q195_ann_ndcg",
+    s"""WITH ${TextQueries.unitCte},
+       b AS (SELECT vec_id, CAST(${TextQueries.bucketTerms} AS BIGINT) AS bucket FROM v),
+       qb AS (SELECT u.vec_id AS qid, u.u AS qu, b.bucket
+              FROM u JOIN b ON u.vec_id = b.vec_id WHERE u.vec_id < 50),
+       cb AS (SELECT u.vec_id AS nid, u.u AS cu, b.bucket
+              FROM u JOIN b ON u.vec_id = b.vec_id),
+       sa AS (SELECT qid, nid, round(list_dot_product(qu, cu), 4) AS sim
+              FROM qb JOIN cb ON qb.bucket = cb.bucket AND qid <> nid),
+       approx AS (SELECT qid, nid,
+                    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                  FROM sa QUALIFY rank <= 5),
+       se AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     round(list_dot_product(q.u, c.u), 4) AS sim
+              FROM u q JOIN u c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       exact AS (SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+                 FROM se QUALIFY rank <= 5),
+       rel AS (SELECT a.qid, a.rank,
+                      CASE WHEN e.nid IS NOT NULL THEN 1 ELSE 0 END AS rel
+               FROM approx a LEFT JOIN exact e ON a.qid = e.qid AND a.nid = e.nid),
+       terms AS (SELECT qid, rel,
+                   CAST(round(1000000.0 * rel / log2(CAST(rank + 1 AS DOUBLE)), 0) AS BIGINT) AS term_micro,
+                   CAST(round(1000000.0 / log2(CAST(rank + 1 AS DOUBLE)), 0) AS BIGINT) AS ideal_micro
+                 FROM rel),
+       per AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_hits,
+                      CAST(sum(term_micro) AS BIGINT) AS dcg_micro,
+                      CAST(sum(ideal_micro) AS BIGINT) AS idcg_micro
+               FROM terms GROUP BY qid)
+       SELECT qid, n_hits, dcg_micro, idcg_micro,
+              CAST(round(1000.0 * dcg_micro / idcg_micro, 0) AS BIGINT) AS ndcg_milli
+       FROM per ORDER BY qid""") { (s, d) =>
+    val emb = table(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 50)
+    val approx = Similarity.lshTopK(q, emb, k = 5, dim = 64)
+      .select(col("qid"), col("nid"), col("rank"))
+    val exact = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(col("qid"), col("nid"), lit(1).as("hit"))
+    approx.join(exact, Seq("qid", "nid"), "left")
+      .withColumn("rel", coalesce(col("hit"), lit(0)))
+      .withColumn("term_micro",
+        round(lit(1000000.0) * col("rel") / log2(col("rank") + 1), 0).cast("long"))
+      .withColumn("ideal_micro",
+        round(lit(1000000.0) / log2(col("rank") + 1), 0).cast("long"))
+      .groupBy("qid")
+      .agg(sum("rel").cast("long").as("n_hits"),
+        sum("term_micro").as("dcg_micro"),
+        sum("ideal_micro").as("idcg_micro"))
+      .withColumn("ndcg_milli",
+        round(lit(1000.0) * col("dcg_micro") / col("idcg_micro"), 0).cast("long"))
+      .orderBy("qid")
+  }
+
   val all: Seq[Q] = Seq(q188Chunking, q189OovRate, q190StratifiedSample,
-    q191Moments, q192RrfFusion)
+    q191Moments, q192RrfFusion, q193Survival, q194RollingZscore, q195AnnNdcg)
 }

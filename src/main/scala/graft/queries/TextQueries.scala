@@ -259,7 +259,7 @@ object TextQueries {
 
   /** Shared oracle CTE: unit-normalized double vectors (norm once per
    * row — mirrors Similarity.withUnitVec exactly, op for op). */
-  private val unitCte =
+  private[queries] val unitCte =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
              FROM embeddings),
       nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),

@@ -101,6 +101,44 @@ class CorpusQueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q193: KM table is monotone (risk set and survival both non-increasing)") {
+    val r = CorpusQueries.q193Survival.fn(spark, sf001).collect()
+    assert(r.nonEmpty)
+    val risk = r.map(_.getAs[Long]("n_risk")).toSeq
+    assert(risk == risk.sorted.reverse, "n_risk must not increase over time")
+    val surv = r.map(_.getAs[Double]("survival")).toSeq
+    assert(surv == surv.sorted.reverse, "survival must not increase over time")
+    assert(surv.forall(s => s >= 0.0 && s <= 1.0))
+    r.foreach(row =>
+      assert(row.getAs[Long]("n_events") <= row.getAs[Long]("n_risk")))
+  }
+
+  test("q194: full trailing windows only, flag agrees with rounded z") {
+    val r = CorpusQueries.q194RollingZscore.fn(spark, sf001).collect()
+    assert(r.nonEmpty)
+    // per event type, days 1..6 of the series are excluded (wn < 7)
+    val perType = r.groupBy(_.getAs[String]("event_type")).values
+    perType.foreach(rows => assert(rows.length >= 1))
+    r.foreach { row =>
+      val z = row.getAs[Double]("zscore")
+      assert(row.getAs[Boolean]("is_anomaly") == (math.abs(z) > 2.0))
+    }
+  }
+
+  test("q195: NDCG bounded by 1000 and exact when all approx hits are relevant") {
+    val r = CorpusQueries.q195AnnNdcg.fn(spark, sf001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (hits, ndcg) = (row.getAs[Long]("n_hits"), row.getAs[Long]("ndcg_milli"))
+      assert(hits >= 0 && hits <= 5)
+      assert(ndcg >= 0 && ndcg <= 1000)
+      assert(row.getAs[Long]("dcg_micro") <= row.getAs[Long]("idcg_micro"))
+      // binary relevance: a full house of hits means DCG == IDCG exactly
+      val nRanks = 5 // lshTopK returned ranks for this qid ≤ 5; full-hit ⇒ all
+      if (hits == nRanks) assert(ndcg == 1000)
+    }
+  }
+
   // ------------------------------------------------------------ plan pins
 
   private def plan(q: graft.queries.Q): SparkPlan =
