@@ -269,8 +269,12 @@ object CorpusQueries {
    * is guarded to 1.0 there and the row's survival overridden to 0.0 —
    * DuckDB hard-errors on ln(0) while Spark yields null, so the guard
    * is a cross-engine parity requirement, not a nicety.
-   * Scale shape: two keyed aggregates over events (user-level), then
-   * everything downstream is a ≤horizon-day table. */
+   * Scale shape: ONE signup/purchase-filtered pass over events (the
+   * user window + aggregate share its shuffle) plus one max-ts scan —
+   * the ≤2-scans-per-table pin holds; n_risk is a SUFFIX window sum
+   * (Σ n_end over t' ≥ t) so no separate total branch re-derives the
+   * pipeline. Everything past the user aggregate is a ≤horizon-day
+   * table. */
   val q193Survival: Q = Q("q193_survival",
     """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
                    WHERE event_type = 'signup' GROUP BY user_id),
@@ -284,14 +288,12 @@ object CorpusQueries {
                         ELSE date_diff('day', CAST(t0 AS DATE), CAST(td AS DATE)) END AS t,
                       CASE WHEN td IS NULL THEN 0 ELSE 1 END AS ev
                FROM fp CROSS JOIN mx m),
-       tot AS (SELECT count(*) AS n FROM dur),
        day AS (SELECT t, count(*) AS n_end, CAST(sum(ev) AS BIGINT) AS d
                FROM dur GROUP BY t),
        risk AS (SELECT t, n_end, d,
-                  tot.n - coalesce(sum(n_end) OVER
-                    (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS n_risk
-                FROM day CROSS JOIN tot),
+                  sum(n_end) OVER (ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+                FROM day),
        km AS (SELECT t, d, n_risk FROM risk WHERE d > 0)
        SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
               d AS n_events,
@@ -302,27 +304,29 @@ object CorpusQueries {
               END AS survival
        FROM km ORDER BY t""") { (s, d) =>
     val ev = table(s, d, "events")
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min("ts").as("t0"))
-    val fp = su.join(ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("tp")), Seq("user_id"), "left")
+    // one filtered scan: t0 via user window, first-qualifying purchase
+    // via the same user-keyed aggregate (the window's shuffle is reused)
+    val wUser = Window.partitionBy("user_id")
+    val ua = ev.filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("ts"))).over(wUser))
+      .filter(col("t0").isNotNull)
       .groupBy("user_id", "t0")
-      .agg(min(when(col("tp") >= col("t0"), col("tp"))).as("td"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("t0"),
+        col("ts"))).as("td"))
     val mx = ev.agg(max("ts").as("tmax"))
-    val dur = fp.crossJoin(broadcast(mx)).select(
+    val dur = ua.crossJoin(broadcast(mx)).select(
       when(col("td").isNull, datediff(to_date(col("tmax")), to_date(col("t0"))))
         .otherwise(datediff(to_date(col("td")), to_date(col("t0")))).as("t"),
       when(col("td").isNull, 0).otherwise(1).as("ev"))
-    val tot = dur.agg(count(lit(1)).as("n"))
     val day = dur.groupBy("t")
       .agg(count(lit(1)).as("n_end"), sum("ev").cast("long").as("d"))
-    val wPrev = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSuffix = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = day.crossJoin(broadcast(tot))
-      .withColumn("n_risk",
-        col("n") - coalesce(sum("n_end").over(wPrev), lit(0L)))
+    val risk = day.withColumn("n_risk", sum("n_end").over(wSuffix))
     risk.filter(col("d") > 0)
       .select(col("t").cast("long").as("t"),
         col("n_risk").cast("long").as("n_risk"),
@@ -391,7 +395,9 @@ object CorpusQueries {
    * candidates are scored over the returned ranks (ideal shrinks with
    * them); a query with an empty bucket is absent — both engines agree.
    * Scale: both rankings are bucket/broadcast-bounded (q42/q39 plans);
-   * the eval join touches only 50×5 ranked rows. */
+   * the BOUNDED query slice is checkpointed once so the plan reads the
+   * corpus file exactly twice — one pass per ranking (the ≤2-scans pin)
+   * — and the eval join touches only 50×5 ranked rows. */
   val q195AnnNdcg: Q = Q("q195_ann_ndcg",
     s"""WITH ${TextQueries.unitCte},
        b AS (SELECT vec_id, CAST(${TextQueries.bucketTerms} AS BIGINT) AS bucket FROM v),
@@ -425,7 +431,7 @@ object CorpusQueries {
               CAST(round(1000.0 * dcg_micro / idcg_micro, 0) AS BIGINT) AS ndcg_milli
        FROM per ORDER BY qid""") { (s, d) =>
     val emb = table(s, d, "embeddings")
-    val q = emb.filter(col("vec_id") < 50)
+    val q = emb.filter(col("vec_id") < 50).localCheckpoint()
     val approx = Similarity.lshTopK(q, emb, k = 5, dim = 64)
       .select(col("qid"), col("nid"), col("rank"))
     val exact = Similarity.bruteForceTopK(q, emb, k = 5)
@@ -445,6 +451,86 @@ object CorpusQueries {
       .orderBy("qid")
   }
 
+  // ---------------------------------------------------- privacy audit
+
+  /** k-anonymity / l-diversity audit over the customer table:
+   * quasi-identifier classes (nation × market segment) with their
+   * sizes, the diversity of the sensitive attribute (distinct
+   * account-balance k$-buckets), and the k≥5 verdict per class — the
+   * release-gate audit a privacy review runs before sharing
+   * quasi-identified rows (k-anonymity: Sweeney 2002; l-diversity:
+   * Machanavajjhala 2007). One keyed aggregate; the output is bounded
+   * by QI-class cardinality, not rows, at any scale. The sensitive
+   * bucket uses `floor` (toward −∞) so negative balances land in
+   * deterministic buckets in both engines. */
+  val q196KAnonymity: Q = Q("q196_k_anonymity",
+    """SELECT c_nationkey, c_mktsegment,
+              count(*) AS class_size,
+              CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+                AS l_diversity,
+              count(*) >= 5 AS is_k_anon
+       FROM customer GROUP BY c_nationkey, c_mktsegment
+       ORDER BY c_nationkey, c_mktsegment""") { (s, d) =>
+    table(s, d, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(floor(col("c_acctbal") / 1000.0).cast("long"))
+          .as("l_diversity"))
+      .withColumn("is_k_anon", col("class_size") >= 5)
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  // ------------------------------------------- correlated-exists shape
+
+  /** TPC-H Q21-shaped "sole late supplier": suppliers whose lineitem
+   * shipped late (> 30 days after the order date) on a multi-supplier
+   * order where NO OTHER supplier was late — the classic
+   * EXISTS + NOT-EXISTS correlated composition, spelled as left-semi
+   * and left-anti joins against per-order supplier sets so every
+   * correlation is a keyed join, never a per-row subquery. The
+   * per-order distinct supplier/late-supplier sets aggregate BEFORE the
+   * joins (orderkey-sized tables); at scale each join is one hash
+   * shuffle on orderkey and the final count is supplier-sized. */
+  val q197SoleLateSupplier: Q = Q("q197_sole_late_supplier",
+    """WITH l AS (SELECT li.l_orderkey, li.l_suppkey,
+                     CASE WHEN li.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                          THEN 1 ELSE 0 END AS late
+                  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+       per AS (SELECT l_orderkey, l_suppkey, max(late) AS late
+               FROM l GROUP BY l_orderkey, l_suppkey),
+       ord AS (SELECT l_orderkey,
+                      count(*) AS n_supp,
+                      CAST(sum(late) AS BIGINT) AS n_late
+               FROM per GROUP BY l_orderkey),
+       hit AS (SELECT p.l_suppkey
+               FROM per p JOIN ord o ON p.l_orderkey = o.l_orderkey
+               WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1)
+       SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+       FROM hit h JOIN supplier s ON h.l_suppkey = s.s_suppkey
+       GROUP BY s.s_suppkey, s.s_name
+       ORDER BY numwait DESC, s.s_suppkey LIMIT 20""") { (s, d) =>
+    val li = table(s, d, "lineitem")
+    val ord = table(s, d, "orders")
+    val l = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"), 1)
+          .otherwise(0).as("late"))
+    val per = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("late"))
+    val perOrder = per.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    val hit = per.filter(col("late") === 1)
+      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
+        Seq("l_orderkey"), "left_semi")
+    hit.join(table(s, d, "supplier"),
+        hit("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q188Chunking, q189OovRate, q190StratifiedSample,
-    q191Moments, q192RrfFusion, q193Survival, q194RollingZscore, q195AnnNdcg)
+    q191Moments, q192RrfFusion, q193Survival, q194RollingZscore, q195AnnNdcg,
+    q196KAnonymity, q197SoleLateSupplier)
 }
