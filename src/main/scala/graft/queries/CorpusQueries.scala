@@ -140,6 +140,9 @@ object CorpusQueries {
    * tree mirrored token-for-token in the oracle (no `pow` — `pow` may
    * differ by an ulp across libm implementations; squares/cubes are
    * spelled as products and the 1.5 power as v*sqrt(v)).
+   * A zero-variance group yields NULL for both shape statistics via the
+   * integer-exact test n·Σx² = (Σx)² — Spark's 0.0/0.0 is NaN but
+   * DuckDB's is NULL, so the guard IS the cross-engine contract.
    * Headroom: Σx⁴ at n_chars ≤ 1000 overflows BIGINT past ~9e6
    * rows/group — past that, route the sums through DECIMAL(38,0) (the
    * house pattern for money) at unchanged plan shape. */
@@ -150,25 +153,30 @@ object CorpusQueries {
                     CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) AS s3,
                     CAST(sum(n_chars*n_chars*n_chars*n_chars) AS BIGINT) AS s4
                   FROM documents GROUP BY lang),
-       d AS (SELECT lang, n, CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2r,
+       d AS (SELECT lang, n, n*s2 = s1*s1 AS zerovar,
+                    CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2r,
                     CAST(s3 AS DOUBLE)/n AS m3r, CAST(s4 AS DOUBLE)/n AS m4r FROM m),
-       c AS (SELECT lang, n, m2r - m1*m1 AS v,
+       c AS (SELECT lang, n, zerovar, m2r - m1*m1 AS v,
                     m3r - 3.0*m1*m2r + 2.0*m1*m1*m1 AS m3,
                     m4r - 4.0*m1*m3r + 6.0*m1*m1*m2r - 3.0*m1*m1*m1*m1 AS m4
              FROM d)
-       SELECT lang, n, round(m3 / (v * sqrt(v)), 4) AS skewness,
-              round(m4 / (v * v) - 3.0, 4) AS excess_kurtosis
+       SELECT lang, n,
+              CASE WHEN zerovar THEN NULL
+                   ELSE round(m3 / (v * sqrt(v)), 4) END AS skewness,
+              CASE WHEN zerovar THEN NULL
+                   ELSE round(m4 / (v * v) - 3.0, 4) END AS excess_kurtosis
        FROM c ORDER BY lang""") { (s, d) =>
     val x = col("n_chars")
     val m = table(s, d, "documents").groupBy("lang").agg(
       count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
       sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
     val dd = m.select(col("lang"), col("n"),
+      (col("n") * col("s2") === col("s1") * col("s1")).as("zerovar"),
       (col("s1").cast("double") / col("n")).as("m1"),
       (col("s2").cast("double") / col("n")).as("m2r"),
       (col("s3").cast("double") / col("n")).as("m3r"),
       (col("s4").cast("double") / col("n")).as("m4r"))
-    val c = dd.select(col("lang"), col("n"),
+    val c = dd.select(col("lang"), col("n"), col("zerovar"),
       (col("m2r") - col("m1") * col("m1")).as("v"),
       (col("m3r") - lit(3.0) * col("m1") * col("m2r")
         + lit(2.0) * col("m1") * col("m1") * col("m1")).as("m3"),
@@ -176,8 +184,11 @@ object CorpusQueries {
         + lit(6.0) * col("m1") * col("m1") * col("m2r")
         - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")).as("m4"))
     c.select(col("lang"), col("n"),
-      round(col("m3") / (col("v") * sqrt(col("v"))), 4).as("skewness"),
-      round(col("m4") / (col("v") * col("v")) - lit(3.0), 4)
+      when(col("zerovar"), lit(null))
+        .otherwise(round(col("m3") / (col("v") * sqrt(col("v"))), 4))
+        .as("skewness"),
+      when(col("zerovar"), lit(null))
+        .otherwise(round(col("m4") / (col("v") * col("v")) - lit(3.0), 4))
         .as("excess_kurtosis"))
       .orderBy("lang")
   }
@@ -345,7 +356,9 @@ object CorpusQueries {
    * sample stddev, both derived from exact integer sums (Σn, Σn²) so
    * the window statistics are partition-order-proof; the first six days
    * of each series (incomplete window) are excluded. The anomaly flag
-   * compares the ROUNDED z so the boolean is exactly reproducible.
+   * compares the ROUNDED z so the boolean is exactly reproducible; a
+   * zero-variance window yields NULL z (integer-exact wn·Σn² = (Σn)²
+   * test — Spark's 0.0/0.0 is NaN, DuckDB's is NULL).
    * Scale shape: one keyed day-count aggregate over events; the window
    * runs over the (type × day) table — bounded by calendar, not data. */
   val q194RollingZscore: Q = Q("q194_rolling_zscore",
@@ -358,9 +371,10 @@ object CorpusQueries {
              FROM dc WINDOW win AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
        z AS (SELECT event_type, day, n,
-               round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/wn)
-                 / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/wn) / (wn - 1)), 4)
-                 AS zscore
+               CASE WHEN wn*s2 = s1*s1 THEN NULL
+                    ELSE round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/wn)
+                      / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/wn) / (wn - 1)), 4)
+               END AS zscore
              FROM w WHERE wn = 7)
        SELECT event_type, day, n, zscore, abs(zscore) > 2.0 AS is_anomaly
        FROM z ORDER BY event_type, day""") { (s, d) =>
@@ -375,9 +389,11 @@ object CorpusQueries {
         sum(col("n") * col("n")).over(win).as("s2"))
       .filter(col("wn") === 7)
       .withColumn("zscore",
-        round((col("n").cast("double") - col("s1").cast("double") / col("wn"))
-          / sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("wn"))
-            / (col("wn") - 1)), 4))
+        when(col("wn") * col("s2") === col("s1") * col("s1"), lit(null))
+          .otherwise(
+            round((col("n").cast("double") - col("s1").cast("double") / col("wn"))
+              / sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("wn"))
+                / (col("wn") - 1)), 4)))
       .select(col("event_type"), col("day"), col("n"), col("zscore"),
         (abs(col("zscore")) > 2.0).as("is_anomaly"))
       .orderBy("event_type", "day")

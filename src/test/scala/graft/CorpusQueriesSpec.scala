@@ -83,6 +83,15 @@ class CorpusQueriesSpec extends AnyFunSuite with SparkSpec {
       .head()
     assert(s.getDouble(0) == 0.0)
     assert(s.getDouble(1) == -2.0)
+    // zero-variance guard: constant series must yield NULL shape stats
+    // (the integer-exact n*s2 == s1*s1 test), never NaN
+    val const = (1 to 50).map(_ => ("y", 42L)).toDF("lang", "n_chars")
+    val g = const.groupBy("lang").agg(count(lit(1)).as("n"),
+      sum(x).as("s1"), sum(x * x).as("s2"))
+      .select(when(col("n") * col("s2") === col("s1") * col("s1"), lit(null))
+        .otherwise(lit(1.0)).as("guarded"))
+      .head()
+    assert(g.isNullAt(0), "constant series must trip the zero-variance guard")
   }
 
   test("q192: fused ranking is dense, deterministic, and respects both lists") {
