@@ -344,7 +344,42 @@ object SketchQueries {
       .orderBy("priority", "day")
   }
 
+  // ------------------------------------------------- streaming KMV merge
+
+  /** Streaming KMV distinct merge (the KMV twin of q187's count-min):
+   * per-micro-batch bottom-64 hash sets fold by union→distinct→bottom-k
+   * in foreachBatch, and the oracle replays the ONE-SHOT batch build —
+   * unlike count-min this merge is EXACT set algebra (min-k of a union
+   * = min-k of per-part min-k's), so stream ≡ batch holds
+   * hash-identically at any batch boundary, not just error-bounded.
+   * Output: the saturated sketch next to the exact distinct count and
+   * realized error in ppm. */
+  val q198StreamKmv: Q = Q("q198_stream_kmv",
+    s"""WITH h AS (SELECT DISTINCT ${md5sql.format("user_id")} AS h FROM events),
+       r AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM h),
+       s AS (SELECT count(*) AS n_kept, max(h) AS theta FROM r WHERE rk <= 64),
+       ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+       SELECT n_kept, theta,
+              CASE WHEN n_kept < 64 THEN n_kept
+                   ELSE (${Sketches.HashSpace} // theta) * 63 END AS est_distinct,
+              n_exact,
+              abs(CASE WHEN n_kept < 64 THEN n_kept
+                       ELSE (${Sketches.HashSpace} // theta) * 63 END - n_exact)
+                * 1000000 // n_exact AS err_ppm
+       FROM s CROSS JOIN ex""") { (s, d) =>
+    val sk = graft.streaming.StreamingSketch.runKmvToBatch(s, d, k = 64)
+    val exact = table(s, d, "events")
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    sk.agg(count(lit(1)).as("n_kept"), max("h").as("theta"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < 64, col("n_kept"))
+          .otherwise(expr(s"(${Sketches.HashSpace} div theta) * 63")))
+      .crossJoin(broadcast(exact))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
+  }
+
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
-    q166FirSmoother, q181BfsHops)
+    q166FirSmoother, q181BfsHops, q198StreamKmv)
 }

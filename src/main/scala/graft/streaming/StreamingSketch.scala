@@ -48,4 +48,41 @@ object StreamingSketch {
     try q.processAllAvailable() finally q.stop()
     target
   }
+
+  /** Streaming KMV distinct sketch: each micro-batch's bottom-`k`
+    * distinct-hash set folds into the running sketch by
+    * union → distinct → bottom-k. Min-k over a union equals min-k over
+    * per-part min-k's (set algebra, no counting), so unlike count-min
+    * this monoid is EXACT: the final k hashes are identical to the
+    * one-shot batch build at any batch boundary or arrival order.
+    * State between merges is ≤ 2k hashes. Returns the k-row hash
+    * table (h). */
+  def runKmvToBatch(spark: SparkSession, dir: String, k: Int = 64,
+                    nFiles: Int = 4): DataFrame = {
+    val stage = graft.io.Sources.scratchDir("graft_kmv")
+    graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+
+    @volatile var target: DataFrame = null
+    val q = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch
+          .select(graft.ops.Exprs.md5Long(col("user_id")).as("h"))
+          .distinct().orderBy(col("h").asc).limit(k)
+        target = (if (target == null) delta
+                  else target.unionByName(delta).distinct()
+                    .orderBy(col("h").asc).limit(k))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    target
+  }
 }

@@ -124,4 +124,16 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(sql.contains("ed4") && !sql.contains("ed5"))
     assert(sql.contains("kcore AS"))
   }
+
+  test("streaming KMV merge is hash-identical to the one-shot batch build") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingSketch
+      .runKmvToBatch(spark, sf001, k = 64)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val batch = graft.io.Sources.table(spark, sf001, "events")
+      .select(graft.ops.Exprs.md5Long(col("user_id")).as("h"))
+      .distinct().orderBy(col("h").asc).limit(64)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed == batch, "stream KMV must equal batch bottom-k exactly")
+  }
 }
