@@ -501,12 +501,14 @@ object CorpusQueries {
   /** TPC-H Q21-shaped "sole late supplier": suppliers whose lineitem
    * shipped late (> 30 days after the order date) on a multi-supplier
    * order where NO OTHER supplier was late — the classic
-   * EXISTS + NOT-EXISTS correlated composition, spelled as left-semi
-   * and left-anti joins against per-order supplier sets so every
-   * correlation is a keyed join, never a per-row subquery. The
-   * per-order distinct supplier/late-supplier sets aggregate BEFORE the
-   * joins (orderkey-sized tables); at scale each join is one hash
-   * shuffle on orderkey and the final count is supplier-sized. */
+   * EXISTS + NOT-EXISTS correlated composition. The whole correlation
+   * collapses into ONE per-order aggregate: a qualifying order has
+   * exactly one late supplier, so `max(CASE WHEN late THEN suppkey)`
+   * recovers it in the same pass that counts suppliers and late
+   * suppliers — no self semi join, no per-row subquery (the oracle
+   * spells the textbook join form; values are identical by
+   * construction). At scale: one broadcast of the orders projection
+   * into lineitem, two keyed aggregates, and a supplier-sized tail. */
   val q197SoleLateSupplier: Q = Q("q197_sole_late_supplier",
     """WITH l AS (SELECT li.l_orderkey, li.l_suppkey,
                      CASE WHEN li.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
@@ -533,11 +535,10 @@ object CorpusQueries {
           .otherwise(0).as("late"))
     val per = l.groupBy("l_orderkey", "l_suppkey")
       .agg(max("late").as("late"))
-    val perOrder = per.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
-    val hit = per.filter(col("late") === 1)
-      .join(perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1),
-        Seq("l_orderkey"), "left_semi")
+    val hit = per.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("l_suppkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
     hit.join(table(s, d, "supplier"),
         hit("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
