@@ -65,7 +65,10 @@ object CorpusQueries {
    * membership join broadcasts and the corpus streams past it map-side;
    * the per-doc then per-source aggregates both partial map-side. Ties
    * at the vocabulary boundary break on the token string — deterministic
-   * at any partitioning. */
+   * at any partitioning. The per-source mean OOV rate is integer ppm:
+   * each doc's fraction quantizes to ppm BEFORE the cross-doc sum (a
+   * raw double avg would depend on partition addition order), and the
+   * mean is one integer division at the end. */
   val q189OovRate: Q = Q("q189_oov_rate",
     """WITH tok AS (SELECT doc_id, source,
            unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -74,11 +77,14 @@ object CorpusQueries {
                  ORDER BY c DESC, w LIMIT 20)),
        per AS (SELECT t.doc_id, t.source, count(*) AS n_tok,
                       sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS n_oov
-               FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1, 2)
+               FROM tok t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1, 2),
+       ppm AS (SELECT source, n_tok, n_oov,
+                 CAST(round(1000000.0 * n_oov / n_tok, 0) AS BIGINT) AS oov_ppm
+               FROM per)
        SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
               CAST(sum(n_oov) AS BIGINT) AS sum_oov,
-              round(avg(CAST(n_oov AS DOUBLE) / n_tok), 4) AS avg_oov_frac
-       FROM per GROUP BY source ORDER BY source""") { (s, d) =>
+              CAST(sum(oov_ppm) AS BIGINT) // count(*) AS avg_oov_ppm
+       FROM ppm GROUP BY source ORDER BY source""") { (s, d) =>
     val tok = table(s, d, "documents")
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
@@ -89,11 +95,13 @@ object CorpusQueries {
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_tok"),
         sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        round(lit(1000000.0) * col("n_oov") / col("n_tok"), 0).cast("long"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
-        sum("n_oov").as("sum_oov"),
-        round(avg(col("n_oov").cast("double") / col("n_tok")), 4)
-          .as("avg_oov_frac"))
+        sum("n_oov").as("sum_oov"), sum("oov_ppm").as("sum_ppm"))
+      .withColumn("avg_oov_ppm", expr("sum_ppm div n_docs"))
+      .drop("sum_ppm")
       .orderBy("source")
   }
 
@@ -141,8 +149,10 @@ object CorpusQueries {
    * differ by an ulp across libm implementations; squares/cubes are
    * spelled as products and the 1.5 power as v*sqrt(v)).
    * A zero-variance group yields NULL for both shape statistics via the
-   * integer-exact test n·Σx² = (Σx)² — Spark's 0.0/0.0 is NaN but
-   * DuckDB's is NULL, so the guard IS the cross-engine contract.
+   * overflow-free test min(x) = max(x) — Spark's 0.0/0.0 is NaN but
+   * DuckDB's is NULL, so the guard IS the cross-engine contract (a
+   * product test like n·Σx² = (Σx)² would itself overflow BIGINT long
+   * before the power sums do).
    * Headroom: Σx⁴ at n_chars ≤ 1000 overflows BIGINT past ~9e6
    * rows/group — past that, route the sums through DECIMAL(38,0) (the
    * house pattern for money) at unchanged plan shape. */
@@ -151,9 +161,10 @@ object CorpusQueries {
                     CAST(sum(n_chars) AS BIGINT) AS s1,
                     CAST(sum(n_chars*n_chars) AS BIGINT) AS s2,
                     CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) AS s3,
-                    CAST(sum(n_chars*n_chars*n_chars*n_chars) AS BIGINT) AS s4
+                    CAST(sum(n_chars*n_chars*n_chars*n_chars) AS BIGINT) AS s4,
+                    min(n_chars) = max(n_chars) AS zerovar
                   FROM documents GROUP BY lang),
-       d AS (SELECT lang, n, n*s2 = s1*s1 AS zerovar,
+       d AS (SELECT lang, n, zerovar,
                     CAST(s1 AS DOUBLE)/n AS m1, CAST(s2 AS DOUBLE)/n AS m2r,
                     CAST(s3 AS DOUBLE)/n AS m3r, CAST(s4 AS DOUBLE)/n AS m4r FROM m),
        c AS (SELECT lang, n, zerovar, m2r - m1*m1 AS v,
@@ -166,31 +177,39 @@ object CorpusQueries {
               CASE WHEN zerovar THEN NULL
                    ELSE round(m4 / (v * v) - 3.0, 4) END AS excess_kurtosis
        FROM c ORDER BY lang""") { (s, d) =>
-    val x = col("n_chars")
-    val m = table(s, d, "documents").groupBy("lang").agg(
+    momentShape(table(s, d, "documents"), "lang", "n_chars").orderBy("lang")
+  }
+
+  /** The engine side of q191's moment arithmetic, shared with the spec's
+   * planted-distribution tests so the PRODUCTION expressions (not a
+   * copy) are what recovers the planted shapes. Output:
+   * (groupCol, n, skewness, excess_kurtosis). */
+  private[graft] def momentShape(df: org.apache.spark.sql.DataFrame,
+                                 groupCol: String, valueCol: String) = {
+    val x = col(valueCol)
+    val m = df.groupBy(groupCol).agg(
       count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
-      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
-    val dd = m.select(col("lang"), col("n"),
-      (col("n") * col("s2") === col("s1") * col("s1")).as("zerovar"),
+      sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"),
+      (min(x) === max(x)).as("zerovar"))
+    val dd = m.select(col(groupCol), col("n"), col("zerovar"),
       (col("s1").cast("double") / col("n")).as("m1"),
       (col("s2").cast("double") / col("n")).as("m2r"),
       (col("s3").cast("double") / col("n")).as("m3r"),
       (col("s4").cast("double") / col("n")).as("m4r"))
-    val c = dd.select(col("lang"), col("n"), col("zerovar"),
+    val c = dd.select(col(groupCol), col("n"), col("zerovar"),
       (col("m2r") - col("m1") * col("m1")).as("v"),
       (col("m3r") - lit(3.0) * col("m1") * col("m2r")
         + lit(2.0) * col("m1") * col("m1") * col("m1")).as("m3"),
       (col("m4r") - lit(4.0) * col("m1") * col("m3r")
         + lit(6.0) * col("m1") * col("m1") * col("m2r")
         - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")).as("m4"))
-    c.select(col("lang"), col("n"),
+    c.select(col(groupCol), col("n"),
       when(col("zerovar"), lit(null))
         .otherwise(round(col("m3") / (col("v") * sqrt(col("v"))), 4))
         .as("skewness"),
       when(col("zerovar"), lit(null))
         .otherwise(round(col("m4") / (col("v") * col("v")) - lit(3.0), 4))
         .as("excess_kurtosis"))
-      .orderBy("lang")
   }
 
   // ------------------------------------------------ reciprocal-rank fusion
@@ -352,44 +371,69 @@ object CorpusQueries {
   // --------------------------------------------- rolling-window anomaly
 
   /** Rolling z-score anomaly flags over daily event volumes: per event
-   * type, each day's count against the trailing-7-day window's mean and
-   * sample stddev, both derived from exact integer sums (Σn, Σn²) so
-   * the window statistics are partition-order-proof; the first six days
-   * of each series (incomplete window) are excluded. The anomaly flag
-   * compares the ROUNDED z so the boolean is exactly reproducible; a
-   * zero-variance window yields NULL z (integer-exact wn·Σn² = (Σn)²
-   * test — Spark's 0.0/0.0 is NaN, DuckDB's is NULL).
-   * Scale shape: one keyed day-count aggregate over events; the window
-   * runs over the (type × day) table — bounded by calendar, not data. */
+   * type, each CALENDAR day's count against the trailing 7 calendar
+   * days' mean and sample stddev. The day axis is densified against a
+   * type × day spine (zero-event days enter as n = 0) — without the
+   * spine the window is "7 most recent ACTIVE days", an outage day
+   * (the classic anomaly) never enters the series, and a sparse series
+   * baselines over arbitrarily long ranges. Window statistics derive
+   * from exact integer sums (Σn, Σn²) so they are
+   * partition-order-proof; the first six days of the spine (incomplete
+   * window) are excluded. The anomaly flag compares the ROUNDED z; a
+   * zero-variance window yields NULL z via the overflow-free
+   * min = max window test (Spark's 0.0/0.0 is NaN, DuckDB's is NULL).
+   * Scale shape: ONE keyed day-count aggregate over events,
+   * checkpointed (it is bounded by types × days, not data) so the
+   * spine bounds and the dense join derive from it without re-scanning
+   * events; the window runs over the dense calendar table. */
   val q194RollingZscore: Q = Q("q194_rolling_zscore",
     """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
                    FROM events GROUP BY 1, 2),
+       bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc),
+       days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds),
+       types AS (SELECT DISTINCT event_type FROM dc),
+       dense AS (SELECT t.event_type, dd.day, coalesce(c.n, 0) AS n
+                 FROM types t CROSS JOIN days dd
+                 LEFT JOIN dc c ON c.event_type = t.event_type AND c.day = dd.day),
        w AS (SELECT event_type, day, n,
                CAST(count(*) OVER win AS BIGINT) AS wn,
                CAST(sum(n) OVER win AS BIGINT) AS s1,
-               CAST(sum(n*n) OVER win AS BIGINT) AS s2
-             FROM dc WINDOW win AS (PARTITION BY event_type ORDER BY day
+               CAST(sum(n*n) OVER win AS BIGINT) AS s2,
+               min(n) OVER win = max(n) OVER win AS zerovar
+             FROM dense WINDOW win AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
        z AS (SELECT event_type, day, n,
-               CASE WHEN wn*s2 = s1*s1 THEN NULL
+               CASE WHEN zerovar THEN NULL
                     ELSE round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE)/wn)
                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/wn) / (wn - 1)), 4)
                END AS zscore
              FROM w WHERE wn = 7)
        SELECT event_type, day, n, zscore, abs(zscore) > 2.0 AS is_anomaly
        FROM z ORDER BY event_type, day""") { (s, d) =>
-    val win = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-6, Window.currentRow)
-    table(s, d, "events")
+    // bounded by types × days — safe to materialize at any corpus scale
+    val dc = table(s, d, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val days = dc.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val dense = dc.select("event_type").distinct()
+      .crossJoin(days)
+      .join(dc, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n"))
+    val win = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    dense
       .select(col("event_type"), col("day"), col("n"),
         count(lit(1)).over(win).as("wn"),
         sum("n").over(win).as("s1"),
-        sum(col("n") * col("n")).over(win).as("s2"))
+        sum(col("n") * col("n")).over(win).as("s2"),
+        (min("n").over(win) === max("n").over(win)).as("zerovar"))
       .filter(col("wn") === 7)
       .withColumn("zscore",
-        when(col("wn") * col("s2") === col("s1") * col("s1"), lit(null))
+        when(col("zerovar"), lit(null))
           .otherwise(
             round((col("n").cast("double") - col("s1").cast("double") / col("wn"))
               / sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("wn"))

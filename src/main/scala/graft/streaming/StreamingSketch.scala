@@ -5,84 +5,75 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Streaming count-min sketch: each micro-batch's cell counts fold into
- * the accumulated sketch by cell-wise ADDITION — the count-min merge is
- * a plain monoid, so the final sketch is independent of batch
- * boundaries and arrival order, and hash-identical to the one-shot
- * batch build ([[graft.sketch.Sketches.countMinBuild]]). State is the
- * ≤ depth×width cell table itself (localCheckpointed per batch), never
- * the key universe — the live heavy-hitter dashboard shape.
+ * Streaming sketch folds: each micro-batch's partial sketch merges into
+ * the accumulated one via a MONOID, so the final sketch is independent
+ * of batch boundaries and arrival order, and matches the one-shot batch
+ * build — count-min by cell-wise addition (error-bounded estimates,
+ * hash-identical cells) and KMV by bottom-k set union (exact set
+ * algebra). State is the fixed-size sketch itself (localCheckpointed
+ * per batch), never the key universe — the live dashboard shape.
  */
 object StreamingSketch {
 
   private val stagedSchema = StructType(Seq(StructField("user_id", LongType)))
 
-  /** Stage the event keys into `nFiles` parquet files, stream them back
-    * one file per micro-batch, and fold each batch's partial sketch into
-    * the running cell table. Returns the final (d, pos, c) sketch. */
+  /** Shared harness: stage the event keys into `nFiles` parquet files,
+    * stream them back one file per micro-batch, and fold each batch's
+    * `delta` sketch into the running one with `merge`. The fold target
+    * is localCheckpointed per batch so lineage stays one batch deep. */
+  private def runFoldToBatch(spark: SparkSession, dir: String,
+                             stageName: String, nFiles: Int)(
+                             delta: DataFrame => DataFrame)(
+                             merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val stage = graft.io.Sources.scratchDir(stageName)
+    graft.io.Sources.table(spark, dir, "events")
+      .select(col("user_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+
+    @volatile var target: DataFrame = null
+    val q = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = delta(batch)
+        target = (if (target == null) d else merge(target, d))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    target
+  }
+
+  /** Streaming count-min sketch: per-batch cell counts fold by
+    * cell-wise ADDITION — hash-identical to the one-shot
+    * [[graft.sketch.Sketches.countMinBuild]] at any batch boundary.
+    * Returns the final (d, pos, c) sketch (≤ depth×width rows). */
   def runCountMinToBatch(spark: SparkSession, dir: String,
                          depth: Int = 3, width: Int = 1024,
-                         nFiles: Int = 4): DataFrame = {
-    val stage = graft.io.Sources.scratchDir("graft_cms")
-    graft.io.Sources.table(spark, dir, "events")
-      .select(col("user_id"))
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(stage)
+                         nFiles: Int = 4): DataFrame =
+    runFoldToBatch(spark, dir, "graft_cms", nFiles)(
+      batch => graft.sketch.Sketches
+        .countMinBuild(batch, col("user_id"), depth, width))(
+      (target, d) => target.unionByName(d)
+        .groupBy("d", "pos").agg(sum("c").as("c")))
 
-    @volatile var target: DataFrame = null
-    val q = spark.readStream
-      .schema(stagedSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = graft.sketch.Sketches
-          .countMinBuild(batch, col("user_id"), depth, width)
-        target = (if (target == null) delta
-                  else target.unionByName(delta)
-                    .groupBy("d", "pos").agg(sum("c").as("c")))
-          .localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    target
-  }
-
-  /** Streaming KMV distinct sketch: each micro-batch's bottom-`k`
-    * distinct-hash set folds into the running sketch by
-    * union → distinct → bottom-k. Min-k over a union equals min-k over
-    * per-part min-k's (set algebra, no counting), so unlike count-min
-    * this monoid is EXACT: the final k hashes are identical to the
-    * one-shot batch build at any batch boundary or arrival order.
-    * State between merges is ≤ 2k hashes. Returns the k-row hash
-    * table (h). */
+  /** Streaming KMV distinct sketch: per-batch bottom-`k` distinct-hash
+    * sets fold by union → distinct → bottom-k. Min-k over a union
+    * equals min-k over per-part min-k's (set algebra, no counting), so
+    * unlike count-min this monoid is EXACT: the final k hashes are
+    * identical to the one-shot batch build at any batch boundary or
+    * arrival order. State between merges is ≤ 2k hashes. Returns the
+    * k-row hash table (h). */
   def runKmvToBatch(spark: SparkSession, dir: String, k: Int = 64,
-                    nFiles: Int = 4): DataFrame = {
-    val stage = graft.io.Sources.scratchDir("graft_kmv")
-    graft.io.Sources.table(spark, dir, "events")
-      .select(col("user_id"))
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(stage)
-
-    @volatile var target: DataFrame = null
-    val q = spark.readStream
-      .schema(stagedSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = batch
-          .select(graft.ops.Exprs.md5Long(col("user_id")).as("h"))
-          .distinct().orderBy(col("h").asc).limit(k)
-        target = (if (target == null) delta
-                  else target.unionByName(delta).distinct()
-                    .orderBy(col("h").asc).limit(k))
-          .localCheckpoint()
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    target
-  }
+                    nFiles: Int = 4): DataFrame =
+    runFoldToBatch(spark, dir, "graft_kmv", nFiles)(
+      batch => batch
+        .select(graft.ops.Exprs.md5Long(col("user_id")).as("h"))
+        .distinct().orderBy(col("h").asc).limit(k))(
+      (target, d) => target.unionByName(d).distinct()
+        .orderBy(col("h").asc).limit(k))
 }

@@ -39,7 +39,27 @@ object Search {
    */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
                idCol: String = "doc_id", textCol: String = "text",
-               carryCols: Seq[String] = Nil): DataFrame = {
+               carryCols: Seq[String] = Nil): DataFrame =
+    bm25TopKMulti(docs, Seq(terms), k, idCol, textCol, carryCols).head
+
+  /**
+   * BM25 top-`k` rankings for SEVERAL term sets over ONE corpus scan —
+   * the multi-query batch shape (e.g. rank-fusion inputs, offline query
+   * evaluation). Tokenization, length stats, tf, and df are computed
+   * once for the UNION of the term sets; each ranking then filters the
+   * already-scored per-(doc, term) table, which is |union terms| ×
+   * matching docs — so adding a ranking costs a slice of a tiny table,
+   * not another corpus pass. Per-term df over the union tf table equals
+   * per-set df for every term of the set (df is per term,
+   * set-independent), so the union-wide scoring is ranking-neutral —
+   * TextAnalysisSpec pins multi(sets)(i) ≡ multi(Seq(set_i)) through
+   * the [[bm25TopK]] delegate. Output frames:
+   * (idCol, carryCols*, n_terms_hit, score_micro, score, rank).
+   */
+  def bm25TopKMulti(docs: DataFrame, termSets: Seq[Seq[String]], k: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    carryCols: Seq[String] = Nil): Seq[DataFrame] = {
+    val union = termSets.flatten.distinct
     val base = docs.select(
       col(idCol) +: TextAnalysis.tokens(col(textCol)).as("toks") +:
         carryCols.map(col): _*)
@@ -50,14 +70,14 @@ object Search {
       count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
 
-    // tf of query terms only — the explode is filtered BEFORE any shuffle.
-    // Materialized once (localCheckpoint): both consumers below (df and
-    // the scoring join) would otherwise each re-scan the corpus; the tf
-    // table is |terms| × matching docs — the natural cut point.
+    // tf of the UNION's terms only — the explode is filtered BEFORE any
+    // shuffle. Materialized once (localCheckpoint): both consumers below
+    // (df and the scoring join) would otherwise each re-scan the corpus;
+    // the tf table is |union terms| × matching docs — the natural cut.
     val tf = base
       .select(col(idCol) +: col("dl") +: carryCols.map(col) :+
         explode(col("toks")).as("term"): _*)
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(union: _*))
       .groupBy(col(idCol) +: col("dl") +: carryCols.map(col) :+ col("term"): _*)
       .agg(count(lit(1)).cast("double").as("tf"))
       .localCheckpoint()
@@ -69,55 +89,6 @@ object Search {
     val termScore = idf * (col("tf") * K1Plus1) /
       (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl")))
 
-    val scored = tf
-      .join(df, "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("s_micro", round(termScore * 1e6, 0).cast("long"))
-      .groupBy(col(idCol) +: carryCols.map(col): _*)
-      .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
-      .withColumn("score", (col("score_micro") / 1e6).cast("double"))
-
-    scored
-      .orderBy(col("score_micro").desc, col(idCol).asc)
-      .limit(k)
-      .withColumn("_one", lit(1))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("_one")
-          .orderBy(col("score_micro").desc, col(idCol).asc)).cast("long"))
-      .drop("_one")
-  }
-
-  /**
-   * BM25 top-`k` rankings for SEVERAL term sets over ONE corpus scan —
-   * the multi-query batch shape (e.g. rank-fusion inputs, offline query
-   * evaluation). Tokenization, length stats, tf, and df are computed
-   * once for the UNION of the term sets; each ranking then filters the
-   * already-scored per-(doc, term) table, which is |union terms| ×
-   * matching docs — so adding a ranking costs a slice of a tiny table,
-   * not another corpus pass. Per-term df over the union tf table equals
-   * per-set df for every term of the set (df is per term, set-independent),
-   * so each returned frame is IDENTICAL to `bm25TopK(docs, set, k)` —
-   * asserted in TextAnalysisSpec. Output frames carry the same columns
-   * as [[bm25TopK]]: (idCol, n_terms_hit, score_micro, score, rank).
-   */
-  def bm25TopKMulti(docs: DataFrame, termSets: Seq[Seq[String]], k: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): Seq[DataFrame] = {
-    val union = termSets.flatten.distinct
-    val base = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
-    val stats = base.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = base
-      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(union: _*))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val termScore = idf * (col("tf") * K1Plus1) /
-      (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl")))
     // scored per-(doc, term) rows for the UNION — materialized once so
     // each ranking below is a filter+agg over a terms×docs sliver
     val scoredTerms = tf
@@ -127,7 +98,7 @@ object Search {
       .localCheckpoint()
     termSets.map { ts =>
       scoredTerms.filter(col("term").isin(ts: _*))
-        .groupBy(col(idCol))
+        .groupBy(col(idCol) +: carryCols.map(col): _*)
         .agg(count(lit(1)).as("n_terms_hit"), sum("s_micro").as("score_micro"))
         .withColumn("score", (col("score_micro") / 1e6).cast("double"))
         .orderBy(col("score_micro").desc, col(idCol).asc)

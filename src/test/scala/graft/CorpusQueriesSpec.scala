@@ -31,14 +31,14 @@ class CorpusQueriesSpec extends AnyFunSuite with SparkSpec {
     chunks.unpersist()
   }
 
-  test("q189: OOV counts are bounded by token counts and fractions by [0,1]") {
+  test("q189: OOV counts are bounded by token counts and ppm by [0, 1e6]") {
     val r = CorpusQueries.q189OovRate.fn(spark, sf001).collect()
     assert(r.nonEmpty)
     r.foreach { row =>
       val (tok, oov) = (row.getAs[Long]("sum_tok"), row.getAs[Long]("sum_oov"))
       assert(oov >= 0 && oov <= tok)
-      val f = row.getAs[Double]("avg_oov_frac")
-      assert(f >= 0.0 && f <= 1.0)
+      val ppm = row.getAs[Long]("avg_oov_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
     }
   }
 
@@ -54,44 +54,26 @@ class CorpusQueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q191: moment arithmetic recovers a planted distribution's shape") {
+  test("q191: the PRODUCTION moment arithmetic recovers planted shapes") {
     import spark.implicits._
-    // symmetric two-point {-a,+a} around 100: skew 0, excess kurtosis -2
-    val sym = (1 to 200).map(i => ("x", 100L + (if (i % 2 == 0) 10L else -10L)))
-      .toDF("lang", "n_chars")
-    val m = CorpusQueries.q191Moments.fn(spark, sf001) // schema probe only
-    assert(m.columns.toSeq ==
+    assert(CorpusQueries.q191Moments.fn(spark, sf001).columns.toSeq ==
       Seq("lang", "n", "skewness", "excess_kurtosis"))
-    // run the same arithmetic over the planted frame via the public shape
-    val x = col("n_chars")
-    val s = sym.groupBy("lang").agg(count(lit(1)).as("n"), sum(x).as("s1"),
-      sum(x * x).as("s2"), sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
-      .select(col("lang"), col("n"),
-        (col("s1").cast("double") / col("n")).as("m1"),
-        (col("s2").cast("double") / col("n")).as("m2r"),
-        (col("s3").cast("double") / col("n")).as("m3r"),
-        (col("s4").cast("double") / col("n")).as("m4r"))
-      .select(col("n"),
-        (col("m2r") - col("m1") * col("m1")).as("v"),
-        (col("m3r") - lit(3.0) * col("m1") * col("m2r")
-          + lit(2.0) * col("m1") * col("m1") * col("m1")).as("m3"),
-        (col("m4r") - lit(4.0) * col("m1") * col("m3r")
-          + lit(6.0) * col("m1") * col("m1") * col("m2r")
-          - lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")).as("m4"))
-      .select(round(col("m3") / (col("v") * sqrt(col("v"))), 4).as("sk"),
-        round(col("m4") / (col("v") * col("v")) - lit(3.0), 4).as("ku"))
-      .head()
-    assert(s.getDouble(0) == 0.0)
-    assert(s.getDouble(1) == -2.0)
-    // zero-variance guard: constant series must yield NULL shape stats
-    // (the integer-exact n*s2 == s1*s1 test), never NaN
-    val const = (1 to 50).map(_ => ("y", 42L)).toDF("lang", "n_chars")
-    val g = const.groupBy("lang").agg(count(lit(1)).as("n"),
-      sum(x).as("s1"), sum(x * x).as("s2"))
-      .select(when(col("n") * col("s2") === col("s1") * col("s1"), lit(null))
-        .otherwise(lit(1.0)).as("guarded"))
-      .head()
-    assert(g.isNullAt(0), "constant series must trip the zero-variance guard")
+    // symmetric two-point {-a,+a} around 100 (skew 0, excess kurtosis -2)
+    // and a constant series (must trip the zero-variance NULL guard),
+    // both through the exact expressions the query runs (momentShape)
+    val planted = (1 to 200).map(i =>
+      ("sym", 100L + (if (i % 2 == 0) 10L else -10L))) ++
+      (1 to 50).map(_ => ("const", 42L))
+    val out = CorpusQueries
+      .momentShape(planted.toDF("lang", "n_chars"), "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val sym = out("sym")
+    assert(sym.getAs[Double]("skewness") == 0.0)
+    assert(sym.getAs[Double]("excess_kurtosis") == -2.0)
+    val const = out("const")
+    assert(const.isNullAt(const.fieldIndex("skewness")),
+      "constant series must trip the zero-variance guard")
+    assert(const.isNullAt(const.fieldIndex("excess_kurtosis")))
   }
 
   test("q192: fused ranking is dense, deterministic, and respects both lists") {
