@@ -420,7 +420,7 @@ object CorpusQueries {
       .select(explode(sequence(col("d0"), col("d1"),
         expr("INTERVAL 1 DAY"))).as("day"))
     val dense = dc.select("event_type").distinct()
-      .crossJoin(days)
+      .crossJoin(broadcast(days))
       .join(dc, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("n"))
     val win = Window.partitionBy("event_type").orderBy("day")
