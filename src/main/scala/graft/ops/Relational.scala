@@ -244,10 +244,8 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
-  // ------------------------------------------------------------- argmax
+  // -------------------------------------------------------- grouped OLS
 
-  /** Global extreme with argmax attribution (SURVEY.md A8):
-   * `max_by(struct(attrs), value)` — single reduction, no sort. */
   /**
    * Grouped least-squares line fit from EXACT integer moments: y is
    * pre-quantized to integer micro-units, x is a small integer feature,
@@ -262,6 +260,11 @@ object Relational {
    * collected table. Output: group, n, slope_q, intercept_q (quantized
    * y-units per unit of x / at x=0), rounded to 4 decimals.
    *
+   * A group with constant x (including single-row groups) has a zero
+   * normal-equation denominator — the line is undefined, so slope and
+   * intercept are NULL, guarded by the overflow-free min(x) = max(x)
+   * test (a double 0/0 would be NaN in Spark but NULL in DuckDB).
+   *
    * Overflow headroom: the moment products must fit BIGINT — with
    * milli-quantized y ≤ 1e6 and x ≤ 100 that holds to ~1e9 rows per
    * group; beyond that, coarsen the quantization (the bound scales
@@ -274,14 +277,21 @@ object Relational {
       sum(x.cast("long")).as("sx"),
       sum(x.cast("long") * x.cast("long")).as("sxx"),
       sum(yQuant).as("sy"),
-      sum(x.cast("long") * yQuant).as("sxy"))
+      sum(x.cast("long") * yQuant).as("sxy"),
+      (min(x.cast("long")) === max(x.cast("long"))).as("constx"))
     agg.select(col(groupCol), col("n"),
-      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope_q"),
-      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("intercept_q"))
+      when(col("constx"), lit(null)).otherwise(
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)).as("slope_q"),
+      when(col("constx"), lit(null)).otherwise(
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4)).as("intercept_q"))
   }
 
+  // ------------------------------------------------------------- argmax
+
+  /** Global extreme with argmax attribution (SURVEY.md A8):
+   * `max_by(struct(attrs), value)` — single reduction, no sort. */
   def argmax(df: DataFrame, value: Column, attrs: Column*): DataFrame =
     df.agg(max(value).as("max_value"),
       max_by(struct(attrs: _*), value).as("arg"))

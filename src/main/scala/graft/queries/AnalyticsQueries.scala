@@ -801,11 +801,16 @@ object AnalyticsQueries {
     """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
                          CAST(round(value * 1000) AS BIGINT) AS y FROM events),
        a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
-                    sum(y) AS sy, sum(x*y) AS sxy
+                    sum(y) AS sy, sum(x*y) AS sxy,
+                    min(x) = max(x) AS constx
              FROM e GROUP BY event_type)
        SELECT event_type, n,
-              round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 4) AS slope_q,
-              round(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx), 4) AS intercept_q
+              CASE WHEN constx THEN NULL
+                   ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 4)
+              END AS slope_q,
+              CASE WHEN constx THEN NULL
+                   ELSE round(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx), 4)
+              END AS intercept_q
        FROM a ORDER BY event_type""") { (s, d) =>
     graft.ops.Relational.groupedLinearFit(
       table(s, d, "events"),

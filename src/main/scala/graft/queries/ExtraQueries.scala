@@ -223,16 +223,19 @@ object ExtraQueries {
     val counts = a1.agg(count(lit(1)).as("n_rows"),
       countDistinct("id").as("n_ids"))
     val nChunks = sizes.agg(count(lit(1)).as("n_chunks"))
+    // "union = input" must compare against the INPUT's distinct ids —
+    // comparing a1 against itself would hold even if the deal dropped rows
+    val inputIds = orders.agg(countDistinct("id").as("n_input_ids"))
     // determinism: a second independent run must agree on every id
     val mismatches = a1.join(deal().withColumnRenamed("partition_id", "p2"),
         Seq("id", "grupo"))
       .filter(col("partition_id") =!= col("p2"))
       .agg(count(lit(1)).as("n_bad"))
     counts.crossJoin(broadcast(nChunks)).crossJoin(broadcast(balanced))
-      .crossJoin(broadcast(mismatches))
+      .crossJoin(broadcast(inputIds)).crossJoin(broadcast(mismatches))
       .select(col("n_ids"), col("n_chunks"),
         (col("n_rows") === col("n_ids")).as("disjoint"),
-        (col("n_rows") === col("n_ids")).as("total"),
+        (col("n_rows") === col("n_input_ids")).as("total"),
         col("balanced"),
         (col("n_bad") === 0).as("deterministic"))
   }

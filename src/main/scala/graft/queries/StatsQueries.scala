@@ -501,10 +501,12 @@ object StatsQueries {
        SELECT term, df, postings_head FROM g
        ORDER BY df, term LIMIT 10""") { (s, d) =>
     import graft.text.TextAnalysis
+    // (doc_id, term) pairs are already unique — array_distinct dedups
+    // within the doc and doc_id is the row key — so no corpus-wide
+    // .distinct() shuffle is needed before the term aggregate
     table(s, d, "documents")
       .select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
-      .distinct()
       .groupBy("term")
       .agg(count(lit(1)).as("df"),
         array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 50), ",")

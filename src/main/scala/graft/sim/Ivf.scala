@@ -168,7 +168,13 @@ object Ivf {
   private val persisted = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Int), String]()
   def persistedIndex(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                     nClusters: Int): String =
+                     nClusters: Int): String = {
+    // lazy eviction: stopped sessions' entries would otherwise pin the
+    // session reference for the life of the JVM (the on-disk index dir
+    // is scratch space and cleans up with it)
+    persisted.keySet.removeIf(
+      (k: (org.apache.spark.sql.SparkSession, String, Int)) =>
+        k._1.sparkContext.isStopped)
     persisted.computeIfAbsent((spark, sfDir, nClusters),
       (key: (org.apache.spark.sql.SparkSession, String, Int)) => {
         val dir = graft.io.Sources.scratchDir("graft_ivf_index")
@@ -176,6 +182,7 @@ object Ivf {
           dir, key._3)
         dir
       })
+  }
 
   /**
    * Probe-only ANN top-k against a persisted index: NO training, NO

@@ -72,7 +72,13 @@ object StreamingOhlc {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    target.select(col("day"), col("event_type"), col("o.value").as("open"),
+    // zero micro-batches: bars over an empty staged batch gives the
+    // correctly-schemed empty bar table instead of a null dereference
+    val out = if (target == null)
+      bars(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema))
+    else target
+    out.select(col("day"), col("event_type"), col("o.value").as("open"),
       col("high"), col("low"), col("c.value").as("close"), col("volume"))
   }
 }

@@ -45,7 +45,13 @@ object StreamingSketch {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    target
+    // zero micro-batches (empty events table / no staged files): fold an
+    // empty staged batch so callers get a correctly-schemed empty sketch
+    // instead of a null dereference
+    if (target == null)
+      delta(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema))
+    else target
   }
 
   /** Streaming count-min sketch: per-batch cell counts fold by

@@ -58,6 +58,11 @@ object StreamingUpsert {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    target
+    // zero micro-batches: latest() over an empty staged batch gives the
+    // correctly-schemed empty table instead of a null dereference
+    if (target == null)
+      latest(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stagedSchema))
+    else target
   }
 }

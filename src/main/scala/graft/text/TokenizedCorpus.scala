@@ -24,10 +24,17 @@ object TokenizedCorpus {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** The shared `(doc_id, toks)` view for one (session, sfDir). */
-  def apply(spark: SparkSession, sfDir: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    // lazy eviction: a stopped session's entry can never be read again
+    // but would otherwise pin the session AND its corpus-sized
+    // checkpointed frame for the life of the JVM (test suites,
+    // notebook restarts)
+    cache.keySet.removeIf(
+      (k: (SparkSession, String)) => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, sfDir),
       (key: (SparkSession, String)) =>
         graft.io.Sources.table(key._1, key._2, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
           .localCheckpoint())
+  }
 }

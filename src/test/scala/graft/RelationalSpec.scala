@@ -118,4 +118,17 @@ class RelationalSpec extends AnyFunSuite with SparkSpec {
     assert(got("a") == ((3000.0, 2000.0)))
     assert(got("b") == ((-1000.0, 10000.0)))
   }
+
+  test("groupedLinearFit nulls slope/intercept for constant-x groups") {
+    // one multi-row constant-x group and one single-row group: the
+    // normal-equation denominator is zero, so the line is undefined —
+    // NULL (never NaN, which would diverge from the DuckDB oracle)
+    val rows = Seq(("c", 5, 100L), ("c", 5, 200L), ("s", 7, 300L))
+    val got = Relational.groupedLinearFit(
+      rows.toDF("g", "x", "y"), "g", col("x"), col("y")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("slope_q")), s"${r.getString(0)} slope")
+      assert(r.isNullAt(r.fieldIndex("intercept_q")))
+    }
+  }
 }
