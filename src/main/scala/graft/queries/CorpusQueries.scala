@@ -591,7 +591,127 @@ object CorpusQueries {
       .limit(20)
   }
 
+  // --------------------------------------------- perplexity-style filter
+
+  /** Perplexity-band filtering (the CCNet move, on the corpus's own
+   * bigram LM instead of a trained one): flag documents whose mean
+   * bigram surprisal sits ABOVE the p90 picked threshold (gibberish
+   * band) or BELOW p10 (boilerplate/loop band), rolled up per source —
+   * the keep/drop action on top of q95's per-doc surprisal table.
+   * Thresholds are PICKED elements at deterministic ranks
+   * (ceil(0.9·N) / ceil(0.1·N) over (avg_mnat, doc_id) order — the
+   * house picked-rank pattern), and avg_mnat is already integer-derived
+   * and 2-dec rounded, so band membership replays exactly. Flags use
+   * strict inequality: docs AT a threshold stay unflagged.
+   * Scale: the per-doc surprisal table is checkpointed (doc-level
+   * metadata, the natural cut) so ranking/threshold/rollup reuse it
+   * without re-deriving the bigram pipeline. */
+  val q199PerplexityFilter: Q = Q("q199_perplexity_filter",
+    """WITH tok AS (SELECT doc_id, source,
+           string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       bg AS (SELECT doc_id, source,
+                unnest(list_transform(range(1, len(w)), k -> w[k]||' '||w[k+1])) AS bg
+              FROM tok WHERE len(w) >= 2),
+       v AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+       pre AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+               FROM v GROUP BY 1),
+       m AS (SELECT bg, CAST(round(-ln(c2 / CAST(c1 AS DOUBLE)) * 1000) AS BIGINT) AS mnat
+             FROM v JOIN pre ON split_part(v.bg, ' ', 1) = pre.w1),
+       per AS (SELECT doc_id, source,
+                 round(CAST(sum(mnat) AS BIGINT) / CAST(count(*) AS DOUBLE), 2) AS avg_mnat
+               FROM bg JOIN m USING (bg) GROUP BY doc_id, source),
+       n AS (SELECT count(*) AS n FROM per),
+       rk AS (SELECT doc_id, source, avg_mnat,
+                row_number() OVER (ORDER BY avg_mnat, doc_id) AS r FROM per),
+       th AS (SELECT max(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+                              THEN avg_mnat END) AS hi,
+                     max(CASE WHEN r = CAST(ceil(0.1 * n) AS BIGINT)
+                              THEN avg_mnat END) AS lo
+              FROM rk CROSS JOIN n)
+       SELECT source, count(*) AS n_docs,
+              CAST(count(CASE WHEN avg_mnat > hi THEN 1 END) AS BIGINT) AS n_high,
+              CAST(count(CASE WHEN avg_mnat < lo THEN 1 END) AS BIGINT) AS n_low,
+              max(hi) AS p90_mnat, max(lo) AS p10_mnat
+       FROM rk CROSS JOIN th GROUP BY source ORDER BY source""") { (s, d) =>
+    import graft.curation.Curation
+    val per = Curation.bigramSurprisalStats(
+        table(s, d, "documents")
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 2),
+        carryCols = Seq("source"))
+      .select("doc_id", "source", "avg_mnat")
+      .localCheckpoint()
+    val n = per.agg(count(lit(1)).as("n"))
+    val rk = per.withColumn("r", row_number().over(
+      Window.orderBy(col("avg_mnat").asc, col("doc_id").asc)).cast("long"))
+    val th = rk.crossJoin(broadcast(n)).agg(
+      max(when(col("r") === ceil(lit(0.9) * col("n")).cast("long"),
+        col("avg_mnat"))).as("hi"),
+      max(when(col("r") === ceil(lit(0.1) * col("n")).cast("long"),
+        col("avg_mnat"))).as("lo"))
+    rk.crossJoin(broadcast(th))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("avg_mnat") > col("hi"), 1)).as("n_high"),
+        count(when(col("avg_mnat") < col("lo"), 1)).as("n_low"),
+        max("hi").as("p90_mnat"), max("lo").as("p10_mnat"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------ mixture budget plan
+
+  private val mixWeightsPpm =
+    Seq(("src0", 400000L), ("src1", 300000L), ("src2", 200000L),
+      ("src3", 100000L))
+  private val mixBudgetTok = 10000L
+
+  /** Token-budget mixture planner (the data-mixing step of pretraining
+   * prep): given target mixture weights (ppm, an in-code config table —
+   * the S10 pattern) and a total token budget, allocate per-source
+   * token quotas as min(available, budget·weight), then redistribute
+   * the shortfall to sources with headroom proportionally to weight in
+   * ONE documented round (integer div floors mean a few residual
+   * tokens can stay unallocated — deterministic, never oversubscribed).
+   * All arithmetic is BIGINT; the oracle replays it verbatim from a
+   * VALUES table. Scale: one token-count aggregate over documents;
+   * everything else is config-sized. */
+  val q200MixturePlan: Q = Q("q200_mixture_plan",
+    s"""WITH cfg(source, w_ppm) AS (VALUES
+         ${mixWeightsPpm.map { case (s0, w) => s"('$s0', CAST($w AS BIGINT))" }.mkString(", ")}),
+       tok AS (SELECT source,
+                 CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS avail
+               FROM documents GROUP BY source),
+       j AS (SELECT c.source, c.w_ppm, t.avail,
+               CAST($mixBudgetTok AS BIGINT) * c.w_ppm // 1000000 AS want
+             FROM cfg c JOIN tok t ON c.source = t.source),
+       a1 AS (SELECT source, w_ppm, avail, want, least(avail, want) AS alloc1 FROM j),
+       tot AS (SELECT CAST($mixBudgetTok AS BIGINT) - sum(alloc1) AS leftover,
+                      sum(CASE WHEN avail > want THEN w_ppm ELSE 0 END) AS w_unc
+               FROM a1)
+       SELECT source, w_ppm, avail, want,
+              CAST(alloc1 + CASE WHEN avail > want AND w_unc > 0
+                   THEN least(avail - want, leftover * w_ppm // w_unc)
+                   ELSE 0 END AS BIGINT) AS alloc
+       FROM a1 CROSS JOIN tot ORDER BY source""") { (s, d) =>
+    import s.implicits._
+    val cfg = mixWeightsPpm.toDF("source", "w_ppm")
+    val tok = table(s, d, "documents")
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("avail"))
+    val j = broadcast(cfg).join(tok, "source")
+      .withColumn("want", expr(s"CAST($mixBudgetTok AS BIGINT) * w_ppm div 1000000"))
+      .withColumn("alloc1", least(col("avail"), col("want")))
+    val tot = j.agg((lit(mixBudgetTok) - sum("alloc1")).as("leftover"),
+      sum(when(col("avail") > col("want"), col("w_ppm")).otherwise(0L)).as("w_unc"))
+    j.crossJoin(broadcast(tot))
+      .select(col("source"), col("w_ppm"), col("avail"), col("want"),
+        (col("alloc1") + when(col("avail") > col("want") && col("w_unc") > 0,
+          least(col("avail") - col("want"),
+            expr("leftover * w_ppm div w_unc"))).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(q188Chunking, q189OovRate, q190StratifiedSample,
     q191Moments, q192RrfFusion, q193Survival, q194RollingZscore, q195AnnNdcg,
-    q196KAnonymity, q197SoleLateSupplier)
+    q196KAnonymity, q197SoleLateSupplier, q199PerplexityFilter,
+    q200MixturePlan)
 }
