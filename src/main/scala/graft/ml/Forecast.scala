@@ -39,6 +39,9 @@ object Forecast {
    * This is the part that scales with the data — it stays distributed. */
   def features(events: DataFrame): DataFrame =
     events
+      // a null ts would form a (null, null) group whose null calendar
+      // features crash the driver-side collect in trainBest
+      .filter(col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("fecha"), hour(col("ts")).as("hora"))
       .agg(count(lit(1)).cast("double").as("label"))
       .withColumn("dow", dayofweek(col("fecha")).cast("double"))
@@ -334,7 +337,9 @@ object Forecast {
         while (l < 3) {
           var k = 0
           while (k < w(l).length) {
-            val g = gW(l)(k) / bs + alpha * w(l)(k)
+            // sklearn MLPRegressor applies (grad + alpha*W) / batch_size
+            // — the penalty is averaged with the batch, not added on top
+            val g = (gW(l)(k) + alpha * w(l)(k)) / bs
             mW(l)(k) = 0.9 * mW(l)(k) + 0.1 * g
             vW(l)(k) = 0.999 * vW(l)(k) + 0.001 * g * g
             w(l)(k) -= lr * (mW(l)(k) / corr1) / (math.sqrt(vW(l)(k) / corr2) + 1e-8)
@@ -381,10 +386,15 @@ object Forecast {
       .collect()
       .map(r => (featCols.indices.map(r.getDouble).toArray,
         r.getDouble(featCols.length)))
+    require(rows.nonEmpty, "trainBest: empty feature table")
     val rng = new scala.util.Random(42)
     val mask = rows.map(_ => rng.nextDouble() < 0.7)
-    val (train, test0) = rows.zip(mask).partition(_._2)
-    val test = if (test0.nonEmpty) test0 else train // degenerate tiny input
+    val (train0, test0) = rows.zip(mask).partition(_._2)
+    // degenerate tiny input: either fold may come out empty (seed 42's
+    // first draw is 0.7276 ≥ 0.7, so a 1-row input has an EMPTY train
+    // fold) — fall back to the other fold on both sides
+    val train = if (train0.nonEmpty) train0 else test0
+    val test = if (test0.nonEmpty) test0 else train0
     val (trX, trY) = (train.map(_._1._1), train.map(_._1._2))
     val (teX, teY) = (test.map(_._1._1), test.map(_._1._2))
 

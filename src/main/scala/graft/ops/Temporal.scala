@@ -37,10 +37,27 @@ object Temporal {
    *
    * Left columns all survive; attached columns are named `asof_<col>`
    * plus `asof_time` (null when no right row precedes the left row).
+   * The left frame must not already contain columns named `_at`,
+   * `_side`, `_rrow`, `_asof`, `asof_time`, or `asof_<valCol>` — they
+   * would be silently clobbered (guarded with `require`).
+   *
+   * Null hygiene mirrors SQL ASOF JOIN (the oracle's semantics): a
+   * right row with a null key or null `rightTime` can match nothing in
+   * an equi+inequality join, so both are dropped from the right side
+   * up front — otherwise a null-time row would sort FIRST (nulls-first
+   * asc) and ride `last(ignoreNulls)` as a universal fallback payload,
+   * and null keys would match null-key left rows (window partitioning
+   * groups nulls where SQL equality never matches them). A null-key or
+   * null-time LEFT row keeps its columns with a null `asof_*` payload —
+   * exactly what the SQL join produces.
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valCols: Seq[String]): DataFrame = {
+    val reserved = Seq("_at", "_side", "_rrow", "_asof", "asof_time") ++
+      valCols.map(c => s"asof_$c")
+    reserved.foreach(c => require(!left.columns.contains(c),
+      s"asofJoin: left input already has a column named '$c'"))
     val l = left
       .withColumn("_at", col(leftTime))
       .withColumn("_side", lit(1))
@@ -48,9 +65,11 @@ object Temporal {
     // left rows (struct null there) but never a right row — a right row
     // whose payload column is null still carries its own (time, null),
     // instead of leaking an older row's non-null payload
-    val r = right.select(
-      col(key), col(rightTime).as("_at"), lit(0).as("_side"),
-      struct(col(rightTime).as("_t") +: valCols.map(col): _*).as("_rrow"))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(key), col(rightTime).as("_at"), lit(0).as("_side"),
+        struct(col(rightTime).as("_t") +: valCols.map(col): _*).as("_rrow"))
     // right rows sort BEFORE left rows at the same timestamp (side 0 < 1)
     // → a right row at exactly leftTime is visible: inclusive as-of.
     val w = Window.partitionBy(key).orderBy(col("_at").asc, col("_side").asc)
@@ -84,10 +103,16 @@ object Temporal {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
                 loCol: String, hiCol: String, timeCol: String,
                 bucketSec: Long): DataFrame = {
-    val l = left.withColumn(
-      "_bkt",
-      explode(sequence(floor(col(loCol) / bucketSec).cast("long"),
-        floor(col(hiCol) / bucketSec).cast("long"))))
+    // hi < lo (corrupt/swapped interval) can contain nothing, but
+    // Spark's sequence(start, stop) defaults to step -1 when
+    // start > stop — one dirty row would explode into a huge DESCENDING
+    // bucket list. Drop invalid intervals before bucketizing.
+    val l = left
+      .filter(col(hiCol) >= col(loCol))
+      .withColumn(
+        "_bkt",
+        explode(sequence(floor(col(loCol) / bucketSec).cast("long"),
+          floor(col(hiCol) / bucketSec).cast("long"))))
     val r = right.withColumn(
       "_bkt", floor(col(timeCol) / bucketSec).cast("long"))
     l.join(r, Seq(key, "_bkt"))

@@ -112,16 +112,27 @@ object Ivf {
 
   /** Build the index: learn `nClusters` centroids from a deterministic
    * hash sample of ≤ `trainSample` vectors, then assign every corpus
-   * vector to its nearest centroid map-side. */
-  def buildIndex(corpus: DataFrame, nClusters: Int,
+   * vector to its nearest centroid map-side.
+   *
+   * Training and assignment run on UNIT vectors: candidates are ranked
+   * by cosine, and clustering raw vectors by L2 would split
+   * same-direction vectors of different magnitude across cells (the
+   * faiss recipe for IP/cosine metrics normalizes before training) —
+   * at a fixed probed fraction, normalizing buys recall for free.
+   * Rows with a null `vecCol` are dropped: they can never be a cosine
+   * candidate, and half of them would otherwise crash the driver-side
+   * sample while the other half silently vanished from probes. */
+  def buildIndex(corpus0: DataFrame, nClusters: Int,
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  trainSample: Long = 65536L): IvfIndex = {
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
+    val unit = Similarity.unitVecExpr(col(vecCol))
     val n = corpus.count()
     val bp = if (n <= trainSample) 10000L
              else math.max(1L, trainSample * 10000L / n)
     val sample = corpus
       .filter(Curation.samplingKey(col(idCol)) < lit(bp))
-      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .select(col(idCol), unit.as("_v"))
       .orderBy(idCol) // stable driver order → deterministic k-means++ draw
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -129,11 +140,11 @@ object Ivf {
       // fallback ordered by id: an unordered limit would make the
       // centroids depend on partition scan order, breaking the
       // documented deterministic-training guarantee
-      else corpus.orderBy(col(idCol)).select(col(vecCol).cast("array<double>"))
+      else corpus.orderBy(col(idCol)).select(unit)
         .limit(nClusters).collect().map(_.getSeq[Double](0).toArray)
     val centers = kmeansFit(train, nClusters)
     val assigned = corpus.withColumn("cluster",
-      element_at(nearestK(col(vecCol), centers, 1), 1))
+      element_at(nearestK(unit, centers, 1), 1))
     val spark = corpus.sparkSession
     val rows = centers.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }
     val schema = StructType(Seq(
@@ -201,11 +212,25 @@ object Ivf {
       .orderBy("cluster").collect() // bounded: nClusters rows
       .map(_.getSeq[Double](1).toArray)
     val assigned = spark.read.parquet(s"$dir/assigned")
-    val probes = Similarity.withUnitVec(queries, vecCol, "qu")
+    rankCandidates(
+      assigned.select(col(idCol).as("nid"), col("cu"), col("cluster")),
+      probes(queries, centers, nProbe, idCol, vecCol), k)
+  }
+
+  /** Unit-normalized query side with its `nProbe` probed cells — probes
+    * run on the unit vector, matching the unit-trained centroids. */
+  private def probes(queries: DataFrame, centers: Array[Array[Double]],
+                     nProbe: Int, idCol: String, vecCol: String): DataFrame =
+    Similarity.withUnitVec(queries, vecCol, "qu")
       .select(col(idCol).as("qid"), col("qu"),
-        explode(nearestK(col(vecCol), centers, nProbe)).as("cluster"))
-    val scored = assigned
-      .select(col(idCol).as("nid"), col("cu"), col("cluster"))
+        explode(nearestK(col("qu"), centers, nProbe)).as("cluster"))
+
+  /** Shared candidate scoring tail of [[probeIndex]] and [[ivfTopK]] —
+    * ONE copy so the rounding/tiebreak contract behind q130's
+    * probe-equals-build gate cannot drift between the two paths. */
+  private def rankCandidates(candidates: DataFrame, probes: DataFrame,
+                             k: Int): DataFrame = {
+    val scored = candidates
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(Similarity.dot(col("qu"), col("cu")), 4))
@@ -232,18 +257,8 @@ object Ivf {
               nClusters: Int = 16, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val index = buildIndex(corpus, nClusters, idCol, vecCol)
-    val probes = Similarity.withUnitVec(queries, vecCol, "qu")
-      .select(col(idCol).as("qid"), col("qu"),
-        explode(nearestK(col(vecCol), index.centers, nProbe)).as("cluster"))
     val c = Similarity.withUnitVec(index.assigned, vecCol, "cu")
       .select(col(idCol).as("nid"), col("cu"), col("cluster"))
-    val scored = c.join(broadcast(probes), Seq("cluster"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(Similarity.dot(col("qu"), col("cu")), 4))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank").cast("long").as("rank"), col("sim"))
+    rankCandidates(c, probes(queries, index.centers, nProbe, idCol, vecCol), k)
   }
 }

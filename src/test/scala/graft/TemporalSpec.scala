@@ -83,4 +83,31 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(out.getLong(0) == 10L)
     assert(out.isNullAt(1), s"expected null payload from the matched row, got ${out.get(1)}")
   }
+
+  test("asofJoin: null-key/null-time right rows match nothing (SQL ASOF semantics)") {
+    import spark.implicits._
+    // dirty right rows: null time (would otherwise sort first and become
+    // a universal fallback) and null key (would otherwise match null-key
+    // left rows through the window partition)
+    val left = Seq((Some(1L), 10L, "a"), (None, 10L, "b"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((Some(1L), Option.empty[Long], 99.0),
+      (Option.empty[Long], Some(5L), 77.0))
+      .toDF("k", "rt", "v")
+    val out = Temporal.asofJoin(left, right, "k", "lt", "rt", Seq("v"))
+      .select("tag", "asof_time", "asof_v").collect()
+      .map(r => r.getString(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out("a") == ((true, true)), "null-time right row leaked a payload")
+    assert(out("b") == ((true, true)), "null keys matched each other")
+  }
+
+  test("rangeJoin: a corrupt hi < lo interval is dropped, not exploded") {
+    import spark.implicits._
+    val left = Seq((1L, 1700000000L, 0L, 1L), (1L, 0L, 200L, 2L))
+      .toDF("k", "lo", "hi", "lid")
+    val right = Seq((1L, 100L, 1L)).toDF("k", "t", "rid")
+    val got = Temporal.rangeJoin(left, right, "k", "lo", "hi", "t", 100L)
+      .select("lid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L), "only the valid interval may match")
+  }
 }
