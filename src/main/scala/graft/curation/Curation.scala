@@ -429,7 +429,11 @@ object Curation {
       .withColumn("w2", substring_index(col("bg"), " ", -1))
       .join(m1, "w1").join(m2, "w2").crossJoin(broadcast(n))
       .withColumn("pmi_mnat",
-        round(log(col("c12") * col("nb") / (col("c1") * col("c2")).cast("double"))
+        // cast BEFORE multiplying: c1*c2 in long arithmetic overflows at
+        // ~5e9-count marginals (stopword bigrams at corpus scale) —
+        // doubles are exact for these products far beyond that
+        round(log(col("c12").cast("double") * col("nb")
+          / (col("c1").cast("double") * col("c2")))
           * 1000.0, 0).cast("long"))
       .select(col("bg").as("bigram"), col("c12").as("n"), col("pmi_mnat"))
     // top-k first (TakeOrdered — per-partition heads, driver merge of k),

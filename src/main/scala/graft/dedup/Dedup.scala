@@ -173,7 +173,10 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("uni", size(array_union(col("sha"), col("shb"))))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
-      .filter(col("jaccard") >= threshold)
+      // threshold on the UNROUNDED ratio: a pair at true jaccard
+      // 0.79995 rounds to 0.8000 and would pass a rounded-value test —
+      // the exact-verification stage must not certify sub-threshold pairs
+      .filter(col("inter").cast("double") / col("uni") >= threshold)
       .select("i", "j", "jaccard")
   }
 
@@ -311,9 +314,18 @@ object Dedup {
       val sess = pairs.sparkSession
       import sess.implicits._
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find with full path compression: chain-shaped
+      // components near the edge threshold would overflow the driver
+      // stack under a recursive spelling
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root)
+          root = parent(root)
+        var cur = x
+        while (parent(cur) != root) {
+          val next = parent(cur); parent(cur) = root; cur = next
+        }
+        root
       }
       matPairs.collect().foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
@@ -381,10 +393,17 @@ object Dedup {
    */
   def pageRankMicro(pairs: DataFrame, iters: Int = 3,
                     iCol: String = "i", jCol: String = "j"): DataFrame = {
-    val edges = pairs.select(col(iCol).cast("long").as("src"),
-        col(jCol).cast("long").as("dst"))
-      .unionByName(pairs.select(col(jCol).cast("long").as("src"),
-        col(iCol).cast("long").as("dst")))
+    // normalize the undirected pair input like the sibling graph
+    // operators: drop self-loops and collapse duplicate/both-orientation
+    // rows — they would silently double degrees and contributions
+    val und = pairs.select(col(iCol).cast("long").as("a"),
+        col(jCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val withDeg = edges.join(deg, "src").localCheckpoint()

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Lower median per group: the element at rank (n+1) div 2 in
-   * (value, tiebreak) order — exact, no interpolation. Returns
+   * (value, tiebreak) order — exact, no interpolation. Null values are
+   * excluded up front (they sort FIRST under asc and would both shift
+   * the rank and get picked as a "median"). Returns
    * (groupCols*, n, med). */
-  def lowerMedian(df: DataFrame, groupCols: Seq[String], value: Column,
+  def lowerMedian(df0: DataFrame, groupCols: Seq[String], value: Column,
                   tiebreak: Column): DataFrame = {
+    val df = df0.filter(value.isNotNull)
     val grp = groupCols.map(col)
     val w = Window.partitionBy(grp: _*).orderBy(value.asc, tiebreak.asc)
     df.withColumn("__v", value)
@@ -41,8 +44,10 @@ object Stats {
    * one hash exchange, and two in-partition sorts. Returns
    * (groupCols*, n, med, mad, n_outliers).
    */
-  def madOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+  def madOutliers(df0: DataFrame, groupCols: Seq[String], value: Column,
                   tiebreak: Column, k: Int): DataFrame = {
+    // nulls sort first and would corrupt both medians — exclude up front
+    val df = df0.filter(value.isNotNull)
     val grp = groupCols.map(col)
     val wAll = Window.partitionBy(grp: _*)
     val wOrd = Window.partitionBy(grp: _*)
@@ -106,7 +111,13 @@ object Stats {
         max(when(col("rn") === expr("(9 * nk + 9) div 10"), col("c"))).as("p90_c"),
         max(when(col("rn") === expr("(99 * nk + 99) div 100"), col("c"))).as("p99_c"))
       .select(lit(dim).as("dim"), col("n_keys"), col("n_rows"), col("max_c"),
-        expr("max_c * 1000000 div (n_rows div n_keys)").as("skew_ratio_ppm"),
+        // max/mean as one exact integer ratio — dividing by a
+        // pre-truncated integer mean (n_rows div n_keys) misreports by
+        // up to 2× when mean group size is small. Headroom: the
+        // max_c·1e6·n_keys product fits BIGINT while
+        // max_c·n_keys ≤ 9.2e12 (max_c ≤ mean·skew keeps this ~n_rows·
+        // skew — revisit past trillion-row inputs).
+        expr("max_c * 1000000 * n_keys div n_rows").as("skew_ratio_ppm"),
         expr("max_c * 1000000 div n_rows").as("max_share_ppm"),
         col("p50_c"), col("p90_c"), col("p99_c"))
   }
@@ -183,14 +194,22 @@ object Stats {
    * digit — rescale such columns before auditing).
    */
   def benfordAudit(df: DataFrame, value: Column): DataFrame = {
-    val digits = df
+    val counts = df
       .filter(value >= 1)
       .select(substring(floor(value).cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+    // all nine digits always emit a row: a digit that NEVER occurs is
+    // the strongest fabrication signal (dev_ppm = its full Benford
+    // expectation) — without the spine that row would silently vanish
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+      .join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
       .withColumn("total", sum("n").over())
     digits
-      .withColumn("obs_ppm", expr("n * 1000000 div total"))
+      .withColumn("obs_ppm",
+        when(col("total") > 0, expr("n * 1000000 div total")).otherwise(0L))
       .withColumn("benford_ppm",
         round(log10(lit(1.0) + lit(1.0) / col("digit")) * 1e6, 0).cast("long"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))

@@ -46,8 +46,14 @@ object Windows {
     val w = Window.partitionBy(partKey: _*).orderBy(orderCol.asc)
     val prevW = w.rowsBetween(Window.unboundedPreceding, -1)
     val prevFin = last(finalization, ignoreNulls = true).over(prevW)
+    // the cross-day guard must compare against the date of the CARRIED
+    // finalization (the row the wait is measured from), not the previous
+    // arrival: with null-finalization rows in between, the two differ —
+    // a prev-arrival test both emits stale cross-day waits (carry from
+    // yesterday, prev arrival today) and suppresses genuine same-day
+    // gaps (prev arrival yesterday 23:50, its finalization today)
     val sameDay =
-      if (sameDayOnly) to_date(arrival) === to_date(last(arrival, ignoreNulls = true).over(prevW))
+      if (sameDayOnly) to_date(arrival) === to_date(prevFin)
       else lit(true)
     df.withColumn(outCol,
       when(prevFin.isNotNull && sameDay && emitFilter,
@@ -124,7 +130,13 @@ object Windows {
                        partCol: String = "partition_id"): DataFrame = {
     assigned.write.mode("overwrite").partitionBy(partCol)
       .parquet(s"$outDir/partitions")
-    val summary = partitionStats(assigned, partCol, groupCol, idCol)
+    // summarize the parquet just written, not the input plan — the
+    // assignment is typically a full-input window whose re-execution
+    // would double the job's cost; the materialized table reads back
+    // columnar and partition-pruned
+    val summary = partitionStats(
+      assigned.sparkSession.read.parquet(s"$outDir/partitions"),
+      partCol, groupCol, idCol)
     summary.coalesce(1).write.mode("overwrite").parquet(s"$outDir/summary")
     summary
   }

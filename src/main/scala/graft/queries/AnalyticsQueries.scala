@@ -141,7 +141,7 @@ object AnalyticsQueries {
        m2 AS (SELECT split_part(bg, ' ', 2) AS w2, sum(c12) AS c2 FROM c GROUP BY 1),
        n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c),
        p AS (SELECT bg, c12,
-               CAST(round(ln(c12 * nb / CAST(c1 * c2 AS DOUBLE)) * 1000) AS BIGINT) AS pmi_mnat
+               CAST(round(ln(CAST(c12 AS DOUBLE) * nb / (CAST(c1 AS DOUBLE) * c2)) * 1000) AS BIGINT) AS pmi_mnat
              FROM c JOIN m1 ON split_part(c.bg, ' ', 1) = m1.w1
                     JOIN m2 ON split_part(c.bg, ' ', 2) = m2.w2
                     CROSS JOIN n

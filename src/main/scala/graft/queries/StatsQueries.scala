@@ -39,7 +39,7 @@ object StatsQueries {
                CAST(sum(c) OVER (PARTITION BY dim) AS BIGINT) AS nr
              FROM g)
        SELECT dim, max(nk) AS n_keys, max(nr) AS n_rows, max(c) AS max_c,
-              max(c) * 1000000 // (max(nr) // max(nk)) AS skew_ratio_ppm,
+              max(c) * 1000000 * max(nk) // max(nr) AS skew_ratio_ppm,
               max(c) * 1000000 // max(nr) AS max_share_ppm,
               max(CASE WHEN rn = (nk + 1) // 2 THEN c END) AS p50_c,
               max(CASE WHEN rn = (9 * nk + 9) // 10 THEN c END) AS p90_c,
@@ -124,10 +124,14 @@ object StatsQueries {
                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
            FROM orders WHERE o_totalprice >= 1),
        g AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
-       t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM g)
-       SELECT digit, n, n * 1000000 // total AS obs_ppm,
+       spine AS (SELECT unnest(range(1, 10)) AS digit),
+       f AS (SELECT s.digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n
+             FROM spine s LEFT JOIN g USING (digit)),
+       t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM f)
+       SELECT digit, n,
+              CASE WHEN total > 0 THEN n * 1000000 // total ELSE 0 END AS obs_ppm,
               CAST(round(log10(1 + 1.0 / digit) * 1e6) AS BIGINT) AS benford_ppm,
-              abs(n * 1000000 // total
+              abs(CASE WHEN total > 0 THEN n * 1000000 // total ELSE 0 END
                   - CAST(round(log10(1 + 1.0 / digit) * 1e6) AS BIGINT)) AS dev_ppm
        FROM t ORDER BY digit""") { (s, d) =>
     Stats.benfordAudit(table(s, d, "orders"), col("o_totalprice"))

@@ -216,8 +216,8 @@ object TextQueries {
              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(a.s || b.s)), 4) AS jaccard
       FROM sh a JOIN sh b ON a.bk = b.bk AND a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(a.s || b.s)), 4) >= 0.8
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(a.s || b.s)) >= 0.8
       ORDER BY i, j""") { (s, d) =>
     val w = TextAnalysis.tokens(col("text"))
     val docs = table(s, d, "documents").filter(size(w) >= 3)

@@ -87,11 +87,17 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     val vals = Seq.fill(30)(123.4) ++ Seq.fill(10)(2.7) ++ Seq.fill(10)(9999.0)
     val out = Stats.benfordAudit(vals.toDF("v"), col("v"))
       .collect().map(r => r.getAs[Long]("digit") -> r).toMap
-    assert(out.keySet == Set(1L, 2L, 9L))
+    // all nine digits emit a row; absent digits report n = 0 with the
+    // full Benford expectation as deviation (the strongest signal)
+    assert(out.keySet == (1L to 9L).toSet)
     assert(out(1L).getAs[Long]("n") == 30)
     assert(out(1L).getAs[Long]("obs_ppm") == 600000L)
     // Benford expectation for digit 1: log10(2) = 0.301030 -> 301030 ppm
     assert(out(1L).getAs[Long]("benford_ppm") == 301030L)
     assert(out(1L).getAs[Long]("dev_ppm") == 298970L)
+    assert(out(3L).getAs[Long]("n") == 0)
+    assert(out(3L).getAs[Long]("obs_ppm") == 0L)
+    // log10(1 + 1/3) = 0.124939 -> the whole expectation is the deviation
+    assert(out(3L).getAs[Long]("dev_ppm") == out(3L).getAs[Long]("benford_ppm"))
   }
 }

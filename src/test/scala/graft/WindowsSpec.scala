@@ -104,6 +104,25 @@ class WindowsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == Seq(None, Some(10L), Some(20L), None))
   }
 
+  test("lagGapMinutes: same-day guard keys off the carried finalization's date") {
+    // day1 10:00 (fin 10:10) → day2 00:30 (fin null) → day2 09:00:
+    // the third row's carried finalization is from DAY1, so its stale
+    // ~23h cross-day wait must be suppressed even though the previous
+    // ARRIVAL is same-day
+    val df = Seq(
+      ("u", "2024-01-01 10:00:00", "2024-01-01 10:10:00"),
+      ("u", "2024-01-02 00:30:00", null),
+      ("u", "2024-01-02 09:00:00", "2024-01-02 09:05:00"))
+      .toDF("user", "arr_s", "fin_s")
+      .select(col("user"), to_timestamp(col("arr_s")).as("arr"),
+        to_timestamp(col("fin_s")).as("fin"))
+    val got = Windows.lagGapMinutes(df, Seq(col("user")), col("arr"),
+      col("arr"), col("fin"))
+      .orderBy("arr").select("espera_min").collect().map(r => Option(r.get(0)))
+    assert(got.toSeq == Seq(None, None, None),
+      "stale cross-day carry must not emit a wait")
+  }
+
   test("writePartitioned: one dir per partition + summary (EP1 sink shape)") {
     val df = Windows.seededNtile(synthetic(200), Seq("grupo"), "pid", 3)
     val out = java.nio.file.Files.createTempDirectory("graft_ep1").toString
