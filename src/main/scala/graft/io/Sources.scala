@@ -43,13 +43,19 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+      case Some(LongType)         => normalizeTs(df, nanosAsLong = true)
+      case Some(TimestampNTZType) => normalizeTs(df, nanosAsLong = false)
+      case _                      => df
     }
   }
+
+  /** The ONE place the two-flavor `ts` normalization lives — shared by
+    * [[table]] and the streaming reader
+    * ([[graft.streaming.StreamingDemand.eventsStream]]), so batch and
+    * stream cannot silently diverge if a third flavor ever ships. */
+  private[graft] def normalizeTs(df: DataFrame, nanosAsLong: Boolean): DataFrame =
+    if (nanosAsLong) df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df.withColumn("ts", col("ts").cast(TimestampType))
 
   /**
    * Presence-checked projection (app.py:27-35): select the intersection of

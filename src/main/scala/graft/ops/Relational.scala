@@ -73,11 +73,16 @@ object Relational {
    */
   def pivotCountTopN(df: DataFrame, rowKey: String, colKey: String, topN: Int,
                      otherLabel: String = "OTROS"): DataFrame = {
-    val top = df.groupBy(colKey).count()
-      .orderBy(col("count").desc, col(colKey).asc)
-      .limit(topN).select(colKey).collect().map(_.getString(0)).toSeq
+    // cast to string so non-string pivot columns type; NULL pivot values
+    // route to OTROS (isin never matches null), so they are excluded
+    // from the top-N candidate list rather than minting a dead column
+    val ck = col(colKey).cast("string")
+    val top = df.select(ck.as("_ck0")).filter(col("_ck0").isNotNull)
+      .groupBy("_ck0").count()
+      .orderBy(col("count").desc, col("_ck0").asc)
+      .limit(topN).collect().map(_.getString(0)).toSeq
     val bucketed = df.withColumn("_ck",
-      when(col(colKey).isin(top: _*), col(colKey)).otherwise(otherLabel))
+      when(ck.isin(top: _*), ck).otherwise(otherLabel))
     bucketed.groupBy(rowKey).pivot("_ck", top :+ otherLabel).count().na.fill(0)
   }
 
@@ -138,11 +143,19 @@ object Relational {
   // ---------------------------------------------------------------- rollup
 
   /** Aggregate with a grand-total row appended (SURVEY.md A12), the
-   * reference's concat-a-TOTAL-row pattern as a native rollup. */
+   * reference's concat-a-TOTAL-row pattern as a native rollup. The
+   * total row is identified by `grouping()`, not by a null key — a
+   * genuine NULL-key group keeps its own row (labeled "null" after the
+   * string cast) instead of being conflated with the total. The key is
+   * cast to string so the label types for non-string keys. */
   def withTotalsRow(df: DataFrame, key: String, aggs: Seq[Column],
                     totalLabel: String = "TOTAL"): DataFrame =
-    df.rollup(key).agg(aggs.head, aggs.tail: _*)
-      .withColumn(key, coalesce(col(key), lit(totalLabel)))
+    df.rollup(key)
+      .agg(aggs.head, aggs.tail :+ grouping(col(key)).cast("int").as("_gt"): _*)
+      .withColumn(key,
+        when(col("_gt") === 1, lit(totalLabel))
+          .otherwise(col(key).cast("string")))
+      .drop("_gt")
 
   // ----------------------------------------------------------------- skew
 
@@ -181,8 +194,12 @@ object Relational {
    */
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  salts: Int, saltSource: Column): DataFrame = {
+    // a NULL saltSource hashes to NULL and would silently DROP the row
+    // from the inner (key, salt) join where the plain join keeps it —
+    // route null-salt rows to bucket 0 instead (deterministic, and the
+    // build side carries every salt value)
     val p = probe.withColumn("_salt",
-      pmod(Exprs.md5Long(saltSource), lit(salts.toLong)))
+      pmod(coalesce(Exprs.md5Long(saltSource), lit(0L)), lit(salts.toLong)))
     val b = build.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     p.join(b, keys :+ "_salt").drop("_salt")
@@ -270,8 +287,12 @@ object Relational {
    * group; beyond that, coarsen the quantization (the bound scales
    * linearly with it).
    */
-  def groupedLinearFit(df: DataFrame, groupCol: String, x: Column,
+  def groupedLinearFit(df0: DataFrame, groupCol: String, x: Column,
                        yQuant: Column): DataFrame = {
+    // n must count exactly the rows the moment sums see: sums skip
+    // nulls, so a null x or y row left in would mix inconsistent
+    // moments into the normal equations (wrong but non-null output)
+    val df = df0.filter(x.isNotNull && yQuant.isNotNull)
     val agg = df.groupBy(groupCol).agg(
       count(lit(1)).as("n"),
       sum(x.cast("long")).as("sx"),
@@ -308,12 +329,17 @@ object Relational {
    * and would poison a cross-engine digest.
    */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
-                   payload: Column): DataFrame =
-    oldDf.select(col(key), payload.as("h_old"))
-      .join(newDf.select(col(key), payload.as("h_new")), Seq(key), "full_outer")
-      .select(col(key),
+                   payload: Column): DataFrame = {
+    // null-safe key equality: a NULL-keyed record present in both
+    // versions is ONE record to reconcile — a plain equi-join would
+    // report it as simultaneously 'added' and 'removed'
+    val a = oldDf.select(col(key).as("_ko"), payload.as("h_old"))
+    val b = newDf.select(col(key).as("_kn"), payload.as("h_new"))
+    a.join(b, a("_ko") <=> b("_kn"), "full_outer")
+      .select(coalesce(col("_ko"), col("_kn")).as(key),
         when(col("h_old").isNull, "added")
           .when(col("h_new").isNull, "removed")
           .when(col("h_old") =!= col("h_new"), "changed")
           .otherwise("unchanged").as("change_type"))
+  }
 }

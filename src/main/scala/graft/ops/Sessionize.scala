@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.StreamingDemand.drain
 
 /**
  * Event sessionization with an inactivity gap — batch and streaming forms.
@@ -66,7 +67,12 @@ object Sessionize {
         evs.toSeq.sortBy(_.sec).foreach { e =>
           cur match {
             case Some(s) if e.sec - s.last <= gapSec =>
-              cur = Some(SessState(s.start, math.max(s.last, e.sec), s.n + 1))
+              // min() on start: a late-but-within-watermark event from a
+              // later micro-batch can PRECEDE the open session's start —
+              // keeping the old start would emit a session whose
+              // start_epoch disagrees with the batch min(sec) truth
+              cur = Some(SessState(math.min(s.start, e.sec),
+                math.max(s.last, e.sec), s.n + 1))
             case Some(s) =>
               out ::= SessOut(userId, s.start, s.last, s.n)
               cur = Some(SessState(e.sec, e.sec, 1))
@@ -113,6 +119,6 @@ object Sessionize {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
   }
 }

@@ -799,7 +799,8 @@ object AnalyticsQueries {
    * aggregate). */
   val q136GroupedRegression: Q = Q("q136_grouped_regression",
     """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
-                         CAST(round(value * 1000) AS BIGINT) AS y FROM events),
+                         CAST(round(value * 1000) AS BIGINT) AS y FROM events
+                  WHERE ts IS NOT NULL AND value IS NOT NULL),
        a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
                     sum(y) AS sy, sum(x*y) AS sxy,
                     min(x) = max(x) AS constx

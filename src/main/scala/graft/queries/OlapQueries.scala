@@ -578,7 +578,7 @@ object OlapQueries {
                          WHEN b.h IS NULL THEN 'removed'
                          WHEN a.h <> b.h THEN 'changed'
                          ELSE 'unchanged' END AS change_type
-             FROM a FULL OUTER JOIN b ON a.k = b.k)
+             FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k)
        SELECT CAST(k AS BIGINT) AS k, change_type FROM d
        WHERE change_type <> 'unchanged' ORDER BY k""") { (s, d) =>
     val base = table(s, d, "orders")

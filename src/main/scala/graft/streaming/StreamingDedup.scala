@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.streaming.StreamingDemand.drain
 import graft.text.TextAnalysis
 
 /**
@@ -67,6 +68,6 @@ object StreamingDedup {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
   }
 }

@@ -30,6 +30,18 @@ object StreamingDemand {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Materialize a finished memory-sink table and DROP its temp view:
+    * the UUID-named views are never reused, so without the drop every
+    * run*ToBatch call pins its full result in driver memory for the
+    * application's lifetime. The localCheckpoint keeps the data
+    * readable after the view is gone (and its blocks are GC-eligible
+    * with the returned frame, unlike the pinned sink). */
+  private[graft] def drain(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** events schema when the parquet stores ts as TIMESTAMP(NANOS), read
     * with `nanosAsLong` (ts = raw nanos). */
   val eventsRawSchemaNanos: StructType = StructType(Seq(
@@ -57,8 +69,7 @@ object StreamingDemand {
       .schema(if (nanos) eventsRawSchemaNanos else eventsRawSchemaMicros)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (nanos) raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw.withColumn("ts", col("ts").cast(TimestampType))
+    graft.io.Sources.normalizeTs(raw, nanosAsLong = nanos)
   }
 
   /** Tumbling 1-hour event-time counts with a 1-hour watermark. */
@@ -94,7 +105,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name).orderBy(dimAttr)
+    drain(spark, name).orderBy(dimAttr)
   }
 
   /**
@@ -124,7 +135,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
       .select(unix_timestamp(col("window.start")).as("window_epoch"),
         col("event_type"), col("n"))
   }
@@ -162,7 +173,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
   }
 
   /**
@@ -206,7 +217,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
   }
 
   /**
@@ -234,7 +245,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name).select(col("user_id"),
+    drain(spark, name).select(col("user_id"),
       unix_timestamp(col("session_window.start")).as("start_epoch"),
       unix_timestamp(col("session_window.end")).as("end_epoch"),
       col("n_events"))
@@ -253,7 +264,7 @@ object StreamingDemand {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.table(name)
+    drain(spark, name)
       .select(unix_timestamp(col("window.start")).as("hora_epoch"),
         col("event_type"), col("n"))
       .orderBy("hora_epoch", "event_type")

@@ -14,7 +14,14 @@ import graft.ops.Exprs
 object TextAnalysis {
 
   /** Whitespace tokenization of lowercased, trimmed text. `trim` first so
-   * Java-regex split never yields a leading empty token. */
+   * Java-regex split never yields a leading empty token.
+   *
+   * Known wart, kept DELIBERATELY: empty/whitespace-only text yields
+   * `[""]` (one empty token, count 1, not 0) — DuckDB's
+   * `string_split_regex('', '\s+')` does the same, and every oracle
+   * replays this spelling, so "fixing" one side alone would break
+   * cross-engine parity on empty documents. Filter empty docs upstream
+   * where a true 0 matters. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
   /** Token count (whitespace tokenizer). */
