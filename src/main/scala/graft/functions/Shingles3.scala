@@ -2,39 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 object ShingleUtil {
-  /** 3-token shingles joined by ' ' in one pass — bit-identical to
-    * `transform(sequence(1, greatest(n-2,1)), i -> concat_ws(' ',
-    * w[i], w[i+1], w[i+2]))` including concat_ws's null/short-array
-    * skipping, without per-element interpreted evaluation. */
-  def shingles3(tokens: ArrayData): ArrayData = {
-    val n = tokens.numElements()
-    val nSh = math.max(n - 2, 1)
-    val out = new Array[AnyRef](nSh)
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < nSh) {
-      sb.setLength(0)
-      var o = 0
-      var first = true
-      while (o < 3) {
-        val idx = i + o
-        if (idx < n && !tokens.isNullAt(idx)) {
-          if (!first) sb.append(' ')
-          sb.append(tokens.getUTF8String(idx).toString)
-          first = false
-        }
-        o += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  /** 3-token shingles — the fixed-k=3 entry point, delegating to
+    * [[ShingleKUtil.shinglesK]] so the shingle loop (whose bit-exact
+    * concat_ws-skipping semantics the oracles replay) exists ONCE. */
+  def shingles3(tokens: ArrayData): ArrayData =
+    ShingleKUtil.shinglesK(tokens, 3)
 }
 
 /** Native 3-token shingle array over a token array column. */

@@ -41,8 +41,11 @@ object GraphOps {
     // collect_set dedups the group's items in the SAME shuffle that
     // groups them, the hub cap drops oversize groups BEFORE any pair
     // exists, and pairs come map-side from the sorted array (i < j for
-    // free) — no size pre-count join, no within-group self-join
-    df.select(col(groupCol).as("g"), col(itemCol).as("it"))
+    // free) — no size pre-count join, no within-group self-join.
+    // A null group key is NOT a group: without the filter its rows
+    // would fabricate co-occurrence edges between unrelated items.
+    df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(itemCol).as("it"))
       .groupBy("g").agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= maxGroupSize)
       .select(explode(pairsFromSortedArray("items", "i", "j")).as("p"))

@@ -28,7 +28,8 @@ object SketchQueries {
    * sketches union by re-ranking 2×64 hashes. */
   val q159KmvDistinct: Q = Q("q159_kmv_distinct",
     s"""WITH h AS (SELECT DISTINCT o_orderpriority AS priority,
-             ${md5sql.format("o_custkey")} AS h FROM orders),
+             ${md5sql.format("o_custkey")} AS h FROM orders
+           WHERE o_custkey IS NOT NULL),
        r AS (SELECT priority, h,
                row_number() OVER (PARTITION BY priority ORDER BY h) AS rk
              FROM h),
@@ -67,7 +68,9 @@ object SketchQueries {
   val q160KmvSetOps: Q = Q("q160_kmv_setops",
     s"""WITH e AS (SELECT ${md5sql.format("user_id")} AS h,
              event_type = 'click' AS a, event_type = 'purchase' AS b
-           FROM events WHERE event_type IN ('click', 'purchase')),
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND user_id IS NOT NULL),
        g AS (SELECT h, max(a) AS a, max(b) AS b FROM e GROUP BY h),
        r AS (SELECT *, row_number() OVER (ORDER BY h) AS rk FROM g),
        s AS (SELECT count(*) AS n_kept, max(h) AS theta,

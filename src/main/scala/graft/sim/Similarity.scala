@@ -50,11 +50,19 @@ object Similarity {
    * division per element and lets CollapseProject re-inline the norm
    * into the lambda (recomputing it per element). Zero vectors map to
    * zero vectors.
+   *
+   * Rows with a NULL vector are dropped — they can never score (every
+   * dot with them is null), and left in they surface as null-sim
+   * ranked rows whenever a query has fewer than k real candidates
+   * (and, on the LSH paths, land in bucket 0, skewing its volume).
+   * Every similarity entry point normalizes through here, so this is
+   * the one null gate (same contract as [[graft.sim.Ivf.buildIndex]]).
    */
   def withUnitVec(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    df.withColumn(outCol, ColumnBridge.column(
-      graft.functions.UnitVec(ColumnBridge.expression(col(vecCol)))))
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(outCol, ColumnBridge.column(
+        graft.functions.UnitVec(ColumnBridge.expression(col(vecCol)))))
   }
 
   /** Expression-only spelling of [[withUnitVec]]'s output column

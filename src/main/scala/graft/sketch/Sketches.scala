@@ -9,8 +9,12 @@ import graft.ops.Exprs
  * Mergeable summary sketches for approximate query processing at scale,
  * built on the engine's replayable 60-bit md5 hash ([[Exprs.md5Long]])
  * so every estimate is bit-reproducible in any engine — estimates use
- * INTEGER arithmetic only (`div`, not float division), never libm calls
- * whose last ULP could differ across runtimes.
+ * INTEGER arithmetic only (`div`, not float division). The one
+ * documented exception to the no-libm rule is [[distributionProfile]]'s
+ * entropy term: `ln` is unavoidable there, so each term is quantized to
+ * integer micro-nats before the sum — aggregation-order-proof, though a
+ * term landing within an ULP of a rounding boundary could in principle
+ * differ across runtimes (same accepted trade as BM25/PMI/surprisal).
  *
  * Scale shape (the reason sketches exist at 100 TB): each operator's
  * state is FIXED-SIZE per group — k hashes (KMV), d×w cells (count-min),
@@ -38,9 +42,26 @@ object Sketches {
   def kmvDistinct(df: DataFrame, key: Column, groupCols: Seq[String],
                   k: Int): DataFrame = {
     val grp = groupCols.map(col)
-    val hashed = df.select((grp :+ Exprs.md5Long(key).as("h")): _*).distinct()
+    // null keys are excluded: count(DISTINCT key) ignores them, their
+    // hash is null (which Spark sorts FIRST asc but DuckDB LAST — a
+    // cross-engine divergence), and a null in a bottom-k slot would
+    // shift theta
+    val hashed = df.filter(key.isNotNull)
+      .select((grp :+ Exprs.md5Long(key).as("h")): _*).distinct()
+    // two-phase bottom-k: per-(group, scan-partition) heads first, so a
+    // hot group never funnels ALL its distinct hashes through one task —
+    // min-k of per-partition min-k's equals the global min-k (the same
+    // set algebra the streaming KMV fold relies on). The distinct above
+    // already spread each group hash-uniformly across partitions.
+    val wPart = Window.partitionBy((grp :+ col("__pid")): _*)
+      .orderBy(col("h").asc)
+    val partial = hashed
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rk", row_number().over(wPart))
+      .filter(col("__rk") <= k)
+      .drop("__pid", "__rk")
     val w = Window.partitionBy(grp: _*).orderBy(col("h").asc)
-    hashed
+    partial
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(grp: _*)
@@ -65,7 +86,9 @@ object Sketches {
    */
   def kmvSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
                 k: Int): DataFrame = {
-    val sides = df.select(Exprs.md5Long(key).as("h"),
+    // null keys excluded for the same reasons as [[kmvDistinct]]
+    val sides = df.filter(key.isNotNull)
+      .select(Exprs.md5Long(key).as("h"),
         inA.as("a"), inB.as("b"))
       .groupBy("h")
       .agg(max(col("a")).as("a"), max(col("b")).as("b"))
@@ -90,9 +113,13 @@ object Sketches {
   }
 
   /** Row-d hash of a key into [0, width): `md5Long(key # d) mod width`. */
-  def cmPos(key: Column, d: Int, width: Int): Column =
-    pmod(Exprs.md5Long(concat(key.cast("string"), lit("#" + d))),
+  /** The ONE '#'-salted hash-position contract both sketch families'
+    * oracles replay: `md5long(key || '#j') mod width`. */
+  private def saltedPos(key: Column, salt: Int, width: Int): Column =
+    pmod(Exprs.md5Long(concat(key.cast("string"), lit("#" + salt))),
       lit(width.toLong))
+
+  def cmPos(key: Column, d: Int, width: Int): Column = saltedPos(key, d, width)
 
   /**
    * Count-min sketch build: d×width cells, cell (d, pos) = total count
@@ -136,10 +163,9 @@ object Sketches {
         .flatMap(d => Seq(s"__p$d", s"__c$d", s"__cr$d"))): _*)
   }
 
-  /** Position of hash j of a key in an m-bit Bloom filter. */
-  def bloomPos(key: Column, j: Int, m: Int): Column =
-    pmod(Exprs.md5Long(concat(key.cast("string"), lit("#" + j))),
-      lit(m.toLong))
+  /** Position of hash j of a key in an m-bit Bloom filter (same salted
+    * contract as [[cmPos]] — shared [[saltedPos]]). */
+  def bloomPos(key: Column, j: Int, m: Int): Column = saltedPos(key, j, m)
 
   /**
    * Bloom filter build: the m-bit array packed into m/64 long words
