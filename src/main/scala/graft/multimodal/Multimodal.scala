@@ -32,7 +32,7 @@ object Multimodal {
   def asMediaTable(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame =
     docs.select(
-      col(idCol).as("media_id"),
+      col(idCol).cast("long").as("media_id"), // mediaSchema says LongType
       encode(col(textCol), "utf-8").as("blob"),
       lit("application/octet-stream").as("mime"),
       length(encode(col(textCol), "utf-8")).cast("long").as("n_bytes"))
@@ -69,13 +69,17 @@ object Multimodal {
    */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "blob").rdd.mapPartitions { it =>
-      // real decoder would initialize its codec context HERE, once
-      it.map { r =>
-        val d = StubDecoder.decode(r.getAs[Array[Byte]]("blob"))
-        Row(r.getLong(0), d.width, d.height, d.channels, d.meanByte)
+    // a null blob (mediaSchema allows it — absent/unreadable media) has
+    // nothing to decode; drop it rather than NPE the whole stage
+    val rdd = media.select("media_id", "blob")
+      .filter(col("blob").isNotNull)
+      .rdd.mapPartitions { it =>
+        // real decoder would initialize its codec context HERE, once
+        it.map { r =>
+          val d = StubDecoder.decode(r.getAs[Array[Byte]]("blob"))
+          Row(r.getLong(0), d.width, d.height, d.channels, d.meanByte)
+        }
       }
-    }
     spark.createDataFrame(rdd, decodedSchema)
   }
 
@@ -84,8 +88,12 @@ object Multimodal {
   def planResize(decoded: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0),
       lit(maxSide) / greatest(col("width"), col("height")).cast("double"))
+    // emit the UNROUNDED scale: out_w/out_h derive from it, and a
+    // consumer recomputing floor(width * scale) from the emitted columns
+    // must land on the same value (a rounded display scale made rows
+    // self-inconsistent, e.g. floor(79 * 0.3291) = 25 vs out_w = 26)
     decoded
-      .withColumn("scale", round(scale, 4))
+      .withColumn("scale", scale)
       .withColumn("out_w", floor(col("width") * scale).cast("int"))
       .withColumn("out_h", floor(col("height") * scale).cast("int"))
   }

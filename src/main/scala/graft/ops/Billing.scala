@@ -110,6 +110,10 @@ object Billing {
       .select(col("grupo"), col("ingresos"), col("facturado"),
         coalesce(col("novedades"), lit(0L)).as("novedades"),
         coalesce(col("bloqueantes"), lit(0L)).as("bloqueantes"))
+      // structurally dead with ingresos = count(*) (every existing group
+      // has >= 1), kept because the reference applies the same guard and
+      // the oracle mirrors it — it becomes load-bearing if ingresos ever
+      // changes to a sum that can be zero
       .filter(col("ingresos") > 0)
       .withColumn("pct_facturado",
         round(col("facturado") / col("ingresos").cast("double") * 100, 1))

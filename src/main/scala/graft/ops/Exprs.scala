@@ -43,9 +43,12 @@ object Exprs {
   def excelFractionToMinutes(x: Column): Column =
     round(x * 24 * 60).cast(LongType)
 
-  /** Minutes since midnight → 'HH:MM' string (app_confirmaciones.py:131-139). */
+  /** Minutes since midnight → 'HH:MM' string (app_confirmaciones.py:131-139).
+   * Null propagates: format_string would otherwise render a null %d
+   * argument as the literal text "null:null". */
   def minutesToHHMM(m: Column): Column =
-    format_string("%02d:%02d", (m / 60).cast(IntegerType), (m % 60).cast(IntegerType))
+    when(m.isNull, lit(null).cast("string")).otherwise(
+      format_string("%02d:%02d", (m / 60).cast(IntegerType), (m % 60).cast(IntegerType)))
 
   // ---------------------------------------------------------- time helpers
 
@@ -141,7 +144,7 @@ object Exprs {
    * mobile starting with 3 gets +57; already-prefixed 57… kept; else as-is.
    */
   def normalizePhone(c: Column): Column = {
-    val digits = regexp_replace(regexp_replace(c.cast("string"), "\\.0$", ""), "[^0-9]", "")
+    val digits = regexp_replace(stripTrailingDotZero(c), "[^0-9]", "")
     when(isBlank(c), lit(null).cast("string"))
       .when(length(digits) === 10 && digits.startsWith("3"), concat(lit("+57"), digits))
       .when(length(digits) === 12 && digits.startsWith("57"), concat(lit("+"), digits))

@@ -34,9 +34,10 @@ object Funnel {
   /**
    * Weekly cohort retention: users are cohorted by the week of their
    * first event; `n_users` counts the cohort's users active in week
-   * `cohort + week_offset`. The per-user first-week aggregate and the
-   * distinct (user, week) activity table join on the user key — the
-   * cohort matrix itself is bounded by weeks², not events.
+   * `cohort + week_offset`. JOIN-FREE: the cohort week is a window-min
+   * over the distinct (user, week) activity table (one user-keyed
+   * exchange, pinned in PlanQualitySpec) — the cohort matrix itself is
+   * bounded by weeks², not events.
    */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
                       maxWeeks: Int): DataFrame = {
