@@ -209,8 +209,11 @@ object Exprs {
   }
 
   /** The DuckDB spelling of [[md5Long]] as a format string (`%s` = the
-    * hashed expression) — the ONE place the oracle-side hash contract
-    * lives; query files interpolate it instead of restating it. */
+    * hashed expression) — the canonical oracle-side hash contract; new
+    * query files interpolate it instead of restating it. (A handful of
+    * older oracles in Lake/OlapQueries predate the template and restate
+    * the spelling inline — frozen safely by the per-round 200-query
+    * verify gate, which fails loudly on any drift.) */
   val md5LongSql: String =
     "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
 }

@@ -31,8 +31,10 @@ object CoreQueries {
   private val part = (s: SparkSession, d: String) => table(s, d, "part")
   private val events = (s: SparkSession, d: String) => table(s, d, "events")
 
-  /** Exact (order-independent) money sum: route through DECIMAL, emit DOUBLE. */
-  private def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+  /** Exact (order-independent) money sum: route through DECIMAL, emit
+   * DOUBLE — THE money rule (AQE-safe determinism), shared across the
+   * query files. */
+  private[queries] def moneySum(c: org.apache.spark.sql.Column, scale: Int = 2) =
     round(sum(c.cast("decimal(18,6)")), scale).cast("double")
 
   // ------------------------------------------------------------------ A1/A14

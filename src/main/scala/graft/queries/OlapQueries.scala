@@ -14,10 +14,9 @@ import graft.text.TextAnalysis
  */
 object OlapQueries {
 
-  /** Exact (order-independent) money sum: route through DECIMAL, emit
-   * DOUBLE (CoreQueries rule — AQE-safe determinism). */
+  /** [[CoreQueries.moneySum]] — one copy of the money rule. */
   private def moneySum(c: org.apache.spark.sql.Column) =
-    round(sum(c.cast("decimal(18,6)")), 2).cast("double")
+    CoreQueries.moneySum(c)
 
   // ------------------------------------------------------------------ cube
 
@@ -79,12 +78,17 @@ object OlapQueries {
    * anti-join for the foreign key) — the metrics all ride map-side
    * combined counts, never a row-level materialization. The
    * `nonneg_c_acctbal` check legitimately FAILS on this data (negative
-   * balances exist), so the gate proves both verdict polarities. */
+   * balances exist), so the gate proves both verdict polarities. The
+   * referential check is spelled NOT EXISTS, not NOT IN — NOT IN's
+   * three-valued logic diverges from left_anti when either side holds
+   * a NULL key (a NULL o_custkey IS an orphan to left_anti but filtered
+   * by NOT IN; one NULL c_custkey nullifies NOT IN entirely). */
   val q139QualityAudit: Q = Q("q139_quality_audit",
     """WITH o AS (SELECT count(*) AS n_rows, count(o_custkey) AS n_nonnull,
                          count(DISTINCT o_orderkey) AS n_distinct FROM orders),
-       ri AS (SELECT count(*) AS n_orphan FROM orders
-              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       ri AS (SELECT count(*) AS n_orphan FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
        l AS (SELECT count(*) AS l_rows,
                     count(*) FILTER (WHERE l_discount >= 0 AND l_discount <= 0.1) AS n_in_range,
                     count(*) FILTER (WHERE l_returnflag IN ('A','N','R')) AS n_accepted
@@ -229,8 +233,11 @@ object OlapQueries {
              JOIN du ON du.day BETWEEN d.day - 6 AND d.day)
        SELECT strftime(day, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS u7
        FROM w GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    // the distinct (day, user) table feeds BOTH the explode side and
+    // the day-domain side — checkpoint it so events scan+distinct once
     val du = table(s, d, "events")
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .localCheckpoint()
     val days = du.select(col("day").as("wend")).distinct()
     du.select(explode(sequence(col("day"), date_add(col("day"), 6))).as("wend"),
         col("user_id"))
@@ -259,13 +266,15 @@ object OlapQueries {
              FROM d CROSS JOIN t LEFT JOIN c USING (day, event_type)),
        p AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n,
                     sum(a.n) AS sx, sum(b.n) AS sy, sum(a.n*a.n) AS sxx,
-                    sum(b.n*b.n) AS syy, sum(a.n*b.n) AS sxy
+                    sum(b.n*b.n) AS syy, sum(a.n*b.n) AS sxy,
+                    min(a.n) = max(a.n) OR min(b.n) = max(b.n) AS zerovar
              FROM f a JOIN f b USING (day) WHERE a.event_type < b.event_type
              GROUP BY 1, 2)
        SELECT ta, tb,
-              round(CAST(n*sxy - sx*sy AS DOUBLE) /
-                    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
-                    6) AS r
+              CASE WHEN zerovar THEN NULL
+                   ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                     sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+                     6) END AS r
        FROM p ORDER BY ta, tb""") { (s, d) =>
     // ONE events scan: the (day,type) count table is checkpointed and
     // the day/type domains derive from IT (not from events re-scans) —
@@ -286,12 +295,16 @@ object OlapQueries {
         sum("xn").as("sx"), sum("yn").as("sy"),
         sum(col("xn") * col("xn")).as("sxx"),
         sum(col("yn") * col("yn")).as("syy"),
-        sum(col("xn") * col("yn")).as("sxy"))
+        sum(col("xn") * col("yn")).as("sxy"),
+        // either series constant (incl. the 1-day degenerate span) →
+        // 0/0 — NaN in Spark but NULL in DuckDB, so guard to NULL
+        (min("xn") === max("xn") || min("yn") === max("yn")).as("zerovar"))
       .select(col("ta"), col("tb"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
-          6).as("r"))
+        when(col("zerovar"), lit(null)).otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6)).as("r"))
       .orderBy("ta", "tb")
   }
 
@@ -396,9 +409,11 @@ object OlapQueries {
                     max(CASE WHEN arm = 1 THEN c END) AS c1 FROM s)
        SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
               CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
-              round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
-                    sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
-                         * (1.0/n0 + 1.0/n1)), 6) AS z
+              CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+                   ELSE round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+                     sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * (1 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+                          * (1.0/n0 + 1.0/n1)), 6)
+              END AS z
        FROM p""") { (s, d) =>
     val arms = table(s, d, "events")
       .groupBy(col("user_id"),
@@ -413,11 +428,16 @@ object OlapQueries {
       max(when(col("arm") === 1, col("n"))).as("n1"),
       max(when(col("arm") === 1, col("c"))).as("c1"))
     val pool = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+    // pooled rate 0 or 1 (no conversions anywhere, or all converted)
+    // zeroes the variance → 0/0: NaN in Spark, NULL in DuckDB — guard
+    val degenerate = (col("c0") + col("c1") === 0) ||
+      (col("c0") + col("c1") === col("n0") + col("n1"))
     p.select(col("n0"), col("c0"), col("n1"), col("c1"),
-      round((col("c1").cast("double") / col("n1") -
-          col("c0").cast("double") / col("n0")) /
-        sqrt(pool * (lit(1) - pool) *
-          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+      when(degenerate, lit(null)).otherwise(
+        round((col("c1").cast("double") / col("n1") -
+            col("c0").cast("double") / col("n0")) /
+          sqrt(pool * (lit(1) - pool) *
+            (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)).as("z"))
   }
 
   // -------------------------------------------------------- ratio to parent
@@ -694,7 +714,8 @@ object OlapQueries {
       .groupBy("lang", "token").agg(count(lit(1)).as("n_exact"))
     confirmed
       .withColumn("rank", row_number().over(
-        Window.partitionBy("lang").orderBy(col("n_exact").desc, col("token"))))
+        Window.partitionBy("lang").orderBy(col("n_exact").desc, col("token")))
+        .cast("long"))
       .filter(col("rank") <= 3)
       .join(broadcast(sk), Seq("lang", "token"), "left")
       .join(broadcast(ng), Seq("lang"))
