@@ -210,10 +210,12 @@ object Exprs {
 
   /** The DuckDB spelling of [[md5Long]] as a format string (`%s` = the
     * hashed expression) — the canonical oracle-side hash contract; new
-    * query files interpolate it instead of restating it. (A handful of
-    * older oracles in Lake/OlapQueries predate the template and restate
-    * the spelling inline — frozen safely by the per-round 200-query
-    * verify gate, which fails loudly on any drift.) */
+    * query files interpolate it instead of restating it. (Older oracles
+    * across Analytics/Curation/Lake/Olap/Scale/TextQueries predate the
+    * template and restate the spelling inline — ~19 sites, frozen
+    * safely by the per-round 200-query verify gate, which fails loudly
+    * on any drift. If the contract ever changes, update the template
+    * AND grep for `substr(md5` across queries/.) */
   val md5LongSql: String =
     "('0x'||substr(md5(CAST(%s AS VARCHAR)),1,15))::BIGINT"
 }

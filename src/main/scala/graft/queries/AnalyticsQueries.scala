@@ -339,13 +339,16 @@ object AnalyticsQueries {
   val q113OrderedList: Q = Q("q113_ordered_list",
     """WITH e AS (SELECT user_id, event_type, event_id,
                          CAST(floor(epoch(ts)) AS BIGINT) AS sec
-                  FROM events WHERE user_id < 200)
+                  FROM events WHERE user_id < 200 AND ts IS NOT NULL)
        SELECT user_id,
               array_to_string(
                 (list(event_type ORDER BY sec, event_id))[1:3], ',') AS first3
        FROM e GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    // ts IS NOT NULL on both sides: a null-sec struct sorts FIRST in
+    // Spark's sort_array but LAST in DuckDB's ORDER BY — it would take
+    // slot 1 of first3 in one engine and be excluded in the other
     table(s, d, "events")
-      .filter(col("user_id") < 200)
+      .filter(col("user_id") < 200 && col("ts").isNotNull)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_timestamp(col("ts")).as("sec"))
       .groupBy("user_id")
@@ -706,7 +709,8 @@ object AnalyticsQueries {
    * points — the behavioral-modeling primitive. */
   val q125Transitions: Q = Q("q125_transitions",
     """WITH e AS (SELECT user_id, event_type, event_id,
-                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+                         CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+                  WHERE ts IS NOT NULL),
        l AS (SELECT user_id, event_type AS cur,
                     lag(event_type) OVER (PARTITION BY user_id
                                           ORDER BY sec, event_id) AS prev
@@ -719,7 +723,11 @@ object AnalyticsQueries {
        FROM t JOIN tot USING (prev) ORDER BY prev, cur""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy(col("sec"), col("event_id"))
+    // null-ts rows excluded on BOTH sides: Spark's asc sort is NULLS
+    // FIRST where DuckDB's is NULLS LAST, so a null-sec event would
+    // take a different sequence position in each engine
     val t = table(s, d, "events")
+      .filter(col("ts").isNotNull)
       .select(col("user_id"), col("event_type").as("cur"), col("event_id"),
         unix_timestamp(col("ts")).as("sec"))
       .withColumn("prev", lag(col("cur"), 1).over(w))
