@@ -224,17 +224,23 @@ object LakeQueries {
       .select(col("o_orderkey"), col("o_custkey"),
         to_date(col("o_orderdate")).as("od"))
       .localCheckpoint() // feeds bounds scan + two layout writes
-    val b = src.agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
+    // bounds collected as strings, not java.sql.Date: decoding external
+    // Date values needs --add-opens java.base/sun.util.calendar, which
+    // the harness JVM may not pass (the q140 cutoff pattern)
+    val b = src.agg(min("o_custkey"), max("o_custkey"),
+        date_format(min("od"), "yyyy-MM-dd"), date_format(max("od"), "yyyy-MM-dd"))
       .head()
     val (ckLo, ckHi) = (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue)
-    val (dLo, dHi) = (b.getDate(2), b.getDate(3))
-    val dSpan = dHi.toLocalDate.toEpochDay - dLo.toLocalDate.toEpochDay
+    val (dLoS, dHiS) = (b.getString(2), b.getString(3))
+    val dLo = to_date(lit(dLoS))
+    val dSpan = java.time.LocalDate.parse(dHiS).toEpochDay -
+      java.time.LocalDate.parse(dLoS).toEpochDay
     // 2-bit buckets → a 4×4 Morton grid over 16 files, so each file
     // covers ~one (custkey, date) cell and footer min/max stats stay
     // tight on BOTH dimensions (measured: either slice touches ≤8 of
     // 16 files at sf0.001–0.1; the linear layout touches 16/16 on date)
     val bucketA = floor((col("o_custkey") - ckLo) * 4 / (ckHi - ckLo + 1))
-    val bucketB = floor(datediff(col("od"), lit(dLo)) * 4 / (dSpan + 1))
+    val bucketB = floor(datediff(col("od"), dLo) * 4 / (dSpan + 1))
     val z = Layout.zOrderedWrite(src, bucketA, bucketB, bits = 2,
       numFiles = 16, path = s"$dir/z")
     val lin = Layout.rangeSortedWrite(src, "o_custkey", "o_orderkey",
@@ -242,8 +248,8 @@ object LakeQueries {
     // slice per dimension: the middle 1/8 of each value span
     val ckSliceLo = ckLo + (ckHi - ckLo) / 2
     val ckSliceHi = ckLo + (ckHi - ckLo) * 5 / 8
-    val dSliceLo = date_add(lit(dLo), (dSpan / 2).toInt)
-    val dSliceHi = date_add(lit(dLo), (dSpan * 5 / 8).toInt)
+    val dSliceLo = date_add(dLo, (dSpan / 2).toInt)
+    val dSliceHi = date_add(dLo, (dSpan * 5 / 8).toInt)
     def touched(reread: org.apache.spark.sql.DataFrame, dim: String,
                 lo: Column, hi: Column) =
       Layout.fileIntervals(reread, dim)
