@@ -11,7 +11,8 @@ object SparkEntry {
     CoreQueries.all ++ TextQueries.all ++ PipelineQueries.all ++
       ExtraQueries.all ++ CurationQueries.all ++ ScaleQueries.all ++
       LakeQueries.all ++ AnalyticsQueries.all ++ OlapQueries.all ++
-      SketchQueries.all ++ StatsQueries.all ++ CorpusQueries.all
+      SketchQueries.all ++ StatsQueries.all ++ CorpusQueries.all ++
+      MiningQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Slice-0 demand query (SURVEY.md §7.2): avg hourly event demand per

@@ -631,7 +631,7 @@ object OlapQueries {
    * sort. The redundant-feature audit an embedding pipeline runs before
    * dimension pruning. */
   val q152FeatureCov: Q = Q("q152_feature_cov",
-    """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS v
                   FROM embeddings),
        n AS (SELECT count(*) AS nn FROM q),
        m AS (SELECT i, sum(v[i+1]) AS s FROM q, range(0,64) t(i) GROUP BY i),
@@ -643,7 +643,7 @@ object OlapQueries {
        FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j CROSS JOIN n
        ORDER BY abs(cov_q) DESC, p.i, p.j LIMIT 20""") { (s, d) =>
     val q = table(s, d, "embeddings")
-      .select(expr("transform(embedding, x -> cast(round(x*1000, 0) as bigint))")
+      .select(expr("transform(embedding, x -> cast(round(cast(x as double)*1000, 0) as bigint))")
         .as("v"))
       .localCheckpoint() // marginals, pairs and N all read the quantized table
     val nAgg = q.agg(count(lit(1)).as("nn"))

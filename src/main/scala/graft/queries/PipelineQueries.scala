@@ -179,15 +179,17 @@ object PipelineQueries {
 
   /** NATIVE streaming session windows (`session_window`, 30-min gap):
    * the built-in merging-window operator, hash-checked against the SQL
-   * gap-chain replay. Window end is exclusive (last event + gap), so
-   * the replay breaks sessions on `diff >= gap` — deliberately NOT
-   * q55's `>` rule; both semantics now have a gated query. */
+   * gap-chain replay. TOUCHING windows merge — an event landing exactly
+   * at the previous session's end (diff == gap) EXTENDS it, so the
+   * replay breaks sessions only on `diff > gap` (same boundary rule as
+   * q55; proven at sf0.1 where an exact 1800 s gap occurs). Window end
+   * is still reported exclusive (last event + gap). */
   val q134SessionWindow: Q = Q("q134_session_window",
     """WITH e AS (SELECT user_id, event_id,
                          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
        l AS (SELECT user_id, event_id, sec,
                     CASE WHEN lag(sec) OVER w IS NULL THEN 1
-                         WHEN sec - lag(sec) OVER w >= 1800 THEN 1
+                         WHEN sec - lag(sec) OVER w > 1800 THEN 1
                          ELSE 0 END AS ns
              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
        s AS (SELECT user_id, sec,
