@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, UnitVec}
+import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, SortedLongIntersectCount, UnitVec}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -40,6 +40,8 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => UnitVec(exprs.head)),
     ("md5_long_array", classOf[Md5LongArray],
       (exprs: Seq[Expression]) => Md5LongArray(exprs.head)),
+    ("sorted_long_intersect_count", classOf[SortedLongIntersectCount],
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
     ("lang_id", classOf[LangId],
       (exprs: Seq[Expression]) => LangId(exprs.head,
         graft.text.TextAnalysis.langMarkers.map(_._1).toArray,

@@ -431,26 +431,45 @@ object MiningQueries {
               CAST(sa + sb - inter AS BIGINT) AS union_n
        FROM p WHERE 19*inter >= 9*(sa + sb)
        ORDER BY i, j""") { (s, d) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    // token sets as SORTED 60-bit hash arrays: the candidate explosion on
+    // a templated corpus makes the verify pass the whole cost, so every
+    // per-pair comparison must be a primitive-long merge (native
+    // SortedLongIntersectCount), not a per-row string hash set. Exact
+    // modulo 60-bit collisions (~|vocab|²/2⁶¹); the string-based oracle
+    // hash-checks that no collision bites.
+    val hashed = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(TextAnalysis.tokens(col("text")))))
     val tokSets = table(s, d, "documents")
-      .select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("ts"))
-      .withColumn("s", size(col("ts")))
+      .select(col("doc_id"), array_sort(array_distinct(hashed)).as("hs"))
+      .withColumn("s", size(col("hs")))
       .localCheckpoint() // feeds frequency count, prefix build, and verify
-    val freq = tokSets.select(explode(col("ts")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cf"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("cf"), col("tok"))
-    val prefix = tokSets.select(col("doc_id"), col("s"), explode(col("ts")).as("tok"))
-      .join(freq, "tok")
+    val ex = tokSets.select(col("doc_id"), col("s"), explode(col("hs")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("cf"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("cf"), col("h"))
+    val prefix = ex.join(freq, "h")
       .withColumn("r", row_number().over(wDoc))
       .filter(col("r") <= col("s") - ceil(col("s") * 0.9).cast("long") + 1)
-      .select(col("doc_id"), col("tok"))
-    val cand = prefix.select(col("doc_id").as("i"), col("tok"))
-      .join(prefix.select(col("doc_id").as("j"), col("tok")), Seq("tok"))
+      .select(col("doc_id"), col("h"), col("s"), col("r"))
+    val cand = prefix
+      .select(col("doc_id").as("i"), col("h"), col("s").as("sa"), col("r").as("ra"))
+      .join(prefix
+        .select(col("doc_id").as("j"), col("h"), col("s").as("sb"), col("r").as("rb")),
+        Seq("h"))
       .filter(col("i") < col("j"))
+      // sound prunes (no qualifying pair removed): size compatibility
+      // (I ≤ min ⇒ 19·min ≥ 9·(sa+sb)) and the PPJoin positional bound
+      // (overlap ≤ min(sa−ra, sb−rb) + 1 at a matching prefix position)
+      .filter(least(col("sa"), col("sb")) * 19 >= (col("sa") + col("sb")) * 9)
+      .filter((least(col("sa") - col("ra"), col("sb") - col("rb")) + 1) * 19 >=
+        (col("sa") + col("sb")) * 9)
       .select("i", "j").distinct()
+    val interCol = ColumnBridge.column(graft.functions.SortedLongIntersectCount(
+      ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
     cand
-      .join(tokSets.select(col("doc_id").as("i"), col("ts").as("tsa"), col("s").as("sa")), Seq("i"))
-      .join(tokSets.select(col("doc_id").as("j"), col("ts").as("tsb"), col("s").as("sb")), Seq("j"))
-      .withColumn("inter", size(array_intersect(col("tsa"), col("tsb"))))
+      .join(tokSets.select(col("doc_id").as("i"), col("hs").as("ha"), col("s").as("sa")), Seq("i"))
+      .join(tokSets.select(col("doc_id").as("j"), col("hs").as("hb"), col("s").as("sb")), Seq("j"))
+      .withColumn("inter", interCol)
       .filter(col("inter") * 19 >= (col("sa") + col("sb")) * 9)
       .select(col("i"), col("j"), col("inter").cast("long").as("inter_n"),
         (col("sa") + col("sb") - col("inter")).cast("long").as("union_n"))

@@ -162,6 +162,29 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(native.except(composed).isEmpty && composed.except(native).isEmpty)
   }
 
+  test("SortedLongIntersectCount matches size(array_intersect) on sorted hash sets") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val hs = docs.select(col("doc_id"), array_sort(array_distinct(
+        ColumnBridge.column(graft.functions.Md5LongArray(ColumnBridge.expression(
+          graft.text.TextAnalysis.tokens(col("text"))))))).as("hs"))
+    val pairs = hs.select(col("doc_id").as("i"), col("hs").as("ha"))
+      .crossJoin(broadcast(hs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("j"), col("hs").as("hb"))))
+    val both = pairs.select(
+      ColumnBridge.column(graft.functions.SortedLongIntersectCount(
+        ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
+        .as("native"),
+      size(array_intersect(col("ha"), col("hb"))).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    // SQL registration round-trips
+    GraftExtensions.register(spark)
+    val sqlGot = spark.sql(
+      "SELECT sorted_long_intersect_count(array(1L,3L,7L), array(3L,5L,7L,9L)) AS c")
+      .head().getInt(0)
+    assert(sqlGot == 2)
+  }
+
   test("IVF topK: k rows per query, sims agree with brute force") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)

@@ -105,6 +105,25 @@ class MiningQueriesSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("q208 prefix-filter join equals the brute-force quadratic definition") {
+    val out = MiningQueries.q208SetsimJoin.fn(spark, sf001)
+      .select("i", "j", "inter_n", "union_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ts = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"),
+        array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("ts"))
+    val brute = ts.select(col("doc_id").as("i"), col("ts").as("a"))
+      .crossJoin(ts.select(col("doc_id").as("j"), col("ts").as("b")))
+      .filter(col("i") < col("j"))
+      .withColumn("inter", size(array_intersect(col("a"), col("b"))).cast("long"))
+      .withColumn("un", (size(col("a")) + size(col("b"))).cast("long") - col("inter"))
+      .filter(col("inter") * 19 >= (col("inter") + col("un")) * 9)
+      .select("i", "j", "inter", "un").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == brute) // recall 1.0: the prefix scheme loses no pair
+    assert(out.nonEmpty)
+  }
+
   test("q207 winsorized closed form equals a direct clamp aggregate") {
     val ev = spark.read.parquet(s"$sf001/events.parquet")
       .filter(col("value").isNotNull)
