@@ -41,15 +41,21 @@ object MiningQueries {
    * O(skyline + bucket ties) rows, never over the fact table. */
   val q201Skyline: Q = Q("q201_skyline",
     """WITH o AS (SELECT o_orderkey AS okey, o_totalprice AS price,
-                         CAST(o_orderdate AS DATE) AS d FROM orders)
+                         CAST(o_orderdate AS DATE) AS d FROM orders
+                  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
        SELECT CAST(b.okey AS BIGINT) AS okey, b.price AS price,
               strftime(b.d, '%Y-%m-%d') AS order_date
        FROM o b
        WHERE NOT EXISTS (SELECT 1 FROM o a
                          WHERE a.price < b.price AND a.d < b.d)
        ORDER BY okey""") { (s, d) =>
-    val o = table(s, d, "orders").select(col("o_orderkey").as("okey"),
-      col("o_totalprice").as("price"), to_date(col("o_orderdate")).as("d"))
+    // null coords gated on BOTH sides: a null date would be "never
+    // dominated" under the oracle's NULL comparison but pruned by the
+    // phase-1 prevmin >= d filter here
+    val o = table(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull)
+      .select(col("o_orderkey").as("okey"),
+        col("o_totalprice").as("price"), to_date(col("o_orderdate")).as("d"))
     val pbExpr = floor(col("price") / 1000).cast("long")
     val bmin = o.groupBy(pbExpr.as("pb")).agg(min("d").as("dmin"))
     val wb = Window.orderBy("pb").rowsBetween(Window.unboundedPreceding, -1)
