@@ -120,6 +120,107 @@ object GraphOps {
       "b0 AS (SELECT v, 0 AS dist FROM src)") ++ steps).mkString(",\n")
   }
 
+  /**
+   * Synchronous label propagation (community detection) for `rounds`
+   * rounds: every vertex starts labeled with its own id; each round it
+   * adopts the most frequent label among its NEIGHBORS, ties broken by
+   * the smallest label — fully deterministic, so the whole iteration
+   * replays as unrolled SQL CTEs. Per round: one edge⋈label join, one
+   * (vertex, label) count, one keyed row_number pick — all partitioned
+   * by vertex, lineage cut per round. Unlike connected components this
+   * converges to DENSE communities (a bridge edge does not merge two
+   * cliques). Input `edges` is undirected (i, j); both orientations are
+   * expanded here. Returns (v, lab).
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("i"), col("j"))
+      .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
+    var lab = e.select(col("i").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab.withColumnRenamed("v", "j"), Seq("j"))
+        .groupBy(col("i").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("v", "lab")
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** DuckDB replay of [[labelPropagation]] as unrolled CTEs: `ed0`
+    * (i, j) must be bound by the caller; emits `e`, `l0..l{rounds}`;
+    * the final `l{rounds}` is (v, lab). */
+  def labelPropOracleCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""l${r + 1} AS (SELECT v, lab FROM (
+            SELECT e.i AS v, l$r.lab, count(*) AS c,
+                   row_number() OVER (PARTITION BY e.i
+                     ORDER BY count(*) DESC, l$r.lab) AS rn
+            FROM e JOIN l$r ON e.j = l$r.v
+            GROUP BY e.i, l$r.lab) WHERE rn = 1)"""
+    }
+    (Seq(
+      "e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      "l0 AS (SELECT v, v AS lab FROM (SELECT DISTINCT i AS v FROM e))") ++
+      steps).mkString(",\n")
+  }
+
+  /**
+   * Personalized PageRank (integer micro-units, damping 0.85) from the
+   * seed set `{v : v % seedMod == 0}`: restart mass lands ONLY on seeds,
+   * so ranks measure proximity to the seed set rather than global
+   * centrality — the "related items" walk. Same arithmetic shape as
+   * [[graft.dedup.Dedup.pageRankMicro]] (per-edge contributions
+   * `round(0.85·r/d)` quantized to micro before the sum) so every
+   * iteration replays in SQL. Returns (v, r) for vertices with r > 0.
+   */
+  def personalizedPageRankMicro(edges: DataFrame, seedMod: Int,
+                                iters: Int): DataFrame = {
+    val e = edges.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(edges.select(col("j").as("src"), col("i").as("dst")))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val seedR = when(col("v") % seedMod === 0, lit(1000000L)).otherwise(lit(0L))
+    var ranks = deg.select(col("src").as("v")).withColumn("r", seedR)
+    val restart = when(col("dst") % seedMod === 0, lit(150000L)).otherwise(lit(0L))
+    (1 to iters).foreach { _ =>
+      ranks = withDeg.join(ranks, col("src") === col("v"))
+        .select(col("dst"),
+          round(lit(0.85) * col("r") / col("d"), 0).cast("long").as("c"))
+        .groupBy("dst")
+        .agg((restart + sum("c")).as("r"))
+        .select(col("dst").as("v"), col("r"))
+        .localCheckpoint()
+    }
+    ranks.filter(col("r") > 0)
+  }
+
+  /** DuckDB replay of [[personalizedPageRankMicro]]: `ed0` must be bound
+    * by the caller; emits `e`, `deg`, `r0..r{iters}`; the final
+    * `r{iters}` is (v, r) including r = 0 rows (the operator filters
+    * r > 0 — mirror that in the SELECT). */
+  def pprOracleCtes(seedMod: Int, iters: Int): String = {
+    val steps = (0 until iters).map { r =>
+      s"""r${r + 1} AS (SELECT e.dst AS v,
+             CAST(CASE WHEN e.dst % $seedMod = 0 THEN 150000 ELSE 0 END
+                  + sum(CAST(round(0.85 * r$r.r / deg.d) AS BIGINT)) AS BIGINT) AS r
+           FROM e JOIN r$r ON e.src = r$r.v JOIN deg ON e.src = deg.src
+           GROUP BY e.dst)"""
+    }
+    (Seq(
+      "e AS (SELECT i AS src, j AS dst FROM ed0 UNION ALL SELECT j AS src, i AS dst FROM ed0)",
+      "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+      s"""r0 AS (SELECT src AS v,
+             CAST(CASE WHEN src % $seedMod = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+           FROM deg)""") ++ steps).mkString(",\n")
+  }
+
   /** DuckDB replay of [[kCorePeel]] as unrolled CTEs: `ed0` must be
     * bound by the caller; emits `d0, v1, ed1, …, ed{rounds}` and a final
     * `kcore` CTE (v, deg). */

@@ -1,0 +1,385 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Sources.table
+import graft.dedup.Dedup
+import graft.graph.GraphOps
+import graft.ops.Exprs
+import graft.text.TextAnalysis
+
+/**
+ * Linkage + graph-mining operators: positional phrase search, label
+ * propagation communities, autocorrelation, item-item co-occurrence
+ * recommendations, shingle-containment (quotation) detection,
+ * per-vertex clustering coefficients, sorted-neighborhood record
+ * blocking, and personalized PageRank. Reference analog: none
+ * (SURVEY.md §2.1 — the reference is a reporting app); these extend
+ * the engine the way the dedup/ANN family does. House rules apply
+ * throughout: integer-skeleton arithmetic (micro/ppm units, `div`),
+ * picked-rank tie-breaks, bounded iterative rounds with lineage cut
+ * per round — so every query replays bit-exactly under the DuckDB
+ * oracle.
+ */
+object LinkQueries {
+
+  /** Co-purchase/co-supply graph shared by the graph-mining queries:
+    * undirected distinct (i, j) supplier pairs sharing a part, hub
+    * parts (> 15 suppliers) dropped before any pair exists — the same
+    * capped bipartite projection q164/q181 use. */
+  private def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
+      "l_partkey", "l_suppkey", maxGroupSize = 15)
+
+  /** The matching DuckDB CTE chain ending in `ed0(i, j)`. */
+  private val coSupplyCtes: String =
+    """gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       ed0 AS (SELECT DISTINCT a.it AS i, b.it AS j
+               FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+               WHERE a.g IN (SELECT g FROM ok))"""
+
+  // ------------------------------------------------- positional phrase
+
+  /** Positional phrase search: per-document occurrence count of the
+   * exact 2-token phrase "value table" — the query shape a docs-only
+   * inverted index (q179) cannot answer. Entirely map-side: one
+   * tokenize, one per-row lambda scan over adjacent positions (no
+   * posexplode, no position self-join), so at 100 TB the cost is the
+   * corpus scan itself. Oracle replays the identical position lambda
+   * over DuckDB lists. */
+  val q209PhraseSearch: Q = Q("q209_phrase_search",
+    """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+           FROM documents)
+       SELECT doc_id, hits FROM (
+         SELECT doc_id,
+                CAST(len(list_filter(range(1, len(w)),
+                  k -> w[k] = 'value' AND w[k+1] = 'table')) AS BIGINT) AS hits
+         FROM tok WHERE len(w) >= 2)
+       WHERE hits > 0 ORDER BY doc_id""") { (s, d) =>
+    table(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        expr("""CAST(size(filter(sequence(1, size(w) - 1),
+                  k -> element_at(w, k) = 'value'
+                   AND element_at(w, k + 1) = 'table')) AS BIGINT)""")
+          .as("hits"))
+      .filter(col("hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------- label propagation
+
+  /** Community detection by 3 rounds of synchronous label propagation
+   * over the co-supply graph: each vertex adopts its neighbors' most
+   * frequent label (ties → smallest), a deterministic variant that
+   * converges to DENSE communities where connected components would
+   * merge everything a bridge touches. Per round one edge⋈label join +
+   * one keyed count + one keyed rank — no driver state, lineage cut per
+   * round; the oracle unrolls the identical three rounds. */
+  val q210LabelProp: Q = Q("q210_label_prop",
+    s"""WITH $coSupplyCtes,
+       ${GraphOps.labelPropOracleCtes(rounds = 3)}
+       SELECT CAST(v AS BIGINT) AS supplier, CAST(lab AS BIGINT) AS community
+       FROM l3 ORDER BY supplier""") { (s, d) =>
+    GraphOps.labelPropagation(coSupplyEdges(s, d), rounds = 3)
+      .select(col("v").as("supplier"), col("lab").as("community"))
+      .orderBy("supplier")
+  }
+
+  // ---------------------------------------------------- autocorrelation
+
+  /** Autocorrelation of the daily event-count series at lags 1..7 —
+   * the seasonality detector a forecast pipeline runs before picking
+   * its features. Integer skeleton: the series densifies against the
+   * calendar spine (a zero-volume day is an input, not a gap), each
+   * term is centered as n·x_i − Σx (exact BIGINT at any partitioning),
+   * and all lag products/sums stay BIGINT; the ONLY floating-point step
+   * is the final num/den division. The seven lags ride ONE window pass
+   * (seven `lead`s over the same bounded calendar order). */
+  val q211Acf: Q = Q("q211_acf",
+    """WITH dc AS (SELECT CAST(ts AS DATE) AS dd, count(*) AS x
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       bounds AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+       spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS dd
+                 FROM bounds),
+       daily AS (SELECT s.dd, coalesce(dc.x, 0) AS x
+                 FROM spine s LEFT JOIN dc USING (dd)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx FROM daily),
+       cen AS (SELECT dd, n * x - sx AS c FROM daily, tot),
+       led AS (SELECT c,
+                 lead(c, 1) OVER win AS c1, lead(c, 2) OVER win AS c2,
+                 lead(c, 3) OVER win AS c3, lead(c, 4) OVER win AS c4,
+                 lead(c, 5) OVER win AS c5, lead(c, 6) OVER win AS c6,
+                 lead(c, 7) OVER win AS c7
+               FROM cen WINDOW win AS (ORDER BY dd)),
+       agg AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+                 CAST(sum(c * c1) AS BIGINT) AS n1, CAST(sum(c * c2) AS BIGINT) AS n2,
+                 CAST(sum(c * c3) AS BIGINT) AS n3, CAST(sum(c * c4) AS BIGINT) AS n4,
+                 CAST(sum(c * c5) AS BIGINT) AS n5, CAST(sum(c * c6) AS BIGINT) AS n6,
+                 CAST(sum(c * c7) AS BIGINT) AS n7
+               FROM led)
+       SELECT lag, num, den, CAST(num AS DOUBLE) / nullif(den, 0) AS acf
+       FROM (SELECT CAST(1 AS BIGINT) AS lag, n1 AS num, den FROM agg
+             UNION ALL SELECT 2, n2, den FROM agg
+             UNION ALL SELECT 3, n3, den FROM agg
+             UNION ALL SELECT 4, n4, den FROM agg
+             UNION ALL SELECT 5, n5, den FROM agg
+             UNION ALL SELECT 6, n6, den FROM agg
+             UNION ALL SELECT 7, n7, den FROM agg)
+       ORDER BY lag""") { (s, d) =>
+    import graft.ops.Relational
+    val daily0 = table(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("dd")).agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounded by the calendar; bounds + dense join reuse it
+    // calendar bounds as strings — the q132 pattern (one bounded driver scalar)
+    val b = daily0.agg(date_format(min("dd"), "yyyy-MM-dd").as("lo"),
+      date_format(max("dd"), "yyyy-MM-dd").as("hi")).head()
+    val spine = Relational.dateSpine(s, b.getString(0), b.getString(1), "dd")
+    val daily = Relational.spineJoin(spine, daily0, Seq("dd"), Seq("x"))
+    val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+      sum("x").as("sx"))
+    // the centering join broadcasts one scalar row; the lead window runs
+    // over the bounded dense calendar (~days, never the fact table)
+    val cen = daily.crossJoin(broadcast(tot))
+      .withColumn("c", col("n") * col("x") - col("sx"))
+    val win = Window.orderBy("dd")
+    val led = cen.select(col("c") +:
+      (1 to 7).map(l => lead(col("c"), l).over(win).as(s"c$l")): _*)
+    val aggCols = sum(col("c") * col("c")).as("den") +:
+      (1 to 7).map(l => sum(col("c") * col(s"c$l")).as(s"n$l"))
+    val agg = led.agg(aggCols.head, aggCols.tail: _*)
+    val lags = (1 to 7).map(l =>
+      struct(lit(l.toLong).as("lag"), col(s"n$l").as("num")))
+    agg.select(explode(array(lags: _*)).as("e"), col("den"))
+      .select(col("e.lag").as("lag"), col("e.num").as("num"), col("den"),
+        expr("CAST(num AS DOUBLE) / nullif(den, 0)").as("acf"))
+      .orderBy("lag")
+  }
+
+  // ------------------------------------------------ item-item recommender
+
+  /** Item-item co-occurrence recommendations: for every part, the top-3
+   * parts most often ordered together, ranked by squared-cosine of the
+   * co-occurrence counts — co²·10⁶ div (cnt_a·cnt_b), which is MONOTONE
+   * in cosine but needs no sqrt, so the whole ranking is exact BIGINT
+   * arithmetic. Pairs come map-side from per-order sorted item arrays
+   * (hub orders > 15 items dropped before any pair exists, the q164
+   * projection recipe); item marginals aggregate the bipartite table
+   * once. The per-item top-3 is a keyed rank window — never global. */
+  val q212ItemRecs: Q = Q("q212_item_recs",
+    """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                   FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       pr AS (SELECT a.it AS i, b.it AS j, count(*) AS co
+              FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+              WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2),
+       cnt AS (SELECT it, count(*) AS c FROM gi GROUP BY it),
+       bd AS (SELECT i AS item, j AS rec, co FROM pr
+              UNION ALL SELECT j, i, co FROM pr),
+       sc AS (SELECT b.item, b.rec, CAST(b.co AS BIGINT) AS co,
+                CAST(b.co * b.co * 1000000 // (ca.c * cb.c) AS BIGINT) AS score_ppm
+              FROM bd b JOIN cnt ca ON ca.it = b.item
+                        JOIN cnt cb ON cb.it = b.rec),
+       rk AS (SELECT item, rec, co, score_ppm,
+                CAST(row_number() OVER (PARTITION BY item
+                       ORDER BY score_ppm DESC, rec) AS BIGINT) AS rn
+              FROM sc)
+       SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
+              co, score_ppm, rn
+       FROM rk WHERE rn <= 3 ORDER BY item, rn""") { (s, d) =>
+    val gi = table(s, d, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
+      .distinct()
+    // item marginals are bounded by the part catalog, and BOTH sides of
+    // the score join read them — checkpoint so lineitem is scanned only
+    // by this aggregate and the pair projection (≤2 scans, pinned)
+    val cnt = gi.groupBy("it").agg(count(lit(1)).as("c")).localCheckpoint()
+    val pr = gi.groupBy("g")
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= 15)
+      .select(explode(GraphOps.pairsFromSortedArray("items", "i", "j")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("co"))
+    val bd = pr.select(col("i").as("item"), col("j").as("rec"), col("co"))
+      .unionAll(pr.select(col("j").as("item"), col("i").as("rec"), col("co")))
+    val sc = bd
+      .join(cnt.select(col("it").as("item"), col("c").as("ca")), Seq("item"))
+      .join(cnt.select(col("it").as("rec"), col("c").as("cb")), Seq("rec"))
+      .withColumn("score_ppm", expr("co * co * 1000000 div (ca * cb)"))
+    val w = Window.partitionBy("item").orderBy(col("score_ppm").desc, col("rec"))
+    sc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("item"), col("rec"), col("co"), col("score_ppm"), col("rn"))
+      .orderBy("item", "rn")
+  }
+
+  // --------------------------------------------- containment (quotation)
+
+  /** Shingle-containment detection: pairs where ≥ 30% of the smaller
+   * document's rare 3-shingles appear in the other — the asymmetric
+   * measure that catches quotation/subset duplication Jaccard misses
+   * (a short doc embedded in a long one has tiny Jaccard but high
+   * containment). Candidates block on SHARED rare shingles: shingles in
+   * > 50 docs are dropped first (stop-shingles carry no signal and are
+   * the quadratic hot-spot), so every bucket's pair fan-out is bounded
+   * by C(50,2) — never all-pairs. Containment is inter·10⁶ div
+   * min(|A|,|B|) over the rare-shingle sets, all BIGINT. */
+  val q213Containment: Q = Q("q213_containment",
+    """WITH tok AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                ('0x'||substr(md5(s),1,15))::BIGINT AS h FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(w)-1),
+                              k -> w[k]||' '||w[k+1]||' '||w[k+2])) AS s
+                FROM tok WHERE len(w) >= 3)),
+       dfh AS (SELECT h, count(*) AS dfh FROM sh GROUP BY h),
+       rare AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfh USING (h)
+                WHERE dfh <= 50),
+       nsz AS (SELECT doc_id, count(*) AS n FROM rare GROUP BY doc_id),
+       pr AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+              FROM rare a JOIN rare b
+                ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       res AS (SELECT i, j, inter, na.n AS na_i, nb.n AS na_j,
+                 CAST(inter * 1000000 // least(na.n, nb.n) AS BIGINT) AS cont_ppm
+               FROM pr JOIN nsz na ON na.doc_id = pr.i
+                       JOIN nsz nb ON nb.doc_id = pr.j)
+       SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+              CAST(inter AS BIGINT) AS inter, CAST(na_i AS BIGINT) AS na_i,
+              CAST(na_j AS BIGINT) AS na_j, cont_ppm
+       FROM res WHERE cont_ppm >= 300000 ORDER BY i, j""") { (s, d) =>
+    val sh = table(s, d, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sg"))
+      .select(col("doc_id"), Exprs.md5Long(col("sg")).as("h"))
+      .distinct()
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val rare = sh
+      .join(dfh.filter(col("dfh") <= 50).select("h"), Seq("h"), "left_semi")
+      .localCheckpoint() // read 3×: sizes + both sides of the pair join
+    val nsz = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pr = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pr.join(nsz.select(col("doc_id").as("i"), col("n").as("na_i")), Seq("i"))
+      .join(nsz.select(col("doc_id").as("j"), col("n").as("na_j")), Seq("j"))
+      .withColumn("cont_ppm",
+        expr("inter * 1000000 div least(na_i, na_j)"))
+      .filter(col("cont_ppm") >= 300000)
+      .select(col("i"), col("j"), col("inter"), col("na_i"), col("na_j"),
+        col("cont_ppm"))
+      .orderBy("i", "j")
+  }
+
+  // --------------------------------------------- clustering coefficient
+
+  /** Per-vertex local clustering coefficient over the co-supply graph:
+   * 2·T(v)·10⁶ div (d(v)·(d(v)−1)) — how clique-like each supplier's
+   * neighborhood is. Triangles come from the degree-oriented
+   * enumeration (Dedup.triangles: every edge points low→high degree, so
+   * no celebrity vertex goes quadratic); each triangle then fans out to
+   * its 3 corners map-side and one keyed count per vertex finishes.
+   * Vertices with d < 2 are excluded (coefficient undefined). */
+  val q214ClusteringCoeff: Q = Q("q214_clustering_coeff",
+    s"""WITH $coSupplyCtes,
+       deg AS (SELECT v, count(*) AS d FROM (
+                 SELECT i AS v FROM ed0 UNION ALL SELECT j FROM ed0)
+               GROUP BY v),
+       tri AS (SELECT e1.i AS x, e1.j AS y, e2.j AS z
+               FROM ed0 e1 JOIN ed0 e2 ON e2.i = e1.j
+                           JOIN ed0 e3 ON e3.i = e1.i AND e3.j = e2.j),
+       tv AS (SELECT v, count(*) AS t FROM (
+                SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+              GROUP BY v)
+       SELECT CAST(deg.v AS BIGINT) AS supplier, CAST(d AS BIGINT) AS deg,
+              CAST(coalesce(t, 0) AS BIGINT) AS tri,
+              CAST(2 * coalesce(t, 0) * 1000000 // (d * (d - 1)) AS BIGINT)
+                AS coeff_ppm
+       FROM deg LEFT JOIN tv ON tv.v = deg.v
+       WHERE d >= 2 ORDER BY supplier""") { (s, d) =>
+    val ed = coSupplyEdges(s, d).localCheckpoint() // degrees + triangles
+    val deg = ed.select(col("i").as("v")).unionAll(ed.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tv = Dedup.triangles(ed)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(tv, Seq("v"), "left")
+      .filter(col("d") >= 2)
+      .select(col("v").as("supplier"), col("d").as("deg"),
+        coalesce(col("t"), lit(0L)).as("tri"),
+        expr("CAST(2 * coalesce(t, 0) * 1000000 div (d * (d - 1)) AS BIGINT)")
+          .as("coeff_ppm"))
+      .orderBy("supplier")
+  }
+
+  // ------------------------------------------- sorted-neighborhood blocking
+
+  /** Blocked sorted-neighborhood record linkage over part names:
+   * within each brand block, sort by name and pair every record with
+   * its next 2 neighbors, scoring with exact edit distance — the
+   * classic ER blocking recipe that complements hash/LSH blocking (it
+   * catches near-miss keys that hash apart). The sort window is KEYED
+   * by block, so at 100 TB no global sort or single-partition window
+   * exists; candidate count is ≤ 2 rows per record by construction. */
+  val q215SortedNeighborhood: Q = Q("q215_sorted_neighborhood",
+    """WITH c AS (SELECT p_partkey AS k, p_name AS nm, p_brand AS blk
+                  FROM part WHERE p_name IS NOT NULL AND p_brand IS NOT NULL),
+       r AS (SELECT k, nm, blk,
+               row_number() OVER (PARTITION BY blk ORDER BY nm, k) AS rn
+             FROM c)
+       SELECT CAST(a.k AS BIGINT) AS ka, CAST(b.k AS BIGINT) AS kb,
+              CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+       FROM r a JOIN r b
+         ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2
+       ORDER BY ka, kb""") { (s, d) =>
+    val c = table(s, d, "part")
+      .filter(col("p_name").isNotNull && col("p_brand").isNotNull)
+      .select(col("p_partkey").as("k"), col("p_name").as("nm"),
+        col("p_brand").as("blk"))
+    val w = Window.partitionBy("blk").orderBy(col("nm"), col("k"))
+    val r = c.withColumn("rn", row_number().over(w)).localCheckpoint()
+    r.as("a").join(r.as("b"),
+        col("a.blk") === col("b.blk") && col("b.rn") > col("a.rn") &&
+          col("b.rn") <= col("a.rn") + 2)
+      .select(col("a.k").as("ka"), col("b.k").as("kb"),
+        levenshtein(col("a.nm"), col("b.nm")).cast("long").as("dist"))
+      .orderBy("ka", "kb")
+  }
+
+  // --------------------------------------------- personalized PageRank
+
+  /** Personalized PageRank from the seed set {supplier % 10 = 0} over
+   * the co-supply graph (3 iterations, damping 0.85, integer micro):
+   * restart mass lands only on seeds, so top ranks measure proximity to
+   * the seed set — the "related to these suppliers" walk, vs q120's
+   * global centrality. Identical quantized arithmetic to pageRankMicro,
+   * so all three iterations replay as unrolled SQL CTEs. */
+  val q216Ppr: Q = Q("q216_ppr",
+    s"""WITH $coSupplyCtes,
+       ${GraphOps.pprOracleCtes(seedMod = 10, iters = 3)}
+       SELECT CAST(v AS BIGINT) AS supplier, CAST(r AS BIGINT) AS rank_micro,
+              CAST(row_number() OVER (ORDER BY r DESC, v) AS BIGINT) AS rnk
+       FROM r3 WHERE r > 0 QUALIFY rnk <= 20 ORDER BY rnk""") { (s, d) =>
+    GraphOps.personalizedPageRankMicro(coSupplyEdges(s, d),
+        seedMod = 10, iters = 3)
+      .orderBy(col("r").desc, col("v")).limit(20)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("r").desc, col("v"))).cast("long"))
+      .select(col("v").as("supplier"), col("r").as("rank_micro"), col("rnk"))
+      .orderBy("rnk")
+  }
+
+  val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
+    q212ItemRecs, q213Containment, q214ClusteringCoeff,
+    q215SortedNeighborhood, q216Ppr)
+}
