@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArray, Md5PrefixLong, MinHashBands, Shingles3, SimHash60, SortedLongIntersectCount, UnitVec}
+import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArray, Md5PrefixLong, MinHashBands, PhraseCount, Shingles3, SimHash60, SortedLongIntersectCount, UnitVec}
 
 /**
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
@@ -42,6 +42,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => Md5LongArray(exprs.head)),
     ("sorted_long_intersect_count", classOf[SortedLongIntersectCount],
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
+    // phrase_count(tokens, 'w1 w2 …') — phrase passed as one
+    // space-joined foldable string literal
+    ("phrase_count", classOf[PhraseCount],
+      (exprs: Seq[Expression]) => PhraseCount(exprs(0),
+        exprs(1).eval().toString.split(' ').toSeq)),
     ("lang_id", classOf[LangId],
       (exprs: Seq[Expression]) => LangId(exprs.head,
         graft.text.TextAnalysis.langMarkers.map(_._1).toArray,

@@ -104,20 +104,133 @@ object GraphOps {
   }
 
   /** DuckDB replay of [[bfsHops]] as unrolled CTEs: `ed0` (i, j,
-    * undirected as stored) and `src` (single row `v`) must be bound by
-    * the caller; emits `e` (both directions), `b0..b{rounds}`; the
-    * final `b{rounds}` is (v, dist). */
-  def bfsOracleCtes(rounds: Int): String = {
+    * undirected as stored) and `{prefix}src` (single row `v`) must be
+    * bound by the caller; emits `{prefix}e` (both directions),
+    * `{prefix}b0..b{rounds}`; the final `{prefix}b{rounds}` is
+    * (v, dist). A non-empty `prefix` lets one query unroll several
+    * independent traversals (q220's landmarks) in a single WITH. */
+  def bfsOracleCtes(rounds: Int, prefix: String = ""): String = {
     val steps = (0 until rounds).map { r =>
-      s"""b${r + 1} AS (SELECT v, min(dist) AS dist FROM (
-            SELECT v, dist FROM b$r
+      s"""${prefix}b${r + 1} AS (SELECT v, min(dist) AS dist FROM (
+            SELECT v, dist FROM ${prefix}b$r
             UNION ALL
-            SELECT e.j AS v, b$r.dist + 1 AS dist
-            FROM b$r JOIN e ON b$r.v = e.i) GROUP BY v)"""
+            SELECT ${prefix}e.j AS v, ${prefix}b$r.dist + 1 AS dist
+            FROM ${prefix}b$r JOIN ${prefix}e ON ${prefix}b$r.v = ${prefix}e.i) GROUP BY v)"""
+    }
+    (Seq(
+      s"${prefix}e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      s"${prefix}b0 AS (SELECT v, 0 AS dist FROM ${prefix}src)") ++ steps).mkString(",\n")
+  }
+
+  /**
+   * Bounded-round single-source shortest paths over WEIGHTED undirected
+   * edges (i, j, w) — Bellman–Ford by synchronous relaxation: each
+   * round expands the frontier through every edge and keeps the min
+   * distance per vertex. Exact for every vertex whose shortest path
+   * uses ≤ `rounds` edges; the distributed SSSP recipe (one join + one
+   * min-aggregate per round, lineage cut, no driver state). Integer
+   * weights so distances are exact BIGINTs. Returns (v, dist).
+   */
+  def sssp(wEdges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val e = wEdges.select(col("i"), col("j"), col("w"))
+      .unionAll(wEdges.select(col("j").as("i"), col("i").as("j"), col("w")))
+      .localCheckpoint()
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("v"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = dist
+        .unionAll(dist.join(e, dist("v") === e("i"))
+          .select(e("j").as("v"), (dist("dist") + e("w")).as("dist")))
+        .groupBy("v").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** DuckDB replay of [[sssp]]: `ed0` (i, j, w) and `src` (single row
+    * `v`) must be bound by the caller; emits `e`, `s0..s{rounds}`. */
+  def ssspOracleCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""s${r + 1} AS (SELECT v, min(dist) AS dist FROM (
+            SELECT v, dist FROM s$r
+            UNION ALL
+            SELECT e.j AS v, s$r.dist + e.w AS dist
+            FROM s$r JOIN e ON s$r.v = e.i) GROUP BY v)"""
+    }
+    (Seq(
+      "e AS (SELECT i, j, w FROM ed0 UNION ALL SELECT j AS i, i AS j, w FROM ed0)",
+      "s0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM src)") ++ steps).mkString(",\n")
+  }
+
+  /**
+   * Luby's maximal-independent-set algorithm with DETERMINISTIC
+   * md5-hash priorities, `rounds` synchronous rounds: an undecided
+   * vertex enters the set when its priority is strictly below every
+   * undecided neighbor's; its undecided neighbors are then excluded.
+   * Adjacent vertices can never enter in the same round (strict
+   * comparison is antisymmetric), so the result is independent by
+   * construction and maximal over the decided region; each round
+   * decides a constant fraction in expectation, so a handful of rounds
+   * suffices at any graph size. Per round: one undecided⋈undecided
+   * edge restriction, one min-priority aggregate, two anti joins — all
+   * vertex-partitioned. Returns (v, status ∈ in|out|undecided).
+   */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    import graft.ops.Exprs
+    val e = edges.select(col("i"), col("j"))
+      .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
+    var und = e.select(col("i").as("v")).distinct()
+      .withColumn("p", Exprs.md5Long(col("v")))
+      .localCheckpoint()
+    var decidedIn = und.sparkSession.range(0).select(col("id").as("v"))
+    var decidedOut = decidedIn
+    for (_ <- 1 to rounds) {
+      val eu = e
+        .join(und.select(col("v").as("i")), Seq("i"), "left_semi")
+        .join(und.select(col("v").as("j"), col("p").as("pj")), Seq("j"))
+      val nmin = eu.groupBy(col("i").as("v")).agg(min("pj").as("mn"))
+      val cand = und.join(nmin, Seq("v"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select("v").localCheckpoint()
+      val excl = e.join(cand.withColumnRenamed("v", "i"), Seq("i"), "left_semi")
+        .join(und.select(col("v").as("j")), Seq("j"), "left_semi")
+        .select(col("j").as("v")).distinct().localCheckpoint()
+      decidedIn = decidedIn.unionAll(cand)
+      decidedOut = decidedOut.unionAll(excl)
+      und = und
+        .join(cand, Seq("v"), "left_anti")
+        .join(excl, Seq("v"), "left_anti")
+        .localCheckpoint()
+    }
+    decidedIn.select(col("v"), lit("in").as("status"))
+      .unionAll(decidedOut.select(col("v"), lit("out").as("status")))
+      .unionAll(und.select(col("v"), lit("undecided").as("status")))
+  }
+
+  /** DuckDB replay of [[lubyMis]]: `ed0` must be bound by the caller;
+    * emits `e`, `u0`, and per round `c{r}` (entered), `x{r}`
+    * (excluded), `u{r}` (still undecided); the final statuses are the
+    * union of every c/x plus `u{rounds}`. */
+  def lubyMisOracleCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""c${r + 1} AS (SELECT u.v FROM u$r u LEFT JOIN (
+             SELECT e.i AS v, min(u2.p) AS mn
+             FROM e JOIN u$r u1 ON e.i = u1.v JOIN u$r u2 ON e.j = u2.v
+             GROUP BY e.i) nm ON nm.v = u.v
+           WHERE nm.mn IS NULL OR u.p < nm.mn),
+         x${r + 1} AS (SELECT DISTINCT e.j AS v
+           FROM e JOIN c${r + 1} c ON e.i = c.v JOIN u$r u ON e.j = u.v),
+         u${r + 1} AS (SELECT v, p FROM u$r
+           WHERE v NOT IN (SELECT v FROM c${r + 1})
+             AND v NOT IN (SELECT v FROM x${r + 1}))"""
     }
     (Seq(
       "e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
-      "b0 AS (SELECT v, 0 AS dist FROM src)") ++ steps).mkString(",\n")
+      """u0 AS (SELECT v, ('0x'||substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT AS p
+           FROM (SELECT DISTINCT i AS v FROM (
+                 SELECT i FROM ed0 UNION ALL SELECT j FROM ed0)))""") ++
+      steps).mkString(",\n")
   }
 
   /**

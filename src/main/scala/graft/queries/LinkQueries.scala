@@ -60,14 +60,16 @@ object LinkQueries {
                   k -> w[k] = 'value' AND w[k+1] = 'table')) AS BIGINT) AS hits
          FROM tok WHERE len(w) >= 2)
        WHERE hits > 0 ORDER BY doc_id""") { (s, d) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    val w = TextAnalysis.tokens(col("text"))
+    // native one-pass kernel (parity vs the filter-lambda spelling in
+    // FunctionsSpec) — ArrayFilter + element_at are CodegenFallback and
+    // the interpreted per-position evals dominated the first profile
+    val hits = ColumnBridge.column(graft.functions.PhraseCount(
+      ColumnBridge.expression(w), Seq("value", "table")))
     table(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
-        expr("""CAST(size(filter(sequence(1, size(w) - 1),
-                  k -> element_at(w, k) = 'value'
-                   AND element_at(w, k + 1) = 'table')) AS BIGINT)""")
-          .as("hits"))
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), hits.as("hits"))
       .filter(col("hits") > 0)
       .orderBy("doc_id")
   }
@@ -194,15 +196,19 @@ object LinkQueries {
        SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
               co, score_ppm, rn
        FROM rk WHERE rn <= 3 ORDER BY item, rn""") { (s, d) =>
-    val gi = table(s, d, "lineitem")
+    // no standalone (g, it) distinct exchange: collect_set dedups inside
+    // the basket shuffle and count_distinct plans a partial dedup inside
+    // the marginal shuffle — two aggregates total, same semantics as the
+    // oracle's DISTINCT gi
+    val li = table(s, d, "lineitem")
       .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
-      .distinct()
     // item marginals are bounded by the part catalog, and BOTH sides of
     // the score join read them — checkpoint so lineitem is scanned only
     // by this aggregate and the pair projection (≤2 scans, pinned)
-    val cnt = gi.groupBy("it").agg(count(lit(1)).as("c")).localCheckpoint()
-    val pr = gi.groupBy("g")
+    val cnt = li.groupBy("it").agg(count_distinct(col("g")).as("c"))
+      .localCheckpoint()
+    val pr = li.groupBy("g")
       .agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= 15)
       .select(explode(GraphOps.pairsFromSortedArray("items", "i", "j")).as("p"))
@@ -379,7 +385,133 @@ object LinkQueries {
       .orderBy("rnk")
   }
 
+  // --------------------------------------------------- weighted SSSP
+
+  /** Weighted single-source shortest paths (Bellman–Ford, 3 synchronous
+   * relaxation rounds) over the co-supply graph with edge weight
+   * max(1, 16 − shared-part count) — strongly co-supplying pairs are
+   * "close". Exact BIGINT distances for every vertex within 3 edges of
+   * the smallest vertex; a cheap 2-edge detour beats a heavy direct
+   * edge, which hop-count BFS (q181) cannot express. One join + one
+   * min-aggregate per round, lineage cut, no driver graph state. */
+  val q218Sssp: Q = Q("q218_sssp",
+    s"""WITH gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS it
+                    FROM lineitem WHERE l_partkey IS NOT NULL),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       pr AS (SELECT a.it AS i, b.it AS j, count(*) AS co
+              FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+              WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2),
+       ed0 AS (SELECT i, j, greatest(1, 16 - co) AS w FROM pr),
+       src AS (SELECT min(i) AS v FROM ed0),
+       ${GraphOps.ssspOracleCtes(rounds = 3)}
+       SELECT CAST(v AS BIGINT) AS supplier, CAST(dist AS BIGINT) AS dist
+       FROM s3 ORDER BY supplier""") { (s, d) =>
+    val gi = table(s, d, "lineitem").filter(col("l_partkey").isNotNull)
+      .select(col("l_partkey").as("g"), col("l_suppkey").as("it"))
+    val wEdges = gi.groupBy("g")
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= 15)
+      .select(explode(GraphOps.pairsFromSortedArray("items", "i", "j")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("co"))
+      .select(col("i"), col("j"), greatest(lit(1L), lit(16L) - col("co")).as("w"))
+      .localCheckpoint() // min-source scalar + every relaxation round read it
+    val src = wEdges.agg(min("i")).head().getLong(0) // bounded driver scalar
+    GraphOps.sssp(wEdges, src, rounds = 3)
+      .select(col("v").as("supplier"), col("dist"))
+      .orderBy("supplier")
+  }
+
+  // --------------------------------------------- maximal independent set
+
+  /** Luby's maximal independent set (2 deterministic rounds, md5-hash
+   * priorities) over the co-supply graph — the distributed symmetry-
+   * breaking primitive behind scheduling/coloring at scale. A vertex
+   * enters when its hash-priority beats every undecided neighbor's;
+   * adjacent vertices can never both enter (strict comparison), so
+   * independence holds by construction — machine-checked in
+   * LinkOpsSpec along with out-vertex coverage. All three statuses
+   * (in/out/undecided) are emitted so the oracle pins the whole
+   * decision frontier, not just the winners. */
+  val q219Mis: Q = Q("q219_mis",
+    s"""WITH $coSupplyCtes,
+       ${GraphOps.lubyMisOracleCtes(rounds = 2)}
+       SELECT CAST(v AS BIGINT) AS supplier, status FROM (
+         SELECT v, 'in' AS status FROM c1
+         UNION ALL SELECT v, 'in' FROM c2
+         UNION ALL SELECT v, 'out' FROM x1
+         UNION ALL SELECT v, 'out' FROM x2
+         UNION ALL SELECT v, 'undecided' FROM u2)
+       ORDER BY supplier""") { (s, d) =>
+    GraphOps.lubyMis(coSupplyEdges(s, d), rounds = 2)
+      .select(col("v").as("supplier"), col("status"))
+      .orderBy("supplier")
+  }
+
+  // ------------------------------------------------ landmark distances
+
+  /** Landmark-based distance profile: bounded-hop BFS from the 3
+   * smallest vertices of the co-supply graph, summarized per landmark
+   * as (reached count, lower-median distance, max distance). The
+   * median comes from the per-landmark distance HISTOGRAM — dist is
+   * bounded by the hop budget (≤ 3), so the cumulative pick runs over
+   * ≤ 4 rows per landmark, never a global sort over the reach set.
+   * This is the scalable stand-in for exact diameter/centrality: k
+   * landmark BFS sweeps estimate the distance distribution at any
+   * graph size. */
+  val q220Landmarks: Q = Q("q220_landmarks",
+    s"""WITH $coSupplyCtes,
+       verts AS (SELECT DISTINCT i AS v FROM (
+                 SELECT i FROM ed0 UNION ALL SELECT j FROM ed0)),
+       a_src AS (SELECT v FROM verts ORDER BY v LIMIT 1 OFFSET 0),
+       b_src AS (SELECT v FROM verts ORDER BY v LIMIT 1 OFFSET 1),
+       c_src AS (SELECT v FROM verts ORDER BY v LIMIT 1 OFFSET 2),
+       ${GraphOps.bfsOracleCtes(rounds = 3, prefix = "a_")},
+       ${GraphOps.bfsOracleCtes(rounds = 3, prefix = "b_")},
+       ${GraphOps.bfsOracleCtes(rounds = 3, prefix = "c_")},
+       h AS (SELECT (SELECT v FROM a_src) AS landmark, dist, count(*) AS c
+             FROM a_b3 GROUP BY dist
+         UNION ALL SELECT (SELECT v FROM b_src), dist, count(*)
+             FROM b_b3 GROUP BY dist
+         UNION ALL SELECT (SELECT v FROM c_src), dist, count(*)
+             FROM c_b3 GROUP BY dist),
+       t AS (SELECT landmark, CAST(sum(c) AS BIGINT) AS n_reached,
+                    CAST(max(dist) AS BIGINT) AS max_dist
+             FROM h GROUP BY landmark),
+       cum AS (SELECT landmark, dist,
+                 sum(c) OVER (PARTITION BY landmark ORDER BY dist) AS cm
+               FROM h),
+       p AS (SELECT cum.landmark, CAST(min(dist) AS BIGINT) AS p50_dist
+             FROM cum JOIN t ON t.landmark = cum.landmark
+             WHERE cm >= (n_reached + 1) // 2 GROUP BY cum.landmark)
+       SELECT CAST(t.landmark AS BIGINT) AS landmark, n_reached, p50_dist,
+              max_dist
+       FROM t JOIN p ON p.landmark = t.landmark
+       ORDER BY landmark""") { (s, d) =>
+    val edges = coSupplyEdges(s, d).localCheckpoint()
+    val lms = edges.select(col("i").as("v"))
+      .unionAll(edges.select(col("j").as("v")))
+      .distinct().orderBy("v").limit(3)
+      .collect().map(_.getLong(0)) // 3 bounded driver scalars (q181 pattern)
+    val hist = lms.map { lm =>
+      GraphOps.bfsHops(edges, lm, rounds = 3)
+        .groupBy("dist").agg(count(lit(1)).as("c"))
+        .select(lit(lm).as("landmark"), col("dist"), col("c"))
+    }.reduce(_ unionAll _)
+    val t = hist.groupBy("landmark").agg(sum("c").as("n_reached"),
+      max("dist").as("max_dist"))
+    val wcum = Window.partitionBy("landmark").orderBy("dist")
+    val p = hist.withColumn("cm", sum("c").over(wcum))
+      .join(t.select(col("landmark"), col("n_reached")), Seq("landmark"))
+      .filter(col("cm") >= expr("(n_reached + 1) div 2"))
+      .groupBy("landmark").agg(min("dist").as("p50_dist"))
+    t.join(p, Seq("landmark"))
+      .select(col("landmark"), col("n_reached"), col("p50_dist"),
+        col("max_dist"))
+      .orderBy("landmark")
+  }
+
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
-    q215SortedNeighborhood, q216Ppr)
+    q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks)
 }

@@ -879,10 +879,65 @@ object OlapQueries {
     custAudit.unionByName(ordAudit).unionByName(liAudit).orderBy("tbl")
   }
 
+  /** Functional-dependency profiling — the data-profiling operator the
+   * q139 expectation checks don't cover: for each candidate FD A→B,
+   * count determinant groups and groups where B takes more than one
+   * distinct value (a violation), reporting a violation rate in ppm.
+   * One keyed count-distinct aggregate per FD (map-side partial dedup,
+   * group count bounded by determinant cardinality — never a self
+   * join); c_custkey→c_mktsegment holds by key uniqueness, proving the
+   * zero-violation polarity. NULL determinants are excluded; a NULL
+   * dependent doesn't count as a distinct value (count DISTINCT
+   * semantics, identical in both engines). */
+  val q217FdProfile: Q = Q("q217_fd_profile",
+    """WITH f1 AS (SELECT count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_viol FROM (
+             SELECT p_brand, count(DISTINCT p_type) AS nd FROM part
+             WHERE p_brand IS NOT NULL GROUP BY p_brand)),
+       f2 AS (SELECT count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_viol FROM (
+             SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd FROM customer
+             WHERE c_nationkey IS NOT NULL GROUP BY c_nationkey)),
+       f3 AS (SELECT count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_viol FROM (
+             SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd FROM orders
+             WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
+       f4 AS (SELECT count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_viol FROM (
+             SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd FROM lineitem
+             WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey)),
+       f5 AS (SELECT count(*) AS n_groups,
+             count(*) FILTER (WHERE nd > 1) AS n_viol FROM (
+             SELECT c_custkey, count(DISTINCT c_mktsegment) AS nd FROM customer
+             WHERE c_custkey IS NOT NULL GROUP BY c_custkey)),
+       u AS (SELECT 'part:p_brand->p_type' AS fd, * FROM f1
+         UNION ALL SELECT 'customer:c_nationkey->c_mktsegment', * FROM f2
+         UNION ALL SELECT 'orders:o_custkey->o_orderpriority', * FROM f3
+         UNION ALL SELECT 'lineitem:l_orderkey->l_returnflag', * FROM f4
+         UNION ALL SELECT 'customer:c_custkey->c_mktsegment', * FROM f5)
+       SELECT fd, CAST(n_groups AS BIGINT) AS n_groups,
+              CAST(n_viol AS BIGINT) AS n_viol,
+              CAST(n_viol * 1000000 // n_groups AS BIGINT) AS viol_ppm
+       FROM u ORDER BY fd""") { (s, d) =>
+    def fd(tbl: String, det: String, dep: String): org.apache.spark.sql.DataFrame =
+      table(s, d, tbl).filter(col(det).isNotNull)
+        .groupBy(det).agg(count_distinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          count(when(col("nd") > 1, 1)).as("n_viol"))
+        .select(lit(s"$tbl:$det->$dep").as("fd"), col("n_groups"), col("n_viol"))
+    fd("part", "p_brand", "p_type")
+      .unionAll(fd("customer", "c_nationkey", "c_mktsegment"))
+      .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
+      .unionAll(fd("lineitem", "l_orderkey", "l_returnflag"))
+      .unionAll(fd("customer", "c_custkey", "c_mktsegment"))
+      .withColumn("viol_ppm", expr("n_viol * 1000000 div n_groups"))
+      .orderBy("fd")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
     q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
-    q156GroupingSets, q157EquiDepth, q158PurgeCascade)
+    q156GroupingSets, q157EquiDepth, q158PurgeCascade, q217FdProfile)
 }

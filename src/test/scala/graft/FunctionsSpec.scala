@@ -147,6 +147,29 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(both.filter(col("native") =!= col("builtin")).count() == 0)
   }
 
+  test("PhraseCount kernel matches the filter-lambda position spelling") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.text.TextAnalysis
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val both = docs.select(
+      ColumnBridge.column(graft.functions.PhraseCount(
+        ColumnBridge.expression(col("w")), Seq("value", "table"))).as("native"),
+      expr("""CAST(size(filter(sequence(1, size(w) - 1),
+                k -> element_at(w, k) = 'value'
+                 AND element_at(w, k + 1) = 'table')) AS BIGINT)""").as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(both.agg(sum("native")).head().getLong(0) > 0) // phrase occurs
+    // overlap + boundary semantics on handmade rows
+    val hand = Seq(Seq("value", "table", "value", "table"),
+      Seq("value"), Seq("table", "value"), Seq()).toDF("w")
+    val got = hand.select(ColumnBridge.column(graft.functions.PhraseCount(
+      ColumnBridge.expression(col("w")), Seq("value", "table"))).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 0L, 0L, 0L))
+  }
+
   test("MinHashBands kernel matches the composed signature+band spelling") {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
