@@ -179,9 +179,11 @@ object LinkQueries {
                    FROM lineitem
                    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
        ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
-       pr AS (SELECT a.it AS i, b.it AS j, count(*) AS co
+       pr AS (SELECT i, j, co FROM (
+              SELECT a.it AS i, b.it AS j, count(*) AS co
               FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
-              WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2),
+              WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2)
+              WHERE co >= 2),
        cnt AS (SELECT it, count(*) AS c FROM gi GROUP BY it),
        bd AS (SELECT i AS item, j AS rec, co FROM pr
               UNION ALL SELECT j, i, co FROM pr),
@@ -208,12 +210,16 @@ object LinkQueries {
     // by this aggregate and the pair projection (≤2 scans, pinned)
     val cnt = li.groupBy("it").agg(count_distinct(col("g")).as("c"))
       .localCheckpoint()
+    // singleton co-occurrence is noise a recommender prunes — and the
+    // filter cuts the score join + rank window input by an order of
+    // magnitude (most pairs co-occur exactly once)
     val pr = li.groupBy("g")
       .agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= 15)
       .select(explode(GraphOps.pairsFromSortedArray("items", "i", "j")).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
     val bd = pr.select(col("i").as("item"), col("j").as("rec"), col("co"))
       .unionAll(pr.select(col("j").as("item"), col("i").as("rec"), col("co")))
     val sc = bd

@@ -934,10 +934,67 @@ object OlapQueries {
       .orderBy("fd")
   }
 
+  /** Column-profile sweep — the discovery pass a profiler runs before
+   * q139's targeted expectations and q217's FD checks: per (table,
+   * column), row count, exact distinct count, null count, and a
+   * candidate-key flag (distinct = rows). One count-distinct aggregate
+   * per column (map-side partial dedup); at most two profiled columns
+   * per table keeps every table within the 2-scan invariant. */
+  val q221ColumnProfile: Q = Q("q221_column_profile",
+    """WITH p AS (
+         SELECT 'customer.c_custkey' AS col_name, count(*) AS n_rows,
+                count(DISTINCT c_custkey) AS n_distinct,
+                count(*) - count(c_custkey) AS n_null FROM customer
+         UNION ALL SELECT 'customer.c_mktsegment', count(*),
+                count(DISTINCT c_mktsegment), count(*) - count(c_mktsegment)
+                FROM customer
+         UNION ALL SELECT 'orders.o_orderstatus', count(*),
+                count(DISTINCT o_orderstatus), count(*) - count(o_orderstatus)
+                FROM orders
+         UNION ALL SELECT 'orders.o_orderpriority', count(*),
+                count(DISTINCT o_orderpriority), count(*) - count(o_orderpriority)
+                FROM orders
+         UNION ALL SELECT 'lineitem.l_returnflag', count(*),
+                count(DISTINCT l_returnflag), count(*) - count(l_returnflag)
+                FROM lineitem
+         UNION ALL SELECT 'lineitem.l_shipdate', count(*),
+                count(DISTINCT l_shipdate), count(*) - count(l_shipdate)
+                FROM lineitem
+         UNION ALL SELECT 'part.p_brand', count(*),
+                count(DISTINCT p_brand), count(*) - count(p_brand) FROM part
+         UNION ALL SELECT 'part.p_type', count(*),
+                count(DISTINCT p_type), count(*) - count(p_type) FROM part
+         UNION ALL SELECT 'supplier.s_nationkey', count(*),
+                count(DISTINCT s_nationkey), count(*) - count(s_nationkey)
+                FROM supplier)
+       SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_distinct AS BIGINT) AS n_distinct,
+              CAST(n_null AS BIGINT) AS n_null,
+              n_distinct = n_rows AS is_key
+       FROM p ORDER BY col_name""") { (s, d) =>
+    def prof(tbl: String, c: String): org.apache.spark.sql.DataFrame =
+      table(s, d, tbl).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(c)).as("n_distinct"),
+        (count(lit(1)) - count(col(c))).as("n_null"))
+        .select(lit(s"$tbl.$c").as("col_name"), col("n_rows"),
+          col("n_distinct"), col("n_null"))
+    Seq("customer" -> "c_custkey", "customer" -> "c_mktsegment",
+      "orders" -> "o_orderstatus", "orders" -> "o_orderpriority",
+      "lineitem" -> "l_returnflag", "lineitem" -> "l_shipdate",
+      "part" -> "p_brand", "part" -> "p_type",
+      "supplier" -> "s_nationkey")
+      .map { case (t, c) => prof(t, c) }
+      .reduce(_ unionAll _)
+      .withColumn("is_key", col("n_distinct") === col("n_rows"))
+      .orderBy("col_name")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
     q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
-    q156GroupingSets, q157EquiDepth, q158PurgeCascade, q217FdProfile)
+    q156GroupingSets, q157EquiDepth, q158PurgeCascade, q217FdProfile,
+    q221ColumnProfile)
 }

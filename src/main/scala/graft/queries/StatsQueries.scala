@@ -823,11 +823,89 @@ object StatsQueries {
       .orderBy(col("exact").desc, col("user_id"))
   }
 
+  // --------------------------------------------- distributed k-means
+
+  /** Two synchronous Lloyd's k-means iterations (k = 4) over the first
+   * 4 embedding dimensions, INTEGER-EXACT end to end: coordinates
+   * quantize to micro units before any arithmetic (float → double is a
+   * widening cast and ×10⁶+floor is one IEEE-identical double op, so
+   * both engines see the same BIGINTs), squared distances and centroid
+   * sums stay BIGINT, and the new centroid is sum div count — no float
+   * mean whose aggregation order could flip a bit. Per round: one
+   * broadcast cross join against the k-row centroid table + one keyed
+   * argmin window + one aggregate — the distributed Lloyd's recipe
+   * (the k-row table broadcasts at any corpus size; the argmin window
+   * is keyed by point). Seeds are the k smallest vec_ids; assignment
+   * ties break toward the smaller centroid id. */
+  val q222KmeansLloyd: Q = Q("q222_kmeans_lloyd",
+    """WITH pts AS (SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS x2,
+             CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS x3,
+             CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) AS x4
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 4),
+       c0 AS (SELECT vec_id AS cid, x1 AS c1, x2 AS c2, x3 AS c3, x4 AS c4
+              FROM pts ORDER BY vec_id LIMIT 4),
+       a1 AS (SELECT vec_id, cid, x1, x2, x3, x4 FROM (
+              SELECT p.*, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                       (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c0 c) WHERE rn = 1),
+       c1t AS (SELECT cid, CAST(sum(x1) // count(*) AS BIGINT) AS c1,
+                    CAST(sum(x2) // count(*) AS BIGINT) AS c2,
+                    CAST(sum(x3) // count(*) AS BIGINT) AS c3,
+                    CAST(sum(x4) // count(*) AS BIGINT) AS c4
+               FROM a1 GROUP BY cid),
+       a2 AS (SELECT vec_id, cid, x1, x2, x3, x4 FROM (
+              SELECT p.*, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                       (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c1t c) WHERE rn = 1)
+       SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x1) // count(*) AS BIGINT) AS c1,
+              CAST(sum(x2) // count(*) AS BIGINT) AS c2,
+              CAST(sum(x3) // count(*) AS BIGINT) AS c3,
+              CAST(sum(x4) // count(*) AS BIGINT) AS c4
+       FROM a2 GROUP BY cid ORDER BY cid""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dims = (1 to 4)
+    val pts = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull && size(col("embedding")) >= 4)
+      .select(col("vec_id") +: dims.map(i =>
+        expr(s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 1000000) AS BIGINT)")
+          .as(s"x$i")): _*)
+      .localCheckpoint() // seeds + both assignment rounds read it
+    val distExpr = expr(dims.map(i => s"(x$i-c$i)*(x$i-c$i)").mkString(" + "))
+    val w = Window.partitionBy("vec_id").orderBy(col("dst"), col("cid"))
+    def assign(cent: org.apache.spark.sql.DataFrame) =
+      pts.crossJoin(broadcast(cent))
+        .withColumn("dst", distExpr)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id") +: col("cid") +: dims.map(i => col(s"x$i")): _*)
+    def recenter(a: org.apache.spark.sql.DataFrame) = {
+      val aggs = count(lit(1)).as("n") +:
+        dims.map(i => expr(s"sum(x$i) div count(1)").as(s"c$i"))
+      a.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+    }
+    val c0 = pts.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cid") +: dims.map(i =>
+        col(s"x$i").as(s"c$i")): _*)
+    val c1 = recenter(assign(c0)).drop("n")
+    recenter(assign(c1))
+      .select(col("cid") +: col("n") +: dims.map(i => col(s"c$i")): _*)
+      .orderBy("cid")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
-    q187StreamCountMin)
+    q187StreamCountMin, q222KmeansLloyd)
 }
