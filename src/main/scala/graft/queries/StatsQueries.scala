@@ -901,11 +901,72 @@ object StatsQueries {
       .orderBy("cid")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the price
+   * distributions of urgent/high-priority orders and the rest — the
+   * distribution-shape test that complements the categorical chi-square
+   * (q177) and token-histogram drift (q176). The CDFs are equi-width
+   * BINNED (width 1000), so the cumulative window runs over a table
+   * bounded by the VALUE RANGE, never the fact table — the q201
+   * price-bucket argument — and the statistic is exact for the binned
+   * distributions. Each CDF quantizes to micro units independently
+   * (cum·10⁶ div n), so the scaled form stays BIGINT-safe at any row
+   * count where cum1·n2 would overflow. Reports the statistic and the
+   * bin where the gap peaks (tie → smallest bin). */
+  val q223KsTest: Q = Q("q223_ks_test",
+    """WITH o AS (SELECT floor(o_totalprice / 1000) AS binf,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+       b AS (SELECT CAST(binf AS BIGINT) AS bin,
+               CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE NOT g1) AS BIGINT) AS c2
+             FROM o GROUP BY 1),
+       n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                    CAST(sum(c2) AS BIGINT) AS n2 FROM b),
+       cdf AS (SELECT bin,
+                 CAST(sum(c1) OVER win AS BIGINT) AS cum1,
+                 CAST(sum(c2) OVER win AS BIGINT) AS cum2
+               FROM b WINDOW win AS (ORDER BY bin)),
+       d AS (SELECT bin,
+               abs(cum1 * 1000000 // n1 - cum2 * 1000000 // n2) AS d_micro
+             FROM cdf, n),
+       mx AS (SELECT CAST(max(d_micro) AS BIGINT) AS ks_micro FROM d),
+       am AS (SELECT CAST(min(bin) AS BIGINT) AS at_bin
+              FROM d JOIN mx ON d.d_micro = mx.ks_micro)
+       SELECT n.n1, n.n2, mx.ks_micro, am.at_bin FROM n, mx, am""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = table(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+      .select(floor(col("o_totalprice") / 1000).cast("long").as("bin"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("g1"))
+    val b = o.groupBy("bin").agg(
+      count(when(col("g1"), 1)).as("c1"),
+      count(when(!col("g1"), 1)).as("c2"))
+    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    // the cumulative window is bounded by the price RANGE (~500 bins),
+    // not the order count — single-partition by design, q201 argument
+    val win = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = b
+      .select(col("bin"), sum("c1").over(win).as("cum1"),
+        sum("c2").over(win).as("cum2"))
+      .crossJoin(broadcast(n))
+      .select(col("bin"),
+        abs(expr("cum1 * 1000000 div n1 - cum2 * 1000000 div n2"))
+          .as("d_micro"))
+      .localCheckpoint() // bounded bin table; max + argmax both read it
+    val mx = dd.agg(max("d_micro").as("ks_micro"))
+    val am = dd.join(broadcast(mx), col("d_micro") === col("ks_micro"))
+      .agg(min("bin").as("at_bin"))
+    n.crossJoin(broadcast(mx)).crossJoin(broadcast(am))
+      .select(col("n1"), col("n2"), col("ks_micro"), col("at_bin"))
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
-    q187StreamCountMin, q222KmeansLloyd)
+    q187StreamCountMin, q222KmeansLloyd, q223KsTest)
 }
