@@ -142,26 +142,37 @@ object LinkQueries {
     // calendar bounds as strings — the q132 pattern (one bounded driver scalar)
     val b = daily0.agg(date_format(min("dd"), "yyyy-MM-dd").as("lo"),
       date_format(max("dd"), "yyyy-MM-dd").as("hi")).head()
-    val spine = Relational.dateSpine(s, b.getString(0), b.getString(1), "dd")
-    val daily = Relational.spineJoin(spine, daily0, Seq("dd"), Seq("x"))
-    val tot = daily.agg(count(lit(1)).cast("long").as("n"),
-      sum("x").as("sx"))
-    // the centering join broadcasts one scalar row; the lead window runs
-    // over the bounded dense calendar (~days, never the fact table)
-    val cen = daily.crossJoin(broadcast(tot))
-      .withColumn("c", col("n") * col("x") - col("sx"))
-    val win = Window.orderBy("dd")
-    val led = cen.select(col("c") +:
-      (1 to 7).map(l => lead(col("c"), l).over(win).as(s"c$l")): _*)
-    val aggCols = sum(col("c") * col("c")).as("den") +:
-      (1 to 7).map(l => sum(col("c") * col(s"c$l")).as(s"n$l"))
-    val agg = led.agg(aggCols.head, aggCols.tail: _*)
-    val lags = (1 to 7).map(l =>
-      struct(lit(l.toLong).as("lag"), col(s"n$l").as("num")))
-    agg.select(explode(array(lags: _*)).as("e"), col("den"))
-      .select(col("e.lag").as("lag"), col("e.num").as("num"), col("den"),
-        expr("CAST(num AS DOUBLE) / nullif(den, 0)").as("acf"))
-      .orderBy("lag")
+    if (b.isNullAt(0)) {
+      // no events at all — mirror the oracle's empty-spine shape: the
+      // scalar agg still yields one row, so 7 lag rows with null stats
+      import s.implicits._
+      (1L to 7L).toDF("lag")
+        .select(col("lag"), lit(null).cast("long").as("num"),
+          lit(null).cast("long").as("den"),
+          lit(null).cast("double").as("acf"))
+        .orderBy("lag")
+    } else {
+      val spine = Relational.dateSpine(s, b.getString(0), b.getString(1), "dd")
+      val daily = Relational.spineJoin(spine, daily0, Seq("dd"), Seq("x"))
+      val tot = daily.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").as("sx"))
+      // the centering join broadcasts one scalar row; the lead window runs
+      // over the bounded dense calendar (~days, never the fact table)
+      val cen = daily.crossJoin(broadcast(tot))
+        .withColumn("c", col("n") * col("x") - col("sx"))
+      val win = Window.orderBy("dd")
+      val led = cen.select(col("c") +:
+        (1 to 7).map(l => lead(col("c"), l).over(win).as(s"c$l")): _*)
+      val aggCols = sum(col("c") * col("c")).as("den") +:
+        (1 to 7).map(l => sum(col("c") * col(s"c$l")).as(s"n$l"))
+      val agg = led.agg(aggCols.head, aggCols.tail: _*)
+      val lags = (1 to 7).map(l =>
+        struct(lit(l.toLong).as("lag"), col(s"n$l").as("num")))
+      agg.select(explode(array(lags: _*)).as("e"), col("den"))
+        .select(col("e.lag").as("lag"), col("e.num").as("num"), col("den"),
+          expr("CAST(num AS DOUBLE) / nullif(den, 0)").as("acf"))
+        .orderBy("lag")
+    }
   }
 
   // ------------------------------------------------ item-item recommender
@@ -422,10 +433,14 @@ object LinkQueries {
       .agg(count(lit(1)).as("co"))
       .select(col("i"), col("j"), greatest(lit(1L), lit(16L) - col("co")).as("w"))
       .localCheckpoint() // min-source scalar + every relaxation round read it
-    val src = wEdges.agg(min("i")).head().getLong(0) // bounded driver scalar
-    GraphOps.sssp(wEdges, src, rounds = 3)
-      .select(col("v").as("supplier"), col("dist"))
-      .orderBy("supplier")
+    val srcRow = wEdges.agg(min("i")).head() // bounded driver scalar
+    if (srcRow.isNullAt(0)) { // no edges: oracle's src is empty → no rows
+      wEdges.select(col("i").as("supplier"), col("w").as("dist")).limit(0)
+    } else {
+      GraphOps.sssp(wEdges, srcRow.getLong(0), rounds = 3)
+        .select(col("v").as("supplier"), col("dist"))
+        .orderBy("supplier")
+    }
   }
 
   // --------------------------------------------- maximal independent set
@@ -498,7 +513,11 @@ object LinkQueries {
     val lms = edges.select(col("i").as("v"))
       .unionAll(edges.select(col("j").as("v")))
       .distinct().orderBy("v").limit(3)
-      .collect().map(_.getLong(0)) // 3 bounded driver scalars (q181 pattern)
+      .collect().map(_.getLong(0)) // ≤3 bounded driver scalars (q181 pattern)
+    if (lms.isEmpty) { // no graph: oracle's src CTEs are empty → no rows
+      edges.select(col("i").as("landmark"), col("i").as("n_reached"),
+        col("i").as("p50_dist"), col("i").as("max_dist")).limit(0)
+    } else {
     val hist = lms.map { lm =>
       GraphOps.bfsHops(edges, lm, rounds = 3)
         .groupBy("dist").agg(count(lit(1)).as("c"))
@@ -515,9 +534,56 @@ object LinkQueries {
       .select(col("landmark"), col("n_reached"), col("p50_dist"),
         col("max_dist"))
       .orderBy("landmark")
+    }
+  }
+
+  // ------------------------------------------- weighted Jaccard matrix
+
+  /** Weighted-Jaccard similarity matrix between source token
+   * HISTOGRAMS — Σmin(c₁,c₂) / Σmax(c₁,c₂) over the shared vocabulary,
+   * the multiplicity-aware overlap that complements q176's KL/JS drift
+   * (Jaccard sees shared mass, divergences see shifted mass). Key
+   * algebra: Σmax = N₁ + N₂ − Σmin, so only an INNER join on shared
+   * tokens is needed (a token absent from one side contributes min 0)
+   * — no full-outer alignment, and the join is vocabulary-sized with
+   * bounded source fan-out. All counts BIGINT; wj in ppm. */
+  val q225WeightedJaccard: Q = Q("q225_weighted_jaccard",
+    """WITH t AS (SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents WHERE source IS NOT NULL),
+       c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             FROM t GROUP BY 1, 2),
+       n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+       pairs AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(sum(least(a.c, b.c)) AS BIGINT) AS smin
+                 FROM c a JOIN c b
+                   ON a.tok = b.tok AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT p.s1, p.s2, p.smin,
+              CAST(p.smin * 1000000 // (na.n + nb.n - p.smin) AS BIGINT)
+                AS wj_ppm
+       FROM pairs p JOIN n na ON na.source = p.s1
+                    JOIN n nb ON nb.source = p.s2
+       ORDER BY s1, s2""") { (s, d) =>
+    val c = table(s, d, "documents").filter(col("source").isNotNull)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + both sides of the pair join read it
+    val n = c.groupBy("source").agg(sum("c").as("n"))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("smin"))
+    pairs
+      .join(broadcast(n.select(col("source").as("s1"), col("n").as("na"))), Seq("s1"))
+      .join(broadcast(n.select(col("source").as("s2"), col("n").as("nb"))), Seq("s2"))
+      .select(col("s1"), col("s2"), col("smin"),
+        expr("smin * 1000000 div (na + nb - smin)").as("wj_ppm"))
+      .orderBy("s1", "s2")
   }
 
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
-    q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks)
+    q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
+    q225WeightedJaccard)
 }

@@ -962,11 +962,64 @@ object StatsQueries {
       .select(col("n1"), col("n2"), col("ks_micro"), col("at_bin"))
   }
 
+  /** Mann–Whitney U / rank-sum location test between the same two
+   * price populations as q223, on the same bounded equi-width bins —
+   * the rank-based companion to KS (KS sees shape, U sees stochastic
+   * dominance). Tie handling is the textbook midrank, kept integer by
+   * DOUBLING every rank: midrank×2 of a bin = 2·(count before) +
+   * (count within) + 1, so R1×2, U1×2 and the AUC effect size
+   * U1/(n1·n2) in ppm are all exact BIGINT arithmetic — no halves, no
+   * floats. The rank walk is a window over the value-range-bounded bin
+   * table, never the fact table. */
+  val q224MannWhitney: Q = Q("q224_mann_whitney",
+    """WITH o AS (SELECT floor(o_totalprice / 1000) AS binf,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS g1
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+       b AS (SELECT CAST(binf AS BIGINT) AS bin,
+               CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS c1,
+               CAST(count(*) FILTER (WHERE NOT g1) AS BIGINT) AS c2
+             FROM o GROUP BY 1),
+       n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                    CAST(sum(c2) AS BIGINT) AS n2 FROM b),
+       r AS (SELECT bin, c1, c2,
+               CAST(coalesce(sum(c1 + c2) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cb
+             FROM b),
+       s AS (SELECT CAST(sum(c1 * (2 * cb + c1 + c2 + 1)) AS BIGINT) AS r1_x2
+             FROM r)
+       SELECT n.n1, n.n2,
+              CAST(s.r1_x2 - n.n1 * (n.n1 + 1) AS BIGINT) AS u1_x2,
+              CAST((s.r1_x2 - n.n1 * (n.n1 + 1)) * 500000 // (n.n1 * n.n2)
+                AS BIGINT) AS auc_ppm
+       FROM n, s""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = table(s, d, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+      .select(floor(col("o_totalprice") / 1000).cast("long").as("bin"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("g1"))
+    val b = o.groupBy("bin").agg(
+      count(when(col("g1"), 1)).as("c1"),
+      count(when(!col("g1"), 1)).as("c2"))
+      .localCheckpoint() // bounded bin table; totals + rank walk read it
+    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val win = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1) // bins bounded by range
+    val r1 = b
+      .withColumn("cb", coalesce(sum(col("c1") + col("c2")).over(win), lit(0L)))
+      .agg(sum(expr("c1 * (2 * cb + c1 + c2 + 1)")).as("r1_x2"))
+    r1.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+        expr("(r1_x2 - n1 * (n1 + 1)) * 500000 div (n1 * n2)").as("auc_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
-    q187StreamCountMin, q222KmeansLloyd, q223KsTest)
+    q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney)
 }
