@@ -291,6 +291,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q209: phrase search plans the native kernel, not an interpreted lambda") {
+    // PhraseCount is codegen'd; the filter-lambda spelling would plan an
+    // ArrayFilter (CodegenFallback) — 9x slower at sf0.1
+    val p = plan("q209_phrase_search").toString
+    assert(p.contains("phrase_count"), s"q209 lost the native kernel:\n$p")
+    assert(!p.contains("ArrayFilter"),
+      "q209 regressed to the interpreted filter-lambda spelling")
+  }
+
   test("q162: every Bloom probe join broadcasts the word table (probe never shuffles)") {
     val p = plan("q162_bloom_filter")
     val bcast = p.collect { case j: BroadcastHashJoinExec => j }
