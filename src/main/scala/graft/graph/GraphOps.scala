@@ -111,15 +111,15 @@ object GraphOps {
     * independent traversals (q220's landmarks) in a single WITH. */
   def bfsOracleCtes(rounds: Int, prefix: String = ""): String = {
     val steps = (0 until rounds).map { r =>
-      s"""${prefix}b${r + 1} AS (SELECT v, min(dist) AS dist FROM (
+      s"""${prefix}b${r + 1} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
             SELECT v, dist FROM ${prefix}b$r
             UNION ALL
             SELECT ${prefix}e.j AS v, ${prefix}b$r.dist + 1 AS dist
             FROM ${prefix}b$r JOIN ${prefix}e ON ${prefix}b$r.v = ${prefix}e.i) GROUP BY v)"""
     }
     (Seq(
-      s"${prefix}e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
-      s"${prefix}b0 AS (SELECT v, 0 AS dist FROM ${prefix}src)") ++ steps).mkString(",\n")
+      s"${prefix}e AS MATERIALIZED (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      s"${prefix}b0 AS MATERIALIZED (SELECT v, 0 AS dist FROM ${prefix}src)") ++ steps).mkString(",\n")
   }
 
   /**
@@ -151,15 +151,15 @@ object GraphOps {
     * `v`) must be bound by the caller; emits `e`, `s0..s{rounds}`. */
   def ssspOracleCtes(rounds: Int): String = {
     val steps = (0 until rounds).map { r =>
-      s"""s${r + 1} AS (SELECT v, min(dist) AS dist FROM (
+      s"""s${r + 1} AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
             SELECT v, dist FROM s$r
             UNION ALL
             SELECT e.j AS v, s$r.dist + e.w AS dist
             FROM s$r JOIN e ON s$r.v = e.i) GROUP BY v)"""
     }
     (Seq(
-      "e AS (SELECT i, j, w FROM ed0 UNION ALL SELECT j AS i, i AS j, w FROM ed0)",
-      "s0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM src)") ++ steps).mkString(",\n")
+      "e AS MATERIALIZED (SELECT i, j, w FROM ed0 UNION ALL SELECT j AS i, i AS j, w FROM ed0)",
+      "s0 AS MATERIALIZED (SELECT v, CAST(0 AS BIGINT) AS dist FROM src)") ++ steps).mkString(",\n")
   }
 
   /**
@@ -214,20 +214,20 @@ object GraphOps {
     * union of every c/x plus `u{rounds}`. */
   def lubyMisOracleCtes(rounds: Int): String = {
     val steps = (0 until rounds).map { r =>
-      s"""c${r + 1} AS (SELECT u.v FROM u$r u LEFT JOIN (
+      s"""c${r + 1} AS MATERIALIZED (SELECT u.v FROM u$r u LEFT JOIN (
              SELECT e.i AS v, min(u2.p) AS mn
              FROM e JOIN u$r u1 ON e.i = u1.v JOIN u$r u2 ON e.j = u2.v
              GROUP BY e.i) nm ON nm.v = u.v
            WHERE nm.mn IS NULL OR u.p < nm.mn),
-         x${r + 1} AS (SELECT DISTINCT e.j AS v
+         x${r + 1} AS MATERIALIZED (SELECT DISTINCT e.j AS v
            FROM e JOIN c${r + 1} c ON e.i = c.v JOIN u$r u ON e.j = u.v),
-         u${r + 1} AS (SELECT v, p FROM u$r
+         u${r + 1} AS MATERIALIZED (SELECT v, p FROM u$r
            WHERE v NOT IN (SELECT v FROM c${r + 1})
              AND v NOT IN (SELECT v FROM x${r + 1}))"""
     }
     (Seq(
-      "e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
-      """u0 AS (SELECT v, ('0x'||substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT AS p
+      "e AS MATERIALIZED (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      """u0 AS MATERIALIZED (SELECT v, ('0x'||substr(md5(CAST(v AS VARCHAR)),1,15))::BIGINT AS p
            FROM (SELECT DISTINCT i AS v FROM (
                  SELECT i FROM ed0 UNION ALL SELECT j FROM ed0)))""") ++
       steps).mkString(",\n")
@@ -270,7 +270,7 @@ object GraphOps {
     * the final `l{rounds}` is (v, lab). */
   def labelPropOracleCtes(rounds: Int): String = {
     val steps = (0 until rounds).map { r =>
-      s"""l${r + 1} AS (SELECT v, lab FROM (
+      s"""l${r + 1} AS MATERIALIZED (SELECT v, lab FROM (
             SELECT e.i AS v, l$r.lab, count(*) AS c,
                    row_number() OVER (PARTITION BY e.i
                      ORDER BY count(*) DESC, l$r.lab) AS rn
@@ -278,8 +278,8 @@ object GraphOps {
             GROUP BY e.i, l$r.lab) WHERE rn = 1)"""
     }
     (Seq(
-      "e AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
-      "l0 AS (SELECT v, v AS lab FROM (SELECT DISTINCT i AS v FROM e))") ++
+      "e AS MATERIALIZED (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0)",
+      "l0 AS MATERIALIZED (SELECT v, v AS lab FROM (SELECT DISTINCT i AS v FROM e))") ++
       steps).mkString(",\n")
   }
 
@@ -320,16 +320,16 @@ object GraphOps {
     * r > 0 — mirror that in the SELECT). */
   def pprOracleCtes(seedMod: Int, iters: Int): String = {
     val steps = (0 until iters).map { r =>
-      s"""r${r + 1} AS (SELECT e.dst AS v,
+      s"""r${r + 1} AS MATERIALIZED (SELECT e.dst AS v,
              CAST(CASE WHEN e.dst % $seedMod = 0 THEN 150000 ELSE 0 END
                   + sum(CAST(round(0.85 * r$r.r / deg.d) AS BIGINT)) AS BIGINT) AS r
            FROM e JOIN r$r ON e.src = r$r.v JOIN deg ON e.src = deg.src
            GROUP BY e.dst)"""
     }
     (Seq(
-      "e AS (SELECT i AS src, j AS dst FROM ed0 UNION ALL SELECT j AS src, i AS dst FROM ed0)",
-      "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
-      s"""r0 AS (SELECT src AS v,
+      "e AS MATERIALIZED (SELECT i AS src, j AS dst FROM ed0 UNION ALL SELECT j AS src, i AS dst FROM ed0)",
+      "deg AS MATERIALIZED (SELECT src, count(*) AS d FROM e GROUP BY src)",
+      s"""r0 AS MATERIALIZED (SELECT src AS v,
              CAST(CASE WHEN src % $seedMod = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS r
            FROM deg)""") ++ steps).mkString(",\n")
   }
@@ -340,16 +340,16 @@ object GraphOps {
   def kCoreOracleCtes(k: Int, rounds: Int): String = {
     val b = new StringBuilder
     for (r <- 0 until rounds) {
-      b ++= s"""d$r AS (SELECT v, count(*) AS deg FROM (
+      b ++= s"""d$r AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
                 SELECT i AS v FROM ed$r UNION ALL SELECT j AS v FROM ed$r)
                 GROUP BY v),
-             v${r + 1} AS (SELECT v FROM d$r WHERE deg >= $k),
-             ed${r + 1} AS (SELECT i, j FROM ed$r
+             v${r + 1} AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= $k),
+             ed${r + 1} AS MATERIALIZED (SELECT i, j FROM ed$r
                 WHERE i IN (SELECT v FROM v${r + 1})
                   AND j IN (SELECT v FROM v${r + 1})),
              """
     }
-    b ++= s"""kcore AS (SELECT v, count(*) AS deg FROM (
+    b ++= s"""kcore AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
               SELECT i AS v FROM ed$rounds UNION ALL SELECT j AS v FROM ed$rounds)
               GROUP BY v HAVING count(*) >= $k)"""
     b.toString
