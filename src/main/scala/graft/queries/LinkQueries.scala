@@ -37,7 +37,7 @@ object LinkQueries {
     """gi AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS it
               FROM lineitem WHERE l_partkey IS NOT NULL),
        ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
-       ed0 AS (SELECT DISTINCT a.it AS i, b.it AS j
+       ed0 AS MATERIALIZED (SELECT DISTINCT a.it AS i, b.it AS j
                FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
                WHERE a.g IN (SELECT g FROM ok))"""
 
