@@ -180,6 +180,46 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  // ------------------------------------------------------------ containment
+
+  /**
+   * Shingle-containment (quotation/subset) pairs: documents sharing
+   * ≥ `thresholdPpm` of the smaller side's RARE 3-shingles — the
+   * asymmetric overlap Jaccard misses (a short doc embedded verbatim in
+   * a long one has tiny Jaccard but high containment). Candidates block
+   * on shared rare shingles: shingles in more than `dfCap` docs are
+   * dropped FIRST (stop-shingles carry no signal and are the quadratic
+   * hot-spot), so every bucket's pair fan-out is bounded by C(dfCap, 2)
+   * — never all-pairs. Containment is inter·10⁶ div min(|A|,|B|) over
+   * the rare-shingle sets, all BIGINT (q213's oracle replays it
+   * term-for-term). Returns (i, j, inter, na_i, na_j, cont_ppm).
+   */
+  def containmentPairs(docs: DataFrame, dfCap: Int, thresholdPpm: Long,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    import graft.ops.Exprs
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sg"))
+      .select(col("doc_id"), Exprs.md5Long(col("sg")).as("h"))
+      .distinct()
+    val dfh = sh.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val rare = sh
+      .join(dfh.filter(col("dfh") <= dfCap).select("h"), Seq("h"), "left_semi")
+      .localCheckpoint() // read 3×: sizes + both sides of the pair join
+    val nsz = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pr = rare.as("a").join(rare.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pr.join(nsz.select(col("doc_id").as("i"), col("n").as("na_i")), Seq("i"))
+      .join(nsz.select(col("doc_id").as("j"), col("n").as("na_j")), Seq("j"))
+      .withColumn("cont_ppm",
+        expr("inter * 1000000 div least(na_i, na_j)"))
+      .filter(col("cont_ppm") >= thresholdPpm)
+      .select(col("i"), col("j"), col("inter"), col("na_i"), col("na_j"),
+        col("cont_ppm"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   val simhashBits = 60

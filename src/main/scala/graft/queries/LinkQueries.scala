@@ -46,10 +46,11 @@ object LinkQueries {
   /** Positional phrase search: per-document occurrence count of the
    * exact 2-token phrase "value table" — the query shape a docs-only
    * inverted index (q179) cannot answer. Entirely map-side: one
-   * tokenize, one per-row lambda scan over adjacent positions (no
-   * posexplode, no position self-join), so at 100 TB the cost is the
-   * corpus scan itself. Oracle replays the identical position lambda
-   * over DuckDB lists. */
+   * tokenize, one native one-pass kernel over adjacent positions
+   * ([[graft.functions.PhraseCount]] — no posexplode, no position
+   * self-join, no interpreted lambda), so at 100 TB the cost is the
+   * corpus scan itself. Oracle replays the equivalent position lambda
+   * over DuckDB lists (parity pinned in FunctionsSpec). */
   val q209PhraseSearch: Q = Q("q209_phrase_search",
     """WITH tok AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), '\s+') AS w
@@ -280,26 +281,8 @@ object LinkQueries {
               CAST(inter AS BIGINT) AS inter, CAST(na_i AS BIGINT) AS na_i,
               CAST(na_j AS BIGINT) AS na_j, cont_ppm
        FROM res WHERE cont_ppm >= 300000 ORDER BY i, j""") { (s, d) =>
-    val sh = table(s, d, "documents")
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sg"))
-      .select(col("doc_id"), Exprs.md5Long(col("sg")).as("h"))
-      .distinct()
-    val dfh = sh.groupBy("h").agg(count(lit(1)).as("dfh"))
-    val rare = sh
-      .join(dfh.filter(col("dfh") <= 50).select("h"), Seq("h"), "left_semi")
-      .localCheckpoint() // read 3×: sizes + both sides of the pair join
-    val nsz = rare.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pr = rare.as("a").join(rare.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    pr.join(nsz.select(col("doc_id").as("i"), col("n").as("na_i")), Seq("i"))
-      .join(nsz.select(col("doc_id").as("j"), col("n").as("na_j")), Seq("j"))
-      .withColumn("cont_ppm",
-        expr("inter * 1000000 div least(na_i, na_j)"))
-      .filter(col("cont_ppm") >= 300000)
-      .select(col("i"), col("j"), col("inter"), col("na_i"), col("na_j"),
-        col("cont_ppm"))
+    Dedup.containmentPairs(table(s, d, "documents"),
+        dfCap = 50, thresholdPpm = 300000L)
       .orderBy("i", "j")
   }
 

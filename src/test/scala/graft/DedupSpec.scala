@@ -162,4 +162,25 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
       .collect()(0).getInt(0)
     assert(n == 3) // "a b c","b c d","c d e"
   }
+
+  test("containmentPairs: planted quotation found, Jaccard-low pair still flagged") {
+    import spark.implicits._
+    // doc 2 quotes ALL of doc 1 inside much longer unrelated text:
+    // containment(1 in 2) = 1.0 while Jaccard is far below 0.3
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),
+      (2L, s"$filler $quote ${(41 to 80).map(i => s"w$i").mkString(" ")}"),
+      (3L, "totally different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, dfCap = 50, thresholdPpm = 900000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 >= 900000L) // >= 90% of doc 1's shingles contained
+    // the quoted span plus its two boundary-crossing shingles
+    val inter = Dedup.containmentPairs(docs, 50, 0L)
+      .filter($"i" === 1 && $"j" === 2).head().getLong(2)
+    assert(inter == 4) // all 4 of doc 1's shingles appear in doc 2
+  }
 }
