@@ -215,4 +215,34 @@ object Stats {
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
       .drop("total")
   }
+
+  /**
+   * Autocorrelation of an ALREADY-DENSE ordered series at lags
+   * 1..maxLag (the caller densifies gaps first — a zero-volume period
+   * is an input, not a hole). Integer skeleton: each term is centered
+   * as n·x − Σx (exact BIGINT at any partitioning), all lag products
+   * ride ONE bounded window pass (maxLag leads over the series order),
+   * and the only floating-point step is the final num/den division.
+   * The window is global BY DESIGN: the input is an aggregated series
+   * bounded by its calendar/grid, never a fact table. Returns
+   * (lag, num, den, acf) — num/den NULL-safe on an empty series.
+   */
+  def acf(series: DataFrame, orderCol: Column, value: Column,
+          maxLag: Int): DataFrame = {
+    val base = series.select(orderCol.as("ord"), value.cast("long").as("x"))
+    val tot = base.agg(count(lit(1)).cast("long").as("n"), sum("x").as("sx"))
+    val cen = base.crossJoin(broadcast(tot))
+      .withColumn("c", col("n") * col("x") - col("sx"))
+    val win = Window.orderBy("ord")
+    val led = cen.select(col("c") +:
+      (1 to maxLag).map(l => lead(col("c"), l).over(win).as(s"c$l")): _*)
+    val aggCols = sum(col("c") * col("c")).as("den") +:
+      (1 to maxLag).map(l => sum(col("c") * col(s"c$l")).as(s"n$l"))
+    val agg = led.agg(aggCols.head, aggCols.tail: _*)
+    val lags = (1 to maxLag).map(l =>
+      struct(lit(l.toLong).as("lag"), col(s"n$l").as("num")))
+    agg.select(explode(array(lags: _*)).as("e"), col("den"))
+      .select(col("e.lag").as("lag"), col("e.num").as("num"), col("den"),
+        expr("CAST(num AS DOUBLE) / nullif(den, 0)").as("acf"))
+  }
 }

@@ -155,23 +155,7 @@ object LinkQueries {
     } else {
       val spine = Relational.dateSpine(s, b.getString(0), b.getString(1), "dd")
       val daily = Relational.spineJoin(spine, daily0, Seq("dd"), Seq("x"))
-      val tot = daily.agg(count(lit(1)).cast("long").as("n"),
-        sum("x").as("sx"))
-      // the centering join broadcasts one scalar row; the lead window runs
-      // over the bounded dense calendar (~days, never the fact table)
-      val cen = daily.crossJoin(broadcast(tot))
-        .withColumn("c", col("n") * col("x") - col("sx"))
-      val win = Window.orderBy("dd")
-      val led = cen.select(col("c") +:
-        (1 to 7).map(l => lead(col("c"), l).over(win).as(s"c$l")): _*)
-      val aggCols = sum(col("c") * col("c")).as("den") +:
-        (1 to 7).map(l => sum(col("c") * col(s"c$l")).as(s"n$l"))
-      val agg = led.agg(aggCols.head, aggCols.tail: _*)
-      val lags = (1 to 7).map(l =>
-        struct(lit(l.toLong).as("lag"), col(s"n$l").as("num")))
-      agg.select(explode(array(lags: _*)).as("e"), col("den"))
-        .select(col("e.lag").as("lag"), col("e.num").as("num"), col("den"),
-          expr("CAST(num AS DOUBLE) / nullif(den, 0)").as("acf"))
+      graft.ops.Stats.acf(daily, col("dd"), col("x"), maxLag = 7)
         .orderBy("lag")
     }
   }

@@ -100,4 +100,22 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     // log10(1 + 1/3) = 0.124939 -> the whole expectation is the deviation
     assert(out(3L).getAs[Long]("dev_ppm") == out(3L).getAs[Long]("benford_ppm"))
   }
+
+  test("acf: period-3 series peaks at lag 3, anti-correlates off-period") {
+    // perfect period-3 signal 5,1,0 repeated 12 times: acf(3) = 1.0
+    // exactly (integer arithmetic), acf(1)/acf(2) strongly negative
+    val xs = Seq.tabulate(36)(i => (i.toLong, Seq(5L, 1L, 0L)(i % 3)))
+    val out = Stats.acf(xs.toDF("t", "x"), col("t"), col("x"), maxLag = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getAs[Double]("acf") > 0.90) // edge terms truncate the tail
+    assert(out(1L).getAs[Double]("acf") < -0.3)
+    assert(out(2L).getAs[Double]("acf") < -0.3)
+    // num/den are exact integers: den = sum of squared centered terms
+    assert(out(3L).getAs[Long]("den") > 0)
+    // constant series: den = 0 -> acf NULL, never a division error
+    val const = Seq.tabulate(10)(i => (i.toLong, 7L))
+    val c = Stats.acf(const.toDF("t", "x"), col("t"), col("x"), maxLag = 2)
+      .collect()
+    assert(c.forall(_.isNullAt(3)))
+  }
 }
