@@ -217,6 +217,75 @@ object Stats {
   }
 
   /**
+   * Shared binned two-population table behind [[ksBinned]] and
+   * [[mannWhitneyBinned]]: equi-width bins of `value` with per-group
+   * counts. The bin table is bounded by the VALUE RANGE over binWidth,
+   * never the row count — that bound is what licenses the cumulative
+   * windows downstream. Rows where either column is null are excluded.
+   */
+  private def binCounts(df: DataFrame, value: Column, inGroup1: Column,
+                        binWidth: Double): DataFrame =
+    df.filter(value.isNotNull && inGroup1.isNotNull)
+      .select(floor(value / binWidth).cast("long").as("bin"),
+        inGroup1.as("g1"))
+      .groupBy("bin").agg(
+        count(when(col("g1"), 1)).as("c1"),
+        count(when(!col("g1"), 1)).as("c2"))
+
+  /**
+   * Two-sample Kolmogorov–Smirnov statistic over equi-width BINNED
+   * CDFs — exact for the binned distributions. Each CDF quantizes to
+   * micro units independently (cum·10⁶ div n), so the statistic stays
+   * BIGINT-safe at any row count where cum₁·n₂ would overflow. Returns
+   * one row (n1, n2, ks_micro, at_bin) with the peak-gap bin picked by
+   * smallest bin on ties.
+   */
+  def ksBinned(df: DataFrame, value: Column, inGroup1: Column,
+               binWidth: Double): DataFrame = {
+    val b = binCounts(df, value, inGroup1, binWidth)
+    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val win = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = b
+      .select(col("bin"), sum("c1").over(win).as("cum1"),
+        sum("c2").over(win).as("cum2"))
+      .crossJoin(broadcast(n))
+      .select(col("bin"),
+        abs(expr("cum1 * 1000000 div n1 - cum2 * 1000000 div n2"))
+          .as("d_micro"))
+      .localCheckpoint() // bounded bin table; max + argmax both read it
+    val mx = dd.agg(max("d_micro").as("ks_micro"))
+    val am = dd.join(broadcast(mx), col("d_micro") === col("ks_micro"))
+      .agg(min("bin").as("at_bin"))
+    n.crossJoin(broadcast(mx)).crossJoin(broadcast(am))
+      .select(col("n1"), col("n2"), col("ks_micro"), col("at_bin"))
+  }
+
+  /**
+   * Mann–Whitney U over the same equi-width bins — the rank-based
+   * location test (KS sees shape, U sees stochastic dominance). Tie
+   * handling is the textbook midrank kept integer by DOUBLING every
+   * rank: midrank×2 of a bin = 2·(count before) + (count within) + 1,
+   * so R1×2, U1×2 and the AUC effect size in ppm are exact BIGINT.
+   * Returns one row (n1, n2, u1_x2, auc_ppm).
+   */
+  def mannWhitneyBinned(df: DataFrame, value: Column, inGroup1: Column,
+                        binWidth: Double): DataFrame = {
+    val b = binCounts(df, value, inGroup1, binWidth)
+      .localCheckpoint() // bounded bin table; totals + rank walk read it
+    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val win = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r1 = b
+      .withColumn("cb", coalesce(sum(col("c1") + col("c2")).over(win), lit(0L)))
+      .agg(sum(expr("c1 * (2 * cb + c1 + c2 + 1)")).as("r1_x2"))
+    r1.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
+        expr("(r1_x2 - n1 * (n1 + 1)) * 500000 div (n1 * n2)").as("auc_ppm"))
+  }
+
+  /**
    * Autocorrelation of an ALREADY-DENSE ordered series at lags
    * 1..maxLag (the caller densifies gaps first — a zero-volume period
    * is an input, not a hole). Integer skeleton: each term is centered

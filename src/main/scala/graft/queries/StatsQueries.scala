@@ -934,32 +934,8 @@ object StatsQueries {
        am AS (SELECT CAST(min(bin) AS BIGINT) AS at_bin
               FROM d JOIN mx ON d.d_micro = mx.ks_micro)
        SELECT n.n1, n.n2, mx.ks_micro, am.at_bin FROM n, mx, am""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val o = table(s, d, "orders")
-      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
-      .select(floor(col("o_totalprice") / 1000).cast("long").as("bin"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("g1"))
-    val b = o.groupBy("bin").agg(
-      count(when(col("g1"), 1)).as("c1"),
-      count(when(!col("g1"), 1)).as("c2"))
-    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    // the cumulative window is bounded by the price RANGE (~500 bins),
-    // not the order count — single-partition by design, q201 argument
-    val win = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dd = b
-      .select(col("bin"), sum("c1").over(win).as("cum1"),
-        sum("c2").over(win).as("cum2"))
-      .crossJoin(broadcast(n))
-      .select(col("bin"),
-        abs(expr("cum1 * 1000000 div n1 - cum2 * 1000000 div n2"))
-          .as("d_micro"))
-      .localCheckpoint() // bounded bin table; max + argmax both read it
-    val mx = dd.agg(max("d_micro").as("ks_micro"))
-    val am = dd.join(broadcast(mx), col("d_micro") === col("ks_micro"))
-      .agg(min("bin").as("at_bin"))
-    n.crossJoin(broadcast(mx)).crossJoin(broadcast(am))
-      .select(col("n1"), col("n2"), col("ks_micro"), col("at_bin"))
+    Stats.ksBinned(table(s, d, "orders"), col("o_totalprice"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"), binWidth = 1000.0)
   }
 
   /** Mann–Whitney U / rank-sum location test between the same two
@@ -994,25 +970,8 @@ object StatsQueries {
               CAST((s.r1_x2 - n.n1 * (n.n1 + 1)) * 500000 // (n.n1 * n.n2)
                 AS BIGINT) AS auc_ppm
        FROM n, s""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val o = table(s, d, "orders")
-      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
-      .select(floor(col("o_totalprice") / 1000).cast("long").as("bin"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("g1"))
-    val b = o.groupBy("bin").agg(
-      count(when(col("g1"), 1)).as("c1"),
-      count(when(!col("g1"), 1)).as("c2"))
-      .localCheckpoint() // bounded bin table; totals + rank walk read it
-    val n = b.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    val win = Window.orderBy("bin")
-      .rowsBetween(Window.unboundedPreceding, -1) // bins bounded by range
-    val r1 = b
-      .withColumn("cb", coalesce(sum(col("c1") + col("c2")).over(win), lit(0L)))
-      .agg(sum(expr("c1 * (2 * cb + c1 + c2 + 1)")).as("r1_x2"))
-    r1.crossJoin(broadcast(n))
-      .select(col("n1"), col("n2"),
-        expr("r1_x2 - n1 * (n1 + 1)").as("u1_x2"),
-        expr("(r1_x2 - n1 * (n1 + 1)) * 500000 div (n1 * n2)").as("auc_ppm"))
+    Stats.mannWhitneyBinned(table(s, d, "orders"), col("o_totalprice"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH"), binWidth = 1000.0)
   }
 
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,

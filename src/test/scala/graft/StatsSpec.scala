@@ -101,6 +101,29 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L).getAs[Long]("dev_ppm") == out(3L).getAs[Long]("benford_ppm"))
   }
 
+  test("ksBinned + mannWhitneyBinned: planted half-overlap shift, exact hand values") {
+    // A uniform over [0,100), B uniform over [50,150), binWidth 10:
+    // CDF gap peaks at 0.5 (first reached at bin 4); bin-level AUC =
+    // P(A>B) + P(=)/2 = (1000 + 250)/10000 = 0.125
+    val a = (0 until 100).map(v => (v.toDouble, true))
+    val b = (50 until 150).map(v => (v.toDouble, false))
+    val df = (a ++ b).toDF("v", "g")
+    val ks = Stats.ksBinned(df, col("v"), col("g"), binWidth = 10.0).head()
+    assert(ks.getAs[Long]("n1") == 100 && ks.getAs[Long]("n2") == 100)
+    assert(ks.getAs[Long]("ks_micro") == 500000L)
+    assert(ks.getAs[Long]("at_bin") == 4L)
+    val mw = Stats.mannWhitneyBinned(df, col("v"), col("g"), 10.0).head()
+    assert(mw.getAs[Long]("u1_x2") == 2500L) // U1 = 1250 of n1*n2 = 10000
+    assert(mw.getAs[Long]("auc_ppm") == 125000L)
+    // identical populations: KS 0, AUC exactly 1/2
+    val same = ((0 until 100).map(v => (v.toDouble, true)) ++
+      (0 until 100).map(v => (v.toDouble, false))).toDF("v", "g")
+    assert(Stats.ksBinned(same, col("v"), col("g"), 10.0)
+      .head().getAs[Long]("ks_micro") == 0L)
+    assert(Stats.mannWhitneyBinned(same, col("v"), col("g"), 10.0)
+      .head().getAs[Long]("auc_ppm") == 500000L)
+  }
+
   test("acf: period-3 series peaks at lag 3, anti-correlates off-period") {
     // perfect period-3 signal 5,1,0 repeated 12 times: acf(3) = 1.0
     // exactly (integer arithmetic), acf(1)/acf(2) strongly negative
