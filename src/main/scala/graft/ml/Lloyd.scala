@@ -1,0 +1,60 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed Lloyd's k-means over INTEGER-QUANTIZED coordinates —
+ * deterministic and bit-exact at any partitioning, unlike float-mean
+ * k-means whose aggregation order can flip centroids. Coordinates
+ * quantize to micro units before any arithmetic (float → double is a
+ * widening cast and ×10⁶+floor is one IEEE-identical double op),
+ * squared distances and centroid sums stay BIGINT, and the recenter is
+ * sum div count. Per round: one broadcast join against the k-row
+ * centroid table + one keyed argmin window + one aggregate — the k-row
+ * table broadcasts at any corpus size, the argmin window is keyed by
+ * point. Seeds are the k smallest ids; ties break toward the smaller
+ * centroid id. The q222 oracle replays both rounds term-for-term.
+ */
+object Lloyd {
+
+  /** Micro-quantized coordinate projection: (id, x1..xD) BIGINTs from
+    * the first `dims` elements of an array column. Rows with a null or
+    * short array are excluded. */
+  def quantize(df: DataFrame, arrCol: String, idCol: String,
+               dims: Int): DataFrame =
+    df.filter(col(arrCol).isNotNull && size(col(arrCol)) >= dims)
+      .select(col(idCol).as("id") +: (1 to dims).map(i =>
+        expr(s"CAST(floor(CAST(element_at($arrCol, $i) AS DOUBLE) * 1000000) AS BIGINT)")
+          .as(s"x$i")): _*)
+
+  /** `rounds` synchronous Lloyd iterations from the k-smallest-id
+    * seeds over a [[quantize]]d table. Returns the final centroid
+    * table (cid, n, c1..cD). */
+  def iterate(pts: DataFrame, k: Int, rounds: Int, dims: Int): DataFrame = {
+    val ds = 1 to dims
+    val p = pts.localCheckpoint() // seeds + every assignment round read it
+    val distExpr = expr(ds.map(i => s"(x$i-c$i)*(x$i-c$i)").mkString(" + "))
+    val w = Window.partitionBy("id").orderBy(col("dst"), col("cid"))
+    def assign(cent: DataFrame) =
+      p.crossJoin(broadcast(cent))
+        .withColumn("dst", distExpr)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id") +: col("cid") +: ds.map(i => col(s"x$i")): _*)
+    def recenter(a: DataFrame) = {
+      val aggs = count(lit(1)).as("n") +:
+        ds.map(i => expr(s"sum(x$i) div count(1)").as(s"c$i"))
+      a.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+    }
+    var cent = p.orderBy("id").limit(k)
+      .select(col("id").as("cid") +: ds.map(i => col(s"x$i").as(s"c$i")): _*)
+    var last: DataFrame = null
+    for (_ <- 1 to rounds) {
+      last = recenter(assign(cent))
+      cent = last.drop("n")
+    }
+    last.select(col("cid") +: col("n") +: ds.map(i => col(s"c$i")): _*)
+  }
+}

@@ -871,33 +871,11 @@ object StatsQueries {
               CAST(sum(x3) // count(*) AS BIGINT) AS c3,
               CAST(sum(x4) // count(*) AS BIGINT) AS c4
        FROM a2 GROUP BY cid ORDER BY cid""") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val dims = (1 to 4)
-    val pts = table(s, d, "embeddings")
-      .filter(col("embedding").isNotNull && size(col("embedding")) >= 4)
-      .select(col("vec_id") +: dims.map(i =>
-        expr(s"CAST(floor(CAST(element_at(embedding, $i) AS DOUBLE) * 1000000) AS BIGINT)")
-          .as(s"x$i")): _*)
-      .localCheckpoint() // seeds + both assignment rounds read it
-    val distExpr = expr(dims.map(i => s"(x$i-c$i)*(x$i-c$i)").mkString(" + "))
-    val w = Window.partitionBy("vec_id").orderBy(col("dst"), col("cid"))
-    def assign(cent: org.apache.spark.sql.DataFrame) =
-      pts.crossJoin(broadcast(cent))
-        .withColumn("dst", distExpr)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id") +: col("cid") +: dims.map(i => col(s"x$i")): _*)
-    def recenter(a: org.apache.spark.sql.DataFrame) = {
-      val aggs = count(lit(1)).as("n") +:
-        dims.map(i => expr(s"sum(x$i) div count(1)").as(s"c$i"))
-      a.groupBy("cid").agg(aggs.head, aggs.tail: _*)
-    }
-    val c0 = pts.orderBy("vec_id").limit(4)
-      .select(col("vec_id").as("cid") +: dims.map(i =>
-        col(s"x$i").as(s"c$i")): _*)
-    val c1 = recenter(assign(c0)).drop("n")
-    recenter(assign(c1))
-      .select(col("cid") +: col("n") +: dims.map(i => col(s"c$i")): _*)
+    import graft.ml.Lloyd
+    Lloyd.iterate(
+        Lloyd.quantize(table(s, d, "embeddings"), "embedding", "vec_id",
+          dims = 4),
+        k = 4, rounds = 2, dims = 4)
       .orderBy("cid")
   }
 
