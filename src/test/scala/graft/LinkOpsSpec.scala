@@ -65,6 +65,61 @@ class LinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(st.groupBy("v").count().filter($"count" > 1).isEmpty)
   }
 
+  test("property: labelPropagation matches a driver simulation on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(8)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rng.nextDouble() < 0.3
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 3
+        // driver simulation of the same deterministic rule
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2) }
+        var lab: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+        for (_ <- 1 to rounds) {
+          lab = adj.map { case (v, nbrs) =>
+            val counts = nbrs.map(lab).groupBy(identity)
+              .map { case (l, xs) => (l, xs.size) }
+            v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+          }
+        }
+        val got = GraphOps.labelPropagation(edges.toDF("i", "j"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lab, s"trial $trial edges $edges")
+      }
+    }
+  }
+
+  test("property: sssp matches driver Bellman-Ford on random weighted graphs") {
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 6 + rng.nextInt(6)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rng.nextDouble() < 0.4
+      } yield (i, j, 1L + rng.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 3
+        val und = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+        val src = edges.map(_._1).min
+        // driver: exactly `rounds` synchronous relaxations
+        var dist = Map(src -> 0L)
+        for (_ <- 1 to rounds) {
+          val relaxed = und.flatMap { case (a, b, w) =>
+            dist.get(a).map(da => b -> (da + w)) }
+          dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+            .map { case (v, xs) => v -> xs.map(_._2).min }
+        }
+        val got = GraphOps.sssp(edges.toDF("i", "j", "w"), src, rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == dist, s"trial $trial edges $edges")
+      }
+    }
+  }
+
   test("oracle CTE generators unroll the requested rounds") {
     val lp = GraphOps.labelPropOracleCtes(rounds = 3)
     assert(lp.contains("l3 AS") && !lp.contains("l4 AS"))
