@@ -54,6 +54,47 @@ object GraphOps {
   }
 
   /**
+   * Item-item co-occurrence recommendations from a bipartite
+   * (group, item) relation: for every item the `topK` items most often
+   * co-grouped with it, ranked by squared-cosine of the co-occurrence
+   * counts — co²·10⁶ div (cnt_a·cnt_b), MONOTONE in cosine but needing
+   * no sqrt, so the whole ranking is exact BIGINT arithmetic. Pairs
+   * come map-side from per-group sorted item arrays (hub groups over
+   * `maxGroupSize` dropped before any pair exists); singleton pairs
+   * below `minCo` are pruned before the score join (noise a recommender
+   * drops, and the bulk of the pair table); item marginals aggregate
+   * the bipartite table once and are checkpointed because both sides
+   * of the score join read them. The per-item top-K is a keyed rank
+   * window — never global. Returns (item, rec, co, score_ppm, rn).
+   */
+  def itemRecs(df: DataFrame, groupCol: String, itemCol: String,
+               maxGroupSize: Int, minCo: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = df
+      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).as("g"), col(itemCol).as("it"))
+    val cnt = li.groupBy("it").agg(count_distinct(col("g")).as("c"))
+      .localCheckpoint()
+    val pr = li.groupBy("g")
+      .agg(sort_array(collect_set(col("it"))).as("items"))
+      .filter(size(col("items")) <= maxGroupSize)
+      .select(explode(pairsFromSortedArray("items", "i", "j")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val bd = pr.select(col("i").as("item"), col("j").as("rec"), col("co"))
+      .unionAll(pr.select(col("j").as("item"), col("i").as("rec"), col("co")))
+    val sc = bd
+      .join(cnt.select(col("it").as("item"), col("c").as("ca")), Seq("item"))
+      .join(cnt.select(col("it").as("rec"), col("c").as("cb")), Seq("rec"))
+      .withColumn("score_ppm", expr("co * co * 1000000 div (ca * cb)"))
+    val w = Window.partitionBy("item").orderBy(col("score_ppm").desc, col("rec"))
+    sc.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("item"), col("rec"), col("co"), col("score_ppm"), col("rn"))
+  }
+
+  /**
    * k-core by `rounds` synchronous peels: each round drops vertices with
    * degree < k and the edges touching them; survivors of round r are the
    * (r-peel) approximation of the k-core, exact once a round removes

@@ -286,6 +286,33 @@ object Stats {
   }
 
   /**
+   * Calibration table over equi-width score bins — the reliability
+   * diagram a classifier-driven curation pipeline audits before
+   * trusting its quality scores: per bin, trials, positives, observed
+   * positive rate in ppm, the overall base rate, and the bin's
+   * contribution to expected calibration error (n·|rate − overall|
+   * div N, summing to ECE across rows). All integer ppm; the bin table
+   * is bounded by the score RANGE over binWidth. Rows where either
+   * column is null are excluded. Returns
+   * (bin, n, pos, rate_ppm, overall_ppm, ece_contrib_ppm).
+   */
+  def calibrationBinned(df: DataFrame, score: Column, label: Column,
+                        binWidth: Double): DataFrame = {
+    val b = df.filter(score.isNotNull && label.isNotNull)
+      .select(floor(score / binWidth).cast("long").as("bin"),
+        label.as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        count(when(col("y"), 1)).as("pos"))
+    val tot = b.agg(sum("n").as("nn"), sum("pos").as("pp"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        expr("pos * 1000000 div n").as("rate_ppm"),
+        expr("pp * 1000000 div nn").as("overall_ppm"),
+        expr("n * abs(pos * 1000000 div n - pp * 1000000 div nn) div nn")
+          .as("ece_contrib_ppm"))
+  }
+
+  /**
    * Autocorrelation of an ALREADY-DENSE ordered series at lags
    * 1..maxLag (the caller densifies gaps first — a zero-volume period
    * is an input, not a hole). Integer skeleton: each term is centered

@@ -194,38 +194,8 @@ object LinkQueries {
        SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
               co, score_ppm, rn
        FROM rk WHERE rn <= 3 ORDER BY item, rn""") { (s, d) =>
-    // no standalone (g, it) distinct exchange: collect_set dedups inside
-    // the basket shuffle and count_distinct plans a partial dedup inside
-    // the marginal shuffle — two aggregates total, same semantics as the
-    // oracle's DISTINCT gi
-    val li = table(s, d, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
-    // item marginals are bounded by the part catalog, and BOTH sides of
-    // the score join read them — checkpoint so lineitem is scanned only
-    // by this aggregate and the pair projection (≤2 scans, pinned)
-    val cnt = li.groupBy("it").agg(count_distinct(col("g")).as("c"))
-      .localCheckpoint()
-    // singleton co-occurrence is noise a recommender prunes — and the
-    // filter cuts the score join + rank window input by an order of
-    // magnitude (most pairs co-occur exactly once)
-    val pr = li.groupBy("g")
-      .agg(sort_array(collect_set(col("it"))).as("items"))
-      .filter(size(col("items")) <= 15)
-      .select(explode(GraphOps.pairsFromSortedArray("items", "i", "j")).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2)
-    val bd = pr.select(col("i").as("item"), col("j").as("rec"), col("co"))
-      .unionAll(pr.select(col("j").as("item"), col("i").as("rec"), col("co")))
-    val sc = bd
-      .join(cnt.select(col("it").as("item"), col("c").as("ca")), Seq("item"))
-      .join(cnt.select(col("it").as("rec"), col("c").as("cb")), Seq("rec"))
-      .withColumn("score_ppm", expr("co * co * 1000000 div (ca * cb)"))
-    val w = Window.partitionBy("item").orderBy(col("score_ppm").desc, col("rec"))
-    sc.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("item"), col("rec"), col("co"), col("score_ppm"), col("rn"))
+    GraphOps.itemRecs(table(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        maxGroupSize = 15, minCo = 2L, topK = 3)
       .orderBy("item", "rn")
   }
 

@@ -952,11 +952,42 @@ object StatsQueries {
       col("o_orderpriority").isin("1-URGENT", "2-HIGH"), binWidth = 1000.0)
   }
 
+  /** Calibration / reliability table: does a higher order price
+   * predict urgency? Equi-width price bins as the "score", urgent
+   * priority as the label — per bin the observed positive rate vs the
+   * base rate and the bin's expected-calibration-error contribution,
+   * all integer ppm ([[graft.ops.Stats.calibrationBinned]]). On
+   * synthetic data price carries no signal, so rates hug the base
+   * rate — the near-zero ECE contributions ARE the finding, exactly
+   * what this audit reports for an uninformative score. */
+  val q226Calibration: Q = Q("q226_calibration",
+    """WITH o AS (SELECT floor(o_totalprice / 50000) AS binf,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS y
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+       b AS (SELECT CAST(binf AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE y) AS BIGINT) AS pos
+             FROM o GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                    CAST(sum(pos) AS BIGINT) AS pp FROM b)
+       SELECT bin, n, pos,
+              CAST(pos * 1000000 // n AS BIGINT) AS rate_ppm,
+              CAST(pp * 1000000 // nn AS BIGINT) AS overall_ppm,
+              CAST(n * abs(pos * 1000000 // n - pp * 1000000 // nn) // nn
+                AS BIGINT) AS ece_contrib_ppm
+       FROM b, t ORDER BY bin""") { (s, d) =>
+    Stats.calibrationBinned(table(s, d, "orders"), col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"), binWidth = 50000.0)
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
-    q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney)
+    q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
+    q226Calibration)
 }

@@ -124,6 +124,27 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .head().getAs[Long]("auc_ppm") == 500000L)
   }
 
+  test("calibrationBinned: hand-exact rates and ECE contributions") {
+    // bin 0: 2/10 positives, bin 1: 8/10 — overall 10/20 = 500000 ppm;
+    // each bin contributes 10·|rate−500000| div 20 = 150000 ppm to ECE
+    val rows = (Seq.fill(2)((0.5, true)) ++ Seq.fill(8)((0.5, false)) ++
+      Seq.fill(8)((1.5, true)) ++ Seq.fill(2)((1.5, false)))
+    val out = Stats.calibrationBinned(rows.toDF("s", "y"),
+        col("s"), col("y"), binWidth = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("rate_ppm") == 200000L)
+    assert(out(1L).getAs[Long]("rate_ppm") == 800000L)
+    assert(out.values.forall(_.getAs[Long]("overall_ppm") == 500000L))
+    assert(out(0L).getAs[Long]("ece_contrib_ppm") == 150000L)
+    assert(out(1L).getAs[Long]("ece_contrib_ppm") == 150000L)
+    // perfectly calibrated: every bin at the base rate -> zero ECE
+    val flat = (Seq.fill(5)((0.5, true)) ++ Seq.fill(5)((0.5, false)) ++
+      Seq.fill(5)((1.5, true)) ++ Seq.fill(5)((1.5, false)))
+    val z = Stats.calibrationBinned(flat.toDF("s", "y"),
+      col("s"), col("y"), 1.0).collect()
+    assert(z.forall(_.getAs[Long]("ece_contrib_ppm") == 0L))
+  }
+
   test("acf: period-3 series peaks at lag 3, anti-correlates off-period") {
     // perfect period-3 signal 5,1,0 repeated 12 times: acf(3) = 1.0
     // exactly (integer arithmetic), acf(1)/acf(2) strongly negative
