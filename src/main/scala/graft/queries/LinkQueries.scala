@@ -519,8 +519,113 @@ object LinkQueries {
       .orderBy("s1", "s2")
   }
 
+  // --------------------------------------------- degree assortativity
+
+  /** Degree assortativity of the co-supply graph: the Pearson
+   * correlation of endpoint degrees over all directed edge-ends — do
+   * high-degree suppliers co-supply with other hubs (r > 0) or with
+   * the periphery (r < 0)? The q143 integer-moment recipe: every Σ
+   * (sx, sxx, sxy over edge-ends) is BIGINT-exact at any partitioning,
+   * only the one final sqrt/division is floating point (rounded to 6
+   * identically in both engines), with the zero-variance guard spelled
+   * min = max. One degree aggregate + two broadcastable joins back to
+   * the edge list — no fact-table window anywhere. */
+  val q227Assortativity: Q = Q("q227_assortativity",
+    s"""WITH $coSupplyCtes,
+       e2 AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0),
+       deg AS (SELECT i AS v, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY i),
+       xy AS (SELECT da.d AS x, db.d AS y
+              FROM e2 JOIN deg da ON da.v = e2.i JOIN deg db ON db.v = e2.j),
+       m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+               CAST(sum(x*y) AS BIGINT) AS sxy,
+               min(x) = max(x) OR min(y) = max(y) AS zerovar
+             FROM xy)
+       SELECT n, CASE WHEN zerovar THEN NULL
+                ELSE round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+                  6) END AS r
+       FROM m""") { (s, d) =>
+    val ed = coSupplyEdges(s, d)
+    val e2 = ed.select(col("i"), col("j"))
+      .unionAll(ed.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint() // degree aggregate + moment pass read it
+    val deg = e2.groupBy(col("i").as("v")).agg(count(lit(1)).as("d"))
+    val xy = e2
+      .join(deg.select(col("v").as("i"), col("d").as("x")), Seq("i"))
+      .join(deg.select(col("v").as("j"), col("d").as("y")), Seq("j"))
+      .select("x", "y")
+    xy.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"),
+        (min("x") === max("x") || min("y") === max("y")).as("zerovar"))
+      .select(col("n"),
+        when(col("zerovar"), lit(null).cast("double"))
+          .otherwise(expr("""round(CAST(n*sxy - sx*sy AS DOUBLE) /
+            sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+            6)""")).as("r"))
+  }
+
+  // ----------------------------------------------- attack tolerance
+
+  /** Hub-removal attack tolerance: largest connected-component size
+   * before and after deleting the 5 highest-degree suppliers — the
+   * robustness probe that tells a graph owner whether connectivity
+   * hangs on a few hubs. Components come from the same two-phase star
+   * contraction the dedup family uses (O(log n) rounds at any
+   * diameter); the oracle checks BOTH closures against recursive-CTE
+   * transitive-closure ground truth. Vertices that lose every edge
+   * drop out of the after-graph (a component of size 1 has no edge to
+   * witness it) — identical semantics on both sides. */
+  val q228AttackTolerance: Q = Q("q228_attack_tolerance",
+    s"""WITH RECURSIVE $coSupplyCtes,
+       e2 AS (SELECT i, j FROM ed0 UNION ALL SELECT j AS i, i AS j FROM ed0),
+       deg AS (SELECT i AS v, count(*) AS d FROM e2 GROUP BY i),
+       hubs AS (SELECT v FROM deg ORDER BY d DESC, v LIMIT 5),
+       ra(src, dst) AS (
+         SELECT i, j FROM e2
+         UNION
+         SELECT r.src, e.j FROM ra r JOIN e2 e ON r.dst = e.i),
+       la AS (SELECT src, least(src, min(dst)) AS lbl FROM ra GROUP BY src),
+       ba AS (SELECT CAST(count(*) AS BIGINT) AS n FROM la GROUP BY lbl),
+       edb AS MATERIALIZED (SELECT i, j FROM ed0
+              WHERE i NOT IN (SELECT v FROM hubs)
+                AND j NOT IN (SELECT v FROM hubs)),
+       e2b AS (SELECT i, j FROM edb UNION ALL SELECT j AS i, i AS j FROM edb),
+       rb(src, dst) AS (
+         SELECT i, j FROM e2b
+         UNION
+         SELECT r.src, e.j FROM rb r JOIN e2b e ON r.dst = e.i),
+       lb AS (SELECT src, least(src, min(dst)) AS lbl FROM rb GROUP BY src),
+       bb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lb GROUP BY lbl)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+              (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM ba) AS largest_before,
+              (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM bb) AS largest_after""") { (s, d) =>
+    val ed = coSupplyEdges(s, d).localCheckpoint() // degs + both closures
+    val e2 = ed.select(col("i"), col("j"))
+      .unionAll(ed.select(col("j").as("i"), col("i").as("j")))
+    val deg = e2.groupBy(col("i").as("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // vertex count + hub pick read it
+    val hubs = deg.orderBy(col("d").desc, col("v")).limit(5).select("v")
+      .localCheckpoint() // two anti joins read it
+    val edb = ed
+      .join(hubs.withColumnRenamed("v", "i"), Seq("i"), "left_anti")
+      .join(hubs.withColumnRenamed("v", "j"), Seq("j"), "left_anti")
+    def largest(pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      Dedup.connectedComponents(pairs)
+        .groupBy("lbl").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max("n"), lit(0L)).as("m"))
+    val nv = deg.agg(count(lit(1)).cast("long").as("n_vertices"))
+    nv.crossJoin(broadcast(largest(ed)
+        .select(col("m").as("largest_before"))))
+      .crossJoin(broadcast(largest(edb)
+        .select(col("m").as("largest_after"))))
+  }
+
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
-    q225WeightedJaccard)
+    q225WeightedJaccard, q227Assortativity, q228AttackTolerance)
 }
