@@ -120,6 +120,59 @@ class LinkOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: lubyMis matches a driver simulation on random graphs") {
+    def prio(v: Long): Long = { // Md5PrefixLong semantics
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 5) {
+      val n = 8 + rng.nextInt(8)
+      val edges = (for {
+        i <- 0L until n; j <- (i + 1) until n
+        if rng.nextDouble() < 0.3
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val rounds = 2
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+        var und = adj.keySet
+        var inS = Set.empty[Long]; var outS = Set.empty[Long]
+        for (_ <- 1 to rounds) {
+          val cand = und.filter { v =>
+            val nbrs = adj(v) & und
+            nbrs.isEmpty || prio(v) < nbrs.map(prio).min
+          }
+          val excl = cand.flatMap(adj) & und -- cand
+          inS ++= cand; outS ++= excl; und = und -- cand -- excl
+        }
+        val got = GraphOps.lubyMis(edges.toDF("i", "j"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val want = (inS.map(_ -> "in") ++ outS.map(_ -> "out") ++
+          und.map(_ -> "undecided")).toMap
+        assert(got == want, s"trial $trial edges $edges")
+      }
+    }
+  }
+
+  test("labelPropagation and sssp run concurrently without interference") {
+    // the iterative graph ops mutate no session-global config — two
+    // running in parallel threads must yield the same results as alone
+    val e1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("i", "j")
+    val e2 = Seq((1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 10L)).toDF("i", "j", "w")
+    val aloneLp = GraphOps.labelPropagation(e1, 3).collect().toSet
+    val aloneSp = GraphOps.sssp(e2, 1L, 3).collect().toSet
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fLp = Future(GraphOps.labelPropagation(e1, 3).collect().toSet)
+    val fSp = Future(GraphOps.sssp(e2, 1L, 3).collect().toSet)
+    assert(Await.result(fLp, 120.seconds) == aloneLp)
+    assert(Await.result(fSp, 120.seconds) == aloneSp)
+  }
+
   test("oracle CTE generators unroll the requested rounds") {
     val lp = GraphOps.labelPropOracleCtes(rounds = 3)
     assert(lp.contains("l3 AS") && !lp.contains("l4 AS"))
