@@ -990,11 +990,160 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
+  /** RFM customer segmentation with SCALE-CORRECT tercile cutoffs: the
+   * classic CRM cube (recency / frequency / monetary, each scored
+   * 1..3) — but the quantile cutoffs come from value-range-bounded
+   * HISTOGRAMS (smallest bin where 3·cum ≥ n, ≥ 2n), never a global
+   * rank over customers, so the only windows run over day/count/spend
+   * bins. Money routes through DECIMAL cents (order-independent sums);
+   * scores are bucket indexes (1 = lowest value bin band). One
+   * customer aggregate feeds all three dims; cutoffs broadcast back.
+   * Output: customer counts per RFM cell. */
+  val q229Rfm: Q = Q("q229_rfm",
+    """WITH cust AS (SELECT o_custkey AS k,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS m_cents
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+             AND o_totalprice IS NOT NULL
+           GROUP BY 1),
+       g AS (SELECT max(last_d) AS d1, CAST(count(*) AS BIGINT) AS n FROM cust),
+       feat AS (SELECT k,
+                  CAST(date_diff('day', last_d, d1) AS BIGINT) AS rb,
+                  f AS fb, m_cents // 5000000 AS mb
+                FROM cust, g),
+       hr AS (SELECT rb AS b, count(*) AS c FROM feat GROUP BY 1),
+       cr AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM hr),
+       tr AS (SELECT CAST(min(CASE WHEN cum * 3 >= n THEN b END) AS BIGINT) AS c1,
+                     CAST(min(CASE WHEN cum * 3 >= 2 * n THEN b END) AS BIGINT) AS c2
+              FROM cr, g),
+       hf AS (SELECT fb AS b, count(*) AS c FROM feat GROUP BY 1),
+       cf AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM hf),
+       tf AS (SELECT CAST(min(CASE WHEN cum * 3 >= n THEN b END) AS BIGINT) AS c1,
+                     CAST(min(CASE WHEN cum * 3 >= 2 * n THEN b END) AS BIGINT) AS c2
+              FROM cf, g),
+       hm AS (SELECT mb AS b, count(*) AS c FROM feat GROUP BY 1),
+       cm AS (SELECT b, CAST(sum(c) OVER (ORDER BY b) AS BIGINT) AS cum FROM hm),
+       tm AS (SELECT CAST(min(CASE WHEN cum * 3 >= n THEN b END) AS BIGINT) AS c1,
+                     CAST(min(CASE WHEN cum * 3 >= 2 * n THEN b END) AS BIGINT) AS c2
+              FROM cm, g),
+       sc AS (SELECT
+                CAST(1 + CASE WHEN rb > tr.c1 THEN 1 ELSE 0 END
+                       + CASE WHEN rb > tr.c2 THEN 1 ELSE 0 END AS BIGINT) AS r_score,
+                CAST(1 + CASE WHEN fb > tf.c1 THEN 1 ELSE 0 END
+                       + CASE WHEN fb > tf.c2 THEN 1 ELSE 0 END AS BIGINT) AS f_score,
+                CAST(1 + CASE WHEN mb > tm.c1 THEN 1 ELSE 0 END
+                       + CASE WHEN mb > tm.c2 THEN 1 ELSE 0 END AS BIGINT) AS m_score
+              FROM feat, tr, tf, tm)
+       SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_customers
+       FROM sc GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cust = table(s, d, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull &&
+        col("o_totalprice").isNotNull)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("m_cents"))
+      .localCheckpoint() // bounds scalar + three histograms read it
+    val g = cust.agg(max("last_d").as("d1"), count(lit(1)).cast("long").as("n"))
+    val feat = cust.crossJoin(broadcast(g))
+      .select(col("k"), datediff(col("d1"), col("last_d")).cast("long").as("rb"),
+        col("f").as("fb"), expr("m_cents div 5000000").as("mb"), col("n"))
+      .localCheckpoint() // three histograms + the score pass read it
+    def cuts(bCol: String): org.apache.spark.sql.DataFrame = {
+      val h = feat.groupBy(col(bCol).as("b")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("b") // bounded by the dim's VALUE range
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(g.select("n")))
+        .agg(min(when(col("cum") * 3 >= col("n"), col("b"))).as("c1"),
+          min(when(col("cum") * 3 >= col("n") * 2, col("b"))).as("c2"))
+    }
+    def score(bCol: String, cu: String): org.apache.spark.sql.Column =
+      (lit(1L) + when(col(bCol) > col(s"$cu.c1"), 1L).otherwise(0L)
+        + when(col(bCol) > col(s"$cu.c2"), 1L).otherwise(0L)).as(s"${bCol}_s")
+    feat
+      .crossJoin(broadcast(cuts("rb")).as("tr"))
+      .crossJoin(broadcast(cuts("fb")).as("tf"))
+      .crossJoin(broadcast(cuts("mb")).as("tm"))
+      .select(score("rb", "tr").as("r_score"), score("fb", "tf").as("f_score"),
+        score("mb", "tm").as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Association-rule metrics over co-purchased part pairs: support,
+   * confidence (both directions via the doubled orientation), and lift
+   * — top 20 rules by lift. All integer ppm: lift = co·N·10⁶ div
+   * (cnt_a·cnt_b) over the basket universe N, so ranking is exact
+   * BIGINT; the top-20 is orderBy+limit (TakeOrdered — per-partition
+   * heads, never a global sort materialization). Pairs come from the
+   * hub-capped basket arrays (q148/q212 projection). */
+  val q230AssocRules: Q = Q("q230_assoc_rules",
+    """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS it
+                   FROM lineitem
+                   WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       ng AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS nb FROM gi),
+       ok AS (SELECT g FROM gi GROUP BY g HAVING count(*) <= 15),
+       pr AS (SELECT i, j, co FROM (
+              SELECT a.it AS i, b.it AS j, CAST(count(*) AS BIGINT) AS co
+              FROM gi a JOIN gi b ON a.g = b.g AND a.it < b.it
+              WHERE a.g IN (SELECT g FROM ok) GROUP BY 1, 2)
+              WHERE co >= 2),
+       cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM gi GROUP BY it),
+       bd AS (SELECT i AS ante, j AS cons, co FROM pr
+              UNION ALL SELECT j, i, co FROM pr),
+       m AS (SELECT b.ante, b.cons, b.co,
+               CAST(b.co * 1000000 // ng.nb AS BIGINT) AS support_ppm,
+               CAST(b.co * 1000000 // ca.c AS BIGINT) AS conf_ppm,
+               CAST(b.co * ng.nb * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+             FROM bd b JOIN cnt ca ON ca.it = b.ante
+                       JOIN cnt cb ON cb.it = b.cons
+                       CROSS JOIN ng)
+       SELECT CAST(ante AS BIGINT) AS ante, CAST(cons AS BIGINT) AS cons,
+              co, support_ppm, conf_ppm, lift_ppm
+       FROM m ORDER BY lift_ppm DESC, ante, cons LIMIT 20""") { (s, d) =>
+    // ONE lineitem scan: the basket table (group → item set) feeds the
+    // basket count, the item marginals (explode of the already-deduped
+    // sets ≡ count distinct g per item), and the pair projection
+    val baskets = table(s, d, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
+      .groupBy("g").agg(sort_array(collect_set(col("it"))).as("items"))
+      .localCheckpoint()
+    val ng = baskets.agg(count(lit(1)).as("nb"))
+    val cnt = baskets.select(explode(col("items")).as("it"))
+      .groupBy("it").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // both rule sides read it
+    val pr = baskets
+      .filter(size(col("items")) <= 15)
+      .select(explode(graft.graph.GraphOps
+        .pairsFromSortedArray("items", "i", "j")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val bd = pr.select(col("i").as("ante"), col("j").as("cons"), col("co"))
+      .unionAll(pr.select(col("j").as("ante"), col("i").as("cons"), col("co")))
+    bd.join(cnt.select(col("it").as("ante"), col("c").as("ca")), Seq("ante"))
+      .join(cnt.select(col("it").as("cons"), col("c").as("cb")), Seq("cons"))
+      .crossJoin(broadcast(ng))
+      .select(col("ante"), col("cons"), col("co"),
+        expr("co * 1000000 div nb").as("support_ppm"),
+        expr("co * 1000000 div ca").as("conf_ppm"),
+        expr("co * nb * 1000000 div (ca * cb)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
     q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
     q156GroupingSets, q157EquiDepth, q158PurgeCascade, q217FdProfile,
-    q221ColumnProfile)
+    q221ColumnProfile, q229Rfm, q230AssocRules)
 }
