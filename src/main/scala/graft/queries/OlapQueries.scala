@@ -1139,11 +1139,54 @@ object OlapQueries {
       .limit(20)
   }
 
+  /** Pointwise and total mutual information between event type and
+   * weekday — the STATISTICAL column-dependence profile that pairs
+   * with q217's exact functional dependencies (FD says "determines",
+   * MI says "how much does knowing one shrink the other"). Per-cell
+   * PMI quantizes to integer micro-nats BEFORE the contribution
+   * product (the q104 recipe: double ratio → ln → round — both engines
+   * run the identical IEEE expression), so each cell's nab·pmi
+   * contribution is exact BIGINT and total MI = Σcontrib/N replays
+   * bit-for-bit. One keyed count; marginals aggregate the bounded cell
+   * table, never the fact table again. */
+  val q231MutualInfo: Q = Q("q231_mutual_info",
+    """WITH b AS (SELECT event_type AS a, dayofweek(ts) + 1 AS d FROM events
+                  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       c AS (SELECT a, d, CAST(count(*) AS BIGINT) AS nab FROM b GROUP BY 1, 2),
+       ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM c GROUP BY a),
+       md AS (SELECT d, CAST(sum(nab) AS BIGINT) AS nd FROM c GROUP BY d),
+       t AS (SELECT CAST(sum(nab) AS BIGINT) AS nn FROM c)
+       SELECT c.a, CAST(c.d AS BIGINT) AS d, c.nab,
+              CAST(round(ln(CAST(nab AS DOUBLE) * nn
+                / (CAST(na AS DOUBLE) * nd)) * 1000000) AS BIGINT) AS pmi_micro,
+              nab * CAST(round(ln(CAST(nab AS DOUBLE) * nn
+                / (CAST(na AS DOUBLE) * nd)) * 1000000) AS BIGINT) AS contrib
+       FROM c JOIN ma USING (a) JOIN md USING (d) CROSS JOIN t
+       ORDER BY a, d""") { (s, d) =>
+    val c = table(s, d, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("a"), dayofweek(col("ts")).cast("long").as("d"))
+      .groupBy("a", "d").agg(count(lit(1)).as("nab"))
+      .localCheckpoint() // bounded cell table; marginals + totals read it
+    val ma = c.groupBy("a").agg(sum("nab").as("na"))
+    val md = c.groupBy("d").agg(sum("nab").as("nd"))
+    val t = c.agg(sum("nab").as("nn"))
+    c.join(broadcast(ma), Seq("a")).join(broadcast(md), Seq("d"))
+      .crossJoin(broadcast(t))
+      .withColumn("pmi_micro",
+        round(log(col("nab").cast("double") * col("nn")
+          / (col("na").cast("double") * col("nd"))) * 1000000.0, 0)
+          .cast("long"))
+      .withColumn("contrib", col("nab") * col("pmi_micro"))
+      .select(col("a"), col("d"), col("nab"), col("pmi_micro"), col("contrib"))
+      .orderBy("a", "d")
+  }
+
   val all: Seq[Q] = Seq(q137Cube, q138Triangles, q139QualityAudit,
     q140IncrementalAgg, q141StarJoin, q142SlidingDistinct, q143Correlation,
     q144Attribution, q145Twap, q146AbLift, q147RatioToParent, q148BasketPairs,
     q149MaxConcurrency, q150Ohlc, q151SnapshotDiff, q152FeatureCov,
     q153StreamOhlc, q154GroupedSketchTopk, q155PartitionChecksum,
     q156GroupingSets, q157EquiDepth, q158PurgeCascade, q217FdProfile,
-    q221ColumnProfile, q229Rfm, q230AssocRules)
+    q221ColumnProfile, q229Rfm, q230AssocRules, q231MutualInfo)
 }
