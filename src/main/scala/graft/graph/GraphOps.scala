@@ -121,6 +121,62 @@ object GraphOps {
   }
 
   /**
+   * k-truss by `rounds` synchronous support peels: each round counts
+   * per-edge triangle support via the degree-oriented enumeration
+   * ([[graft.dedup.Dedup.triangles]] — no celebrity vertex goes
+   * quadratic) and drops edges in fewer than k−2 triangles; the edges
+   * that survive all rounds form the (r-peel) approximation of the
+   * k-truss, exact once a round removes nothing. The truss is the
+   * EDGE-support analog of the k-core's vertex degrees — it keeps the
+   * triangle-dense community backbone a degree peel can't isolate.
+   * Lineage cut per round. Returns surviving edges with their final
+   * support (i, j, support).
+   */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def support(e: DataFrame): DataFrame =
+      graft.dedup.Dedup.triangles(e)
+        .select(explode(array(
+          struct(col("a").as("i"), col("b").as("j")),
+          struct(col("a").as("i"), col("c").as("j")),
+          struct(col("b").as("i"), col("c").as("j")))).as("e"))
+        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(count(lit(1)).as("support"))
+    var e = edges.select(
+        least(col("i").cast("long"), col("j").cast("long")).as("i"),
+        greatest(col("i").cast("long"), col("j").cast("long")).as("j"))
+      .filter(col("i") =!= col("j")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = support(e).filter(col("support") >= k - 2).select("i", "j")
+      e = e.join(keep, Seq("i", "j"), "left_semi").localCheckpoint()
+    }
+    e.join(support(e), Seq("i", "j"), "left")
+      .select(col("i"), col("j"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** DuckDB replay of [[kTrussPeel]]: `ed0` (i < j distinct) must be
+    * bound by the caller; emits per round `tr{r}`, `sp{r}`,
+    * `ed{r+1}`, plus a final `spf` over `ed{rounds}` — the result is
+    * ed{rounds} left-joined to spf. */
+  def kTrussOracleCtes(k: Int, rounds: Int): String = {
+    def triSp(r: String, src: String) =
+      s"""tr$r AS MATERIALIZED (SELECT e1.i AS x, e1.j AS y, e2.j AS z
+             FROM $src e1 JOIN $src e2 ON e2.i = e1.j
+                          JOIN $src e3 ON e3.i = e1.i AND e3.j = e2.j),
+         sp$r AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT x AS a, y AS b FROM tr$r
+             UNION ALL SELECT x, z FROM tr$r
+             UNION ALL SELECT y, z FROM tr$r) GROUP BY 1, 2)"""
+    val steps = (0 until rounds).map { r =>
+      s"""${triSp(r.toString, s"ed$r")},
+         ed${r + 1} AS MATERIALIZED (SELECT i, j FROM ed$r
+             JOIN sp$r ON a = i AND b = j WHERE c >= ${k - 2})"""
+    }
+    (steps :+ triSp("f", s"ed$rounds")).mkString(",\n")
+  }
+
+  /**
    * Bounded-hop BFS from one source vertex: `rounds` synchronous
    * relaxations, each one neighbor expansion + a min-dist aggregate —
    * the frontier table is (vertex, dist), partitioned by vertex, no

@@ -624,8 +624,29 @@ object LinkQueries {
         .select(col("m").as("largest_after"))))
   }
 
+  // ------------------------------------------------------------ k-truss
+
+  /** 4-truss backbone of the co-supply graph (2 support peels): edges
+   * in ≥ 2 triangles after iterated peeling — the triangle-dense
+   * community core that a degree-based k-core peel can't isolate (a
+   * hub touching many sparse neighborhoods survives a degree peel but
+   * not a support peel). Per round one degree-oriented triangle
+   * enumeration + one per-edge count + one semi join; oracle unrolls
+   * identical rounds with MATERIALIZED CTEs. */
+  val q232KTruss: Q = Q("q232_ktruss",
+    s"""WITH $coSupplyCtes,
+       ${GraphOps.kTrussOracleCtes(k = 4, rounds = 2)}
+       SELECT CAST(e.i AS BIGINT) AS i, CAST(e.j AS BIGINT) AS j,
+              CAST(coalesce(spf.c, 0) AS BIGINT) AS support
+       FROM ed2 e LEFT JOIN spf ON spf.a = e.i AND spf.b = e.j
+       ORDER BY i, j""") { (s, d) =>
+    GraphOps.kTrussPeel(coSupplyEdges(s, d), k = 4, rounds = 2)
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
-    q225WeightedJaccard, q227Assortativity, q228AttackTolerance)
+    q225WeightedJaccard, q227Assortativity, q228AttackTolerance,
+    q232KTruss)
 }

@@ -173,6 +173,17 @@ class LinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Await.result(fSp, 120.seconds) == aloneSp)
   }
 
+  test("kTrussPeel: K4 survives a 4-truss peel, pendant triangle peels away") {
+    // K4 on 1..4 (each edge in 2 triangles) plus a pendant triangle
+    // 4-5-6 (each edge in 1 triangle): the 4-truss is exactly the K4
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("i", "j")
+    val truss = GraphOps.kTrussPeel(edges, k = 4, rounds = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(truss.keySet == k4.toSet)
+    assert(truss.values.forall(_ == 2L))
+  }
+
   test("oracle CTE generators unroll the requested rounds") {
     val lp = GraphOps.labelPropOracleCtes(rounds = 3)
     assert(lp.contains("l3 AS") && !lp.contains("l4 AS"))
