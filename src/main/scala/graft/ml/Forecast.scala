@@ -382,7 +382,7 @@ object Forecast {
   def trainBest(feats: DataFrame): Fitted = {
     val rows: Array[(Array[Double], Double)] = feats
       .orderBy("fecha", "hora") // stable collect order → stable split
-      .select(featCols.map(col) :+ col("label"): _*)
+      .select((featCols.map(col) :+ col("label")).toIndexedSeq: _*)
       .collect()
       .map(r => (featCols.indices.map(r.getDouble).toArray,
         r.getDouble(featCols.length)))

@@ -35,7 +35,7 @@ object Profile {
     }
     def lbl(c: String): String =
       "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    val one = df.agg(total, aggs: _*)
+    val one = df.agg(total, aggs.toIndexedSeq: _*)
     one.selectExpr(
       s"stack(${df.columns.length}, ${df.columns.zipWithIndex.map { case (c, i) =>
         s"${lbl(c)}, __null_$i, __blank_$i, __dist_$i" }.mkString(", ")}) " +
