@@ -982,6 +982,69 @@ object StatsQueries {
       .orderBy("bin")
   }
 
+  /** STL-lite seasonal decomposition of the daily event series:
+   * trend = centered 7-day moving average, weekday seasonal index =
+   * mean detrended value per day-of-week, residual = remainder — the
+   * classic additive decomposition, kept EXACT by scaling everything
+   * ×7 instead of dividing (trend_x7 is the 7-day sum, detrended_x7 =
+   * 7x − sum7, seasonal_x7 = integer mean of detrended_x7 per dow), so
+   * every column is BIGINT and the oracle replays bit-for-bit. Only
+   * days with a full centered window decompose (n_win = 7 guard);
+   * the series densifies against the calendar spine first, and every
+   * window runs over that bounded dense table. */
+  val q233StlDecompose: Q = Q("q233_stl_decompose",
+    """WITH dc AS (SELECT CAST(ts AS DATE) AS dd, CAST(count(*) AS BIGINT) AS x
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       bounds AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+       spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS dd
+                 FROM bounds),
+       daily AS (SELECT s.dd, coalesce(dc.x, 0) AS x
+                 FROM spine s LEFT JOIN dc USING (dd)),
+       w AS (SELECT dd, x, dayofweek(dd) + 1 AS dow,
+               CAST(sum(x) OVER win AS BIGINT) AS sum7,
+               CAST(count(*) OVER win AS BIGINT) AS n_win
+             FROM daily
+             WINDOW win AS (ORDER BY dd ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       f AS (SELECT dd, x, dow, sum7, 7 * x - sum7 AS det_x7
+             FROM w WHERE n_win = 7),
+       si AS (SELECT dow, CAST(sum(det_x7) // count(*) AS BIGINT) AS seas_x7
+              FROM f GROUP BY dow)
+       SELECT strftime(f.dd, '%Y-%m-%d') AS day, f.x,
+              f.sum7 AS trend_x7, si.seas_x7,
+              CAST(f.det_x7 - si.seas_x7 AS BIGINT) AS resid_x7
+       FROM f JOIN si ON si.dow = f.dow
+       ORDER BY day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Relational
+    val daily0 = table(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("dd")).agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounded by the calendar; bounds + join reuse it
+    val b = daily0.agg(date_format(min("dd"), "yyyy-MM-dd").as("lo"),
+      date_format(max("dd"), "yyyy-MM-dd").as("hi")).head()
+    // empty-input guard: no events → 1-day sentinel spine whose window
+    // never reaches n_win = 7 → zero rows, matching the oracle's empty
+    // generate_series shape
+    val lo = if (b.isNullAt(0)) "9999-01-01" else b.getString(0)
+    val hi = if (b.isNullAt(0)) "9999-01-01" else b.getString(1)
+    val daily = Relational.spineJoin(
+      Relational.dateSpine(s, lo, hi, "dd"),
+      daily0, Seq("dd"), Seq("x"))
+    val win = Window.orderBy("dd").rowsBetween(-3, 3) // bounded dense calendar
+    val f = daily
+      .select(col("dd"), col("x"), dayofweek(col("dd")).cast("long").as("dow"),
+        sum("x").over(win).as("sum7"), count(lit(1)).over(win).as("n_win"))
+      .filter(col("n_win") === 7)
+      .withColumn("det_x7", lit(7L) * col("x") - col("sum7"))
+      .localCheckpoint() // seasonal index + the final join read it
+    val si = f.groupBy("dow")
+      .agg(expr("sum(det_x7) div count(1)").as("seas_x7"))
+    f.join(broadcast(si), Seq("dow"))
+      .select(date_format(col("dd"), "yyyy-MM-dd").as("day"), col("x"),
+        col("sum7").as("trend_x7"), col("seas_x7"),
+        (col("det_x7") - col("seas_x7")).as("resid_x7"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
@@ -989,5 +1052,5 @@ object StatsQueries {
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
-    q226Calibration)
+    q226Calibration, q233StlDecompose)
 }
