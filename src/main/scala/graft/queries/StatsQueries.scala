@@ -1045,6 +1045,51 @@ object StatsQueries {
       .orderBy("day")
   }
 
+  /** WEIGHTED quantiles of line price, weighted by quantity — "the
+   * price below which half the UNITS (not half the rows) ship", the
+   * economics-style weighted median family. Histogram recipe: the
+   * cumulative walk runs over value-range-bounded price bins carrying
+   * BIGINT weight sums (quantities are integral in this schema — the
+   * long cast is exact), and each quantile is the smallest bin whose
+   * cumulative weight reaches q·total — a picked bin, no
+   * interpolation, exact at any row count. */
+  val q234WeightedQuantiles: Q = Q("q234_weighted_quantiles",
+    """WITH b AS (SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1),
+       t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM b),
+       c AS (SELECT bin, CAST(sum(w) OVER (ORDER BY bin) AS BIGINT) AS cw
+             FROM b)
+       SELECT t.tw AS total_weight,
+              (SELECT CAST(min(bin) AS BIGINT) FROM c, t
+               WHERE cw * 100 >= 50 * tw) AS wp50_bin,
+              (SELECT CAST(min(bin) AS BIGINT) FROM c, t
+               WHERE cw * 100 >= 90 * tw) AS wp90_bin,
+              (SELECT CAST(min(bin) AS BIGINT) FROM c, t
+               WHERE cw * 100 >= 99 * tw) AS wp99_bin
+       FROM t""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = table(s, d, "lineitem")
+      .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull)
+      .groupBy(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val t = b.agg(sum("w").as("tw"))
+    val win = Window.orderBy("bin") // bounded by the price RANGE
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = b.select(col("bin"), sum("w").over(win).as("cw"))
+      .crossJoin(broadcast(t))
+      .localCheckpoint() // three picked quantiles read the bounded walk
+    def pick(q: Int, name: String) =
+      c.filter(col("cw") * 100 >= col("tw") * q)
+        .agg(min("bin").as(name))
+    t.select(col("tw").as("total_weight"))
+      .crossJoin(broadcast(pick(50, "wp50_bin")))
+      .crossJoin(broadcast(pick(90, "wp90_bin")))
+      .crossJoin(broadcast(pick(99, "wp99_bin")))
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
@@ -1052,5 +1097,5 @@ object StatsQueries {
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
-    q226Calibration, q233StlDecompose)
+    q226Calibration, q233StlDecompose, q234WeightedQuantiles)
 }
