@@ -43,10 +43,19 @@ object GraftExtensions {
     ("sorted_long_intersect_count", classOf[SortedLongIntersectCount],
       (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs(0), exprs(1))),
     // phrase_count(tokens, 'w1 w2 …') — phrase passed as one
-    // space-joined foldable string literal
+    // space-joined foldable string literal; guard BEFORE eval() so a
+    // non-foldable column or NULL literal fails with a clear analysis
+    // error instead of an NPE/opaque interpreter error at registration
     ("phrase_count", classOf[PhraseCount],
-      (exprs: Seq[Expression]) => PhraseCount(exprs(0),
-        exprs(1).eval().toString.split(' ').toSeq)),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2 || !exprs(1).foldable || exprs(1).eval() == null)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "INTERNAL_ERROR",
+            messageParameters = Map("message" ->
+              "phrase_count requires a non-null string literal phrase as its second argument"))
+        PhraseCount(exprs(0),
+          exprs(1).eval().toString.split("\\s+").filter(_.nonEmpty).toSeq)
+      }),
     ("lang_id", classOf[LangId],
       (exprs: Seq[Expression]) => LangId(exprs.head,
         graft.text.TextAnalysis.langMarkers.map(_._1).toArray,

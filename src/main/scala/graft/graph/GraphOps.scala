@@ -133,6 +133,10 @@ object GraphOps {
    * support (i, j, support).
    */
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // k ≤ 2 would have to return ALL edges (every edge is trivially in a
+    // 2-truss), but the support semi-join below keeps only edges in ≥1
+    // triangle — wrong at that boundary, so reject it outright
+    require(k >= 3, s"kTrussPeel requires k >= 3 (got $k)")
     def support(e: DataFrame): DataFrame =
       graft.dedup.Dedup.triangles(e)
         .select(explode(array(
@@ -160,6 +164,7 @@ object GraphOps {
     * `ed{r+1}`, plus a final `spf` over `ed{rounds}` — the result is
     * ed{rounds} left-joined to spf. */
   def kTrussOracleCtes(k: Int, rounds: Int): String = {
+    require(k >= 3, s"kTrussOracleCtes requires k >= 3 (got $k)") // same boundary as kTrussPeel
     def triSp(r: String, src: String) =
       s"""tr$r AS MATERIALIZED (SELECT e1.i AS x, e1.j AS y, e2.j AS z
              FROM $src e1 JOIN $src e2 ON e2.i = e1.j

@@ -1,0 +1,41 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * "Build once, probe many" scratch tables: a derived table that several
+ * registered queries share (the co-supply edge graph, its triangle set)
+ * is built ONCE per (session, sfDir, kind), written to scratch parquet,
+ * and every consumer reads the persisted copy — the exact pattern
+ * [[graft.sim.Ivf.persistedIndex]] established for the IVF index (q130).
+ * At 100 TB this is how a real pipeline amortizes an expensive
+ * projection: the build pays the fact-table scan + pair generation one
+ * time, and the 8 graph-mining queries downstream each pay only a read
+ * of the (much smaller) derived table. Oracles are unaffected — they
+ * replay the defining CTE chain against the raw tables.
+ */
+object Scratch {
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+
+  /**
+   * Read the persisted table `kind` for (spark, sfDir), building it
+   * via `build` on first use in the session. The build is evaluated at
+   * most once per key (ConcurrentHashMap.computeIfAbsent); stopped
+   * sessions' entries are lazily evicted so the map never pins a dead
+   * session for the life of the JVM (the on-disk dirs are scratch
+   * space and clean up with the JVM's shutdown hook).
+   */
+  def table(spark: SparkSession, sfDir: String, kind: String)
+           (build: => DataFrame): DataFrame = {
+    memo.keySet.removeIf(
+      (k: (SparkSession, String, String)) => k._1.sparkContext.isStopped)
+    val dir = memo.computeIfAbsent((spark, sfDir, kind),
+      (_: (SparkSession, String, String)) => {
+        val d = Sources.scratchDir(s"graft_shared_$kind")
+        build.write.mode("overwrite").parquet(d)
+        d
+      })
+    spark.read.parquet(dir)
+  }
+}

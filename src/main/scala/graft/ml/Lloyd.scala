@@ -29,10 +29,14 @@ object Lloyd {
         expr(s"CAST(floor(CAST(element_at($arrCol, $i) AS DOUBLE) * 1000000) AS BIGINT)")
           .as(s"x$i")): _*)
 
-  /** `rounds` synchronous Lloyd iterations from the k-smallest-id
-    * seeds over a [[quantize]]d table. Returns the final centroid
-    * table (cid, n, c1..cD). */
+  /** `rounds` (≥ 1) synchronous Lloyd iterations from the
+    * k-smallest-id seeds over a [[quantize]]d table. Returns the final
+    * centroid table (cid, n, c1..cD). A cluster that captures no
+    * points in some iteration disappears from the centroid table — the
+    * result can carry FEWER than k rows (standard Lloyd empty-cluster
+    * semantics; no re-seeding is attempted). */
   def iterate(pts: DataFrame, k: Int, rounds: Int, dims: Int): DataFrame = {
+    require(rounds >= 1, s"Lloyd.iterate requires rounds >= 1 (got $rounds)")
     val ds = 1 to dims
     val p = pts.localCheckpoint() // seeds + every assignment round read it
     val distExpr = expr(ds.map(i => s"(x$i-c$i)*(x$i-c$i)").mkString(" + "))

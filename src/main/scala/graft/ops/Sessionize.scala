@@ -112,13 +112,13 @@ object Sessionize {
                        gapMinutes: Int = 30): DataFrame = {
     val name = "stream_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = graft.streaming.StreamingDemand.eventsStream(spark, dir)
-    graft.streaming.StreamingDemand.withStatePartitions(spark, 8) {
+    graft.streaming.StreamingDemand.withStatePartitions(spark, 8) { child =>
+      val stream = graft.streaming.StreamingDemand.eventsStream(child, dir)
       val q = sessionizeStream(stream, gapMinutes).toDF()
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
   }
 }

@@ -96,20 +96,34 @@ object Stats {
    * sizes (element at rank ceil(q·n_keys) in (size, key) order), and
    * `skew_ratio_ppm` = max_size / mean_size in ppm (1e6 = perfectly
    * balanced). THE pre-flight check before choosing a partition key at
-   * 100 TB — one aggregate to key counts (map-side combined), one
-   * window over the small key-count table.
+   * 100 TB — and the key-count table it audits scales with DISTINCT
+   * KEYS (billions for an id column), so rank-picking must never sort
+   * it on one partition. Recipe: aggregate to a group-SIZE histogram
+   * (`groupBy(c).count()` — bounded by distinct sizes, which grow like
+   * √rows, not keys) and take each quantile by cumulative-weight walk:
+   * the element at rank r in (size, key) order is min size with
+   * cum_keys ≥ r, identical to the row_number pick, per-key sort
+   * nowhere in the plan.
    */
   def skewReport(df: DataFrame, key: Column, dim: String): DataFrame = {
     val counts = df.select(key.cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").asc, col("k").asc)
-    counts
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("nk", count(lit(1)).over())
-      .agg(max("nk").as("n_keys"), sum("c").as("n_rows"), max("c").as("max_c"),
-        max(when(col("rn") === expr("(nk + 1) div 2"), col("c"))).as("p50_c"),
-        max(when(col("rn") === expr("(9 * nk + 9) div 10"), col("c"))).as("p90_c"),
-        max(when(col("rn") === expr("(99 * nk + 99) div 100"), col("c"))).as("p99_c"))
+    // size histogram: the ONLY pass over the key-scaled table; bounded
+    // output, checkpointed because totals + the cumulative walk read it
+    val h = counts.groupBy("c").agg(count(lit(1)).as("m")).localCheckpoint()
+    val t = h.agg(sum("m").as("nk"), sum(col("c") * col("m")).as("nr"),
+      max("c").as("mx"))
+    val wc = Window.orderBy("c") // bounded by distinct sizes
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("c"), sum("m").over(wc).as("cum"))
+      .crossJoin(broadcast(t))
+    def pick(rank: String, name: String) =
+      cum.filter(col("cum") >= expr(rank)).agg(min("c").as(name))
+    t.select(col("nk").as("n_keys"), col("nr").as("n_rows"),
+        col("mx").as("max_c"))
+      .crossJoin(broadcast(pick("(nk + 1) div 2", "p50_c")))
+      .crossJoin(broadcast(pick("(9 * nk + 9) div 10", "p90_c")))
+      .crossJoin(broadcast(pick("(99 * nk + 99) div 100", "p99_c")))
       .select(lit(dim).as("dim"), col("n_keys"), col("n_rows"), col("max_c"),
         // max/mean as one exact integer ratio — dividing by a
         // pre-truncated integer mean (n_rows div n_keys) misreports by
@@ -320,7 +334,13 @@ object Stats {
    * ride ONE bounded window pass (maxLag leads over the series order),
    * and the only floating-point step is the final num/den division.
    * The window is global BY DESIGN: the input is an aggregated series
-   * bounded by its calendar/grid, never a fact table. Returns
+   * bounded by its calendar/grid, never a fact table. Magnitude bound:
+   * centering as c = n·x − Σx makes den = Σc² scale like n³·var(x), so
+   * the skeleton is partitioning-exact but NOT magnitude-unbounded —
+   * c·c silently wraps int64 once n·max|x| approaches 2³¹ (e.g. a
+   * decade of days × per-day counts ≳ 5·10⁵). Callers with larger
+   * series should pre-scale `value` (divide by a constant) before
+   * calling; the acf ratio is scale-invariant. Returns
    * (lag, num, den, acf) — num/den NULL-safe on an empty series.
    */
   def acf(series: DataFrame, orderCol: Column, value: Column,

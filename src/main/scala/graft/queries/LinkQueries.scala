@@ -26,11 +26,29 @@ object LinkQueries {
   /** Co-purchase/co-supply graph shared by the graph-mining queries:
     * undirected distinct (i, j) supplier pairs sharing a part, hub
     * parts (> 15 suppliers) dropped before any pair exists — the same
-    * capped bipartite projection q164/q181 use. */
-  private def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
+    * capped bipartite projection q164/q181 use. Built ONCE per
+    * (session, sf) and persisted to scratch parquet
+    * ([[graft.io.Scratch]], the q130 build-once/probe-many pattern):
+    * 8+ queries consume this graph, and before sharing each paid the
+    * full lineitem scan + pair-gen + distinct itself. */
+  private[queries] def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame =
-    GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
-      "l_partkey", "l_suppkey", maxGroupSize = 15)
+    graft.io.Scratch.table(s, d, "cosupply_edges")(
+      GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
+        "l_partkey", "l_suppkey", maxGroupSize = 15))
+
+  /** Triangle set of the co-supply graph, persisted once per
+    * (session, sf) like the edges — [[Dedup.triangles]] over the shared
+    * edge table (degree-oriented, no celebrity quadratics). */
+  private[queries] def coSupplyTriangles(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    // resolve the edge table BEFORE entering the memo: nested
+    // computeIfAbsent on one ConcurrentHashMap is forbidden (can
+    // deadlock), so the edges key must be settled first
+    val ed = coSupplyEdges(s, d)
+    graft.io.Scratch.table(s, d, "cosupply_triangles")(
+      Dedup.triangles(ed.localCheckpoint()))
+  }
 
   /** The matching DuckDB CTE chain ending in `ed0(i, j)`. */
   private val coSupplyCtes: String =
@@ -267,10 +285,10 @@ object LinkQueries {
                 AS coeff_ppm
        FROM deg LEFT JOIN tv ON tv.v = deg.v
        WHERE d >= 2 ORDER BY supplier""") { (s, d) =>
-    val ed = coSupplyEdges(s, d).localCheckpoint() // degrees + triangles
+    val ed = coSupplyEdges(s, d).localCheckpoint() // degrees
     val deg = ed.select(col("i").as("v")).unionAll(ed.select(col("j").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val tv = Dedup.triangles(ed)
+    val tv = coSupplyTriangles(s, d) // shared persisted triangle set
       .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
     deg.join(tv, Seq("v"), "left")

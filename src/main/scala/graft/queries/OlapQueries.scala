@@ -1100,7 +1100,7 @@ object OlapQueries {
        m AS (SELECT b.ante, b.cons, b.co,
                CAST(b.co * 1000000 // ng.nb AS BIGINT) AS support_ppm,
                CAST(b.co * 1000000 // ca.c AS BIGINT) AS conf_ppm,
-               CAST(b.co * ng.nb * 1000000 // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+               CAST((b.co * 1000000 // ca.c) * ng.nb // cb.c AS BIGINT) AS lift_ppm
              FROM bd b JOIN cnt ca ON ca.it = b.ante
                        JOIN cnt cb ON cb.it = b.cons
                        CROSS JOIN ng)
@@ -1134,7 +1134,11 @@ object OlapQueries {
       .select(col("ante"), col("cons"), col("co"),
         expr("co * 1000000 div nb").as("support_ppm"),
         expr("co * 1000000 div ca").as("conf_ppm"),
-        expr("co * nb * 1000000 div (ca * cb)").as("lift_ppm"))
+        // staged division keeps every intermediate ≤ conf_ppm(≤1e6)·nb —
+        // co·nb·1e6 would wrap int64 once co·nb passes ~9.2e12, plausible
+        // at the 100 TB design point; both engines stage identically so
+        // the ppm values still replay bit-for-bit
+        expr("(co * 1000000 div ca) * nb div cb").as("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("ante"), col("cons"))
       .limit(20)
   }

@@ -239,8 +239,7 @@ object SketchQueries {
        ${GraphOps.kCoreOracleCtes(k = 8, rounds = 3)}
        SELECT v AS supplier, CAST(deg AS BIGINT) AS deg
        FROM kcore ORDER BY supplier""") { (s, d) =>
-    val edges = GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
-      "l_partkey", "l_suppkey", maxGroupSize = 15)
+    val edges = LinkQueries.coSupplyEdges(s, d) // shared persisted graph
     GraphOps.kCorePeel(edges, k = 8, rounds = 3)
       .select(col("v").as("supplier"), col("deg"))
       .orderBy("supplier")
@@ -265,8 +264,7 @@ object SketchQueries {
        ${GraphOps.bfsOracleCtes(rounds = 3)}
        SELECT v AS supplier, CAST(dist AS BIGINT) AS dist
        FROM b3 ORDER BY supplier""") { (s, d) =>
-    val edges = GraphOps.coOccurrenceEdges(table(s, d, "lineitem"),
-      "l_partkey", "l_suppkey", maxGroupSize = 15).localCheckpoint()
+    val edges = LinkQueries.coSupplyEdges(s, d).localCheckpoint()
     val src = edges.agg(min("i")).head().getLong(0) // scalar source id
     GraphOps.bfsHops(edges, src, rounds = 3)
       .select(col("v").as("supplier"), col("dist"))

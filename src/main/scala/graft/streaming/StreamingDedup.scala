@@ -57,17 +57,17 @@ object StreamingDedup {
    */
   def runDocDedupToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .withColumn("_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
-    StreamingDemand.withStatePartitions(spark, 8) {
+    StreamingDemand.withStatePartitions(spark, 8) { child =>
+      val stream = child.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
       val q = dedupDocStream(stream, "_ts").drop("_ts")
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
   }
 }

@@ -13,21 +13,44 @@ import org.apache.spark.sql.types._
  */
 object StreamingDemand {
 
+  /** Isolated stream-run count — lets [[graft.Bench]] attribute the
+    * one-time streaming machinery spin-up (state store + micro-batch
+    * executor classloading) without a listener: child-session query
+    * events are filtered out of the parent session's listener bus. */
+  private[graft] val isolatedStarts =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /**
-   * Run `body` with `spark.sql.shuffle.partitions` temporarily set to
-   * `n` — the setting a stateful stream reads at query start. State-store
-   * count (and the fixed per-micro-batch cost of opening/committing every
-   * store) scales with it, so it must be sized to the KEYED-STATE volume,
-   * not to the batch engine's scan parallelism: a handful of session/
-   * window keys needs a handful of stores, while the batch default here
-   * (32, and hundreds on a real cluster) pays ~4× micro-batch overhead
-   * for nothing. Restores the previous value even on failure.
+   * Run `body` on a CHILD session (`spark.newSession()`: shared
+   * SparkContext and SharedState, PRIVATE SQLConf) whose
+   * `spark.sql.shuffle.partitions` — the conf a stateful stream reads at
+   * query start — is set to `n`. State-store count (and the fixed
+   * per-micro-batch cost of opening/committing every store) scales with
+   * it, so it must be sized to the KEYED-STATE volume, not to the batch
+   * engine's scan parallelism: a handful of session/window keys needs a
+   * handful of stores, while the batch default here (32, and hundreds on
+   * a real cluster) pays ~4× micro-batch overhead for nothing.
+   *
+   * Isolation, not mutation: the caller's session conf is never
+   * touched, so a concurrent batch query in the same session can never
+   * observe the temporary value (ConcurrencySpec pins a live
+   * stream+batch pair). `body` receives the child session and must
+   * build its source, sink, and [[drain]] on it; the drained result —
+   * an RDD-backed localCheckpoint, and RDDs are context-level, not
+   * session-level — is re-based onto the caller's session on return so
+   * downstream composition never crosses sessions.
    */
-  private[graft] def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private[graft] def withStatePartitions(spark: SparkSession, n: Int)
+      (body: SparkSession => DataFrame): DataFrame = {
+    isolatedStarts.incrementAndGet()
+    val child = spark.newSession()
+    // newSession() restarts from builder-time confs; carry over the two
+    // runtime semantics the replay depends on before sizing the state
+    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => child.conf.set(k, spark.conf.get(k)))
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    val out = body(child)
+    spark.createDataFrame(out.rdd, out.schema)
   }
 
   /** Materialize a finished memory-sink table and DROP its temp view:
@@ -91,8 +114,8 @@ object StreamingDemand {
                          dim: DataFrame, dimKey: String,
                          dimAttr: String): DataFrame = {
     val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val stream = eventsStream(spark, dir)
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { child =>
+      val stream = eventsStream(child, dir)
       // exact integer aggregates only: streaming rejects count(DISTINCT),
       // and a double sum would be micro-batch-order-dependent
       val q = stream
@@ -104,8 +127,8 @@ object StreamingDemand {
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    }
-    drain(spark, name).orderBy(dimAttr)
+      drain(child, name)
+    }.orderBy(dimAttr)
   }
 
   /**
@@ -124,8 +147,8 @@ object StreamingDemand {
   def runSlidingToBatch(spark: SparkSession, dir: String,
                         maxTs: Long): DataFrame = {
     val name = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = eventsStream(spark, dir)
+    withStatePartitions(spark, 8) { child =>
+      val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .filter(col("ts") < timestamp_seconds(lit(maxTs)))
         .withWatermark("ts", "2 hours")
@@ -134,8 +157,8 @@ object StreamingDemand {
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
       .select(unix_timestamp(col("window.start")).as("window_epoch"),
         col("event_type"), col("n"))
   }
@@ -156,24 +179,24 @@ object StreamingDemand {
    */
   def runIntervalJoinToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def side(evType: String, prefix: String) = eventsStream(spark, dir)
-      .filter(col("event_type") === evType)
-      .select(col("user_id").as(s"${prefix}_user"),
-        col("event_id").as(s"${prefix}_id"),
-        date_trunc("second", col("ts")).as(s"${prefix}_ts"))
-      .withWatermark(s"${prefix}_ts", "1 hour")
-    val joined = side("click", "c").join(side("purchase", "p"),
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("p_ts") <= col("c_ts"))
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { child =>
+      def side(evType: String, prefix: String) = eventsStream(child, dir)
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          date_trunc("second", col("ts")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val joined = side("click", "c").join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"))
       val q = joined
         .select(col("c_user"), col("c_id"), col("c_ts"), col("p_id"), col("p_ts"))
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
   }
 
   /**
@@ -197,27 +220,27 @@ object StreamingDemand {
   def runLeftOuterIntervalJoinToBatch(spark: SparkSession, dir: String,
                                       cutoffSec: Long): DataFrame = {
     val name = "stream_louter_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    def side(evType: String, prefix: String) = eventsStream(spark, dir)
-      .filter(col("event_type") === evType)
-      .select(col("user_id").as(s"${prefix}_user"),
-        col("event_id").as(s"${prefix}_id"),
-        date_trunc("second", col("ts")).as(s"${prefix}_ts"))
-      .withWatermark(s"${prefix}_ts", "1 hour")
-    val clicks = side("click", "c")
-      .filter(col("c_ts") < timestamp_seconds(lit(cutoffSec)))
-    val joined = clicks.join(side("purchase", "p"),
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
-        col("p_ts") <= col("c_ts"),
-      "left_outer")
-    withStatePartitions(spark, 8) {
+    withStatePartitions(spark, 8) { child =>
+      def side(evType: String, prefix: String) = eventsStream(child, dir)
+        .filter(col("event_type") === evType)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("event_id").as(s"${prefix}_id"),
+          date_trunc("second", col("ts")).as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+      val clicks = side("click", "c")
+        .filter(col("c_ts") < timestamp_seconds(lit(cutoffSec)))
+      val joined = clicks.join(side("purchase", "p"),
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR") &&
+          col("p_ts") <= col("c_ts"),
+        "left_outer")
       val q = joined
         .select(col("c_user"), col("c_id"), col("c_ts"), col("p_id"), col("p_ts"))
         .writeStream.outputMode("append").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
   }
 
   /**
@@ -234,8 +257,8 @@ object StreamingDemand {
   def runSessionWindowToBatch(spark: SparkSession, dir: String,
                               gapMinutes: Int): DataFrame = {
     val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = eventsStream(spark, dir)
+    withStatePartitions(spark, 8) { child =>
+      val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withWatermark("ts", "1 hour")
         .groupBy(col("user_id"),
@@ -244,8 +267,8 @@ object StreamingDemand {
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
-    }
-    drain(spark, name).select(col("user_id"),
+      drain(child, name)
+    }.select(col("user_id"),
       unix_timestamp(col("session_window.start")).as("start_epoch"),
       unix_timestamp(col("session_window.end")).as("end_epoch"),
       col("n_events"))
@@ -258,13 +281,13 @@ object StreamingDemand {
    */
   def runToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = hourlyCountsStream(spark, dir)
+    withStatePartitions(spark, 8) { child =>
+      val q = hourlyCountsStream(child, dir)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
       try q.processAllAvailable() finally q.stop()
+      drain(child, name)
     }
-    drain(spark, name)
       .select(unix_timestamp(col("window.start")).as("hora_epoch"),
         col("event_type"), col("n"))
       .orderBy("hora_epoch", "event_type")

@@ -49,4 +49,48 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(serialA.values.toSet == Set(0L, 100L))
     assert(serialB.values.toSet == Set(1000L, 1100L))
   }
+
+  test("streaming run beside a batch query: no session-conf flip observable") {
+    // withStatePartitions used to set spark.sql.shuffle.partitions=8 on
+    // the SHARED session for the stream's lifetime — a concurrent batch
+    // query could observe it. It now runs the stream on a child session
+    // (private SQLConf); this pins a LIVE stream+batch pair: the batch
+    // side polls the session conf while the stream is actually running.
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val dir = "/root/testdata/sf0.001"
+    val serialStream = graft.streaming.StreamingDemand.runToBatch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batchTruth = graft.io.Sources.table(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var observed = List.empty[String]
+    val streamF = Future(
+      graft.streaming.StreamingDemand.runToBatch(spark, dir)
+        .collect().map(_.toSeq).toSet)
+    val batchF = Future {
+      // poll the shared-session conf + run real batch queries while the
+      // stream drives its micro-batches
+      (1 to 5).map { _ =>
+        observed = spark.conf.get("spark.sql.shuffle.partitions") :: observed
+        graft.io.Sources.table(spark, dir, "events")
+          .groupBy("event_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    }
+    val (concStream, batchRuns) =
+      Await.result(streamF.zip(batchF), 180.seconds)
+
+    assert(concStream == serialStream,
+      "stream result diverged when run beside a batch query")
+    assert(batchRuns.forall(_ == batchTruth),
+      "batch query diverged while a stream was running")
+    assert(observed.forall(_ == confBefore),
+      s"batch side observed a flipped shuffle-partitions value: $observed")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
+      "stream run mutated the shared session conf")
+  }
 }
