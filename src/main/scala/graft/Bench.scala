@@ -64,7 +64,9 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.registry.filter(q => only.forall(_.contains(q.name)))
+    // match Verify's subset syntax: full name or prefix up to the first _
+    val selected = SparkEntry.registry.filter(q => only.forall(o =>
+      o.contains(q.name) || o.contains(q.name.takeWhile(_ != '_'))))
     // child-session stream runs (withStatePartitions isolation) don't hit
     // the parent listener, so count them via the explicit counter too
     def streamCount: Int = streamStarts.get() +

@@ -347,6 +347,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(aggs.size >= 2, s"q173 aggregate must combine map-side:\n$p")
   }
 
+  test("q167: skew quantiles walk the size histogram — no window over the per-key table") {
+    // the key-count table scales with DISTINCT KEYS (billions at 100 TB);
+    // any partition-less window over it would collapse onto one
+    // partition. The fix aggregates to a group-SIZE histogram first, so
+    // every Window in the plan must sit above the bounded histogram —
+    // i.e. no Window's subtree may still carry the per-key column `k`.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = plan("q167_skew_report")
+    val offenders = p.collect { case w: WindowExec => w }.filter { w =>
+      w.child.collect {
+        case n if n.output.exists(_.name == "k") => n
+      }.nonEmpty
+    }
+    assert(offenders.isEmpty,
+      s"q167 has a window whose input scales with distinct keys:\n$offenders")
+  }
+
+  test("graph consumers read the shared persisted edge table, not lineitem") {
+    // the co-supply graph builds ONCE per (session, sf) (io/Scratch);
+    // a consumer whose plan still scans lineitem has broken the share
+    // and re-pays the scan + pair-gen + distinct per query
+    for (name <- Seq("q214_clustering_coeff", "q216_ppr", "q232_ktruss")) {
+      val li = scans(plan(name))
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+        .filter(_.endsWith("lineitem.parquet"))
+      assert(li.isEmpty, s"$name re-scans lineitem instead of the shared edges: $li")
+    }
+  }
+
   test("q148: basket pairs come from the basket array, not a self-join") {
     val p = plan("q148_basket_pairs")
     val joins = p.collect {
