@@ -12,7 +12,7 @@ object SparkEntry {
       ExtraQueries.all ++ CurationQueries.all ++ ScaleQueries.all ++
       LakeQueries.all ++ AnalyticsQueries.all ++ OlapQueries.all ++
       SketchQueries.all ++ StatsQueries.all ++ CorpusQueries.all ++
-      MiningQueries.all ++ LinkQueries.all
+      MiningQueries.all ++ LinkQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Slice-0 demand query (SURVEY.md §7.2): avg hourly event demand per
