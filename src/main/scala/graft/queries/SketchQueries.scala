@@ -380,7 +380,190 @@ object SketchQueries {
         expr("abs(est_distinct - n_exact) * 1000000 div n_exact"))
   }
 
+  // ------------------------------------------- persisted quantile sketch
+
+  private val QK = 1024
+
+  /** Per-day mergeable bottom-k quantile sketches over events.value,
+    * built ONCE per (session, sf) by the native
+    * [[graft.functions.BottomKSketchAgg]] aggregate and persisted to
+    * scratch parquet (day, n, sk: array<struct<h,v>>) — the q130/q133
+    * build-once table the probe queries read. */
+  private def quantileSketchTable(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame =
+    graft.io.Scratch.table(s, d, "bottomk_quantile_sketches")(
+      table(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          Sketches.bottomKSketch(
+            graft.ops.Exprs.md5Long(col("event_id")), col("value"), QK)
+            .as("sk")))
+
+  /** Per-day quantiles from the PERSISTED bottom-k sketch
+   * ([[Sketches.bottomKSketch]]) with an oracle-checked certification:
+   * each day's p50/p90/p99 estimate is the picked rank of the day's
+   * deterministic hash sample (bottom-1024 by (md5, value) — a day
+   * smaller than k is sampled whole, so its estimate is EXACT), and
+   * the verdict booleans assert the estimate's TRUE rank lies within
+   * ±8%·n of q·n (DKW at k=1024: failure odds ~4·10⁻⁶ per day, and the
+   * draw is deterministic, so a green verdict is stable). The exact
+   * picked quantiles ride along, hash-checked — at 100 TB only the
+   * one-pass bounded aggregate runs; this query IS its certification. */
+  val q257QuantileSketchDaily: Q = Q("q257_qsketch_daily",
+    s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_id, value,
+             ${md5sql.format("event_id")} AS h
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       kp AS (SELECT day, h, value AS v,
+               row_number() OVER (PARTITION BY day ORDER BY h, value) AS kr,
+               count(*) OVER (PARTITION BY day) AS n
+             FROM e),
+       smp AS (SELECT day, v, n,
+               row_number() OVER (PARTITION BY day ORDER BY v, h) AS vr,
+               count(*) OVER (PARTITION BY day) AS m
+             FROM kp WHERE kr <= $QK),
+       est AS (SELECT day, max(n) AS n, max(m) AS m,
+               max(CASE WHEN vr = CAST(floor(0.5*(m-1)) AS BIGINT)+1 THEN v END) AS est50,
+               max(CASE WHEN vr = CAST(floor(0.9*(m-1)) AS BIGINT)+1 THEN v END) AS est90,
+               max(CASE WHEN vr = CAST(floor(0.99*(m-1)) AS BIGINT)+1 THEN v END) AS est99
+             FROM smp GROUP BY day),
+       exr AS (SELECT day, value,
+               row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY day) AS nn
+             FROM e),
+       exq AS (SELECT day,
+               max(CASE WHEN rn = CAST(floor(0.5*(nn-1)) AS BIGINT)+1 THEN value END) AS exact50,
+               max(CASE WHEN rn = CAST(floor(0.9*(nn-1)) AS BIGINT)+1 THEN value END) AS exact90,
+               max(CASE WHEN rn = CAST(floor(0.99*(nn-1)) AS BIGINT)+1 THEN value END) AS exact99
+             FROM exr GROUP BY day),
+       cnt AS (SELECT e.day,
+               count(CASE WHEN e.value < est50 THEN 1 END) AS lt50,
+               count(CASE WHEN e.value <= est50 THEN 1 END) AS le50,
+               count(CASE WHEN e.value < est90 THEN 1 END) AS lt90,
+               count(CASE WHEN e.value <= est90 THEN 1 END) AS le90,
+               count(CASE WHEN e.value < est99 THEN 1 END) AS lt99,
+               count(CASE WHEN e.value <= est99 THEN 1 END) AS le99
+             FROM e JOIN est ON est.day = e.day GROUP BY e.day)
+       SELECT est.day, est.n, est.m, est50, est90, est99,
+              exact50, exact90, exact99,
+              CAST(lt50 AS DOUBLE) <= 0.58 * est.n AND CAST(le50 AS DOUBLE) >= 0.42 * est.n AS ok50,
+              CAST(lt90 AS DOUBLE) <= 0.98 * est.n AND CAST(le90 AS DOUBLE) >= 0.82 * est.n AS ok90,
+              CAST(lt99 AS DOUBLE) <= 1.07 * est.n AND CAST(le99 AS DOUBLE) >= 0.91 * est.n AS ok99
+       FROM est JOIN exq ON exq.day = est.day
+                JOIN cnt ON cnt.day = est.day
+       ORDER BY est.day""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val skt = quantileSketchTable(s, d)
+    val wD = Window.partitionBy("day")
+    val smp = skt.select(col("day"), col("n"), explode(col("sk")).as("e"))
+      .select(col("day"), col("n"), col("e.h").as("h"), col("e.v").as("v"))
+      .withColumn("vr", row_number().over(wD.orderBy(col("v"), col("h"))))
+      .withColumn("m", count(lit(1)).over(wD))
+    def pick(q: Double, as: String) =
+      max(when(col("vr") === (floor(lit(q) * (col("m") - 1)) + 1), col("v")))
+        .as(as)
+    val est = smp.groupBy("day").agg(max("n").as("n"), max("m").as("m"),
+      pick(0.5, "est50"), pick(0.9, "est90"), pick(0.99, "est99"))
+      .localCheckpoint() // counts join + final join read it (30 rows)
+    val e = table(s, d, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_id"), col("value"))
+      .localCheckpoint() // exact ranks + envelope counts read it
+    val ranked = e
+      .withColumn("rn", row_number().over(wD.orderBy(col("value"), col("event_id"))))
+      .withColumn("nn", count(lit(1)).over(wD))
+    def pickEx(q: Double, as: String) =
+      max(when(col("rn") === (floor(lit(q) * (col("nn") - 1)) + 1),
+        col("value"))).as(as)
+    val exq = ranked.groupBy("day").agg(
+      pickEx(0.5, "exact50"), pickEx(0.9, "exact90"), pickEx(0.99, "exact99"))
+    val cnt = e.join(broadcast(est), Seq("day"))
+      .groupBy("day").agg(
+        count(when(col("value") < col("est50"), 1)).as("lt50"),
+        count(when(col("value") <= col("est50"), 1)).as("le50"),
+        count(when(col("value") < col("est90"), 1)).as("lt90"),
+        count(when(col("value") <= col("est90"), 1)).as("le90"),
+        count(when(col("value") < col("est99"), 1)).as("lt99"),
+        count(when(col("value") <= col("est99"), 1)).as("le99"))
+    est.join(exq, Seq("day")).join(cnt, Seq("day"))
+      .select(col("day"), col("n"), col("m"),
+        col("est50"), col("est90"), col("est99"),
+        col("exact50"), col("exact90"), col("exact99"),
+        (col("lt50").cast("double") <= lit(0.58) * col("n") &&
+          col("le50").cast("double") >= lit(0.42) * col("n")).as("ok50"),
+        (col("lt90").cast("double") <= lit(0.98) * col("n") &&
+          col("le90").cast("double") >= lit(0.82) * col("n")).as("ok90"),
+        (col("lt99").cast("double") <= lit(1.07) * col("n") &&
+          col("le99").cast("double") >= lit(0.91) * col("n")).as("ok99"))
+      .orderBy("day")
+  }
+
+  /** Corpus-wide quantiles by MERGING the persisted per-day sketches —
+   * no re-scan of raw events on the estimate path
+   * ([[Sketches.mergeBottomKQuantiles]]: union the bounded sketch rows,
+   * keep the global bottom-k by (h, v) — exactly the sketch a single
+   * pass over the whole corpus would emit, the KMV merge argument —
+   * and read picked ranks off the merged sample; SketchesSpec pins
+   * that this path scans ONLY the sketch parquet). The raw-events side
+   * here is the certification: true-rank envelopes at ±7%·n (DKW,
+   * deterministic draw). */
+  val q258QuantileSketchMerge: Q = Q("q258_qsketch_merge",
+    s"""WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_id, value,
+             ${md5sql.format("event_id")} AS h
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       kp AS (SELECT day, h, value AS v,
+               row_number() OVER (PARTITION BY day ORDER BY h, value) AS kr
+             FROM e),
+       g AS (SELECT v, h, row_number() OVER (ORDER BY h, v) AS gr
+             FROM kp WHERE kr <= $QK),
+       smp AS (SELECT v, row_number() OVER (ORDER BY v, h) AS vr,
+                count(*) OVER () AS m
+              FROM g WHERE gr <= $QK),
+       tot AS (SELECT count(*) AS n FROM e),
+       est AS (SELECT max(m) AS m,
+               max(CASE WHEN vr = CAST(floor(0.5*(m-1)) AS BIGINT)+1 THEN v END) AS q500,
+               max(CASE WHEN vr = CAST(floor(0.9*(m-1)) AS BIGINT)+1 THEN v END) AS q900,
+               max(CASE WHEN vr = CAST(floor(0.99*(m-1)) AS BIGINT)+1 THEN v END) AS q990
+             FROM smp),
+       cnt AS (SELECT
+               count(CASE WHEN value < q500 THEN 1 END) AS lt50,
+               count(CASE WHEN value <= q500 THEN 1 END) AS le50,
+               count(CASE WHEN value < q900 THEN 1 END) AS lt90,
+               count(CASE WHEN value <= q900 THEN 1 END) AS le90,
+               count(CASE WHEN value < q990 THEN 1 END) AS lt99,
+               count(CASE WHEN value <= q990 THEN 1 END) AS le99
+             FROM e, est)
+       SELECT n, m, q500, q900, q990,
+              CAST(lt50 AS DOUBLE) <= 0.57 * n AND CAST(le50 AS DOUBLE) >= 0.43 * n AS ok50,
+              CAST(lt90 AS DOUBLE) <= 0.97 * n AND CAST(le90 AS DOUBLE) >= 0.83 * n AS ok90,
+              CAST(lt99 AS DOUBLE) <= 1.06 * n AND CAST(le99 AS DOUBLE) >= 0.92 * n AS ok99
+       FROM tot, est, cnt""") { (s, d) =>
+    val skt = quantileSketchTable(s, d)
+    val est = Sketches.mergeBottomKQuantiles(skt, col("sk"), col("n"), QK,
+      Seq(0.5, 0.9, 0.99)).localCheckpoint() // 1 row; counts + output read it
+    val e = table(s, d, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(col("value"))
+    val cnt = e.crossJoin(broadcast(est))
+      .agg(count(when(col("value") < col("q500"), 1)).as("lt50"),
+        count(when(col("value") <= col("q500"), 1)).as("le50"),
+        count(when(col("value") < col("q900"), 1)).as("lt90"),
+        count(when(col("value") <= col("q900"), 1)).as("le90"),
+        count(when(col("value") < col("q990"), 1)).as("lt99"),
+        count(when(col("value") <= col("q990"), 1)).as("le99"))
+    est.crossJoin(broadcast(cnt))
+      .select(col("n"), col("m"), col("q500"), col("q900"), col("q990"),
+        (col("lt50").cast("double") <= lit(0.57) * col("n") &&
+          col("le50").cast("double") >= lit(0.43) * col("n")).as("ok50"),
+        (col("lt90").cast("double") <= lit(0.97) * col("n") &&
+          col("le90").cast("double") >= lit(0.83) * col("n")).as("ok90"),
+        (col("lt99").cast("double") <= lit(1.06) * col("n") &&
+          col("le99").cast("double") >= lit(0.92) * col("n")).as("ok99"))
+  }
+
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
-    q166FirSmoother, q181BfsHops, q198StreamKmv)
+    q166FirSmoother, q181BfsHops, q198StreamKmv,
+    q257QuantileSketchDaily, q258QuantileSketchMerge)
 }

@@ -247,4 +247,58 @@ object Sketches {
       .withColumn("gini_micro", expr("1000000 - ss * 1000000 div (n * n)"))
       .drop("ss")
   }
+
+  // ------------------------------------------------- bottom-k quantiles
+
+  /**
+   * Mergeable bottom-k quantile sketch column
+   * ([[graft.functions.BottomKSketchAgg]]): the k (hash, value) pairs
+   * with smallest (hash, value), i.e. a deterministic uniform row
+   * sample when `h` is a uniform row hash. Bounded memory per buffer,
+   * map-side combined, persists as `array<struct<h,v>>` — the
+   * percentile companion to the HLL register rollup: per-day sketches
+   * merge by union-then-trim with no re-scan of raw events.
+   */
+  def bottomKSketch(h: Column, v: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.BottomKSketchAgg(
+      ColumnBridge.expression(h), ColumnBridge.expression(v), k)
+      .toAggregateExpression())
+  }
+
+  /**
+   * Merge persisted bottom-k sketches (`skCol`: array<struct<h,v>>,
+   * `nCol`: rows summarized per sketch) into ONE global sample and
+   * estimate picked-rank quantiles from it: explode the bounded sketch
+   * rows, keep the global bottom-k by (h, v) — exactly the sketch the
+   * whole corpus would have produced — and pick the sample element at
+   * rank floor(q·(m−1))+1 per requested quantile. Input and state are
+   * both O(#sketches · k); raw data is never touched. Returns one row
+   * (n, m, q<1000q> ...) — e.g. q500 for the median.
+   */
+  def mergeBottomKQuantiles(sketches: DataFrame, skCol: Column, nCol: Column,
+                            k: Int, qs: Seq[Double]): DataFrame = {
+    val tot = sketches.agg(sum(nCol).as("n"))
+    val samp = sketches
+      .select(explode(skCol).as("e"))
+      .select(col("e.h").as("h"), col("e.v").as("v"))
+      .orderBy("h", "v").limit(k) // global bottom-k of the union
+      .localCheckpoint() // bounded ≤ k rows; size + picks both read it
+    val m = samp.agg(count(lit(1)).as("m"))
+    val ranked = samp
+      // membership is bottom-k by (h, v); the quantile pick ranks the
+      // KEPT sample by VALUE (h as deterministic tiebreak)
+      .withColumn("rn", row_number().over(
+        Window.orderBy("v", "h")).cast("long")) // global but ≤ k rows
+      .crossJoin(broadcast(m))
+    val picks = qs.map { q =>
+      max(when(col("rn") ===
+        (floor(lit(q).cast("double") * (col("m") - 1)) + 1), col("v")))
+        .as(s"q${(q * 1000).round}")
+    }
+    ranked.agg(max("m").as("m"), picks: _*)
+      .crossJoin(broadcast(tot))
+      .select(col("n") +: col("m") +:
+        qs.map(q => col(s"q${(q * 1000).round}")): _*)
+  }
 }

@@ -136,4 +136,54 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(streamed == batch, "stream KMV must equal batch bottom-k exactly")
   }
+
+  test("bottomKSketch: equals the window-computed bottom-k at any partitioning") {
+    val df = (1 to 5000)
+      .map(i => (i.toLong, (i * 37 % 1000).toDouble)).toDF("id", "v")
+    def sketchOf(parts: Int): Seq[(Long, Double)] =
+      df.repartition(parts)
+        .agg(Sketches.bottomKSketch(
+          graft.ops.Exprs.md5Long(col("id")), col("v"), 128).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.h"), col("e.v"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = df
+      .select(graft.ops.Exprs.md5Long(col("id")).as("h"), col("v"))
+      .orderBy("h", "v").limit(128)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // merge order must not matter: 1 partition ≡ 13 partitions ≡ exact
+    assert(sketchOf(1) == exact, "single-partition sketch != exact bottom-k")
+    assert(sketchOf(13) == exact, "multi-partition merge != exact bottom-k")
+  }
+
+  test("bottomKSketch: under-k input is the whole (sorted) input") {
+    val df = Seq((5L, 3.0), (1L, 9.0), (3L, 1.0)).toDF("id", "v")
+    val sk = df.agg(Sketches.bottomKSketch(col("id"), col("v"), 10).as("sk"))
+      .select(explode(col("sk")).as("e")).select(col("e.h"), col("e.v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sk == Seq((1L, 9.0), (3L, 1.0), (5L, 3.0)))
+  }
+
+  test("mergeBottomKQuantiles reads ONLY the persisted sketch table") {
+    // the q258 estimate path must never touch raw events — the whole
+    // point of persisting per-day sketches (q130's probe-only contract)
+    val dir = graft.io.Sources.scratchDir("graft_qsketch_test")
+    graft.io.Sources.table(spark, sf001, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        Sketches.bottomKSketch(
+          graft.ops.Exprs.md5Long(col("event_id")), col("value"), 64).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val est = Sketches.mergeBottomKQuantiles(
+      spark.read.parquet(dir), col("sk"), col("n"), 64, Seq(0.5))
+    val offending = est.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.map(_.toString)
+    }.flatten.filterNot(_.contains("graft_qsketch_test"))
+    assert(offending.isEmpty, s"merge path scans beyond the sketch: $offending")
+    val row = est.head()
+    assert(row.getAs[Long]("m") == 64)
+    assert(!row.isNullAt(row.fieldIndex("q500")))
+  }
 }
