@@ -574,9 +574,36 @@ object TextQueries {
       .orderBy("i", "j")
   }
 
+  /** REAL header-level image decode against planted fixtures: the part
+   * table seeds minimal PNG/JPEG/GIF byte streams whose header fields
+   * carry table-derived dimensions ([[graft.multimodal.Multimodal
+   * .imageFixtures]] — pure binary column arithmetic, codegen'd), and
+   * the per-partition batch parser ([[graft.multimodal.Multimodal
+   * .decodeHeaders]] — big-endian IHDR walk, JPEG marker-segment skip
+   * to SOF0, little-endian GIF screen descriptor) must recover exactly
+   * the dimensions the oracle predicts from the same columns. Width
+   * is scaled ×13 and height ranges past 255 so every multi-byte
+   * big/little-endian path is exercised. */
+  val q259HeaderDecode: Q = Q("q259_header_decode",
+    """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+       CASE CAST(p_partkey % 3 AS INTEGER) WHEN 0 THEN 'png'
+            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(p_size * 13 AS INTEGER) AS width,
+       CAST(p_partkey % 300 + 1 AS INTEGER) AS height,
+       CAST(CASE CAST(p_partkey % 3 AS INTEGER) WHEN 0 THEN 4 ELSE 3 END AS INTEGER) AS channels
+       FROM part ORDER BY media_id""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val seeds = table(s, d, "part")
+    val media = Multimodal.imageFixtures(seeds, col("p_partkey"),
+      (col("p_size") * 13).cast("int"),
+      (col("p_partkey") % 300 + 1).cast("int"))
+    Multimodal.decodeHeaders(media).orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
-    q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe)
+    q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
+    q259HeaderDecode)
 }

@@ -78,6 +78,38 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
       .count() == 2 * 4) // frames 0,3,6,9 per media
   }
 
+  test("multimodal: HeaderDecoder truth table — real headers, corrupt bytes, truncation") {
+    import Multimodal.HeaderDecoder
+    // real headers round-trip through the SQL fixture builder
+    val fx = Multimodal.imageFixtures(
+      Seq((0L, 300, 7), (1L, 640, 480), (2L, 65535, 1)).toDF("id", "w", "h"),
+      col("id"), col("w"), col("h"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(HeaderDecoder.parse(fx(0L)).contains(
+      HeaderDecoder.Header("png", 300, 7, 4)))
+    assert(HeaderDecoder.parse(fx(1L)).contains(
+      HeaderDecoder.Header("jpeg", 640, 480, 3)))
+    assert(HeaderDecoder.parse(fx(2L)).contains(
+      HeaderDecoder.Header("gif", 65535, 1, 3)))
+    // a 100 TB crawl's garbage must return None, never throw
+    assert(HeaderDecoder.parse(null).isEmpty)
+    assert(HeaderDecoder.parse(Array.emptyByteArray).isEmpty)
+    assert(HeaderDecoder.parse("plain text".getBytes("UTF-8")).isEmpty)
+    assert(HeaderDecoder.parse(fx(0L).take(20)).isEmpty) // truncated PNG
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte) // SOI+EOI only
+    assert(HeaderDecoder.parse(noSof).isEmpty)
+    val desynced = Array(0xFF, 0xD8, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(HeaderDecoder.parse(desynced).isEmpty)
+    // truncated mid-segment: APP0 length points past the buffer
+    assert(HeaderDecoder.parse(fx(1L).take(10)).isEmpty)
+    // unrecognized blobs still take the deterministic stub path
+    val d = Multimodal.StubDecoder.decode("hello world".getBytes("UTF-8"))
+    assert(d.width == 16 + 11 % 64 && d.channels == 3)
+    // recognized blobs take the REAL header path inside decodeFeatures
+    val real = Multimodal.StubDecoder.decode(fx(1L))
+    assert(real.width == 640 && real.height == 480 && real.channels == 3)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val streamed = StreamingDemand.runToBatch(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
