@@ -329,7 +329,29 @@ object ExtraQueries {
       .orderBy("day")
   }
 
+  /** S5/S8 sibling for the columnar interchange format: orders (BIGINT /
+   * VARCHAR / DOUBLE / TIMESTAMP columns) round-trips through an ORC
+   * sink+scan, and the aggregate over the round-tripped copy must equal
+   * the oracle's parquet truth — types, timestamps, and money survive
+   * the format boundary or the hash breaks. */
+  val q260OrcRoundtrip: Q = Q("q260_orc_roundtrip",
+    """SELECT o_orderpriority, count(*) AS n,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS max_day
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = graft.io.Sources.scratchDir("graft_orc_rt")
+    table(s, d, "orders").write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("total"),
+        date_format(max("o_orderdate"), "yyyy-MM-dd").as("max_day"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
-    q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup)
+    q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup,
+    q260OrcRoundtrip)
 }

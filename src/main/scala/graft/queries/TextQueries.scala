@@ -600,10 +600,61 @@ object TextQueries {
     Multimodal.decodeHeaders(media).orderBy("media_id")
   }
 
+  /** Product quantization ANN ([[graft.sim.Pq]]): 64-dim unit vectors
+   * compress to m=16 subspace codes (ksub=16 codebooks fit on the
+   * deterministic hash sample), candidates score by ADC table lookups
+   * — no per-row vector math — and an ADC shortlist re-ranks with
+   * exact cosine. Gates: every code row is a complete in-range
+   * m-vector; result sets complete; ADC-only recall ≥ floor vs brute
+   * force; shortlist-rerank recall ≥ a higher floor; reranked sims
+   * exactly equal the recomputed cosine. Training and tiebreaks are
+   * deterministic, so the verdicts are stable. */
+  val q261PqTopK: Q = Q("q261_pq_topk",
+    """SELECT * FROM (VALUES
+         ('adc_recall_floor', TRUE), ('codes_complete', TRUE),
+         ('rerank_recall_floor', TRUE), ('rows_complete', TRUE),
+         ('sims_exact', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.sim.Pq
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    // m=16/ksub=16/shortlist=100: measured recall 0.29–0.33 (ADC) /
+    // 0.78–0.80 (reranked) at sf0.01 and sf0.1 — floors sit well under
+    val model = Pq.fit(emb, dim = 64, m = 16, ksub = 16)
+    val enc = Pq.encode(emb, model).localCheckpoint()
+    val adc = Pq.adcTopK(q, enc, model, k = k)
+    val rr = Pq.adcRerankTopK(q, enc, model, k = k, shortlist = 100)
+      .localCheckpoint()
+    val bf = Similarity.bruteForceTopK(q, emb, k = k).localCheckpoint()
+    val codesOk = enc.agg(bool_and(size(col("codes")) === 16 &&
+      expr("forall(codes, c -> c >= 0 AND c < 16)")).as("ok"))
+      .select(lit("codes_complete").as("chk"), col("ok"))
+    val rowsOk = rr.groupBy("qid").agg(count(lit(1)).as("k"))
+      .agg((count(lit(1)) === 50 && min("k") === k && max("k") === k).as("ok"))
+      .select(lit("rows_complete").as("chk"), col("ok"))
+    val adcOk = adc.select("qid", "nid").intersect(bf.select("qid", "nid"))
+      .agg((count(lit(1)).cast("double") / lit(50 * k) >= 0.15).as("ok"))
+      .select(lit("adc_recall_floor").as("chk"), col("ok"))
+    val rrOk = rr.select("qid", "nid").intersect(bf.select("qid", "nid"))
+      .agg((count(lit(1)).cast("double") / lit(50 * k) >= 0.60).as("ok"))
+      .select(lit("rerank_recall_floor").as("chk"), col("ok"))
+    val u = Similarity.withUnitVec(emb, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val simsOk = rr
+      .join(u.select(col("vec_id").as("qid"), col("u").as("qu")), Seq("qid"))
+      .join(u.select(col("vec_id").as("nid"), col("u").as("nu")), Seq("nid"))
+      .select((col("sim") === round(Similarity.dot(col("qu"), col("nu")), 4)).as("eq"))
+      .agg(bool_and(col("eq")).as("ok"))
+      .select(lit("sims_exact").as("chk"), col("ok"))
+    adcOk.unionAll(codesOk).unionAll(rrOk).unionAll(rowsOk).unionAll(simsOk)
+      .orderBy("chk")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
-    q259HeaderDecode)
+    q259HeaderDecode, q261PqTopK)
 }

@@ -244,7 +244,10 @@ object TpchQueries {
 
   // ------------------------------------------------------------- Q7
 
-  /** TPC-H Q7 volume shipping between two nations. */
+  /** TPC-H Q7 volume shipping between two trading blocs (nation pair →
+    * AMERICA↔ASIA region pair — single named nations can have zero
+    * suppliers at the smallest SF; the bidirectional either-direction
+    * filter shape is unchanged). */
   val q241TpchQ7: Q = Q("q241_tpch_q7",
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -254,15 +257,15 @@ object TpchQueries {
                      JOIN customer ON c_custkey = o_custkey
                      JOIN nation n1 ON s_nationkey = n1.n_nationkey
                      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-       WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       WHERE ((n1.n_regionkey = 1 AND n2.n_regionkey = 2)
+           OR (n1.n_regionkey = 2 AND n2.n_regionkey = 1))
          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""") { (s, d) =>
     val n1 = nation(s, d).select(col("n_nationkey").as("n1k"),
-      col("n_name").as("supp_nation"))
+      col("n_regionkey").as("n1r"), col("n_name").as("supp_nation"))
     val n2 = nation(s, d).select(col("n_nationkey").as("n2k"),
-      col("n_name").as("cust_nation"))
+      col("n_regionkey").as("n2r"), col("n_name").as("cust_nation"))
     lineitem(s, d)
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
         col("l_shipdate") < ts("1998-01-01"))
@@ -271,8 +274,8 @@ object TpchQueries {
       .join(customer(s, d), col("c_custkey") === col("o_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1k"))
       .join(broadcast(n2), col("c_nationkey") === col("n2k"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("n1r") === 1 && col("n2r") === 2) ||
+        (col("n1r") === 2 && col("n2r") === 1))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -398,7 +401,9 @@ object TpchQueries {
   // ------------------------------------------------------------- Q11
 
   /** TPC-H Q11 important stock. No partsupp: a part's "stock value" at
-    * NATION_5's suppliers is its lineitem revenue there; keeps the
+    * AFRICA's suppliers (nation → region — a single nation can have
+    * zero suppliers at the smallest SF) is its lineitem revenue there;
+    * keeps the
     * group-by-HAVING-over-scalar-fraction shape. Decimal sums; the
     * threshold comparison happens in DOUBLE identically on both
     * sides. */
@@ -408,7 +413,7 @@ object TpchQueries {
                 sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dval
          FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
                        JOIN nation ON n_nationkey = s_nationkey
-         WHERE n_name = 'NATION_5'
+         WHERE n_regionkey = 0
          GROUP BY l_partkey)
        SELECT CAST(pk AS BIGINT) AS pk,
               CAST(round(dval, 2) AS DOUBLE) AS value
@@ -417,7 +422,7 @@ object TpchQueries {
        ORDER BY value DESC, pk""") { (s, d) =>
     val pv = lineitem(s, d)
       .join(broadcast(supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
-      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")),
+      .join(broadcast(nation(s, d).filter(col("n_regionkey") === 0)),
         col("n_nationkey") === col("s_nationkey"))
       .groupBy(col("l_partkey").as("pk"))
       // the threshold compare must be exact: decimal sums both sides,
@@ -665,8 +670,9 @@ object TpchQueries {
 
   /** TPC-H Q20 potential part promotion. The partsupp availqty
     * comparison becomes a per-(supplier, part) shipped-quantity HAVING
-    * over lineitem — same nested-IN shape ending in a nation-filtered
-    * supplier list. */
+    * over lineitem — same nested-IN shape ending in a region-filtered
+    * supplier list (nation → region so the smallest SF still has
+    * qualifying suppliers). */
   val q254TpchQ20: Q = Q("q254_tpch_q20",
     """WITH hot AS (
          SELECT l_suppkey AS hsk
@@ -675,10 +681,10 @@ object TpchQueries {
            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY l_suppkey, l_partkey
-         HAVING sum(l_quantity) > 50)
+         HAVING sum(l_quantity) > 25)
        SELECT s_name, CAST(s_suppkey AS BIGINT) AS s_suppkey
        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-       WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT hsk FROM hot)
+       WHERE n_regionkey = 2 AND s_suppkey IN (SELECT hsk FROM hot)
        ORDER BY s_suppkey""") { (s, d) =>
     val hot = lineitem(s, d)
       .filter(col("l_shipdate") >= ts("1996-01-01") &&
@@ -686,10 +692,10 @@ object TpchQueries {
       .join(broadcast(part(s, d).filter(col("p_type") === "ECONOMY")),
         col("p_partkey") === col("l_partkey"))
       .groupBy(col("l_suppkey").as("hsk"), col("l_partkey"))
-      .agg(sum("l_quantity").as("sq")).filter(col("sq") > 50)
+      .agg(sum("l_quantity").as("sq")).filter(col("sq") > 25)
       .select("hsk")
     supplier(s, d)
-      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+      .join(broadcast(nation(s, d).filter(col("n_regionkey") === 2)),
         col("s_nationkey") === col("n_nationkey"))
       .join(hot, col("s_suppkey") === col("hsk"), "left_semi")
       .select(col("s_name"), col("s_suppkey"))
@@ -699,7 +705,8 @@ object TpchQueries {
   // ------------------------------------------------------------- Q21
 
   /** TPC-H Q21 suppliers who kept orders waiting: the sole late
-    * supplier on a multi-supplier finished order. "Late" (receipt >
+    * supplier on a multi-supplier finished order, AMERICA's suppliers
+    * (nation → region for smallest-SF coverage). "Late" (receipt >
     * commit) → shipped > 60 days after order date. One
     * lineitem-with-orderdate table is checkpointed and reused by the
     * base, the EXISTS semi and the NOT-EXISTS anti — one fact scan. */
@@ -712,7 +719,7 @@ object TpchQueries {
        SELECT s_name, count(*) AS numwait
        FROM lo l1 JOIN supplier ON s_suppkey = l1.sk
                   JOIN nation ON n_nationkey = s_nationkey
-       WHERE n_name = 'NATION_1' AND l1.late
+       WHERE n_regionkey = 1 AND l1.late
          AND EXISTS (SELECT * FROM lo l2
                      WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
          AND NOT EXISTS (SELECT * FROM lo l3
@@ -728,7 +735,7 @@ object TpchQueries {
       .localCheckpoint() // base + exists-semi + not-exists-anti read it
     val base = lo.filter(col("late"))
       .join(broadcast(supplier(s, d)), col("sk") === col("s_suppkey"))
-      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_1")),
+      .join(broadcast(nation(s, d).filter(col("n_regionkey") === 1)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("ok"), col("sk"), col("s_name"))
     base
