@@ -67,21 +67,34 @@ object GraphOps {
    * of the score join read them. The per-item top-K is a keyed rank
    * window — never global. Returns (item, rec, co, score_ppm, rn).
    */
-  def itemRecs(df: DataFrame, groupCol: String, itemCol: String,
-               maxGroupSize: Int, minCo: Long, topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val li = df
-      .filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+  /** Hub-capped co-occurrence pair counts from baskets: distinct
+    * (group, item), baskets wider than `maxGroupSize` dropped, pairs
+    * generated map-side from the sorted basket array, aggregated to
+    * (i, j, co) with co ≥ `minCo`. The shareable front half of
+    * [[itemRecs]] (also the q230 association-rule pair table). */
+  def basketPairCounts(df: DataFrame, groupCol: String, itemCol: String,
+                       maxGroupSize: Int, minCo: Long): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
       .select(col(groupCol).as("g"), col(itemCol).as("it"))
-    val cnt = li.groupBy("it").agg(count_distinct(col("g")).as("c"))
-      .localCheckpoint()
-    val pr = li.groupBy("g")
+      .groupBy("g")
       .agg(sort_array(collect_set(col("it"))).as("items"))
       .filter(size(col("items")) <= maxGroupSize)
       .select(explode(pairsFromSortedArray("items", "i", "j")).as("p"))
       .groupBy(col("p.i").as("i"), col("p.j").as("j"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+
+  /** Per-item distinct-basket counts (it, c) — the marginals both the
+    * recommender and the rule miner normalize by. */
+  def itemCounts(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(groupCol).as("g"), col(itemCol).as("it"))
+      .groupBy("it").agg(count_distinct(col("g")).as("c"))
+
+  /** Rank the pair table into per-item top-K recommendations by
+    * squared-cosine score (co²·10⁶ div (c_a·c_b)). */
+  def rankRecs(pr: DataFrame, cnt: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bd = pr.select(col("i").as("item"), col("j").as("rec"), col("co"))
       .unionAll(pr.select(col("j").as("item"), col("i").as("rec"), col("co")))
     val sc = bd
@@ -93,6 +106,12 @@ object GraphOps {
       .filter(col("rn") <= topK)
       .select(col("item"), col("rec"), col("co"), col("score_ppm"), col("rn"))
   }
+
+  def itemRecs(df: DataFrame, groupCol: String, itemCol: String,
+               maxGroupSize: Int, minCo: Long, topK: Int): DataFrame =
+    rankRecs(
+      basketPairCounts(df, groupCol, itemCol, maxGroupSize, minCo),
+      itemCounts(df, groupCol, itemCol).localCheckpoint(), topK)
 
   /**
    * k-core by `rounds` synchronous peels: each round drops vertices with

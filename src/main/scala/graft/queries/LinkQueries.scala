@@ -212,10 +212,26 @@ object LinkQueries {
        SELECT CAST(item AS BIGINT) AS item, CAST(rec AS BIGINT) AS rec,
               co, score_ppm, rn
        FROM rk WHERE rn <= 3 ORDER BY item, rn""") { (s, d) =>
-    GraphOps.itemRecs(table(s, d, "lineitem"), "l_orderkey", "l_partkey",
-        maxGroupSize = 15, minCo = 2L, topK = 3)
+    GraphOps.rankRecs(
+        sharedBasketPairs(s, d), sharedItemCounts(s, d), topK = 3)
       .orderBy("item", "rn")
   }
+
+  /** Capped basket-pair counts (i, j, co≥2) over (l_orderkey,
+    * l_partkey), persisted once per (session, sf) — shared by the
+    * recommender (q212) and the association-rule miner (q230). */
+  private[queries] def sharedBasketPairs(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    graft.io.Scratch.table(s, d, "basket_pairs")(
+      GraphOps.basketPairCounts(table(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", maxGroupSize = 15, minCo = 2L))
+
+  /** Per-part distinct-order counts, persisted alongside
+    * [[sharedBasketPairs]]. */
+  private[queries] def sharedItemCounts(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame =
+    graft.io.Scratch.table(s, d, "basket_item_counts")(
+      GraphOps.itemCounts(table(s, d, "lineitem"), "l_orderkey", "l_partkey"))
 
   // --------------------------------------------- containment (quotation)
 

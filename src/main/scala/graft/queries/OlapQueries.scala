@@ -1107,25 +1107,15 @@ object OlapQueries {
        SELECT CAST(ante AS BIGINT) AS ante, CAST(cons AS BIGINT) AS cons,
               co, support_ppm, conf_ppm, lift_ppm
        FROM m ORDER BY lift_ppm DESC, ante, cons LIMIT 20""") { (s, d) =>
-    // ONE lineitem scan: the basket table (group → item set) feeds the
-    // basket count, the item marginals (explode of the already-deduped
-    // sets ≡ count distinct g per item), and the pair projection
-    val baskets = table(s, d, "lineitem")
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey").as("g"), col("l_partkey").as("it"))
-      .groupBy("g").agg(sort_array(collect_set(col("it"))).as("items"))
-      .localCheckpoint()
-    val ng = baskets.agg(count(lit(1)).as("nb"))
-    val cnt = baskets.select(explode(col("items")).as("it"))
-      .groupBy("it").agg(count(lit(1)).as("c"))
+    // pair counts + item marginals come from the persisted shared
+    // basket tables (io/Scratch — the same build q212 reads); the one
+    // remaining lineitem scan is the basket-count scalar
+    val pr = LinkQueries.sharedBasketPairs(s, d)
+    val cnt = LinkQueries.sharedItemCounts(s, d)
       .localCheckpoint() // both rule sides read it
-    val pr = baskets
-      .filter(size(col("items")) <= 15)
-      .select(explode(graft.graph.GraphOps
-        .pairsFromSortedArray("items", "i", "j")).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("co"))
-      .filter(col("co") >= 2)
+    val ng = table(s, d, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .agg(count_distinct(col("l_orderkey")).as("nb"))
     val bd = pr.select(col("i").as("ante"), col("j").as("cons"), col("co"))
       .unionAll(pr.select(col("j").as("ante"), col("i").as("cons"), col("co")))
     bd.join(cnt.select(col("it").as("ante"), col("c").as("ca")), Seq("ante"))

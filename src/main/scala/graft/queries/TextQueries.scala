@@ -651,10 +651,38 @@ object TextQueries {
       .orderBy("chk")
   }
 
+  /** BPE tokenizer training ([[graft.text.Bpe]]): 6 merge rounds over
+   * the corpus word-frequency table — most frequent adjacent symbol
+   * pair (tie → lexicographic), literal left-to-right merge, repeat.
+   * One corpus scan total; every round runs on the vocab-bounded word
+   * table and pulls exactly one winning-pair row to the driver. The
+   * oracle replays the identical regex symbolization, weighted pair
+   * counts, and replace-merges round by round, and each row carries
+   * the post-merge corpus symbol total — the merge was APPLIED, not
+   * just chosen. Words restricted to ^[a-z]+$ so symbolization is
+   * byte-exact across engines. */
+  val q262BpeMerges: Q = Q("q262_bpe_merges",
+    s"""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                     FROM documents),
+       wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+              WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+       ${graft.text.Bpe.oracleCtes(6)}
+       SELECT round, pair, cnt, symbols_after FROM merges ORDER BY round""") { (s, d) =>
+    val wf = table(s, d, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (merges, _) = graft.text.Bpe.train(wf, rounds = 6)
+    import s.implicits._
+    merges.map(m => (m.round.toLong, m.pair, m.cnt, m.symbolsAfter))
+      .toDF("round", "pair", "cnt", "symbols_after")
+      .orderBy("round")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
-    q259HeaderDecode, q261PqTopK)
+    q259HeaderDecode, q261PqTopK, q262BpeMerges)
 }
