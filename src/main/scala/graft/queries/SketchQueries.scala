@@ -562,8 +562,22 @@ object SketchQueries {
           col("le99").cast("double") >= lit(0.92) * col("n")).as("ok99"))
   }
 
+  /** Streaming twin of the bottom-k quantile sample: events stream in
+   * one file per micro-batch and each batch's native-aggregate sketch
+   * folds into the running sample by union → bottom-k — an EXACT
+   * monoid (bottom-k of a union ≡ bottom-k of per-part bottom-ks), so
+   * the streamed sample is hash-identical to the one-shot batch build
+   * the oracle computes, at any batch boundary or arrival order. */
+  val q263StreamQsketch: Q = Q("q263_stream_qsketch",
+    s"""WITH e AS (SELECT event_id, value, ${md5sql.format("event_id")} AS h
+           FROM events WHERE value IS NOT NULL)
+       SELECT h, value AS v FROM e ORDER BY h, v LIMIT 256""") { (s, d) =>
+    graft.streaming.StreamingSketch.runBottomKToBatch(s, d, k = 256)
+      .orderBy("h", "v")
+  }
+
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
     q166FirSmoother, q181BfsHops, q198StreamKmv,
-    q257QuantileSketchDaily, q258QuantileSketchMerge)
+    q257QuantileSketchDaily, q258QuantileSketchMerge, q263StreamQsketch)
 }

@@ -82,4 +82,53 @@ object StreamingSketch {
         .distinct().orderBy(col("h").asc).limit(k))(
       (target, d) => target.unionByName(d).distinct()
         .orderBy(col("h").asc).limit(k))
+
+  private val qStagedSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("value", DoubleType)))
+
+  /** Streaming bottom-k QUANTILE-sample fold: per-batch bottom-k
+    * (md5(event_id), value) pairs — the
+    * [[graft.functions.BottomKSketchAgg]] sample — fold by
+    * union → bottom-k by (h, v). Bottom-k of a union is the bottom-k
+    * of per-part bottom-ks (the KMV argument on the ROW hash), so the
+    * fold is EXACT: the final sample is identical to the one-shot
+    * batch sketch at any batch boundary or arrival order; quantile
+    * estimates read off it are therefore batch≡stream by construction.
+    * State between merges is ≤ 2k pairs. Returns the k-row (h, v)
+    * sample. */
+  def runBottomKToBatch(spark: SparkSession, dir: String, k: Int = 256,
+                        nFiles: Int = 4): DataFrame = {
+    val stage = graft.io.Sources.scratchDir("graft_qsk_stream")
+    graft.io.Sources.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+
+    def bottomK(df: DataFrame): DataFrame =
+      df.orderBy(col("h").asc, col("v").asc).limit(k)
+    @volatile var target: DataFrame = null
+    val q = spark.readStream
+      .schema(qStagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val d = bottomK(batch
+          .agg(graft.sketch.Sketches.bottomKSketch(
+            graft.ops.Exprs.md5Long(col("event_id")), col("value"), k)
+            .as("sk"))
+          .select(explode(col("sk")).as("e"))
+          .select(col("e.h").as("h"), col("e.v").as("v")))
+        target = (if (target == null) d else bottomK(target.unionByName(d)))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (target == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("h", LongType), StructField("v", DoubleType))))
+    else target
+  }
 }
