@@ -376,6 +376,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q239 (TPC-H Q5): all four dimensions broadcast; facts shuffle on keys") {
+    val p = plan("q239_tpch_q5")
+    val bhj = p.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 3,
+      s"Q5 should broadcast supplier/nation/region, found ${bhj.size} broadcast joins:\n$p")
+    val bnl = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.isEmpty, s"Q5 must have no nested-loop join:\n$p")
+  }
+
+  test("q255 (TPC-H Q21): one lineitem scan feeds base, exists-semi and not-exists-anti") {
+    // the checkpointed lineitem⋈orders table is the only fact read; a
+    // plan scanning lineitem directly re-pays the scan per subquery
+    val li = scans(plan("q255_tpch_q21"))
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+      .filter(_.endsWith("lineitem.parquet"))
+    assert(li.isEmpty,
+      s"Q21 re-scans lineitem instead of the shared checkpoint: $li")
+  }
+
+  test("q240 (TPC-H Q6): filters reach the parquet scan") {
+    val ss = scans(plan("q240_tpch_q6"))
+    assert(ss.nonEmpty)
+    val pushed = ss.flatMap(_.metadata.get("PushedFilters")).mkString
+    assert(pushed.contains("l_shipdate") || pushed.contains("GreaterThanOrEqual"),
+      s"Q6's date/qty filters are not pushed: $pushed")
+  }
+
   test("q148: basket pairs come from the basket array, not a self-join") {
     val p = plan("q148_basket_pairs")
     val joins = p.collect {
