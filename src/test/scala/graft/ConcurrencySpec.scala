@@ -93,4 +93,21 @@ class ConcurrencySpec extends AnyFunSuite with SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
       "stream run mutated the shared session conf")
   }
+
+  test("Scratch.table builds once under concurrent requests for the same key") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def get() = graft.io.Scratch.table(spark, sf001, "concurrency_spec_probe") {
+      builds.incrementAndGet()
+      graft.io.Sources.table(spark, sf001, "region")
+    }
+    val rows = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(get().count()))), 120.seconds)
+    assert(builds.get() == 1,
+      s"memoized build ran ${builds.get()} times for one key")
+    assert(rows.toSet.size == 1 && rows.head == 5,
+      s"concurrent readers saw different tables: $rows")
+  }
 }
