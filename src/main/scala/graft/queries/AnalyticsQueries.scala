@@ -511,10 +511,8 @@ object AnalyticsQueries {
               row_number() OVER (ORDER BY r DESC, v) AS rnk
        FROM r3 QUALIFY rnk <= 20 ORDER BY rnk""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val docs = table(s, d, "documents")
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
     graft.dedup.Dedup.pageRankMicro(
-        graft.dedup.Dedup.minhashCandidates(docs), iters = 3)
+        TextQueries.sharedMinhashPairs(s, d), iters = 3)
       .orderBy(col("r").desc, col("v").asc).limit(20)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("r").desc, col("v").asc))
@@ -687,10 +685,8 @@ object AnalyticsQueries {
               FROM lbl l JOIN sp s USING (doc_id) GROUP BY l.cluster)
        SELECT cluster, n_members, n_splits, leaks
        FROM cl ORDER BY cluster""") { (s, d) =>
-    val docs = table(s, d, "documents")
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
     val cc = graft.dedup.Dedup.connectedComponents(
-      graft.dedup.Dedup.minhashCandidates(docs))
+      TextQueries.sharedMinhashPairs(s, d))
     cc.select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .withColumn("split", Curation.splitLabel(col("doc_id"), 8000, 1000))
       .groupBy("cluster")

@@ -32,9 +32,7 @@ object CurationQueries {
       SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster,
              (src = least(src, min(dst))) AS is_canonical
       FROM reach GROUP BY src ORDER BY doc_id""") { (s, d) =>
-    val docs = table(s, d, "documents")
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    Dedup.connectedComponents(Dedup.minhashCandidates(docs))
+    Dedup.connectedComponents(TextQueries.sharedMinhashPairs(s, d))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"),
         (col("id") === col("lbl")).as("is_canonical"))
       .orderBy("doc_id")

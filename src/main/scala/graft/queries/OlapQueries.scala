@@ -62,9 +62,7 @@ object OlapQueries {
        FROM e e1 JOIN e e2 ON e2.a = e1.b
                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
        ORDER BY a, b, c""") { (s, d) =>
-    val docs = table(s, d, "documents")
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    Dedup.triangles(Dedup.minhashCandidates(docs))
+    Dedup.triangles(TextQueries.sharedMinhashPairs(s, d))
       .orderBy("a", "b", "c")
   }
 

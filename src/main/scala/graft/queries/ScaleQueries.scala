@@ -351,7 +351,7 @@ object ScaleQueries {
        FROM mem GROUP BY cluster ORDER BY cluster""") { (s, d) =>
     val docs = table(s, d, "documents")
       .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    val cc = Dedup.connectedComponents(Dedup.minhashCandidates(docs))
+    val cc = Dedup.connectedComponents(TextQueries.sharedMinhashPairs(s, d))
     val quality = docs.select(col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("score"))
     val w = Window.partitionBy("cluster").orderBy(col("score").desc, col("doc_id").asc)

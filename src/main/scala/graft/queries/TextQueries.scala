@@ -193,14 +193,22 @@ object TextQueries {
         GROUP BY 1, 2)"""
   }
 
+  /** MinHash candidate pairs over the ≥3-token corpus, persisted once
+    * per (session, sf) ([[graft.io.Scratch]]) — six queries consume
+    * this exact pair table (q36/q60/q83/q120/q124/q138) and each used
+    * to re-run tokenize → shingle → minhash → band-join itself. */
+  private[queries] def sharedMinhashPairs(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    graft.io.Scratch.table(s, d, "minhash_pairs")(
+      Dedup.minhashCandidates(table(s, d, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)))
+
   val q36MinhashPairs: Q = Q("q36_minhash_pairs",
     s"""WITH $minhashPairCtes
       SELECT i, j, n_bands FROM pairs ORDER BY i, j""") { (s, d) =>
     // <3-token docs yield no true 3-shingle: excluded on BOTH sides so
     // the kernels' short-shingle fallback can't diverge from the oracle
-    val docs = table(s, d, "documents")
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-    Dedup.minhashCandidates(docs).orderBy("i", "j")
+    sharedMinhashPairs(s, d).orderBy("i", "j")
   }
 
   val q37NgramJaccard: Q = Q("q37_ngram_jaccard",
