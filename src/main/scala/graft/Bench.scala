@@ -80,6 +80,11 @@ object Bench {
       // untimed annotation pass
       if (streamsBefore == 0 && streamCount > 0)
         cold(q.name) = "stream_init"
+      // a query that triggered a shared scratch-table build paid a cost
+      // its siblings won't — annotate WHICH build, timings untouched
+      val builtKinds = graft.io.Scratch.drainBuilt()
+      if (builtKinds.nonEmpty)
+        cold.getOrElseUpdate(q.name, s"scratch_build:${builtKinds.mkString("+")}")
       df.foreach { d =>
         val first = d.queryExecution.analyzed.collect {
           case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>

@@ -18,6 +18,17 @@ object Scratch {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), String]()
 
+  /** Kinds built since the last [[drainBuilt]] — lets [[graft.Bench]]
+    * annotate WHICH query paid a shared build without changing any
+    * timing. */
+  private val built = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[graft] def drainBuilt(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var k = built.poll()
+    while (k != null) { out += k; k = built.poll() }
+    out.result()
+  }
+
   /**
    * Read the persisted table `kind` for (spark, sfDir), building it
    * via `build` on first use in the session. The build is evaluated at
@@ -34,6 +45,7 @@ object Scratch {
       (_: (SparkSession, String, String)) => {
         val d = Sources.scratchDir(s"graft_shared_$kind")
         build.write.mode("overwrite").parquet(d)
+        built.add(kind)
         d
       })
     spark.read.parquet(dir)
