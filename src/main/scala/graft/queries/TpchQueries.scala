@@ -111,7 +111,15 @@ object TpchQueries {
                  JOIN part ON p_partkey = euro.pk
        WHERE p_size = 15 AND p_type = 'STANDARD'
        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""") { (s, d) =>
+    // correlated-subquery pushdown a 100 TB plan needs: only the
+    // filtered parts' costs matter, so the semi join runs BEFORE the
+    // (part, supplier) aggregate — the oracle's unrestricted ps yields
+    // identical rows for the surviving part keys
+    val wanted = part(s, d)
+      .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      .select(col("p_partkey").as("fpk"))
     val ps = lineitem(s, d)
+      .join(broadcast(wanted), col("l_partkey") === col("fpk"), "left_semi")
       .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
       .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
     val euro = ps
@@ -592,13 +600,18 @@ object TpchQueries {
                      JOIN pq ON apk = l_partkey
        WHERE p_brand = 'Brand#23' AND p_size = 5
          AND l_quantity < thr""") { (s, d) =>
+    // correlated-avg pushdown: the threshold is only consulted for the
+    // brand/size-filtered parts, so the semi join precedes the per-part
+    // aggregate (oracle rows for surviving keys are identical)
+    val fparts = part(s, d)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") === 5)
     val pq = lineitem(s, d)
+      .join(broadcast(fparts.select(col("p_partkey").as("fpk"))),
+        col("l_partkey") === col("fpk"), "left_semi")
       .groupBy(col("l_partkey").as("apk"))
       .agg((lit(0.2) * avg("l_quantity")).as("thr"))
     lineitem(s, d)
-      .join(broadcast(part(s, d)
-        .filter(col("p_brand") === "Brand#23" && col("p_size") === 5)),
-        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(fparts), col("p_partkey") === col("l_partkey"))
       .join(pq, col("apk") === col("l_partkey"))
       .filter(col("l_quantity") < col("thr"))
       .agg((sum(col("l_extendedprice").cast("decimal(18,6)")) / lit(7.0))
