@@ -687,10 +687,105 @@ object TextQueries {
       .orderBy("round")
   }
 
+  /** Johnson–Lindenstrauss random projection 64→16
+   * ([[graft.sim.Projection]]): a ±1 sign matrix derived cell-by-cell
+   * from the replayable md5 parity — no RNG state, no weights to ship —
+   * applied as 16 codegen'd ordered dot products per row, entirely
+   * map-side. The oracle re-derives the identical matrix from the same
+   * hash formula and recomputes every coordinate, so the projection is
+   * hash-checked end to end (rounded to 4; the fold is ascending-index
+   * in both engines). */
+  val q264RandomProjection: Q = Q("q264_random_projection",
+    s"""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       ${(1 to 16).map(j =>
+         graft.sim.Projection.coordSql("embedding", 64, j) + s" AS p$j")
+         .mkString(",\n       ")}
+       FROM embeddings WHERE embedding IS NOT NULL
+       ORDER BY vec_id""") { (s, d) =>
+    graft.sim.Projection.project(
+        table(s, d, "embeddings").filter(col("embedding").isNotNull),
+        col("embedding"), dim = 64, outDims = 16)
+      .select(col("vec_id") +: (1 to 16).map(j => col(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
+
+  /** LSH dedup EVALUATION: recall and precision of the shared MinHash
+   * candidate pairs against exact shingle-Jaccard ground truth on a
+   * bounded slice (ids below 3/5 of the corpus count — proportional so
+   * every SF's planted near-dups fall inside; the slice is the
+   * quadratic-probe boundary, the q39/q40 broadcast contract, so this
+   * stays a VERIFICATION probe: at production scale you run it on a
+   * sampled slice exactly like this, never the full corpus). Truth pairs
+   * have integer jac ≥ 0.4 (intersection via the native sorted-merge
+   * kernel; exact ppm division); hits are candidates ∩ truth. This is
+   * the measure-your-dedup query a pipeline runs before trusting a
+   * band configuration — and both sides replay in SQL, so the reported
+   * recall itself is hash-checked, not asserted. */
+  val q265LshRecall: Q = Q("q265_lsh_recall",
+    s"""WITH $minhashPairCtes,
+       sl AS (SELECT doc_id,
+                list_sort(list_distinct(list_transform(
+                  list_transform(range(1, greatest(len(w)-1, 1)),
+                    k -> w[k]||' '||w[k+1]||' '||w[k+2]),
+                  t -> ('0x'||substr(md5(t),1,15))::BIGINT))) AS hs
+              FROM tok WHERE len(w) >= 3
+                AND doc_id < (SELECT count(*) * 3 // 5 FROM documents)),
+       tr AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) * 1000000
+                  // (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac_ppm
+              FROM sl a JOIN sl b ON a.doc_id < b.doc_id),
+       tt AS (SELECT i, j FROM tr WHERE jac_ppm >= 400000),
+       cd AS (SELECT i, j FROM pairs
+              WHERE i < (SELECT count(*) * 3 // 5 FROM documents)
+                AND j < (SELECT count(*) * 3 // 5 FROM documents)),
+       hh AS (SELECT count(*) AS n_hits FROM cd JOIN tt ON cd.i = tt.i AND cd.j = tt.j)
+       SELECT (SELECT count(*) FROM tt) AS n_truth,
+              (SELECT count(*) FROM cd) AS n_cand,
+              n_hits,
+              n_hits * 1000000 // nullif((SELECT count(*) FROM tt), 0) AS recall_ppm,
+              n_hits * 1000000 // nullif((SELECT count(*) FROM cd), 0) AS precision_ppm
+       FROM hh""") { (s, d) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    val w = TextAnalysis.tokens(col("text"))
+    val shingleHashes = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(ColumnBridge.column(graft.functions.Shingles3(
+        ColumnBridge.expression(w))))))
+    val lim = table(s, d, "documents")
+      .agg((count(lit(1)) * 3 / 5).cast("long")).head().getLong(0) // 1-row scalar
+    val sl = table(s, d, "documents")
+      .filter(size(w) >= 3 && col("doc_id") < lim)
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingleHashes)).as("hs"))
+      .localCheckpoint() // both sides of the bounded truth join read it
+    val interCol = ColumnBridge.column(graft.functions.SortedLongIntersectCount(
+      ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
+    val tt = sl.select(col("doc_id").as("i"), col("hs").as("ha"))
+      .join(broadcast(sl.select(col("doc_id").as("j"), col("hs").as("hb"))),
+        col("i") < col("j"))
+      .withColumn("inter", interCol.cast("long"))
+      .filter(expr("inter * 1000000 div (size(ha) + size(hb) - inter) >= 400000"))
+      .select("i", "j")
+      .localCheckpoint() // truth count + the hit join read it
+    val cd = sharedMinhashPairs(s, d)
+      .filter(col("i") < lim && col("j") < lim)
+      .select("i", "j")
+      .localCheckpoint() // candidate count + the hit join read it
+    val nT = tt.agg(count(lit(1)).as("n_truth"))
+    val nC = cd.agg(count(lit(1)).as("n_cand"))
+    cd.join(tt, Seq("i", "j"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nT))
+      .crossJoin(broadcast(nC))
+      .select(col("n_truth"), col("n_cand"), col("n_hits"),
+        expr("n_hits * 1000000 div nullif(n_truth, 0)").as("recall_ppm"),
+        expr("n_hits * 1000000 div nullif(n_cand, 0)").as("precision_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
-    q259HeaderDecode, q261PqTopK, q262BpeMerges)
+    q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
+    q265LshRecall)
 }
