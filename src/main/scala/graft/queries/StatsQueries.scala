@@ -1090,7 +1090,108 @@ object StatsQueries {
       .crossJoin(broadcast(pick(99, "wp99_bin")))
   }
 
+  /** Theil–Sen robust trend of the daily event count: the PICKED
+   * median of all pairwise slopes (the estimator a single outlier day
+   * cannot move, unlike OLS). The series is calendar-bounded (30
+   * days → 435 pairs), so the pair join broadcasts one bounded side
+   * and the median is a rank pick over a bounded table; slopes are
+   * integer milli-units via `div` (floor in both engines, negatives
+   * included). Intercept = picked median of (1000·x − slope_med·t). */
+  val q266TheilSen: Q = Q("q266_theil_sen",
+    """WITH dc AS (SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       pr AS (SELECT ((b.x - a.x) * 1000) // (b.t - a.t) AS s, a.t AS t1, b.t AS t2
+              FROM dc a JOIN dc b ON a.t < b.t),
+       r AS (SELECT s, row_number() OVER (ORDER BY s, t1, t2) AS rn,
+                    count(*) OVER () AS np FROM pr),
+       sm AS (SELECT max(np) AS n_pairs,
+                     max(CASE WHEN rn = (np + 1) // 2 THEN s END) AS slope_milli
+              FROM r),
+       ic AS (SELECT dc.x * 1000 - sm.slope_milli * dc.t AS ic0 FROM dc, sm),
+       ri AS (SELECT ic0, row_number() OVER (ORDER BY ic0) AS rn,
+                     count(*) OVER () AS nd FROM ic)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_days,
+              sm.n_pairs, sm.slope_milli,
+              (SELECT max(CASE WHEN rn = (nd + 1) // 2 THEN ic0 END) FROM ri) AS intercept_milli
+       FROM sm""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dc = table(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy((unix_timestamp(col("ts")) / 86400).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint() // pair join (both sides), intercept, count read it
+    val pr = dc.select(col("t").as("t1"), col("x").as("x1"))
+      .join(broadcast(dc.select(col("t").as("t2"), col("x").as("x2"))),
+        col("t1") < col("t2"))
+      .select(expr("((x2 - x1) * 1000) div (t2 - t1)").as("s"),
+        col("t1"), col("t2"))
+    val r = pr
+      .withColumn("rn", row_number().over(Window.orderBy("s", "t1", "t2")))
+      .withColumn("np", count(lit(1)).over()) // bounded: ≤ days² pairs
+    val sm = r.agg(max("np").cast("long").as("n_pairs"),
+      max(when(col("rn") === expr("(np + 1) div 2"), col("s")))
+        .as("slope_milli")).localCheckpoint() // intercept + output read it
+    val ri = dc.crossJoin(broadcast(sm))
+      .select((col("x") * 1000 - col("slope_milli") * col("t")).as("ic0"))
+      .withColumn("rn", row_number().over(Window.orderBy("ic0")))
+      .withColumn("nd", count(lit(1)).over())
+    val ic = ri.agg(max(when(col("rn") === expr("(nd + 1) div 2"),
+      col("ic0"))).as("intercept_milli"))
+    val nd = dc.agg(count(lit(1)).as("n_days"))
+    broadcast(nd).crossJoin(broadcast(sm)).crossJoin(broadcast(ic))
+      .select(col("n_days"), col("n_pairs"), col("slope_milli"),
+        col("intercept_milli"))
+  }
+
+  /** MASE (mean absolute scaled error) of the seasonal-naive forecast
+   * x̂_t = x_{t−7} per event type, scaled by the one-step naive error —
+   * the standard scale-free forecast-accuracy metric. Entirely
+   * integer: both error sums are BIGINT, and the ratio is staged as
+   * sum_seas·n_naive·1000 div (n_seas·sum_naive) — exact at any
+   * partitioning, windows only over the bounded daily table. */
+  val q267Mase: Q = Q("q267_mase",
+    """WITH dc AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+       lg AS (SELECT event_type, t, x,
+                lag(x, 7) OVER (PARTITION BY event_type ORDER BY t) AS x7,
+                lag(x, 1) OVER (PARTITION BY event_type ORDER BY t) AS x1
+              FROM dc),
+       er AS (SELECT event_type,
+                CAST(sum(CASE WHEN x7 IS NOT NULL THEN abs(x - x7) END) AS BIGINT) AS sum_seas,
+                CAST(count(x7) AS BIGINT) AS n_seas,
+                CAST(sum(CASE WHEN x1 IS NOT NULL THEN abs(x - x1) END) AS BIGINT) AS sum_naive,
+                CAST(count(x1) AS BIGINT) AS n_naive
+              FROM lg GROUP BY event_type)
+       SELECT event_type, sum_seas, n_seas, sum_naive, n_naive,
+              (sum_seas * n_naive * 1000) // nullif(n_seas * sum_naive, 0) AS mase_milli
+       FROM er ORDER BY event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("t") // bounded daily table
+    table(s, d, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("x7", lag("x", 7).over(w))
+      .withColumn("x1", lag("x", 1).over(w))
+      .groupBy("event_type")
+      .agg(sum(when(col("x7").isNotNull, abs(col("x") - col("x7"))))
+          .as("sum_seas"),
+        count(col("x7")).as("n_seas"),
+        sum(when(col("x1").isNotNull, abs(col("x") - col("x1"))))
+          .as("sum_naive"),
+        count(col("x1")).as("n_naive"))
+      .select(col("event_type"), col("sum_seas"), col("n_seas"),
+        col("sum_naive"), col("n_naive"),
+        expr("sum_seas * n_naive * 1000 div nullif(n_seas * sum_naive, 0)")
+          .as("mase_milli"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
+    q266TheilSen, q267Mase,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
