@@ -112,6 +112,59 @@ object LinkQueries {
       .orderBy("supplier")
   }
 
+  /** Newman modularity of the q210 label-propagation communities —
+   * the EVALUATION metric for a community detection run (pairs with
+   * q265's measure-your-dedup pattern): Q = Σ_c [e_c/m − (d_c/2m)²],
+   * quantized per community to integer ppm with STAGED divisions
+   * (d_c·1e6 div 2m, then ·d_c div 2m — never d_c², which wraps int64
+   * once d_c passes ~3·10⁶ at the 100 TB design point); both engines
+   * floor identically so the score replays bit-for-bit. One keyed
+   * label join per edge side over the persisted shared graph. */
+  val q268Modularity: Q = Q("q268_modularity",
+    s"""WITH $coSupplyCtes,
+       ${GraphOps.labelPropOracleCtes(rounds = 3)},
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed0),
+       ic AS (SELECT la.lab AS c, CAST(count(*) AS BIGINT) AS ec
+              FROM ed0 JOIN l3 la ON la.v = ed0.i
+                       JOIN l3 lb ON lb.v = ed0.j
+              WHERE la.lab = lb.lab GROUP BY 1),
+       dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+                (SELECT i AS v FROM ed0 UNION ALL SELECT j FROM ed0)
+              GROUP BY v),
+       dc AS (SELECT l3.lab AS c, CAST(sum(d) AS BIGINT) AS dsum
+              FROM l3 JOIN dg ON dg.v = l3.v GROUP BY 1),
+       tm AS (SELECT dc.c,
+                coalesce(ec, 0) * 1000000 // m
+                  - ((dsum * 1000000 // (2 * m)) * dsum) // (2 * m) AS term
+              FROM dc LEFT JOIN ic ON ic.c = dc.c, mm)
+       SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_comm,
+              (SELECT m FROM mm) AS m_edges,
+              CAST(sum(term) AS BIGINT) AS modularity_ppm
+       FROM tm""") { (s, d) =>
+    val ed = coSupplyEdges(s, d).localCheckpoint() // m + intra + degrees
+    val lp = GraphOps.labelPropagation(ed, rounds = 3)
+      .localCheckpoint() // both edge-side joins + the degree join
+    val mm = ed.agg(count(lit(1)).as("m"))
+    val intra = ed
+      .join(lp.select(col("v").as("i"), col("lab").as("la")), Seq("i"))
+      .join(lp.select(col("v").as("j"), col("lab").as("lb")), Seq("j"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
+    val deg = ed.select(col("i").as("v")).unionAll(ed.select(col("j").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val dc = lp.join(deg, Seq("v"))
+      .groupBy(col("lab").as("c")).agg(sum("d").as("dsum"))
+    val tm = dc.join(intra, Seq("c"), "left")
+      .crossJoin(broadcast(mm))
+      .select(expr("coalesce(ec, 0) * 1000000 div m").as("t1"),
+        expr("((dsum * 1000000 div (2 * m)) * dsum) div (2 * m)").as("t2"))
+    val nm = dc.agg(count(lit(1)).as("n_comm"))
+    broadcast(nm).crossJoin(broadcast(mm))
+      .crossJoin(broadcast(
+        tm.agg(sum(col("t1") - col("t2")).as("modularity_ppm"))))
+      .select(col("n_comm"), col("m").as("m_edges"), col("modularity_ppm"))
+  }
+
   // ---------------------------------------------------- autocorrelation
 
   /** Autocorrelation of the daily event-count series at lags 1..7 —
@@ -682,5 +735,5 @@ object LinkQueries {
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
     q225WeightedJaccard, q227Assortativity, q228AttackTolerance,
-    q232KTruss)
+    q232KTruss, q268Modularity)
 }
