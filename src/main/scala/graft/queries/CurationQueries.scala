@@ -243,7 +243,100 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  private val stopListSql =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** The q32 quality-score spelling as a reusable SQL fragment. */
+  private val qualitySql =
+    s"""round(least(length(text) / 500.0, 1.0) * 0.5
+         + least((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 / CAST(greatest(length(text), 1) AS DOUBLE) * 20.0, 1.0) * 0.2
+         + least(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           w -> w IN ($stopListSql))) AS DOUBLE)
+                 / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+                 * 4.0, 1.0) * 0.3, 4)"""
+
+  /** Preference-PAIR construction for reward-model / DPO data prep:
+   * within each (source, lang) stratum, the top-quality document is
+   * the `chosen` and the bottom-quality one the `rejected` (ties →
+   * smallest id, the argmax/argmin picked-rank recipe), emitted with
+   * the quality margin. Two keyed windows over the scored table — no
+   * self-join, no global sort; degenerate single-doc strata drop
+   * (chosen must differ from rejected). */
+  val q269PreferencePairs: Q = Q("q269_preference_pairs",
+    s"""WITH qs AS (SELECT doc_id, source, lang, $qualitySql AS q FROM documents),
+       r AS (SELECT doc_id, source, lang, q,
+               row_number() OVER (PARTITION BY source, lang ORDER BY q DESC, doc_id) AS rc,
+               row_number() OVER (PARTITION BY source, lang ORDER BY q ASC, doc_id) AS rr
+             FROM qs),
+       ch AS (SELECT source, lang, doc_id AS chosen_id, q AS chosen_q FROM r WHERE rc = 1),
+       rj AS (SELECT source, lang, doc_id AS rejected_id, q AS rejected_q FROM r WHERE rr = 1)
+       SELECT ch.source, ch.lang, chosen_id, rejected_id, chosen_q, rejected_q,
+              round(chosen_q - rejected_q, 4) AS margin
+       FROM ch JOIN rj ON ch.source = rj.source AND ch.lang = rj.lang
+       WHERE chosen_id <> rejected_id
+       ORDER BY ch.source, ch.lang""") { (s, d) =>
+    val qs = table(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+    import org.apache.spark.sql.expressions.Window
+    val wC = Window.partitionBy("source", "lang")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val wR = Window.partitionBy("source", "lang")
+      .orderBy(col("q").asc, col("doc_id").asc)
+    val r = qs.withColumn("rc", row_number().over(wC))
+      .withColumn("rr", row_number().over(wR))
+      .localCheckpoint() // chosen + rejected sides read it
+    val ch = r.filter(col("rc") === 1).select(col("source"), col("lang"),
+      col("doc_id").as("chosen_id"), col("q").as("chosen_q"))
+    val rj = r.filter(col("rr") === 1).select(col("source"), col("lang"),
+      col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+    ch.join(rj, Seq("source", "lang"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("source"), col("lang"), col("chosen_id"),
+        col("rejected_id"), col("chosen_q"), col("rejected_q"),
+        round(col("chosen_q") - col("rejected_q"), 4).as("margin"))
+      .orderBy("source", "lang")
+  }
+
+  /** Context-length bucketing for batched inference/training: each doc
+   * lands in the smallest power-of-two token bucket that holds it, and
+   * per bucket the report carries doc count, token sum, and the
+   * padding waste in ppm ((n·bucket − Σtokens)·10⁶ div (n·bucket)) —
+   * the batching-efficiency number that decides whether sequence
+   * packing (q81) is worth running. Pure map-side CASE ladder + one
+   * aggregate; all integers. */
+  val q270LengthBuckets: Q = Q("q270_length_buckets",
+    """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
+                  FROM documents),
+       b AS (SELECT n_tok,
+               CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                    WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                    WHEN n_tok <= 512 THEN 512 ELSE 1024 END AS bucket
+             FROM t)
+       SELECT CAST(bucket AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+              CAST((CAST(count(*) * bucket AS BIGINT) - CAST(sum(n_tok) AS BIGINT)) * 1000000
+                // CAST(count(*) * bucket AS BIGINT) AS BIGINT) AS padding_waste_ppm
+       FROM b GROUP BY bucket ORDER BY bucket""") { (s, d) =>
+    val n = TextAnalysis.tokenCount(col("text")).cast("long")
+    table(s, d, "documents")
+      .select(n.as("n_tok"))
+      .withColumn("bucket",
+        when(col("n_tok") <= 32, 32L).when(col("n_tok") <= 64, 64L)
+          .when(col("n_tok") <= 128, 128L).when(col("n_tok") <= 256, 256L)
+          .when(col("n_tok") <= 512, 512L).otherwise(1024L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        expr("(n_docs * bucket - sum_tokens) * 1000000 div (n_docs * bucket)")
+          .as("padding_waste_ppm"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
-    q68StreamSessions, q74Repetition)
+    q68StreamSessions, q74Repetition, q269PreferencePairs,
+    q270LengthBuckets)
 }
