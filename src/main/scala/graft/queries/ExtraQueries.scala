@@ -350,8 +350,38 @@ object ExtraQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Reproducibility manifest: per table, the row count and an
+   * order-independent 60-bit key checksum (bit-XOR of the md5-prefix
+   * hash of each row's key — XOR is commutative/associative, so the
+   * checksum is exact at any partitioning and never overflows). This
+   * is the manifest a reproducible training run records next to its
+   * config: re-run the ingest, re-hash, diff one 10-row table. One
+   * map-side scan per table. */
+  val q271Manifest: Q = {
+    val keys = Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey * 10 + l_linenumber",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    val oracle = keys.map { case (t, k) =>
+      s"""SELECT '$t' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format(k)}) AS BIGINT) AS key_xor
+          FROM $t"""
+    }.mkString("\n       UNION ALL ")
+    Q("q271_manifest", s"SELECT * FROM ($oracle) ORDER BY tbl") { (s, d) =>
+      keys.map { case (t, k) =>
+        table(s, d, t)
+          .select(graft.ops.Exprs.md5Long(expr(k)).as("h"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("key_xor"))
+          .select(lit(t).as("tbl"), col("n_rows"), col("key_xor"))
+      }.reduce(_ unionAll _).orderBy("tbl")
+    }
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
     q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup,
-    q260OrcRoundtrip)
+    q260OrcRoundtrip, q271Manifest)
 }
