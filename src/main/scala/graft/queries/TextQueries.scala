@@ -759,11 +759,34 @@ object TextQueries {
       .localCheckpoint() // both sides of the bounded truth join read it
     val interCol = ColumnBridge.column(graft.functions.SortedLongIntersectCount(
       ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
-    val tt = sl.select(col("doc_id").as("i"), col("hs").as("ha"))
-      .join(broadcast(sl.select(col("doc_id").as("j"), col("hs").as("hb"))),
-        col("i") < col("j"))
+    // truth WITHOUT the all-pairs merge: the q208 PPJoin prefix filter at
+    // t = 0.4 (prefix r ≤ s − ⌈0.4·s⌉ + 1; jac ≥ 0.4 ⟺ 7·inter ≥
+    // 2·(sa+sb)) generates candidates, the sorted-merge kernel verifies.
+    // The filter is sound by prefix theory — and the ORACLE still runs
+    // the quadratic all-pairs truth, so a dropped pair breaks the hash.
+    val ex = sl.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("cf"))
+    val wD = Window.partitionBy("doc_id").orderBy(col("cf"), col("h"))
+    val prefix = ex.join(freq, "h")
+      .withColumn("r", row_number().over(wD))
+      .filter(col("r") <= col("sz") - ceil(col("sz") * 0.4).cast("long") + 1)
+      .select(col("doc_id"), col("h"), col("sz"), col("r"))
+    val cand = prefix
+      .select(col("doc_id").as("i"), col("h"), col("sz").as("sa"), col("r").as("ra"))
+      .join(prefix
+        .select(col("doc_id").as("j"), col("h"), col("sz").as("sb"), col("r").as("rb")),
+        Seq("h"))
+      .filter(col("i") < col("j"))
+      .filter(least(col("sa"), col("sb")) * 7 >= (col("sa") + col("sb")) * 2)
+      .filter((least(col("sa") - col("ra"), col("sb") - col("rb")) + 1) * 7 >=
+        (col("sa") + col("sb")) * 2)
+      .select("i", "j").distinct()
+    val tt = cand
+      .join(sl.select(col("doc_id").as("i"), col("hs").as("ha")), Seq("i"))
+      .join(sl.select(col("doc_id").as("j"), col("hs").as("hb")), Seq("j"))
       .withColumn("inter", interCol.cast("long"))
-      .filter(expr("inter * 1000000 div (size(ha) + size(hb) - inter) >= 400000"))
+      .filter(col("inter") * 7 >= (size(col("ha")) + size(col("hb"))) * 2)
       .select("i", "j")
       .localCheckpoint() // truth count + the hit join read it
     val cd = sharedMinhashPairs(s, d)
