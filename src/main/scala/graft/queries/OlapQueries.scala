@@ -647,13 +647,18 @@ object OlapQueries {
     val nAgg = q.agg(count(lit(1)).as("nn"))
     val marg = q.select(posexplode(col("v")).as(Seq("i", "vi")))
       .groupBy("i").agg(sum("vi").as("s"))
+    // ONE native map-side aggregate ([[graft.functions
+    // .UpperTriangleSumAgg]]): the composed nested-transform spelling is
+    // CodegenFallback and shuffles rows·d²/2 exploded products; the
+    // kernel ships 2016 longs per partition and explodes AFTER the
+    // aggregate (parity pinned in FunctionsSpec)
+    import org.apache.spark.sql.graft.ColumnBridge
     val pairs = q
-      .select(explode(expr(
-        """flatten(transform(sequence(0, 62), i ->
-             transform(sequence(i + 1, 63), j ->
-               named_struct('i', i, 'j', j, 'p', v[i] * v[j]))))""")).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("sxy"))
+      .agg(ColumnBridge.column(graft.functions.UpperTriangleSumAgg(
+        ColumnBridge.expression(col("v")), 64).toAggregateExpression())
+        .as("ps"))
+      .select(explode(col("ps")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.sxy").as("sxy"))
     pairs
       .join(broadcast(marg.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(marg.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))

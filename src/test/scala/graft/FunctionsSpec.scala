@@ -208,6 +208,31 @@ class FunctionsSpec extends AnyFunSuite with SparkSpec {
     assert(sqlGot == 2)
   }
 
+  test("UpperTriangleSumAgg equals the composed transform/explode spelling at any partitioning") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = (1 to 500)
+      .map(i => Seq.tabulate(8)(j => ((i * 31 + j * 7) % 100 - 50).toLong))
+      .toDF("v")
+    def composed(parts: Int) = df.repartition(parts)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 6), i ->
+             transform(sequence(i + 1, 7), j ->
+               named_struct('i', i, 'j', j, 'p', v[i] * v[j]))))""")).as("t"))
+      .groupBy(col("t.i"), col("t.j")).agg(sum(col("t.p")).as("sxy"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def native(parts: Int) = df.repartition(parts)
+      .agg(ColumnBridge.column(graft.functions.UpperTriangleSumAgg(
+        ColumnBridge.expression(col("v")), 8).toAggregateExpression()).as("ps"))
+      .select(explode(col("ps")).as("t"))
+      .collect().map(r => {
+        val t = r.getStruct(0); (t.getInt(0), t.getInt(1)) -> t.getLong(2)
+      }).toMap
+    val truth = composed(1)
+    assert(native(1) == truth, "single-partition kernel != composed sums")
+    assert(native(7) == truth, "multi-partition merge != composed sums")
+    assert(truth.size == 8 * 7 / 2)
+  }
+
   test("IVF topK: k rows per query, sims agree with brute force") {
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = emb.filter($"vec_id" < 5)
