@@ -810,5 +810,43 @@ object TextQueries {
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
-    q265LshRecall)
+    q265LshRecall, q272IvfCurve)
+
+  /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
+   * {1, 2, 4, 8} against the persisted index — the tuning sweep that
+   * justifies a probe budget at 100 TB (every probe is index-only; the
+   * q130 build-once contract). Gates: recall is monotone nondecreasing
+   * in nProbe (probing strictly more cells can only add candidates —
+   * a violated gate means the probe path is broken), the widest probe
+   * clears the q54 recall floor, and every probe returns complete
+   * result sets. Training is deterministic, so the curve is stable. */
+  lazy val q272IvfCurve: Q = Q("q272_ivf_curve",
+    """SELECT * FROM (VALUES
+         ('monotone_recall', TRUE), ('recall8_floor', TRUE),
+         ('rows_complete', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val dir = graft.sim.Ivf.persistedIndex(s, d, nClusters = 64)
+    val bf = Similarity.bruteForceTopK(q, emb, k = k)
+      .select("qid", "nid").localCheckpoint()
+    // 4 bounded driver scalars (hit/row counts per probe width) — the
+    // sweep itself, not a fact-table collect
+    val sweep = Seq(1, 2, 4, 8).map { np =>
+      val pr = graft.sim.Ivf.probeIndex(q, dir, k = k, nProbe = np)
+        .select("qid", "nid").localCheckpoint()
+      (np, pr.intersect(bf).count(), pr.count())
+    }
+    val nQ = q.count()
+    val monotone = sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2)
+    val floor8 = sweep.last._2.toDouble / (nQ * k) >= 0.25
+    // a 1-cell probe can hold fewer than k candidates — completeness
+    // is required of the WIDEST probe only; narrower ones may undershoot
+    val rowsOk = sweep.last._3 == nQ * k && sweep.forall(_._3 <= nQ * k)
+    import s.implicits._
+    Seq(("monotone_recall", monotone), ("recall8_floor", floor8),
+      ("rows_complete", rowsOk))
+      .toDF("chk", "ok").orderBy("chk")
+  }
 }

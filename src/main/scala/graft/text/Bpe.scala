@@ -69,8 +69,12 @@ object Bpe {
         .collect() // ONE row — the winning pair (bounded scalar)
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
-        val lit1 = pair.replace("'", "''")
-        val lit2 = pair.replace(" ", "").replace("'", "''")
+        // escape backslashes BEFORE quotes: both survive the SQL-literal
+        // parse inside expr() (callers feeding arbitrary symbols — the
+        // engine queries restrict to ^[a-z]+$ — still merge correctly)
+        def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+        val lit1 = esc(pair)
+        val lit2 = esc(pair.replace(" ", ""))
         seqs = seqs
           .withColumn("seq", expr(s"replace(seq, ' $lit1 ', ' $lit2 ')"))
           .localCheckpoint()
