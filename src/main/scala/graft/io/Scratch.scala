@@ -15,8 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * replay the defining CTE chain against the raw tables.
  */
 object Scratch {
+  // Holder futures, not values: computeIfAbsent only INSERTS the future
+  // (cheap, never blocks on other keys); the build itself runs outside
+  // the map's lock stripe, so a build closure that recursively resolves
+  // ANOTHER scratch kind cannot self-deadlock the map.
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), String]()
+    (SparkSession, String, String),
+    java.util.concurrent.CompletableFuture[String]]()
 
   /** Kinds built since the last [[drainBuilt]] — lets [[graft.Bench]]
     * annotate WHICH query paid a shared build without changing any
@@ -32,22 +37,39 @@ object Scratch {
   /**
    * Read the persisted table `kind` for (spark, sfDir), building it
    * via `build` on first use in the session. The build is evaluated at
-   * most once per key (ConcurrentHashMap.computeIfAbsent); stopped
-   * sessions' entries are lazily evicted so the map never pins a dead
-   * session for the life of the JVM (the on-disk dirs are scratch
-   * space and clean up with the JVM's shutdown hook).
+   * most once per key: computeIfAbsent installs only a lazy holder
+   * (a CompletableFuture), and the thread that won the install runs the
+   * Spark job OUTSIDE the map lock — so a build closure that itself
+   * calls [[table]] for another kind serializes safely instead of
+   * deadlocking (nested computeIfAbsent on one ConcurrentHashMap can
+   * deadlock on a shared lock stripe). A failed build evicts its holder
+   * so a later caller can retry. Stopped sessions' entries are lazily
+   * evicted so the map never pins a dead session for the life of the
+   * JVM (the on-disk dirs are scratch space and clean up with the JVM's
+   * shutdown hook).
    */
   def table(spark: SparkSession, sfDir: String, kind: String)
            (build: => DataFrame): DataFrame = {
     memo.keySet.removeIf(
       (k: (SparkSession, String, String)) => k._1.sparkContext.isStopped)
-    val dir = memo.computeIfAbsent((spark, sfDir, kind),
-      (_: (SparkSession, String, String)) => {
+    val key = (spark, sfDir, kind)
+    val holder = new java.util.concurrent.CompletableFuture[String]()
+    val installed = memo.computeIfAbsent(key,
+      (_: (SparkSession, String, String)) => holder)
+    if (installed eq holder) {
+      // this thread owns the build; run it outside the map's lock
+      try {
         val d = Sources.scratchDir(s"graft_shared_$kind")
         build.write.mode("overwrite").parquet(d)
         built.add(kind)
-        d
-      })
-    spark.read.parquet(dir)
+        holder.complete(d)
+      } catch {
+        case t: Throwable =>
+          memo.remove(key, holder) // let a later caller retry
+          holder.completeExceptionally(t)
+          throw t
+      }
+    }
+    spark.read.parquet(installed.join())
   }
 }

@@ -114,7 +114,11 @@ object Multimodal {
           if ((b(i) & 0xFF) != 0xFF) { done = true } // desynced — bail
           else {
             val marker = b(i + 1) & 0xFF
-            if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+            // ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+            // before a marker — consume one byte and re-read, rather than
+            // treating 0xFF as a length-prefixed segment (which desyncs)
+            if (marker == 0xFF) i += 1
+            else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
             else if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
               if (i + 9 < b.length)
                 out = Some(Header("jpeg", be16(b, i + 7), be16(b, i + 5),
@@ -148,8 +152,10 @@ object Multimodal {
    */
   def decodeHeaders(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
+    // null blobs are KEPT (all-null metadata row) — the scaladoc contract
+    // is "nulls for unrecognized blobs", and a pipeline joining back on
+    // media_id must not silently lose null-blob media
     val rdd = media.select("media_id", "blob")
-      .filter(col("blob").isNotNull)
       .rdd.mapPartitions { it =>
         it.map { r =>
           HeaderDecoder.parse(r.getAs[Array[Byte]]("blob")) match {

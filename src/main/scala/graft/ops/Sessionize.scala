@@ -112,7 +112,7 @@ object Sessionize {
                        gapMinutes: Int = 30): DataFrame = {
     val name = "stream_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.StreamingDemand.withStatePartitions(spark, 8) { child =>
+    graft.streaming.StreamingDemand.withStatePartitions(spark, 2) { child =>
       val stream = graft.streaming.StreamingDemand.eventsStream(child, dir)
       val q = sessionizeStream(stream, gapMinutes).toDF()
         .writeStream.outputMode("append").format("memory").queryName(name)

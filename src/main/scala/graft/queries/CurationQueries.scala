@@ -304,16 +304,23 @@ object CurationQueries {
    * per bucket the report carries doc count, token sum, and the
    * padding waste in ppm ((n·bucket − Σtokens)·10⁶ div (n·bucket)) —
    * the batching-efficiency number that decides whether sequence
-   * packing (q81) is worth running. Pure map-side CASE ladder + one
-   * aggregate; all integers. */
+   * packing (q81) is worth running. The bucket is the CLOSED-FORM next
+   * power of two (floored at 32): candidate 2^ceil(log2(n)) plus an
+   * integer self-correction CASE, so a float log2 landing a hair above
+   * an exact power can never mis-bucket — every doc fits its bucket
+   * for any length, and padding_waste_ppm is provably non-negative.
+   * Pure map-side arithmetic + one aggregate; all integers. */
   val q270LengthBuckets: Q = Q("q270_length_buckets",
     """WITH t AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok
                   FROM documents),
+       c AS (SELECT n_tok,
+               CAST(pow(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT) AS b0
+             FROM t),
        b AS (SELECT n_tok,
-               CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
-                    WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
-                    WHEN n_tok <= 512 THEN 512 ELSE 1024 END AS bucket
-             FROM t)
+               greatest(CAST(32 AS BIGINT),
+                 CASE WHEN b0 // 2 >= n_tok THEN b0 // 2
+                      WHEN b0 >= n_tok THEN b0 ELSE b0 * 2 END) AS bucket
+             FROM c)
        SELECT CAST(bucket AS BIGINT) AS bucket,
               CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
@@ -323,10 +330,12 @@ object CurationQueries {
     val n = TextAnalysis.tokenCount(col("text")).cast("long")
     table(s, d, "documents")
       .select(n.as("n_tok"))
-      .withColumn("bucket",
-        when(col("n_tok") <= 32, 32L).when(col("n_tok") <= 64, 64L)
-          .when(col("n_tok") <= 128, 128L).when(col("n_tok") <= 256, 256L)
-          .when(col("n_tok") <= 512, 512L).otherwise(1024L))
+      .withColumn("b0", expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(ceil(log2(greatest(n_tok, CAST(1 AS BIGINT)))) AS INT))"))
+      .withColumn("bucket", expr(
+        """greatest(CAST(32 AS BIGINT),
+           CASE WHEN b0 div 2 >= n_tok THEN b0 div 2
+                WHEN b0 >= n_tok THEN b0 ELSE b0 * 2 END)"""))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
       .select(col("bucket"), col("n_docs"), col("sum_tokens"),

@@ -35,10 +35,10 @@ object StreamingDemand {
    * touched, so a concurrent batch query in the same session can never
    * observe the temporary value (ConcurrencySpec pins a live
    * stream+batch pair). `body` receives the child session and must
-   * build its source, sink, and [[drain]] on it; the drained result —
-   * an RDD-backed localCheckpoint, and RDDs are context-level, not
-   * session-level — is re-based onto the caller's session on return so
-   * downstream composition never crosses sessions.
+   * build its source, sink, and [[drain]] on it; the drained result (a
+   * driver-local relation — see [[drain]]) is re-based onto the
+   * caller's session on return so downstream composition never crosses
+   * sessions.
    */
   private[graft] def withStatePartitions(spark: SparkSession, n: Int)
       (body: SparkSession => DataFrame): DataFrame = {
@@ -49,18 +49,48 @@ object StreamingDemand {
     Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
       .foreach(k => child.conf.set(k, spark.conf.get(k)))
     child.conf.set("spark.sql.shuffle.partitions", n.toString)
-    val out = body(child)
-    spark.createDataFrame(out.rdd, out.schema)
+    // Ephemeral checkpoints on the RAM-backed tmpfs when one exists:
+    // offset/commit WAL writes and state-store delta commits are pure
+    // fsync-ish fs I/O on scratch data that dies with the query —
+    // ~0.2-0.3s per run on a disk-backed /tmp (measured). A real
+    // deployment points this at durable storage; the finite-replay
+    // harness deletes it after the drain.
+    val ckptRoot = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite)
+        Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+      else None
+    }
+    ckptRoot.foreach(d =>
+      child.conf.set("spark.sql.streaming.checkpointLocation", d))
+    try {
+      val out = body(child)
+      spark.createDataFrame(out.rdd, out.schema)
+    } finally {
+      ckptRoot.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+    }
   }
 
   /** Materialize a finished memory-sink table and DROP its temp view:
     * the UUID-named views are never reused, so without the drop every
     * run*ToBatch call pins its full result in driver memory for the
-    * application's lifetime. The localCheckpoint keeps the data
-    * readable after the view is gone (and its blocks are GC-eligible
-    * with the returned frame, unlike the pinned sink). */
+    * application's lifetime. The memory sink's rows are ALREADY
+    * driver-resident (that is the sink's contract — it is a
+    * harness/debug sink, bounded by construction), so the copy-out is a
+    * driver-local collect into a LocalRelation rather than a
+    * localCheckpoint — the latter ran a full distributed job
+    * (~150 ms/query, measured) just to re-shard rows the driver holds.
+    * The rows become GC-eligible with the returned frame, unlike the
+    * pinned sink. */
   private[graft] def drain(spark: SparkSession, name: String): DataFrame = {
-    val out = spark.table(name).localCheckpoint()
+    val t = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
     spark.catalog.dropTempView(name)
     out
   }
@@ -114,7 +144,7 @@ object StreamingDemand {
                          dim: DataFrame, dimKey: String,
                          dimAttr: String): DataFrame = {
     val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       val stream = eventsStream(child, dir)
       // exact integer aggregates only: streaming rejects count(DISTINCT),
       // and a double sum would be micro-batch-order-dependent
@@ -147,7 +177,7 @@ object StreamingDemand {
   def runSlidingToBatch(spark: SparkSession, dir: String,
                         maxTs: Long): DataFrame = {
     val name = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .filter(col("ts") < timestamp_seconds(lit(maxTs)))
@@ -179,7 +209,7 @@ object StreamingDemand {
    */
   def runIntervalJoinToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       def side(evType: String, prefix: String) = eventsStream(child, dir)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
@@ -220,7 +250,7 @@ object StreamingDemand {
   def runLeftOuterIntervalJoinToBatch(spark: SparkSession, dir: String,
                                       cutoffSec: Long): DataFrame = {
     val name = "stream_louter_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       def side(evType: String, prefix: String) = eventsStream(child, dir)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
@@ -257,7 +287,7 @@ object StreamingDemand {
   def runSessionWindowToBatch(spark: SparkSession, dir: String,
                               gapMinutes: Int): DataFrame = {
     val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withWatermark("ts", "1 hour")
@@ -281,7 +311,7 @@ object StreamingDemand {
    */
   def runToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) { child =>
+    withStatePartitions(spark, 2) { child =>
       val q = hourlyCountsStream(child, dir)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
