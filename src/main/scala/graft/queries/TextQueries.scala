@@ -810,7 +810,7 @@ object TextQueries {
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
-    q265LshRecall, q272IvfCurve)
+    q265LshRecall, q272IvfCurve, q273IvfPqTopK)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -848,5 +848,49 @@ object TextQueries {
     Seq(("monotone_recall", monotone), ("recall8_floor", floor8),
       ("rows_complete", rowsOk))
       .toDF("chk", "ok").orderBy("chk")
+  }
+
+  /** IVF-PQ composed ANN ([[graft.sim.IvfPq]] — the production
+   * billion-vector index shape): one persisted index carries cell
+   * assignments, PQ codes, and unit vectors; the probe prunes to
+   * nProbe=16 of 64 cells, ADC-scores only in-cell candidates (m=16
+   * broadcast-LUT lookups each, zero per-row vector math), and exact
+   * cosine touches only the 100-row shortlist per query. Probe-only:
+   * file scans touch the index dir alone (pinned in SimilaritySpec).
+   * Gates: complete result sets; recall@5 vs brute force ≥ 0.60 — the
+   * q261 rerank floor at equal k, though this probe scans only ~25% of
+   * the corpus where q261's ADC scans 100% (measured 0.744–0.784 at
+   * sf0.1/sf0.01); reranked sims exactly equal the recomputed cosine;
+   * and composing cannot beat its own pruning ceiling — every hit is
+   * also an ADC-shortlist member by construction, so sims_exact +
+   * rows_complete pin the pipeline order. Deterministic training and
+   * tiebreaks make the verdicts stable. */
+  lazy val q273IvfPqTopK: Q = Q("q273_ivfpq_topk",
+    """SELECT * FROM (VALUES
+         ('recall_floor', TRUE), ('rows_complete', TRUE),
+         ('sims_exact', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val dir = graft.sim.IvfPq.persistedIndex(s, d)
+    val pr = graft.sim.IvfPq.probeIndex(q, dir, k = k, nProbe = 16,
+      shortlist = 100).localCheckpoint()
+    val bf = Similarity.bruteForceTopK(q, emb, k = k)
+    val rowsOk = pr.groupBy("qid").agg(count(lit(1)).as("k"))
+      .agg((count(lit(1)) === 50 && min("k") === k && max("k") === k).as("ok"))
+      .select(lit("rows_complete").as("chk"), col("ok"))
+    val recallOk = pr.select("qid", "nid").intersect(bf.select("qid", "nid"))
+      .agg((count(lit(1)).cast("double") / lit(50 * k) >= 0.60).as("ok"))
+      .select(lit("recall_floor").as("chk"), col("ok"))
+    val u = Similarity.withUnitVec(emb, "embedding", "u")
+      .select(col("vec_id"), col("u"))
+    val simsOk = pr
+      .join(u.select(col("vec_id").as("qid"), col("u").as("qu")), Seq("qid"))
+      .join(u.select(col("vec_id").as("nid"), col("u").as("nu")), Seq("nid"))
+      .select((col("sim") === round(Similarity.dot(col("qu"), col("nu")), 4)).as("eq"))
+      .agg(bool_and(col("eq")).as("ok"))
+      .select(lit("sims_exact").as("chk"), col("ok"))
+    recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
   }
 }

@@ -107,7 +107,7 @@ object Ivf {
   }
 
   /** Nearest-`n` centroid indices of a vector column (native kernel). */
-  private def nearestK(vec: Column, centers: Array[Array[Double]], n: Int): Column =
+  private[sim] def nearestK(vec: Column, centers: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec), centers, n))
 
   /** Build the index: learn `nClusters` centroids from a deterministic

@@ -120,7 +120,7 @@ object Pq {
 
   /** ADC score column: Σ_j lut[j][codes[j]] — m integer-indexed lookups
     * per row, no vector arithmetic. */
-  private def adcScore(m: Int): Column =
+  private[sim] def adcScore(m: Int): Column =
     (0 until m).map { j =>
       element_at(element_at(col("lut"), j + 1),
         element_at(col("codes"), j + 1) + 1)

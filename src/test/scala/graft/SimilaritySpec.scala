@@ -110,4 +110,33 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(probe.except(fresh).isEmpty && fresh.except(probe).isEmpty,
       "probe-only results diverge from a fresh build")
   }
+
+  test("IVF-PQ probeIndex: plan reads ONLY the persisted composed index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings").localCheckpoint()
+    val q = emb.filter($"vec_id" < 10)
+    val dir = graft.sim.IvfPq.persistedIndex(spark, sf001,
+      nClusters = 16, m = 16, ksub = 16)
+    val probe = graft.sim.IvfPq.probeIndex(q, dir, k = 3, nProbe = 4,
+      shortlist = 20)
+    // index-reuse pin: every file scan in the probe plan is under the
+    // index dir — zero embeddings scans, zero training jobs at probe time
+    val paths = probe.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(paths.nonEmpty, "probe plan has no index scans at all")
+    paths.foreach(p => assert(p.contains(dir), s"probe scans non-index file: $p"))
+    // result-shape + exactness: k rows per query, sims equal recomputed
+    // cosine (the shortlist re-rank is EXACT math, ADC only prunes)
+    val rows = probe.collect()
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    val unit = Similarity.withUnitVec(emb, "embedding", "u")
+      .select($"vec_id", $"u").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { r =>
+      val (qid, nid, sim) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val exact = math.rint(unit(qid).zip(unit(nid)).map { case (a, b) => a * b }.sum * 1e4) / 1e4
+      assert(sim == exact, s"sim for ($qid,$nid) not exact: $sim vs $exact")
+    }
+  }
 }
