@@ -344,8 +344,89 @@ object CurationQueries {
       .orderBy("bucket")
   }
 
+  /** LEARNED quality classifier beside the heuristics
+   * ([[graft.ml.QualityLr]]): logistic regression over the engine's own
+   * SQL-replayable text features, trained driver-side on a bounded
+   * deterministic hash sample of planted fixtures — label 1 = the real
+   * document, label 0 = a degraded twin (lowercased, vowels and
+   * sentence punctuation stripped: shorter, punctuation-free,
+   * stopword-free), ids interleaved 2·doc_id / 2·doc_id+1 so the
+   * id-ordered collect is stable. Scoring is map-side: the fitted
+   * weights return as LITERALS in a sigmoid Column (codegen'd — no
+   * UDF, no model broadcast), which is how the filter runs over 100 TB.
+   * Gates: bit-identical refit (full-batch GD, no RNG), train-sample
+   * AUC ≥ 0.9 (measured 0.996), per-row formula replay on the sample —
+   * the linear term b + w·x bit-exact (same fold order, same IEEE
+   * add/multiply ops), the sigmoid within 4 ulp (HotSpot's Math.exp intrinsic
+   * may round differently in codegen'd task code than on the driver) —
+   * corpus-wide scores in (0,1), and class separation ≥ 0.2 on the
+   * FULL labeled corpus through the map-side expression. */
+  val q274QualityLr: Q = Q("q274_quality_lr",
+    """SELECT * FROM (VALUES
+         ('auc_floor', TRUE), ('deterministic', TRUE),
+         ('formula_exact', TRUE), ('scores_in_range', TRUE),
+         ('separation', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.ml.QualityLr
+    val docs = table(s, d, "documents")
+    val neg = regexp_replace(lower(col("text")), "[aeiou.,;:!?]", "")
+    val labeled = docs.select((col("doc_id") * 2).as("id"),
+        col("text"), lit(1.0).as("label"))
+      .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+        neg.as("text"), lit(0.0).as("label")))
+      .localCheckpoint() // sample collect + 2 corpus-wide gates read it
+    // bounded deterministic hash sample (the Ivf trainSample contract)
+    val total = labeled.count()
+    val cap = 8192L
+    val bp = if (total <= cap) 10000L else math.max(1L, cap * 10000L / total)
+    val sampleDf = labeled
+      .filter(Curation.samplingKey(col("id")) < lit(bp))
+      .select(col("id"), col("label"), col("text"),
+        array(QualityLr.features(col("text")): _*).as("x"))
+      .orderBy("id")
+    def collectXY() = {
+      val rows = sampleDf.collect()
+      (rows.map(_.getSeq[Double](3).toArray), rows.map(_.getDouble(1)))
+    }
+    val (xs, ys) = collectXY()
+    val m1 = QualityLr.fit(xs, ys)
+    val (xs2, ys2) = collectXY()
+    val m2 = QualityLr.fit(xs2, ys2)
+    val deterministic = m1.bias == m2.bias && m1.w.sameElements(m2.w)
+    val aucOk = QualityLr.auc(xs.map(m1.score), ys) >= 0.9
+    // Column score vs driver arithmetic, row by row on the sample. The
+    // LINEAR part (b + w·x: only +/*, same fold order) must match bit
+    // for bit; the sigmoid gets a 4-ulp envelope because HotSpot's
+    // Math.exp INTRINSIC may round 1 ulp differently in codegen'd task
+    // code than in driver bytecode (measured: ≤1 ulp on 37/1000 rows).
+    val zCol = QualityLr.features(col("text")).zip(m1.w.toIndexedSeq)
+      .map { case (f, wj) => f * lit(wj) }
+      .foldLeft(lit(m1.bias): org.apache.spark.sql.Column)(_ + _)
+    val pairs = sampleDf
+      .withColumn("z", zCol).withColumn("sc", m1.scoreCol(col("text")))
+      .select("z", "sc").collect()
+    val formulaExact = pairs.zip(xs).forall { case (r, x) =>
+      var z = m1.bias; var j = 0
+      while (j < x.length) { z += m1.w(j) * x(j); j += 1 }
+      val sc = 1.0 / (1.0 + math.exp(-z))
+      r.getDouble(0) == z && math.abs(r.getDouble(1) - sc) <= 4 * math.ulp(sc)
+    }
+    val gates = labeled.withColumn("sc", m1.scoreCol(col("text")))
+      .agg(
+        bool_and(col("sc") > 0.0 && col("sc") < 1.0).as("in_range"),
+        (avg(when(col("label") === 1.0, col("sc"))) -
+          avg(when(col("label") === 0.0, col("sc"))) >= 0.2).as("sep"))
+      .collect()(0)
+    import s.implicits._
+    Seq(("auc_floor", aucOk), ("deterministic", deterministic),
+      ("formula_exact", formulaExact),
+      ("scores_in_range", gates.getBoolean(0)),
+      ("separation", gates.getBoolean(1)))
+      .toDF("chk", "ok").orderBy("chk")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
-    q270LengthBuckets)
+    q270LengthBuckets, q274QualityLr)
 }

@@ -67,6 +67,22 @@ class MlSpec extends AnyFunSuite {
     assert(math.abs(predict(Array(1.0, 2.0)) - 7.0) < 1.0)
   }
 
+  test("QualityLr: deterministic fit, separable toy AUC 1.0, midrank ties") {
+    import graft.ml.QualityLr
+    // linearly separable on feature 0
+    val xs = (0 until 40).map(i =>
+      Array(if (i < 20) 0.9 else 0.1, 0.5)).toArray
+    val y = (0 until 40).map(i => if (i < 20) 1.0 else 0.0).toArray
+    val m1 = QualityLr.fit(xs, y)
+    val m2 = QualityLr.fit(xs, y)
+    assert(m1.bias == m2.bias && m1.w.sameElements(m2.w))
+    assert(QualityLr.auc(xs.map(m1.score), y) == 1.0)
+    assert(m1.score(Array(0.9, 0.5)) > m1.score(Array(0.1, 0.5)))
+    // all-tied scores: midrank AUC must be exactly 0.5, not 0 or 1
+    assert(QualityLr.auc(Array(0.5, 0.5, 0.5, 0.5),
+      Array(1.0, 0.0, 1.0, 0.0)) == 0.5)
+  }
+
   test("fitGbt interpolates between train extremes (shrinkage sanity)") {
     val xs = (0 until 60).map(i => Array(i.toDouble, (i % 7).toDouble)).toArray
     val y = xs.map(x => 3.0 * x(1) + 2.0)
