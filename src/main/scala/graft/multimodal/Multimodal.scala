@@ -237,6 +237,102 @@ object Multimodal {
       length(blob).cast("long").as("n_bytes"))
   }
 
+  // ---------------------------------------------------- perceptual hash
+
+  /**
+   * dHash (difference hash) over the decoded luminance grid — the
+   * perceptual near-dup fingerprint for the image column, the
+   * multimodal analogue of SimHash on text: a 9×7 luminance grid
+   * sampled from the blob, one bit per horizontal gradient
+   * (lum(x+1,y) > lum(x,y)), 56 bits total. Small local edits move few
+   * grid samples, so near-identical images land within a small Hamming
+   * radius; [[phashCandidates]] then blocks on 4 14-bit chunks (the
+   * SimHash pigeonhole — complete for dist ≤ 3) and equi-joins, never
+   * all-pairs.
+   *
+   * The GRID SAMPLER stands behind the stub-decoder boundary: a real
+   * build replaces "sample bytes at 63 spread offsets" with
+   * "decode pixels, grayscale, area-average to 9×7" — the hash/bucket
+   * plumbing downstream is unchanged. Sampling is pure byte arithmetic
+   * (cell c of a n-byte blob reads offset c·(n−1) div 62), so an oracle
+   * can replay every bit from the same bytes.
+   */
+  def dHash56(blob: Array[Byte]): Long = {
+    val n = blob.length
+    if (n == 0) return 0L
+    var h = 0L
+    var k = 0
+    while (k < 56) {
+      val y = k / 8; val x = k % 8
+      val c1 = y * 9 + x
+      val l1 = blob((c1.toLong * (n - 1) / 62).toInt) & 0xFF
+      val l2 = blob(((c1 + 1).toLong * (n - 1) / 62).toInt) & 0xFF
+      if (l2 > l1) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Output schema of [[withDhash]]. */
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = true)))
+
+  /** Fingerprint stage: the per-partition batch decode pattern of
+    * [[decodeFeatures]], emitting (media_id, dhash) — null for null
+    * blobs (the [[decodeHeaders]] keep-the-row contract). */
+  def withDhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "blob")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val b = r.getAs[Array[Byte]]("blob")
+          if (b == null) Row(r.getLong(0), null)
+          else Row(r.getLong(0), dHash56(b))
+        }
+      }
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /**
+   * Perceptual near-dup pairs: block on 4 14-bit chunks of the 56-bit
+   * dHash (two hashes within Hamming distance ≤ 3 must agree on ≥ 1
+   * chunk — pigeonhole, the [[graft.dedup.Dedup.simhashCandidates]]
+   * machinery), equi-join on (chunk index, value), verify
+   * bit_count(xor) ≤ maxDist. Recall is complete for maxDist ≤ 3.
+   */
+  def phashCandidates(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"phashCandidates pigeonhole (4 chunks) is complete only for " +
+        s"maxDist in [0,3]; got $maxDist")
+    val fp = hashed.filter(col("dhash").isNotNull)
+    val chunked = fp.select(col("media_id"), col("dhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("dhash"), c * 14).bitwiseAND(0x3FFF)): _*)).as(Seq("ci", "cv")))
+    val a = chunked.select(col("media_id").as("i"), col("dhash").as("ha"),
+      col("ci"), col("cv"))
+    val b = chunked.select(col("media_id").as("j"), col("dhash").as("hb"),
+      col("ci"), col("cv"))
+    a.join(b, Seq("ci", "cv")).filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ha"), col("hb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** SQL replay of [[dHash56]] for an ASCII text column `txt` (chars =
+    * bytes, so DuckDB's character `ascii(substring(...))` reads the
+    * exact blob byte): Σ_k (lum(c+1) > lum(c)) << k over the same
+    * integer-division offsets. */
+  def dhashSql(txt: String): String = {
+    def lum(cell: Int) =
+      s"ascii(substring($txt, CAST($cell * (length($txt) - 1) // 62 AS BIGINT) + 1, 1))"
+    (0 until 56).map { k =>
+      val c1 = (k / 8) * 9 + (k % 8)
+      s"(CASE WHEN ${lum(c1 + 1)} > ${lum(c1)} THEN 1::BIGINT << $k ELSE 0 END)"
+    }.mkString("(", " +\n ", ")")
+  }
+
   /** "Resize" planner: target dims as pure column arithmetic over decoded
    * metadata (the byte-level resample lives behind the stub boundary). */
   def planResize(decoded: DataFrame, maxSide: Int): DataFrame = {

@@ -810,7 +810,7 @@ object TextQueries {
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
-    q265LshRecall, q272IvfCurve, q273IvfPqTopK)
+    q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -892,5 +892,57 @@ object TextQueries {
       .agg(bool_and(col("eq")).as("ok"))
       .select(lit("sims_exact").as("chk"), col("ok"))
     recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
+  }
+
+  /** Perceptual-hash image near-dup ([[graft.multimodal.Multimodal
+   * .dHash56]]): the multimodal analogue of SimHash text dedup — every
+   * eligible document plants a TWIN image blob (one byte edited at an
+   * offset the 9×7 luminance grid never samples, so the planted pair
+   * sits at Hamming distance 0), the per-partition decode stage
+   * fingerprints every blob, and candidates block on 4 14-bit chunks
+   * (pigeonhole: complete for dist ≤ 3) before the bit_count verify.
+   * EXACT oracle, not verdicts: fixtures are pure-ASCII text blobs, so
+   * DuckDB replays every grid byte via ascii(substring(...)) at the
+   * same integer-division offsets, rebuilds all 56 bits per blob, and
+   * brute-forces the pair truth (the deliberately-quadratic q208
+   * pattern) — output must match pair for pair, fingerprint for
+   * fingerprint. Every planted doc appears through its twin pair, so
+   * the hash check covers every fingerprint bit-for-bit. */
+  lazy val q275PhashPairs: Q = Q("q275_phash_pairs",
+    s"""WITH el AS (SELECT doc_id, text FROM documents
+                    WHERE length(text) = octet_length(encode(text))
+                      AND octet_length(encode(text)) >= 160),
+       m AS (SELECT doc_id * 2 AS media_id, text AS txt FROM el
+             UNION ALL
+             SELECT doc_id * 2 + 1,
+                    concat(substring(text, 1, 1), '#', substring(text, 3))
+             FROM el),
+       h AS MATERIALIZED (SELECT media_id,
+              ${graft.multimodal.Multimodal.dhashSql("txt")} AS dhash
+            FROM m)
+       SELECT a.media_id AS i, b.media_id AS j,
+              a.dhash AS ha, b.dhash AS hb,
+              CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS dist
+       FROM h a JOIN h b ON a.media_id < b.media_id
+       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       ORDER BY i, j""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val el = table(s, d, "documents")
+      .filter(length(col("text")) === octet_length(col("text")) &&
+        octet_length(col("text")) >= 160)
+    // byte 1 is never a sampled grid offset for blobs ≥ 126 bytes
+    // (cell c reads offset c·(n−1) div 62; c=1 ⇒ ≥2 when n ≥ 126), so
+    // the twin's fingerprint is identical by construction
+    val twin = concat(substring(col("text"), 1, 1), lit("#"),
+      substring(col("text"), 3, Int.MaxValue))
+    val media = el.select((col("doc_id") * 2).as("media_id"),
+        encode(col("text"), "utf-8").as("blob"))
+      .unionAll(el.select((col("doc_id") * 2 + 1).as("media_id"),
+        encode(twin, "utf-8").as("blob")))
+    val hashed = Multimodal.withDhash(media)
+      .localCheckpoint() // both sides of the chunk self-join read it
+    Multimodal.phashCandidates(hashed, maxDist = 3)
+      .select(col("i"), col("j"), col("ha"), col("hb"), col("dist"))
+      .orderBy("i", "j")
   }
 }

@@ -157,6 +157,40 @@ class DedupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dHash56: off-grid edit invariant, on-grid edits move few bits, " +
+    "chunk join matches brute force") {
+    import graft.multimodal.Multimodal
+    val rng = new scala.util.Random(7)
+    val blobs = (0L until 40L).map { i =>
+      i -> Array.fill(200 + rng.nextInt(100))((rng.nextInt(256) - 128).toByte)
+    }
+    // twin: flip byte 1 — never a sampled offset for n >= 126
+    val twins = blobs.map { case (i, b) =>
+      val t = b.clone(); t(1) = (t(1) ^ 0x55).toByte; (i + 1000L, t)
+    }
+    blobs.zip(twins).foreach { case ((_, b), (_, t)) =>
+      assert(Multimodal.dHash56(b) == Multimodal.dHash56(t),
+        "off-grid edit changed the fingerprint")
+    }
+    // brute truth vs chunk join on the union
+    val all = (blobs ++ twins).toDF("media_id", "blob")
+    val hashed = Multimodal.withDhash(all).localCheckpoint()
+    val got = Multimodal.phashCandidates(hashed, maxDist = 3)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(got == want, s"chunk join diverges from brute force: " +
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.size >= 40, "planted twins must all pair")
+    // null blobs keep flowing as null fingerprints, never pair
+    val withNull = Seq((9999L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "blob")
+    val nh = Multimodal.withDhash(withNull).collect()
+    assert(nh.length == 1 && nh(0).isNullAt(1))
+  }
+
   test("shingles: distinct 3-gram count") {
     val n = spark.range(1).select(size(Dedup.shingles(lit("a b c d e"))).as("n"))
       .collect()(0).getInt(0)
