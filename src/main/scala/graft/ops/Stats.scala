@@ -76,6 +76,15 @@ object Stats {
    * the (value, tiebreak) total order. The feature-scaling step that
    * makes heterogenous columns comparable; one window shuffle. Adds
    * `q_ppm`.
+   *
+   * SKEW CAVEAT (the [[acf]]/[[skewReport]] doc convention): the
+   * per-group rank window is intrinsic to the operator's semantics —
+   * every row needs its exact rank — so a single giant group serializes
+   * its sort on one partition. Size groups accordingly (feature/metric
+   * groups, not an id-free global normalize); for a rank-free
+   * approximation at unbounded group sizes, map values through the
+   * mergeable bottom-k quantile sketch ([[graft.sketch.Sketches]],
+   * q257/q258) instead.
    */
   def quantileNormalize(df: DataFrame, groupCols: Seq[String],
                         value: Column, tiebreak: Column): DataFrame = {
@@ -105,6 +114,43 @@ object Stats {
    * cum_keys ≥ r, identical to the row_number pick, per-key sort
    * nowhere in the plan.
    */
+  /**
+   * PACF via Durbin–Levinson from ACF values `r(0)=ρ₁ .. r(p-1)=ρ_p`
+   * (Box–Jenkins order identification: PACF(k) is the lag-k AR
+   * coefficient with lags 1..k-1 partialled out; an AR(p) series cuts
+   * off after lag p). Driver-side over the BOUNDED lag table — the
+   * recursion is O(p²) on ≤ a handful of lags, never a corpus pass.
+   * Arithmetic is strictly left-associated (num −= φ·ρ one term at a
+   * time, v ← v·(1−φ²)) so an unrolled SQL replay with the same
+   * association is bit-identical. A null ρ (empty series) or a zero
+   * innovation variance (|ρ|=1 degenerate series) nulls that lag and
+   * every later one, matching SQL null propagation through nullif.
+   */
+  def pacfFromAcf(r: Array[Option[Double]]): Array[Option[Double]] = {
+    val p = r.length
+    val a = Array.ofDim[Double](p + 1, p + 1)
+    val out = Array.fill[Option[Double]](p)(None)
+    var v = 1.0
+    var dead = false
+    var k = 1
+    while (k <= p && !dead) {
+      if (r(k - 1).isEmpty || v == 0.0) dead = true
+      else {
+        var num = r(k - 1).get
+        var j = 1
+        while (j < k) { num -= a(k - 1)(j) * r(k - 1 - j).get; j += 1 }
+        val akk = num / v
+        a(k)(k) = akk
+        j = 1
+        while (j < k) { a(k)(j) = a(k - 1)(j) - akk * a(k - 1)(k - j); j += 1 }
+        v = v * (1.0 - akk * akk)
+        out(k - 1) = Some(akk)
+      }
+      k += 1
+    }
+    out
+  }
+
   def skewReport(df: DataFrame, key: Column, dim: String): DataFrame = {
     val counts = df.select(key.cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("c"))

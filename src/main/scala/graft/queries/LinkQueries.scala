@@ -241,6 +241,81 @@ object LinkQueries {
     }
   }
 
+  /** PACF via Durbin–Levinson (q211's companion — Box–Jenkins order
+   * identification needs BOTH: ACF tails off / PACF cuts off for AR(p)).
+   * The recursion runs DRIVER-SIDE on the bounded lag table (4 rows —
+   * never a corpus pass; the corpus work is q211's one-pass exact
+   * integer ACF), with strictly left-associated arithmetic so the
+   * oracle's unrolled staged-CTE replay (same association, same IEEE
+   * ops on the same exact num/den ratios) reproduces every double BIT
+   * FOR BIT — hash-checked, not banded. Degenerate series null out via
+   * the same propagation on both sides (nullif innovation variance). */
+  val q277Pacf: Q = Q("q277_pacf",
+    """WITH dc AS (SELECT CAST(ts AS DATE) AS dd, count(*) AS x
+                   FROM events WHERE ts IS NOT NULL GROUP BY 1),
+       bounds AS (SELECT min(dd) AS d0, max(dd) AS d1 FROM dc),
+       spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS dd
+                 FROM bounds),
+       daily AS (SELECT s.dd, coalesce(dc.x, 0) AS x
+                 FROM spine s LEFT JOIN dc USING (dd)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx FROM daily),
+       cen AS (SELECT dd, n * x - sx AS c FROM daily, tot),
+       led AS (SELECT c,
+                 lead(c, 1) OVER win AS c1, lead(c, 2) OVER win AS c2,
+                 lead(c, 3) OVER win AS c3, lead(c, 4) OVER win AS c4
+               FROM cen WINDOW win AS (ORDER BY dd)),
+       agg AS (SELECT CAST(sum(c * c) AS BIGINT) AS den,
+                 CAST(sum(c * c1) AS BIGINT) AS n1, CAST(sum(c * c2) AS BIGINT) AS n2,
+                 CAST(sum(c * c3) AS BIGINT) AS n3, CAST(sum(c * c4) AS BIGINT) AS n4
+               FROM led),
+       rr AS (SELECT CAST(n1 AS DOUBLE) / nullif(den, 0) AS r1,
+                     CAST(n2 AS DOUBLE) / nullif(den, 0) AS r2,
+                     CAST(n3 AS DOUBLE) / nullif(den, 0) AS r3,
+                     CAST(n4 AS DOUBLE) / nullif(den, 0) AS r4 FROM agg),
+       dl1 AS (SELECT r1, r2, r3, r4, r1 AS a11 FROM rr),
+       dl1b AS (SELECT *, (1.0 - a11 * a11) AS v1 FROM dl1),
+       dl2 AS (SELECT *, (r2 - a11 * r1) / nullif(v1, 0) AS a22 FROM dl1b),
+       dl2b AS (SELECT *, a11 - a22 * a11 AS a21,
+                          v1 * (1.0 - a22 * a22) AS v2 FROM dl2),
+       dl3 AS (SELECT *, ((r3 - a21 * r2) - a22 * r1) / nullif(v2, 0) AS a33 FROM dl2b),
+       dl3b AS (SELECT *, a21 - a33 * a22 AS a31, a22 - a33 * a21 AS a32,
+                          v2 * (1.0 - a33 * a33) AS v3 FROM dl3),
+       dl4 AS (SELECT *, (((r4 - a31 * r3) - a32 * r2) - a33 * r1) / nullif(v3, 0) AS a44
+               FROM dl3b)
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS lag, r1 AS acf, a11 AS pacf FROM dl4
+         UNION ALL SELECT 2, r2, a22 FROM dl4
+         UNION ALL SELECT 3, r3, a33 FROM dl4
+         UNION ALL SELECT 4, r4, a44 FROM dl4)
+       ORDER BY lag""") { (s, d) =>
+    import graft.ops.Relational
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("lag", LongType, nullable = false),
+      StructField("acf", DoubleType, nullable = true),
+      StructField("pacf", DoubleType, nullable = true)))
+    def toRows(r: Array[Option[Double]], p: Array[Option[Double]]) =
+      s.createDataFrame(
+        java.util.Arrays.asList((1 to 4).map(k => org.apache.spark.sql.Row(
+          k.toLong, r(k - 1).map(Double.box).orNull,
+          p(k - 1).map(Double.box).orNull)): _*), outSchema)
+    val daily0 = table(s, d, "events").filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("dd")).agg(count(lit(1)).as("x"))
+      .localCheckpoint() // bounds scalar + dense join reuse it
+    val b = daily0.agg(date_format(min("dd"), "yyyy-MM-dd").as("lo"),
+      date_format(max("dd"), "yyyy-MM-dd").as("hi")).head()
+    if (b.isNullAt(0)) toRows(Array.fill(4)(None), Array.fill(4)(None))
+    else {
+      val spine = Relational.dateSpine(s, b.getString(0), b.getString(1), "dd")
+      val daily = Relational.spineJoin(spine, daily0, Seq("dd"), Seq("x"))
+      val r = graft.ops.Stats.acf(daily, col("dd"), col("x"), maxLag = 4)
+        .orderBy("lag").collect() // bounded: exactly 4 lag rows
+        .map(rw => if (rw.isNullAt(3)) None else Some(rw.getDouble(3)))
+      toRows(r, graft.ops.Stats.pacfFromAcf(r))
+    }
+  }
+
   // ------------------------------------------------ item-item recommender
 
   /** Item-item co-occurrence recommendations: for every part, the top-3
@@ -745,5 +820,5 @@ object LinkQueries {
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
     q225WeightedJaccard, q227Assortativity, q228AttackTolerance,
-    q232KTruss, q268Modularity)
+    q232KTruss, q268Modularity, q277Pacf)
 }

@@ -576,8 +576,87 @@ object SketchQueries {
       .orderBy("h", "v")
   }
 
+  /** GROUPED sketch-merge reporting: monthly p50/p90 of events.value
+   * from the PERSISTED per-day bottom-k sketches — the reporting-query
+   * consumer the daily sketch table exists for. Each month's estimate
+   * merges only its days' sketches (bottom-k of a union of bottom-k's
+   * IS the bottom-k of the union — the KMV closure property — so the
+   * merged sample is a uniform hash sample of the month); the raw
+   * events scan appears ONLY on the certification side, exactly like
+   * q257/q258. Estimates are hash-checked picked ranks; the verdicts
+   * assert each estimate's true rank within ±8%·n (DKW at k=1024,
+   * deterministic draw → stable). */
+  val q276QsketchMonthly: Q = Q("q276_qsketch_monthly",
+    s"""WITH e AS (SELECT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS day, event_id, value,
+             ${md5sql.format("event_id")} AS h
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+       kp AS (SELECT month, h, value AS v,
+               row_number() OVER (PARTITION BY day ORDER BY h, value) AS kr
+             FROM e),
+       g AS (SELECT month, v, h,
+               row_number() OVER (PARTITION BY month ORDER BY h, v) AS gr
+             FROM kp WHERE kr <= $QK),
+       smp AS (SELECT month, v,
+                row_number() OVER (PARTITION BY month ORDER BY v, h) AS vr,
+                count(*) OVER (PARTITION BY month) AS m
+              FROM g WHERE gr <= $QK),
+       tot AS (SELECT month, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY month),
+       est AS (SELECT month, max(m) AS m,
+               max(CASE WHEN vr = CAST(floor(0.5*(m-1)) AS BIGINT)+1 THEN v END) AS est50,
+               max(CASE WHEN vr = CAST(floor(0.9*(m-1)) AS BIGINT)+1 THEN v END) AS est90
+             FROM smp GROUP BY month),
+       cnt AS (SELECT e.month,
+               count(CASE WHEN e.value < est50 THEN 1 END) AS lt50,
+               count(CASE WHEN e.value <= est50 THEN 1 END) AS le50,
+               count(CASE WHEN e.value < est90 THEN 1 END) AS lt90,
+               count(CASE WHEN e.value <= est90 THEN 1 END) AS le90
+             FROM e JOIN est ON e.month = est.month
+             GROUP BY e.month, est50, est90)
+       SELECT t.month, n, m, est50, est90,
+              CAST(lt50 AS DOUBLE) <= 0.58 * n AND CAST(le50 AS DOUBLE) >= 0.42 * n AS ok50,
+              CAST(lt90 AS DOUBLE) <= 0.98 * n AND CAST(le90 AS DOUBLE) >= 0.82 * n AS ok90
+       FROM tot t JOIN est ON t.month = est.month JOIN cnt ON t.month = cnt.month
+       ORDER BY t.month""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val skt = quantileSketchTable(s, d)
+      .withColumn("month", substring(col("day"), 1, 7))
+    val nTab = skt.groupBy("month").agg(sum("n").cast("long").as("n"))
+    val sm = skt.select(col("month"), explode(col("sk")).as("e"))
+      .select(col("month"), col("e.h").as("h"), col("e.v").as("v"))
+    val wG = Window.partitionBy("month").orderBy(col("h"), col("v"))
+    val wV = Window.partitionBy("month").orderBy(col("v"), col("h"))
+    val smp = sm.withColumn("gr", row_number().over(wG))
+      .filter(col("gr") <= QK)
+      .withColumn("vr", row_number().over(wV))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("month")))
+    def pick(q: Double, name: String) =
+      max(when(col("vr") ===
+        floor(lit(q) * (col("m") - 1)).cast("long") + 1, col("v"))).as(name)
+    val est = smp.groupBy("month")
+      .agg(max("m").as("m"), pick(0.5, "est50"), pick(0.9, "est90"))
+      .join(nTab, "month")
+      .localCheckpoint() // merge-only estimate done; the truth scan reads it
+    table(s, d, "events")
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM").as("month"), col("value"))
+      .join(broadcast(est), "month")
+      .groupBy("month", "n", "m", "est50", "est90")
+      .agg(count(when(col("value") < col("est50"), 1)).as("lt50"),
+        count(when(col("value") <= col("est50"), 1)).as("le50"),
+        count(when(col("value") < col("est90"), 1)).as("lt90"),
+        count(when(col("value") <= col("est90"), 1)).as("le90"))
+      .select(col("month"), col("n"), col("m"), col("est50"), col("est90"),
+        (col("lt50").cast("double") <= lit(0.58) * col("n") &&
+          col("le50").cast("double") >= lit(0.42) * col("n")).as("ok50"),
+        (col("lt90").cast("double") <= lit(0.98) * col("n") &&
+          col("le90").cast("double") >= lit(0.82) * col("n")).as("ok90"))
+      .orderBy("month")
+  }
+
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
     q166FirSmoother, q181BfsHops, q198StreamKmv,
-    q257QuantileSketchDaily, q258QuantileSketchMerge, q263StreamQsketch)
+    q257QuantileSketchDaily, q258QuantileSketchMerge, q263StreamQsketch,
+    q276QsketchMonthly)
 }

@@ -162,4 +162,18 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(c.forall(_.isNullAt(3)))
   }
+
+  test("pacfFromAcf: AR(1) geometric acf cuts off after lag 1; degenerate nulls") {
+    // AR(1), rho = 0.5: acf r_k = 0.5^k, pacf = (0.5, 0, 0, 0)
+    val r = Array(0.5, 0.25, 0.125, 0.0625).map(Option(_))
+    val p = Stats.pacfFromAcf(r)
+    assert(p(0).contains(0.5))
+    assert(p.drop(1).forall(_.contains(0.0)))
+    // |rho|=1: innovation variance hits 0 after lag 1 → later lags null
+    val deg = Stats.pacfFromAcf(Array(Some(1.0), Some(1.0), Some(1.0)))
+    assert(deg(0).contains(1.0) && deg(1).isEmpty && deg(2).isEmpty)
+    // null acf (empty series) nulls everything from that lag on
+    val withNull = Stats.pacfFromAcf(Array(Some(0.3), None, Some(0.1)))
+    assert(withNull(0).contains(0.3) && withNull(1).isEmpty && withNull(2).isEmpty)
+  }
 }
