@@ -61,8 +61,19 @@ object ScaleData {
     Seq("region", "nation").foreach { t =>
       writeSingle(spark.read.parquet(s"$src/$t.parquet"), s"$out/$t.parquet")
     }
-    replicate("customer")((df, r) => df.select(off("c_custkey", r),
-      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+    // c_name feeds the blocked fuzzy match (q117): verbatim replicas
+    // would plant 10-cliques of edit-distance-0 names, inflating every
+    // block quadratically (measured ×89 before this fix). Replica r > 0
+    // swaps the first 4 chars for 4 copies of a replica letter — edit
+    // distance ≥ 4 across replicas (outside the query's ≤3 radius),
+    // length and digit structure untouched within a replica.
+    replicate("customer") { (df, r) =>
+      val nm = if (r == 0) col("c_name")
+        else concat(lit(('A' + r).toChar.toString * 4),
+          substring(col("c_name"), 5, Int.MaxValue))
+      df.select(off("c_custkey", r), nm.as("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    }
     replicate("supplier")((df, r) => df.select(off("s_suppkey", r),
       col("s_name"), col("s_nationkey"), col("s_acctbal")))
     replicate("part")((df, r) => df.select(off("p_partkey", r),

@@ -316,15 +316,20 @@ object TextQueries {
   }.mkString(" + ")
 
   /** SQL replay of Similarity.bandBucket: bit i of band b's bucket comes
-   * from hyperplane b*rowsPerBand+i (same md5-derived signs as q41). */
-  private def bandBucketTerms(band: Int, rowsPerBand: Int): String =
+   * from hyperplane b*stride+i (same md5-derived signs as q41). The
+   * stride defaults to rowsPerBand; q59 passes stride 16 so the plane
+   * layout stays fixed while the effective width adapts via masking. */
+  private def bandBucketTerms(band: Int, rowsPerBand: Int,
+                              planeStride: Int = -1): String = {
+    val stride = if (planeStride > 0) planeStride else rowsPerBand
     (0 until rowsPerBand).map { i =>
-      val p = band * rowsPerBand + i
+      val p = band * stride + i
       s"""(CASE WHEN list_sum(list_transform(range(1, 65),
            k -> e[k] * (CASE WHEN ('0x'||substr(md5('${p}_'||CAST(k-1 AS VARCHAR)),1,1))::INT % 2 = 0
                         THEN 1.0 ELSE -1.0 END))) >= 0
            THEN ${1L << i} ELSE 0 END)"""
     }.mkString(" + ")
+  }
 
   val q41LshBuckets: Q = {
     Q("q41_lsh_buckets",
@@ -561,15 +566,31 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  /** Embedding near-dup at scale (the banded-LSH path of q40): 4 bands ×
-   * 4 hyperplane signs, candidate when ANY band's buckets collide, then
-   * one exact cosine per deduped candidate. The oracle replays banding +
-   * dedup + verification, so the recall trade-off is itself hash-checked. */
+  /** Embedding near-dup at scale (the banded-LSH path of q40): 4 bands
+   * of CORPUS-ADAPTIVE width ([[Similarity.adaptiveBandBits]] — the
+   * smallest bits with 2^bits ≥ ⌈n/32⌉, clamped [4,16]), candidate when
+   * ANY band's buckets collide, then one exact cosine per deduped
+   * candidate. Fixed-width bands were the round-8 slope sweep's
+   * headline find: 16 static buckets made candidates grow O(n²), 87×
+   * the time on 10× data; log-scaled bits hold the per-bucket load
+   * constant. Each band's 16 plane ids are FIXED (band·16+i) and the
+   * bucket masks to 2^bits, so the static SQL oracle emits all 16
+   * terms, derives bits from count(*) with the integer-corrected
+   * pow/log2 CASE, and replays banding + dedup + verification — the
+   * adaptive trade-off is itself hash-checked. */
   val q59NearDupLsh: Q = Q("q59_neardup_lsh",
     s"""WITH $unitCte,
-       bb AS (${(0 until 4).map(b =>
-      s"SELECT vec_id, $b AS band, CAST(${bandBucketTerms(b, 4)} AS BIGINT) AS bucket FROM v")
-      .mkString("\n         UNION ALL ")}),
+       bitc AS (SELECT least(16, greatest(4, CAST(round(log2(
+                  CASE WHEN c0 // 2 >= m THEN c0 // 2
+                       WHEN c0 >= m THEN c0 ELSE c0 * 2 END)) AS INTEGER))) AS bits
+                FROM (SELECT (n + 31) // 32 AS m,
+                        CAST(pow(2, ceil(log2(greatest((n + 31) // 32, 1)))) AS BIGINT) AS c0
+                      FROM (SELECT count(*) AS n FROM v))),
+       pw AS (SELECT CAST(pow(2, bits) AS BIGINT) AS pow FROM bitc),
+       bb AS (SELECT vec_id, band, bucket16 % pow AS bucket FROM (
+         ${(0 until 4).map(b =>
+      s"SELECT vec_id, $b AS band, CAST(${bandBucketTerms(b, 16, 16)} AS BIGINT) AS bucket16 FROM v")
+      .mkString("\n         UNION ALL ")}), pw),
        cand AS (SELECT DISTINCT a.vec_id AS i, c.vec_id AS j
                 FROM bb a JOIN bb c
                   ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
@@ -577,8 +598,10 @@ object TextQueries {
        FROM cand JOIN u x ON x.vec_id = cand.i JOIN u y ON y.vec_id = cand.j
        WHERE round(list_dot_product(x.u, y.u), 4) >= 0.4
        ORDER BY i, j""") { (s, d) =>
-    Similarity.cosineNearDupPairsBanded(table(s, d, "embeddings"),
-      threshold = 0.4, dim = 64, bands = 4, rowsPerBand = 4)
+    val emb = table(s, d, "embeddings")
+    val bits = Similarity.adaptiveBandBits(emb.count())
+    Similarity.cosineNearDupPairsBanded(emb, threshold = 0.4, dim = 64,
+      bands = 4, rowsPerBand = bits, planeStride = 16)
       .orderBy("i", "j")
   }
 

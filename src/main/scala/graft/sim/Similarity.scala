@@ -130,10 +130,27 @@ object Similarity {
    * (bands=1) misses even 0.99-cosine pairs ~30% of the time; banding is
    * what makes the scale path usable.
    */
+  /** Corpus-adaptive band width: smallest `bits` with 2^bits ≥ ⌈n/32⌉
+    * (≈32 vectors per bucket on average), clamped to [4, 16]. A FIXED
+    * bucket count is the classic LSH scale trap — candidates grow
+    * O(n²/buckets), so a corpus 10× bigger pays ~100× the verify cost
+    * (measured: q59 at 16 fixed buckets went 0.55 s → 48 s on 10×
+    * data). Growing bits like log₂(n) holds the per-bucket load — and
+    * the candidate volume — linear in the corpus. Integer-exact
+    * (no float log2 at the boundary), mirrored by the oracle's
+    * corrected pow/log2 CASE. */
+  def adaptiveBandBits(n: Long): Int = {
+    val m = (n + 31L) / 32L
+    val k0 = if (m <= 1L) 0
+             else 64 - java.lang.Long.numberOfLeadingZeros(m - 1L)
+    math.min(16, math.max(4, k0))
+  }
+
   def cosineNearDupPairsBanded(corpus: DataFrame, threshold: Double, dim: Int,
                                bands: Int = 4, rowsPerBand: Int = 4,
                                idCol: String = "vec_id",
-                               vecCol: String = "embedding"): DataFrame = {
+                               vecCol: String = "embedding",
+                               planeStride: Int = -1): DataFrame = {
     // ONE corpus pass projects everything downstream needs — the unit
     // vector plus every band's bucket id — and localCheckpoint
     // materializes that bounded (id, u, buckets) signature table on
@@ -141,10 +158,11 @@ object Similarity {
     // verification (two id-joins) then read the materialized projection:
     // 1 corpus scan total, where deriving each from `corpus` separately
     // planned 4 full FileSourceScans of the same file.
+    val stride = if (planeStride > 0) planeStride else rowsPerBand
     val sig = withUnitVec(corpus, vecCol, "u")
       .select(col(idCol), col("u"),
         array((0 until bands).map(b =>
-          bandBucket(col(vecCol), dim, b, rowsPerBand)): _*).as("buckets"))
+          bandBucket(col(vecCol), dim, b, rowsPerBand, stride)): _*).as("buckets"))
       .localCheckpoint()
     val bucketed = sig.select(col(idCol),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
@@ -186,11 +204,19 @@ object Similarity {
    * [band*rowsPerBand, (band+1)*rowsPerBand), bit i from plane
    * band*rowsPerBand+i. Band 0 with rowsPerBand = numPlanes is exactly
    * [[lshBucket]]. */
-  def bandBucket(vec: Column, dim: Int, band: Int, rowsPerBand: Int): Column =
+  /** `rowsPerBand`-bit bucket for `band`; bit i comes from hyperplane
+    * band·stride + i. A stride LARGER than rowsPerBand (e.g. 16) keeps
+    * the plane layout FIXED while the bit count adapts to the corpus
+    * ([[adaptiveBandBits]]) — so a static SQL oracle can emit all
+    * `stride` terms and mask to 2^bits, landing on identical buckets. */
+  def bandBucket(vec: Column, dim: Int, band: Int, rowsPerBand: Int,
+                 planeStride: Int = -1): Column = {
+    val stride = if (planeStride > 0) planeStride else rowsPerBand
     (0 until rowsPerBand).map { i =>
-      when(planeDot(vec, band * rowsPerBand + i, dim) >= 0, lit(1L << i))
+      when(planeDot(vec, band * stride + i, dim) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /**
    * OR-amplified banded LSH top-k — [[lshTopK]]'s recall fix: a corpus
