@@ -833,7 +833,8 @@ object TextQueries {
     q40CosineNearDup, q41LshBuckets, q42LshTopK, q43MultimodalMeta, q54IvfTopK,
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
-    q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs)
+    q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
+    q278BpeApply)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -915,6 +916,64 @@ object TextQueries {
       .agg(bool_and(col("eq")).as("ok"))
       .select(lit("sims_exact").as("chk"), col("ok"))
     recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
+  }
+
+  /** BPE APPLY — the inference path of q262's training: the 6 learned
+   * merges come back from the driver as LITERALS in a chained
+   * `replace` Column (the q274 ship-the-model-as-expression pattern),
+   * so encoding any corpus is a pure map-side pass — no trained-state
+   * broadcast, no shuffle before the per-language rollup. The encoder
+   * runs over the VOCAB table (bounded — words, not corpus rows) and
+   * joins back to per-(lang, word) counts, which is how a 100 TB
+   * pipeline tokenizes: encode the dictionary once, weight by
+   * frequency. Per language: word/char/subword totals and subwords per
+   * million chars (exact BIGINT div) — the fertility number that
+   * decides whether the tokenizer suits the language mix. The oracle
+   * retrains the identical 6 rounds (q262's CTE chain) and re-derives
+   * every count, so train → ship-as-expression → encode replays end to
+   * end. */
+  lazy val q278BpeApply: Q = Q("q278_bpe_apply",
+    s"""WITH tok AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+                     FROM documents),
+       lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM tok
+              WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+       wf AS (SELECT word, CAST(sum(freq) AS BIGINT) AS freq FROM lw GROUP BY word),
+       ${graft.text.Bpe.oracleCtes(6)},
+       enc AS (SELECT word,
+                 CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub
+               FROM s6)
+       SELECT lang,
+              CAST(sum(freq) AS BIGINT) AS n_words,
+              CAST(sum(freq * length(word)) AS BIGINT) AS n_chars,
+              CAST(sum(freq * n_sub) AS BIGINT) AS n_subwords,
+              CAST(sum(freq * n_sub) * 1000000 // sum(freq * length(word)) AS BIGINT)
+                AS subwords_per_mchar
+       FROM lw JOIN enc USING (word)
+       GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val lw = table(s, d, "documents")
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // train's wf AND the final rollup both read it
+    val wf = lw.groupBy("word").agg(sum("freq").as("freq"))
+    val (merges, _) = graft.text.Bpe.train(wf, rounds = 6)
+    // the trained tokenizer AS a column: chained literal replaces in
+    // merge order — greedy BPE encode, map-side, shippable to any scan
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+    val seqExpr = merges.foldLeft("' ' || trim(regexp_replace(word, '(.)', '$1 ')) || ' '") {
+      (acc, m) =>
+        s"replace($acc, ' ${esc(m.pair)} ', ' ${esc(m.pair.replace(" ", ""))} ')"
+    }
+    val enc = wf.select(col("word"),
+      size(split(trim(expr(seqExpr)), " ")).cast("long").as("n_sub"))
+    lw.join(enc, "word")
+      .groupBy("lang")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(col("freq") * col("n_sub")).as("n_subwords"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_subwords"),
+        expr("n_subwords * 1000000 div n_chars").as("subwords_per_mchar"))
+      .orderBy("lang")
   }
 
   /** Perceptual-hash image near-dup ([[graft.multimodal.Multimodal
