@@ -112,7 +112,8 @@ object Sessionize {
                        gapMinutes: Int = 30): DataFrame = {
     val name = "stream_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
-    graft.streaming.StreamingDemand.withStatePartitions(spark, 2) { child =>
+    graft.streaming.StreamingDemand.withStatePartitions(spark,
+      graft.streaming.StreamingDemand.statePartitionsFor(spark, dir)) { child =>
       val stream = graft.streaming.StreamingDemand.eventsStream(child, dir)
       val q = sessionizeStream(stream, gapMinutes).toDF()
         .writeStream.outputMode("append").format("memory").queryName(name)

@@ -57,7 +57,8 @@ object StreamingDedup {
    */
   def runDocDedupToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    StreamingDemand.withStatePartitions(spark, 2) { child =>
+    StreamingDemand.withStatePartitions(spark,
+      StreamingDemand.statePartitionsFor(spark, dir, "documents.parquet")) { child =>
       val stream = child.readStream
         .schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet")

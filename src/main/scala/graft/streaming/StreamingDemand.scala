@@ -20,6 +20,21 @@ object StreamingDemand {
   private[graft] val isolatedStarts =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** State partitions sized to the KEYED-STATE volume: ~1 per 50k
+    * source rows, clamped [2, 32]. The fixed per-micro-batch cost of
+    * opening/committing every store argues for FEW stores at harness
+    * volumes (the round-8 fixed-tax work), but a 10× replay through 2
+    * stores serializes the stateful stages on 2 cores (q134 went
+    * ×13.5 on 10× data before this) — so the count follows the data.
+    * The row count is a parquet metadata read (footer row counts), not
+    * a data scan. */
+  private[graft] def statePartitionsFor(spark: SparkSession, dir: String,
+                                        table: String = "events.parquet"): Int = {
+    val n = try spark.read.parquet(s"$dir/$table").count()
+            catch { case _: Throwable => 100000L }
+    math.max(2, math.min(32, (n / 50000L).toInt))
+  }
+
   /**
    * Run `body` on a CHILD session (`spark.newSession()`: shared
    * SparkContext and SharedState, PRIVATE SQLConf) whose
@@ -144,7 +159,7 @@ object StreamingDemand {
                          dim: DataFrame, dimKey: String,
                          dimAttr: String): DataFrame = {
     val name = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       val stream = eventsStream(child, dir)
       // exact integer aggregates only: streaming rejects count(DISTINCT),
       // and a double sum would be micro-batch-order-dependent
@@ -177,7 +192,7 @@ object StreamingDemand {
   def runSlidingToBatch(spark: SparkSession, dir: String,
                         maxTs: Long): DataFrame = {
     val name = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .filter(col("ts") < timestamp_seconds(lit(maxTs)))
@@ -209,7 +224,7 @@ object StreamingDemand {
    */
   def runIntervalJoinToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       def side(evType: String, prefix: String) = eventsStream(child, dir)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
@@ -250,7 +265,7 @@ object StreamingDemand {
   def runLeftOuterIntervalJoinToBatch(spark: SparkSession, dir: String,
                                       cutoffSec: Long): DataFrame = {
     val name = "stream_louter_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       def side(evType: String, prefix: String) = eventsStream(child, dir)
         .filter(col("event_type") === evType)
         .select(col("user_id").as(s"${prefix}_user"),
@@ -287,7 +302,7 @@ object StreamingDemand {
   def runSessionWindowToBatch(spark: SparkSession, dir: String,
                               gapMinutes: Int): DataFrame = {
     val name = "stream_sesswin_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       val q = eventsStream(child, dir)
         .withColumn("ts", date_trunc("second", col("ts")))
         .withWatermark("ts", "1 hour")
@@ -311,7 +326,7 @@ object StreamingDemand {
    */
   def runToBatch(spark: SparkSession, dir: String): DataFrame = {
     val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 2) { child =>
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
       val q = hourlyCountsStream(child, dir)
         .writeStream.outputMode("complete").format("memory").queryName(name)
         .start()
