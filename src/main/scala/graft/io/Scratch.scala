@@ -49,7 +49,16 @@ object Scratch {
    * shutdown hook).
    */
   def table(spark: SparkSession, sfDir: String, kind: String)
-           (build: => DataFrame): DataFrame = {
+           (build: => DataFrame): DataFrame =
+    spark.read.parquet(tablePath(spark, sfDir, kind)(build))
+
+  /** [[table]] returning the persisted PATH instead of a DataFrame —
+    * for consumers that must re-read the table on a DIFFERENT session
+    * than the memo key (e.g. a streaming child session joining the
+    * parent-built index: the build runs once on the parent, the child
+    * reads the files). */
+  def tablePath(spark: SparkSession, sfDir: String, kind: String)
+               (build: => DataFrame): String = {
     memo.keySet.removeIf(
       (k: (SparkSession, String, String)) => k._1.sparkContext.isStopped)
     val key = (spark, sfDir, kind)
@@ -70,6 +79,6 @@ object Scratch {
           throw t
       }
     }
-    spark.read.parquet(installed.join())
+    installed.join()
   }
 }

@@ -425,8 +425,59 @@ object CurationQueries {
       .toDF("chk", "ok").orderBy("chk")
   }
 
+  /** STREAMING near-dup ingest against the persisted MinHash index
+   * ([[graft.streaming.StreamingDedup.runNearDupIngestToBatch]]) — the
+   * "new data arrives" path of the dedup pipeline: the corpus
+   * band-bucket index is built once (parent session, Scratch-persisted,
+   * read by path from the streaming child), each arriving doc computes
+   * its 4 band keys map-side inside the micro-batch and equi-joins the
+   * static index (stream-static, stateless, never all-pairs), and the
+   * drained candidates verify exact shingle-Jaccard with the native
+   * sorted-merge kernel — flag on arrival, confirm before dropping.
+   * The oracle replays the whole composition in batch SQL (band chain
+   * from q36's CTEs, both pair orientations — each arrival probes the
+   * corpus — then the integer-ppm Jaccard), so stream ≡ batch holds by
+   * hash. */
+  val q279StreamNearDup: Q = Q("q279_stream_neardup",
+    s"""WITH ${TextQueries.minhashPairCtes},
+       ap AS (SELECT i, j, n_bands FROM pairs
+              UNION ALL SELECT j, i, n_bands FROM pairs),
+       sl AS (SELECT doc_id,
+                list_sort(list_distinct(list_transform(
+                  list_transform(range(1, greatest(len(w)-1, 1)),
+                    k -> w[k]||' '||w[k+1]||' '||w[k+2]),
+                  t -> ('0x'||substr(md5(t),1,15))::BIGINT))) AS hs
+              FROM tok WHERE len(w) >= 3),
+       vr AS (SELECT ap.i, ap.j, CAST(ap.n_bands AS BIGINT) AS n_bands,
+                CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) * 1000000
+                  // (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jac_ppm
+              FROM ap JOIN sl a ON a.doc_id = ap.i JOIN sl b ON b.doc_id = ap.j)
+       SELECT i, j, n_bands, jac_ppm FROM vr WHERE jac_ppm >= 500000
+       ORDER BY i, j""") { (s, d) =>
+    import org.apache.spark.sql.graft.ColumnBridge
+    val cand = graft.streaming.StreamingDedup.runNearDupIngestToBatch(s, d)
+    val w = TextAnalysis.tokens(col("text"))
+    val shingleHashes = ColumnBridge.column(graft.functions.Md5LongArray(
+      ColumnBridge.expression(ColumnBridge.column(graft.functions.Shingles3(
+        ColumnBridge.expression(w))))))
+    val sl = table(s, d, "documents").filter(size(w) >= 3)
+      .select(col("doc_id"), array_sort(array_distinct(shingleHashes)).as("hs"))
+      .localCheckpoint() // i-side and j-side verify joins both read it
+    val interCol = ColumnBridge.column(graft.functions.SortedLongIntersectCount(
+      ColumnBridge.expression(col("ha")), ColumnBridge.expression(col("hb"))))
+    cand
+      .join(sl.select(col("doc_id").as("i"), col("hs").as("ha")), Seq("i"))
+      .join(sl.select(col("doc_id").as("j"), col("hs").as("hb")), Seq("j"))
+      .withColumn("inter", interCol.cast("long"))
+      .withColumn("jac_ppm", expr(
+        "inter * 1000000 div (size(ha) + size(hb) - inter)"))
+      .filter(col("jac_ppm") >= 500000)
+      .select(col("i"), col("j"), col("n_bands"), col("jac_ppm"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
-    q270LengthBuckets, q274QualityLr)
+    q270LengthBuckets, q274QualityLr, q279StreamNearDup)
 }

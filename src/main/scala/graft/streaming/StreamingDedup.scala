@@ -71,4 +71,54 @@ object StreamingDedup {
       drain(child, name)
     }
   }
+
+  /**
+   * STREAMING NEAR-DUP INGEST — the "new data arrives" path of a 100 TB
+   * dedup pipeline: the batch corpus's MinHash band-bucket index is
+   * built ONCE and persisted ([[graft.io.Scratch]], path-addressed so
+   * the streaming child session reads the parent-built files), and each
+   * arriving document computes its 4 band keys MAP-SIDE (the fused
+   * [[graft.functions.MinHashBands]] kernel runs unchanged inside the
+   * micro-batch) and equi-joins the static index on (band, bucket) —
+   * stream-static enrichment, stateless, never all-pairs. Candidates
+   * aggregate to (arriving doc i, corpus doc j, shared bands).
+   *
+   * Returns the CANDIDATE table; the exact-verification stage runs
+   * downstream on the drained batch (the caller composes it — q279
+   * verifies shingle-Jaccard with the native sorted-merge kernel),
+   * mirroring production: flag on arrival from the index, confirm
+   * exactly before dropping anything.
+   */
+  def runNearDupIngestToBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bandsOf(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.MinHashBands(
+        ColumnBridge.expression(TextAnalysis.tokens(c))))
+    // build-once on the PARENT session; child re-reads the files
+    val indexPath = graft.io.Scratch.tablePath(spark, dir, "minhash_bucket_index")(
+      graft.io.Sources.table(spark, dir, "documents")
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("j"),
+          posexplode(bandsOf(col("text"))).as(Seq("bi", "bk"))))
+    val name = "stream_neardup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    StreamingDemand.withStatePartitions(spark,
+      StreamingDemand.statePartitionsFor(spark, dir, "documents.parquet")) { child =>
+      val index = child.read.parquet(indexPath)
+      val stream = child.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("i"),
+          posexplode(bandsOf(col("text"))).as(Seq("bi", "bk")))
+      val cand = stream.join(index, Seq("bi", "bk"))
+        .filter(col("i") =!= col("j")) // a doc always re-finds itself
+        .groupBy("i", "j").agg(count(lit(1)).as("n_bands"))
+      val q = cand
+        .writeStream.outputMode("complete").format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      drain(child, name)
+    }
+  }
 }
