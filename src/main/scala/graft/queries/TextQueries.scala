@@ -834,7 +834,7 @@ object TextQueries {
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
-    q278BpeApply)
+    q278BpeApply, q280IvfPqCurve)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -916,6 +916,42 @@ object TextQueries {
       .agg(bool_and(col("eq")).as("ok"))
       .select(lit("sims_exact").as("chk"), col("ok"))
     recallOk.unionAll(rowsOk).unionAll(simsOk).orderBy("chk")
+  }
+
+  /** IVF-PQ OPERATING CURVE (q272's composed-index twin): recall@5 vs
+   * brute force at nProbe ∈ {4, 8, 16, 32} against the SAME persisted
+   * composed index q273 probes — the probe-budget sweep that justifies
+   * an ANN configuration before deployment. Gates: recall monotone
+   * nondecreasing in nProbe (more cells can only add candidates — a
+   * violation means the probe path is broken), the widest probe clears
+   * q273's 0.60 floor, every probe's result sets complete (the
+   * shortlist ≥ k candidates exist at every width on this corpus), and
+   * 4 bounded driver scalars per width — never a corpus collect.
+   * Deterministic training ⇒ a stable curve. */
+  lazy val q280IvfPqCurve: Q = Q("q280_ivfpq_curve",
+    """SELECT * FROM (VALUES
+         ('monotone_recall', TRUE), ('recall32_floor', TRUE),
+         ('rows_complete', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    val emb = table(s, d, "embeddings").localCheckpoint()
+    val q = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val dir = graft.sim.IvfPq.persistedIndex(s, d)
+    val bf = Similarity.bruteForceTopK(q, emb, k = k)
+      .select("qid", "nid").localCheckpoint()
+    val sweep = Seq(4, 8, 16, 32).map { np =>
+      val pr = graft.sim.IvfPq.probeIndex(q, dir, k = k, nProbe = np,
+        shortlist = 100).select("qid", "nid").localCheckpoint()
+      (np, pr.intersect(bf).count(), pr.count())
+    }
+    val nQ = q.count()
+    val monotone = sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2)
+    val floor32 = sweep.last._2.toDouble / (nQ * k) >= 0.60
+    val rowsOk = sweep.forall(_._3 == nQ * k)
+    import s.implicits._
+    Seq(("monotone_recall", monotone), ("recall32_floor", floor32),
+      ("rows_complete", rowsOk))
+      .toDF("chk", "ok").orderBy("chk")
   }
 
   /** BPE APPLY — the inference path of q262's training: the 6 learned
