@@ -135,6 +135,130 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL header-level WAV audio decode — the audio analogue of
+   * [[HeaderDecoder]], straight from the published RIFF layout
+   * (Microsoft/IBM WAVE spec, RIFF 1991; also RFC 2361 registry):
+   * 'RIFF' + le32 size + 'WAVE', then word-aligned chunks of
+   * id(4) + le32 size + payload. The 'fmt ' chunk carries
+   * format/channels le16, sample rate + byte rate le32, block align +
+   * bits-per-sample le16; the 'data' chunk's SIZE field alone gives
+   * duration = dataBytes · 1000 / byteRate — no sample decoding needed,
+   * which is exactly what a crawl pipeline reads before deciding what
+   * to transcode. Chunk SKIPPING is the real work (LIST/INFO/fact
+   * chunks of arbitrary length sit before fmt/data); odd-sized chunks
+   * pad to even per the spec. Returns None for anything unrecognized
+   * or truncated (a corrupt blob in a 100 TB crawl must not fail the
+   * stage).
+   */
+  object WavHeader {
+    final case class Wav(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                         durationMs: Long)
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    private def le32(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+        ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def parse(b: Array[Byte]): Option[Wav] = {
+      if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+        tag(b, 8) != "WAVE") return None
+      var i = 12
+      var ch = -1; var sr = -1; var bits = -1; var byteRate = -1L
+      var dataBytes = -1L
+      while ((ch < 0 || dataBytes < 0) && i + 8 <= b.length) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
+          // audioFormat le16 at i+8 is read but not gated: PCM=1 and
+          // extensible formats both carry the same first 16 bytes
+          ch = le16(b, i + 10)
+          sr = le32(b, i + 12).toInt
+          byteRate = le32(b, i + 16)
+          bits = le16(b, i + 22)
+        } else if (id == "data") {
+          // size field alone — the samples themselves need not be present
+          dataBytes = size
+        }
+        // word alignment: odd chunk sizes pad one byte (RIFF spec)
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (ch <= 0 || sr <= 0 || bits <= 0 || byteRate <= 0 || dataBytes < 0) None
+      else Some(Wav(ch, sr, bits, dataBytes * 1000L / byteRate))
+    }
+  }
+
+  /** Output schema of [[decodeWavHeaders]]. */
+  val wavSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("bits", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Audio-header stage: same per-partition batch contract as
+    * [[decodeHeaders]] — every media_id survives, nulls for
+    * unrecognized blobs. */
+  def decodeWavHeaders(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "blob")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          WavHeader.parse(r.getAs[Array[Byte]]("blob")) match {
+            case Some(w) =>
+              Row(r.getLong(0), w.channels, w.sampleRate, w.bitsPerSample,
+                w.durationMs)
+            case None => Row(r.getLong(0), null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, wavSchema)
+  }
+
+  /**
+   * Planted WAV fixtures — the audio twin of [[imageFixtures]], pure
+   * binary column arithmetic (hex/unhex/concat, codegen'd, no UDF).
+   * Each blob is a REAL RIFF/WAVE byte stream: a LIST/INFO junk chunk
+   * deliberately sits before 'fmt ' so the parser's chunk-skipping
+   * walk is exercised, and the 'data' chunk carries only its size
+   * field (header-only blob — the parse needs no samples). byteRate
+   * is derived sampleRate·channels·bits/8 as the encoder would write.
+   */
+  def wavFixtures(rows: DataFrame, idCol: Column, sampleRate: Column,
+                  channels: Column, bits: Column,
+                  dataBytes: Column): DataFrame = {
+    def hexPad(c: Column, n: Int) = lpad(hex(c), n, "0")
+    def le16(c: Column) = {
+      val hx = hexPad(c, 4)
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le32(c: Column) = {
+      val hx = hexPad(c, 8)
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    // Spark `/` on integers is DOUBLE division — cast back (exact: the
+    // products are multiples of 8 by construction)
+    val byteRate = (sampleRate * channels * bits / lit(8)).cast("int")
+    val blockAlign = (channels * bits / lit(8)).cast("int")
+    val blob = concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      le32(lit(4 + 16 + 24 + 8)), // WAVE + LIST(8+7+1 pad) + fmt(8+16) + data hdr
+      lit("WAVE".getBytes("US-ASCII")),
+      // junk chunk BEFORE fmt: odd size 7 → pad byte (alignment path)
+      lit("LIST".getBytes("US-ASCII")), le32(lit(7)),
+      lit("INFOjnk ".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      lit("data".getBytes("US-ASCII")), le32(dataBytes))
+    rows.select(idCol.cast("long").as("media_id"), blob.as("blob"),
+      lit("audio/wav").as("mime"), length(blob).cast("long").as("n_bytes"))
+  }
+
   /** Output schema of [[decodeHeaders]]. */
   val headerSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

@@ -631,6 +631,54 @@ object TextQueries {
     Multimodal.decodeHeaders(media).orderBy("media_id")
   }
 
+  /** REAL header-level WAV audio decode against planted fixtures — the
+   * audio twin of q259. The part table seeds RIFF/WAVE byte streams
+   * ([[graft.multimodal.Multimodal.wavFixtures]] — pure binary column
+   * arithmetic) whose fmt-chunk fields and data-chunk size carry
+   * table-derived values; a LIST junk chunk with an ODD size sits
+   * before 'fmt ' so the parser's word-aligned chunk-skipping walk is
+   * exercised, and every 7th blob is plain text so the
+   * unrecognized→all-null-metadata contract is checked in the same
+   * pass. duration_ms = dataBytes·1000 div byteRate, all-integer, so
+   * the oracle predicts every field from the planted columns. */
+  val q281WavHeader: Q = Q("q281_wav_header",
+    """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(1 + p_partkey % 2 AS INTEGER) END AS channels,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(CASE p_partkey % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+       END AS sample_rate,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(CASE WHEN p_partkey % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+       END AS bits,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST((p_size * 977 + 44) * 1000 //
+              ((CASE p_partkey % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22050 ELSE 44100 END)
+               * (1 + p_partkey % 2)
+               * (CASE WHEN p_partkey % 3 = 0 THEN 8 ELSE 16 END) // 8) AS BIGINT)
+       END AS duration_ms
+       FROM part ORDER BY media_id""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val seeds = table(s, d, "part")
+    val wav = Multimodal.wavFixtures(seeds, col("p_partkey"),
+      when(col("p_partkey") % 4 === 0, 8000)
+        .when(col("p_partkey") % 4 === 1, 16000)
+        .when(col("p_partkey") % 4 === 2, 22050).otherwise(44100),
+      (col("p_partkey") % 2 + 1).cast("int"),
+      when(col("p_partkey") % 3 === 0, 8).otherwise(16),
+      (col("p_size") * 977 + 44).cast("int"))
+    // every 7th media_id: not audio at all — must survive as an
+    // all-null metadata row, not vanish
+    val media = wav.select(col("media_id"),
+      when(col("media_id") % 7 === 3,
+        encode(concat(lit("txt:"), col("media_id").cast("string")), "utf-8"))
+        .otherwise(col("blob")).as("blob"),
+      col("mime"), col("n_bytes"))
+    Multimodal.decodeWavHeaders(media).orderBy("media_id")
+  }
+
   /** Product quantization ANN ([[graft.sim.Pq]]): 64-dim unit vectors
    * compress to m=16 subspace codes (ksub=16 codebooks fit on the
    * deterministic hash sample), candidates score by ADC table lookups
@@ -834,7 +882,7 @@ object TextQueries {
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
-    q278BpeApply, q280IvfPqCurve)
+    q278BpeApply, q280IvfPqCurve, q281WavHeader)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

@@ -110,6 +110,42 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(real.width == 640 && real.height == 480 && real.channels == 3)
   }
 
+  test("multimodal: WavHeader truth table — RIFF walk, alignment, garbage") {
+    import Multimodal.WavHeader
+    // fixture round-trip: 44100 Hz stereo 16-bit, 88200 data bytes
+    // (byteRate 176400 → exactly 500 ms)
+    val fx = Multimodal.wavFixtures(
+      Seq((0L, 44100, 2, 16, 88200), (1L, 8000, 1, 8, 12345))
+        .toDF("id", "sr", "ch", "bits", "db"),
+      col("id"), col("sr"), col("ch"), col("bits"), col("db"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(WavHeader.parse(fx(0L)).contains(WavHeader.Wav(2, 44100, 16, 500)))
+    // 12345 bytes at 8000 B/s → 1543.125 ms, floored
+    assert(WavHeader.parse(fx(1L)).contains(WavHeader.Wav(1, 8000, 8, 1543)))
+    // the LIST junk chunk has ODD size 7: a parser without the RIFF
+    // word-alignment pad byte desyncs and never finds fmt — this pins it
+    assert(new String(fx(0L), 12, 4, "US-ASCII") == "LIST")
+    // garbage returns None, never throws
+    assert(WavHeader.parse(null).isEmpty)
+    assert(WavHeader.parse(Array.emptyByteArray).isEmpty)
+    assert(WavHeader.parse("RIFFxxxxAVI LIST".getBytes("US-ASCII")).isEmpty)
+    assert(WavHeader.parse("plain text that is long enough".getBytes("UTF-8")).isEmpty)
+    assert(WavHeader.parse(fx(0L).take(20)).isEmpty) // truncated before fmt
+    assert(WavHeader.parse(fx(0L).dropRight(12)).isEmpty) // fmt but no data chunk
+    // decodeWavHeaders keeps unrecognized rows as all-null metadata
+    val media = Multimodal.wavFixtures(
+      Seq((7L, 16000, 1, 16, 1000)).toDF("id", "sr", "ch", "bits", "db"),
+      col("id"), col("sr"), col("ch"), col("bits"), col("db"))
+      .unionAll(Seq((8L, "nope")).toDF("id", "t")
+        .select(col("id"), encode(col("t"), "utf-8").as("blob"),
+          lit("text/plain").as("mime"), lit(4L).as("n_bytes")))
+    val out = Multimodal.decodeWavHeaders(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getAs[Int]("channels") == 1 &&
+      out(7L).getAs[Int]("sample_rate") == 16000)
+    assert(out(8L).isNullAt(1) && out(8L).isNullAt(4))
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val streamed = StreamingDemand.runToBatch(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
