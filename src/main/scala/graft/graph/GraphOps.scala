@@ -244,6 +244,61 @@ object GraphOps {
   }
 
   /**
+   * HyperBall-style neighborhood function (Boldi & Vigna, "In-Core
+   * Computation of Geometric Centralities with HyperBall", 2013; the
+   * ANF lineage of Palmer/Gibbons/Faloutsos 2002): per-vertex
+   * distinct-counting sketches of the r-ball, grown by one
+   * sketch-union along edges per round. N(r) = Σ_v |ball_r(v)| is the
+   * curve effective diameter and average distance fall out of —
+   * computed WITHOUT all-pairs BFS, which is the only way the
+   * statistic exists at 10^9 vertices.
+   *
+   * The sketch here is bottom-k over the engine's canonical 60-bit
+   * md5 hash ([[graft.ops.Exprs.md5Long]]): union-merge =
+   * sort-distinct-slice(k), associative and commutative, so the merge
+   * order Spark's partial aggregation picks cannot change the result.
+   * While a ball holds < k hashes the sketch IS the exact reachable
+   * set (the regime the oracle pins with k ≫ |V|); past k it degrades
+   * to the KMV estimate (k−1)·2^60/h_(k) — shrink k for the 100 TB
+   * run, the merge stays O(k) per vertex per round. Per round: one
+   * equi-join (sketches → neighbors) + one grouped merge, lineage cut;
+   * no driver state.
+   *
+   * Returns one row per radius r ∈ [0, rounds]: (r, n_pairs,
+   * frac_of_max_ppm) where n_pairs = Σ_v size(sketch_r(v)).
+   */
+  def neighborhoodFunction(edges: DataFrame, rounds: Int, k: Int): DataFrame = {
+    require(rounds >= 1, s"neighborhoodFunction needs rounds >= 1; got $rounds")
+    require(k >= 2, s"bottom-k sketch needs k >= 2; got $k")
+    val e = edges.select(col("i"), col("j"))
+      .unionAll(edges.select(col("j").as("i"), col("i").as("j")))
+      .localCheckpoint()
+    var sk = e.select(col("i").as("v")).distinct()
+      .select(col("v"), array(graft.ops.Exprs.md5Long(col("v"))).as("sk"))
+      .localCheckpoint()
+    def countRow(r: Int, s: DataFrame) =
+      s.agg(sum(size(col("sk"))).cast("long").as("n_pairs"))
+        .select(lit(r).as("r"), col("n_pairs"))
+    var counts = Seq(countRow(0, sk))
+    for (r <- 1 to rounds) {
+      sk = sk.join(e, sk("v") === e("i"))
+        .select(e("j").as("v"), col("sk"))
+        .unionAll(sk)
+        .groupBy("v")
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, k).as("sk"))
+        .localCheckpoint()
+      counts = counts :+ countRow(r, sk)
+    }
+    val perRound = counts.reduce(_ unionAll _).localCheckpoint() // rounds+1 rows
+    val mx = perRound.filter(col("r") === rounds)
+      .select(col("n_pairs").as("np_max"))
+    broadcast(perRound).crossJoin(broadcast(mx))
+      .select(col("r"), col("n_pairs"),
+        expr("n_pairs * 1000000 div np_max").as("frac_of_max_ppm"))
+  }
+
+  /**
    * Bounded-round single-source shortest paths over WEIGHTED undirected
    * edges (i, j, w) — Bellman–Ford by synchronous relaxation: each
    * round expands the frontier through every edge and keeps the min

@@ -827,9 +827,41 @@ object LinkQueries {
       .orderBy("i", "j")
   }
 
+  /** Neighborhood function N(r) of the co-supply graph via
+   * [[GraphOps.neighborhoodFunction]] — the HyperBall/ANF statistic
+   * (how many (src, dst) pairs sit within distance r), computed by
+   * per-vertex bottom-k distinct sketches union-merged along edges,
+   * NEVER all-pairs BFS. k = 1024 ≫ |V| here, so every sketch is the
+   * exact reachable set and the oracle can replay the curve from
+   * unrolled all-pairs frontier CTEs; at 100 TB the same plan runs
+   * with small k and returns the KMV estimate (the documented knob —
+   * the truncation bound is pinned in LinkOpsSpec). frac_of_max_ppm
+   * is the fraction of the 4-ball mass already reached at radius r —
+   * the effective-diameter readout. */
+  val q283Neighborhood: Q = Q("q283_neighborhood",
+    s"""WITH $coSupplyCtes,
+       e AS MATERIALIZED (SELECT i, j FROM ed0
+                          UNION ALL SELECT j AS i, i AS j FROM ed0),
+       p0 AS MATERIALIZED (SELECT DISTINCT i AS src, i AS v FROM e),
+       ${(1 to 4).map(r =>
+        s"""p$r AS MATERIALIZED (SELECT DISTINCT src, v FROM (
+             SELECT src, v FROM p${r - 1}
+             UNION ALL
+             SELECT p${r - 1}.src, e.j AS v
+             FROM p${r - 1} JOIN e ON p${r - 1}.v = e.i))""").mkString(",\n       ")},
+       cnt AS (${(0 to 4).map(r =>
+        s"SELECT $r AS r, CAST(count(*) AS BIGINT) AS n_pairs FROM p$r")
+        .mkString("\n             UNION ALL ")}),
+       mx AS (SELECT n_pairs AS np_max FROM cnt WHERE r = 4)
+       SELECT r, n_pairs, n_pairs * 1000000 // np_max AS frac_of_max_ppm
+       FROM cnt, mx ORDER BY r""") { (s, d) =>
+    GraphOps.neighborhoodFunction(coSupplyEdges(s, d), rounds = 4, k = 1024)
+      .orderBy("r")
+  }
+
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
     q225WeightedJaccard, q227Assortativity, q228AttackTolerance,
-    q232KTruss, q268Modularity, q277Pacf)
+    q232KTruss, q268Modularity, q277Pacf, q283Neighborhood)
 }

@@ -173,6 +173,25 @@ class LinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(Await.result(fSp, 120.seconds) == aloneSp)
   }
 
+  test("neighborhoodFunction: exact ball counts at large k, caps at small k") {
+    // path 1-2-3-4-5: balls are intervals, N(r) hand-computable:
+    // N(0)=5, N(1)=5+2*4=13, N(2)=13+2*3=19, N(3)=19+2*2=23, N(4)=25
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("i", "j")
+    val nf = GraphOps.neighborhoodFunction(path, rounds = 4, k = 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf == Map(0 -> 5L, 1 -> 13L, 2 -> 19L, 3 -> 23L, 4 -> 25L))
+    // the 100 TB knob: k = 2 truncates every sketch at 2 — the count
+    // saturates at 2|V| instead of growing, and never exceeds k per node
+    val nf2 = GraphOps.neighborhoodFunction(path, rounds = 4, k = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nf2(0) == 5L && nf2(4) == 10L)
+    assert((0 to 4).forall(r => nf2(r) <= 10L))
+    // frac_of_max_ppm is monotone and ends at exactly 10^6
+    val frac = GraphOps.neighborhoodFunction(path, rounds = 4, k = 64)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(frac(4) == 1000000L && (0 until 4).forall(r => frac(r) <= frac(r + 1)))
+  }
+
   test("kTrussPeel: K4 survives a 4-truss peel, pendant triangle peels away") {
     // K4 on 1..4 (each edge in 2 triangles) plus a pendant triangle
     // 4-5-6 (each edge in 1 triangle): the 4-truss is exactly the K4
