@@ -631,6 +631,61 @@ object TextQueries {
     Multimodal.decodeHeaders(media).orderBy("media_id")
   }
 
+  /** Matryoshka truncation retrieval curve: recall@5 of brute-force
+   * cosine retrieval run on the first m ∈ {8,16,32,64} embedding
+   * coordinates (re-normalized per slice) against the full-64-dim
+   * truth — the measurement behind Matryoshka representation learning
+   * (Kusupati et al., 2022): how much retrieval quality survives
+   * storing a prefix of each vector. At 100 TB this is THE index-size
+   * knob (a 8-dim prefix is 8× less ANN memory), so the curve is a
+   * first-class tuning artifact like q272/q280. All ranking is the
+   * q39 discipline (round(dot,4), ties by nid), so the oracle replays
+   * every top-k set and the recall numbers exactly; m=64 is the
+   * built-in sanity row (recall ≡ 10^6 ppm). */
+  val q284Matryoshka: Q = {
+    val dims = Seq(8, 16, 32, 64)
+    Q("q284_matryoshka",
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+       ${dims.map(m =>
+        s"""n$m AS (SELECT vec_id, e[1:$m] AS em,
+                 sqrt(list_dot_product(e[1:$m], e[1:$m])) AS nrm FROM v),
+       u$m AS (SELECT vec_id,
+                 list_transform(em, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+               FROM n$m),
+       s$m AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 round(list_dot_product(q.u, c.u), 4) AS sim
+               FROM u$m q JOIN u$m c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+       k$m AS MATERIALIZED (SELECT qid, nid FROM s$m
+               QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 5)""")
+        .mkString(",\n       ")},
+       nt AS (SELECT count(*) AS n_truth FROM k64),
+       h AS (${dims.map(m =>
+        s"SELECT $m AS m, CAST(count(*) AS BIGINT) AS n_hits FROM k$m x " +
+          s"JOIN k64 t ON x.qid = t.qid AND x.nid = t.nid")
+        .mkString("\n             UNION ALL ")})
+       SELECT m, n_hits, n_hits * 1000000 // n_truth AS recall_ppm
+       FROM h, nt ORDER BY m""") { (s, d) =>
+      val emb = table(s, d, "embeddings").localCheckpoint()
+      val q = emb.filter(col("vec_id") < 50)
+      val truth = Similarity.bruteForceTopK(q, emb, k = 5)
+        .select("qid", "nid").localCheckpoint()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val rows = dims.map { m =>
+        val qm = q.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        val cm = emb.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding"))
+        Similarity.bruteForceTopK(qm, cm, k = 5)
+          .join(truth, Seq("qid", "nid"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(m).as("m"), col("n_hits"))
+      }
+      broadcast(rows.reduce(_ unionAll _)).crossJoin(broadcast(nTruth))
+        .select(col("m"), col("n_hits"),
+          expr("n_hits * 1000000 div n_truth").as("recall_ppm"))
+        .orderBy("m")
+    }
+  }
+
   /** REAL header-level WAV audio decode against planted fixtures — the
    * audio twin of q259. The part table seeds RIFF/WAVE byte streams
    * ([[graft.multimodal.Multimodal.wavFixtures]] — pure binary column
@@ -882,7 +937,7 @@ object TextQueries {
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
-    q278BpeApply, q280IvfPqCurve, q281WavHeader)
+    q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

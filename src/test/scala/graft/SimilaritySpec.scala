@@ -139,4 +139,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(sim == exact, s"sim for ($qid,$nid) not exact: $sim vs $exact")
     }
   }
+
+  test("q284 matryoshka curve: full-dim row is perfect recall, curve plausible") {
+    val out = graft.queries.TextQueries.q284Matryoshka
+      .fn(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out.keySet == Set(8, 16, 32, 64))
+    assert(out(64) == 1000000L) // the identity slice must recall everything
+    out.values.foreach(v => assert(v >= 0 && v <= 1000000L))
+    // no monotonicity ASSERT below 64: random projections of random
+    // vectors can cross; the oracle pins the exact numbers instead
+  }
 }
