@@ -508,4 +508,47 @@ object Curation {
   /** k-anonymity-style numeric generalization: bucket to a fixed width. */
   def bucketize(c: Column, width: Double): Column =
     (floor(c / width) * width).cast("double")
+
+  // ------------------------------------------------------- URL profiling
+
+  /** Two-part public suffixes the registrable-domain rule recognizes — a
+   * deliberately SMALL, documented subset of the public suffix list
+   * (the full PSL is a data file a production build ships as a
+   * broadcast lookup; the rule shape — longest matching suffix, then
+   * one more label — is what matters here). */
+  val twoPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "co.jp", "com.au", "gov.co")
+
+  /** Registrable domain (eTLD+1) of a host: the last THREE labels when
+   * the last two form a recognized two-part suffix ([[twoPartSuffixes]]),
+   * else the last two — `cdn.img.site.co.uk` → `site.co.uk`,
+   * `www.site.org` → `site.org`. Pure column arithmetic, map-side. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n >= 3 && lastTwo.isin(twoPartSuffixes: _*),
+      concat_ws(".", element_at(labels, -3), lastTwo))
+      .when(n >= 2, lastTwo)
+      .otherwise(host)
+  }
+
+  /** URL profile for crawl curation: host, registrable domain, path
+   * depth, query presence — the columns per-domain quotas (q79) and
+   * dedup keys actually want, extracted from the raw URL string with
+   * Spark's native `try_parse_url` (no UDF; the non-try variant THROWS
+   * on malformed input, and a 100 TB crawl always contains junk —
+   * junk rows get null host/registrable_domain, depth 0, no query).
+   * Everything is derived from `urlCol` alone. */
+  def urlProfile(df: DataFrame, urlCol: Column): DataFrame = {
+    val host = try_parse_url(urlCol, lit("HOST"))
+    val path = try_parse_url(urlCol, lit("PATH"))
+    val query = try_parse_url(urlCol, lit("QUERY"))
+    df.withColumn("host", host)
+      .withColumn("registrable_domain", registrableDomain(col("host")))
+      .withColumn("path_depth",
+        size(filter(split(coalesce(path, lit("")), "/"), s => length(s) > 0))
+          .cast("long"))
+      .withColumn("has_query", query.isNotNull)
+  }
 }

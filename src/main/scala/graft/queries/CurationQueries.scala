@@ -476,8 +476,51 @@ object CurationQueries {
       .orderBy("i", "j")
   }
 
+  /** URL parsing + registrable-domain extraction against planted URLs
+   * (the q259 fixture pattern on strings): documents seed full URLs —
+   * multi-label subdomains, two-part public suffixes (co.uk/gov.co),
+   * ports, varying path depth, optional query strings — and
+   * [[Curation.urlProfile]] must recover host / eTLD+1 / path depth /
+   * query presence from the STRING ALONE (native `parse_url`, no UDF)
+   * while the oracle predicts every field from the generating
+   * arithmetic. The naive last-two-labels rule would return `co.uk`
+   * for the subdomained two-part-suffix hosts — those rows are the
+   * point. */
+  val q285UrlProfile: Q = Q("q285_url_profile",
+    """SELECT doc_id,
+       (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.img.' ELSE '' END)
+         || 'site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+         || (CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'org'
+             WHEN 2 THEN 'io' WHEN 3 THEN 'com' ELSE 'gov.co' END) AS host,
+       'site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+         || (CASE doc_id % 5 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'org'
+             WHEN 2 THEN 'io' WHEN 3 THEN 'com' ELSE 'gov.co' END)
+         AS registrable_domain,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 3 END AS BIGINT)
+         AS path_depth,
+       doc_id % 4 = 0 AS has_query
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 4 === 0, "www.")
+        .when(col("doc_id") % 4 === 1, "cdn.img.").otherwise(""),
+      lit("site"), (col("doc_id") % 50).cast("string"), lit("."),
+      when(col("doc_id") % 5 === 0, "co.uk")
+        .when(col("doc_id") % 5 === 1, "org")
+        .when(col("doc_id") % 5 === 2, "io")
+        .when(col("doc_id") % 5 === 3, "com").otherwise("gov.co"),
+      when(col("doc_id") % 7 === 0, ":8080").otherwise(""),
+      when(col("doc_id") % 3 === 1, "/docs")
+        .when(col("doc_id") % 3 === 2, "/docs/archive/2024").otherwise(""),
+      when(col("doc_id") % 4 === 0, "?q=spark&lang=en").otherwise(""))
+    // the profile sees ONLY (doc_id, url) — parsing is the work
+    val seeded = table(s, d, "documents").select(col("doc_id"), url.as("url"))
+    Curation.urlProfile(seeded, col("url"))
+      .select("doc_id", "host", "registrable_domain", "path_depth", "has_query")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
-    q270LengthBuckets, q274QualityLr, q279StreamNearDup)
+    q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile)
 }

@@ -177,4 +177,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toList
     assert(got == List(("hot0", 200L), ("hot1", 200L), ("hot2", 200L)))
   }
+
+  test("registrableDomain + urlProfile truth table") {
+    val hosts = Seq("cdn.img.site.co.uk", "www.site.org", "site.com",
+      "a.b.c.d.ac.uk", "localhost", "site.co.jp").toDF("h")
+    val got = hosts.select($"h", Curation.registrableDomain($"h").as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("cdn.img.site.co.uk") == "site.co.uk") // two-part suffix
+    assert(got("www.site.org") == "site.org")
+    assert(got("site.com") == "site.com")
+    assert(got("a.b.c.d.ac.uk") == "d.ac.uk")
+    assert(got("localhost") == "localhost") // single label: itself
+    assert(got("site.co.jp") == "site.co.jp") // bare eTLD+1, n==3 path
+    // urlProfile: port stripped from host, missing path/query handled
+    val urls = Seq(
+      (1L, "https://www.site.co.uk:8080/a/b?q=1"),
+      (2L, "https://site.io"),
+      (3L, "not a url at all")).toDF("doc_id", "url")
+    val p = Curation.urlProfile(urls, $"url").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(1L).getAs[String]("host") == "www.site.co.uk")
+    assert(p(1L).getAs[String]("registrable_domain") == "site.co.uk")
+    assert(p(1L).getAs[Long]("path_depth") == 2L &&
+      p(1L).getAs[Boolean]("has_query"))
+    assert(p(2L).getAs[Long]("path_depth") == 0L &&
+      !p(2L).getAs[Boolean]("has_query"))
+    // garbage: null host, never a throw (crawl junk must not fail the stage)
+    assert(p(3L).isNullAt(p(3L).fieldIndex("host")))
+  }
 }
