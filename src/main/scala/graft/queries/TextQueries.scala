@@ -734,6 +734,49 @@ object TextQueries {
     Multimodal.decodeWavHeaders(media).orderBy("media_id")
   }
 
+  /** PCM sample statistics over planted square-wave audio — REAL byte
+   * math on REAL samples, one step past q281's header walk: each part
+   * row seeds a WAV whose data chunk holds an actual 8-bit waveform
+   * (k-byte half-cycles, m cycles, built by hex repeat/unhex column
+   * arithmetic), and [[graft.multimodal.Multimodal.pcmStats]] must
+   * recover peak amplitude, clipping ppm, zero crossings and mean
+   * |amplitude| that the oracle predicts closed-form from (k, m) and
+   * the planted high byte (0xFF rows clip, 0xD0 rows don't). Every
+   * 7th row declares 16-bit samples, which the 8-bit analyzer must
+   * refuse into an all-null row rather than misread. */
+  val q286PcmStats: Q = Q("q286_pcm_stats",
+    """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(2 * (1 + p_size % 8) * (10 + p_partkey % 20) AS BIGINT)
+       END AS n_samples,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            WHEN p_partkey % 5 = 0 THEN 127 ELSE 80 END AS peak,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            WHEN p_partkey % 5 = 0 THEN CAST(500000 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS clip_ppm,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(2 * (10 + p_partkey % 20) - 1 AS BIGINT)
+       END AS zero_crossings,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            WHEN p_partkey % 5 = 0 THEN CAST(103500 AS BIGINT)
+            ELSE CAST(80000 AS BIGINT) END AS mean_abs_milli
+       FROM part ORDER BY media_id""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val seeds = table(s, d, "part")
+      .withColumn("k", (col("p_size") % 8 + 1).cast("int"))
+      .withColumn("m", (col("p_partkey") % 20 + 10).cast("int"))
+      .withColumn("hi",
+        when(col("p_partkey") % 5 === 0, "FF").otherwise("D0"))
+      // square wave: k high bytes then k low (0x30) bytes, m cycles
+      .withColumn("samples",
+        expr("unhex(repeat(concat(repeat(hi, k), repeat('30', k)), m))"))
+    val media = Multimodal.wavFixturesPcm(seeds, col("p_partkey"),
+      lit(8000), lit(1),
+      when(col("p_partkey") % 7 === 3, 16).otherwise(8),
+      col("samples"))
+    Multimodal.pcmStats(media).orderBy("media_id")
+  }
+
   /** Product quantization ANN ([[graft.sim.Pq]]): 64-dim unit vectors
    * compress to m=16 subspace codes (ksub=16 codebooks fit on the
    * deterministic hash sample), candidates score by ADC table lookups
@@ -937,7 +980,8 @@ object TextQueries {
     q58Curation, q59NearDupLsh, q71DecodeStats, q73Chunking, q130IvfProbe,
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
-    q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka)
+    q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
+    q286PcmStats)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

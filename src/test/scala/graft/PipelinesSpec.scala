@@ -146,6 +146,31 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(out(8L).isNullAt(1) && out(8L).isNullAt(4))
   }
 
+  test("multimodal: pcm8Stats hand-checked waveform, refusals") {
+    import Multimodal.{pcm8Stats, wavFixturesPcm}
+    // hand waveform: 200,200,50,50,255 (peak 127, one clip, two
+    // crossings around 128, sumAbs = 72+72+78+78+127 = 427 → mean 85400)
+    val payload = Array(200, 200, 50, 50, 255).map(_.toByte)
+    val fx = wavFixturesPcm(
+      Seq((0L, 8000, 1, 8)).toDF("id", "sr", "ch", "bits"),
+      col("id"), col("sr"), col("ch"), col("bits"),
+      lit(payload))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(pcm8Stats(fx(0L)).contains((5L, 127, 200000L, 2L, 85400L)))
+    // WavHeader still parses the same blob (both walks share the layout)
+    assert(Multimodal.WavHeader.parse(fx(0L))
+      .contains(Multimodal.WavHeader.Wav(1, 8000, 8, 0L))) // 5B/8000Bps → 0ms
+    // refusals: 16-bit declared, truncated payload, garbage
+    val fx16 = wavFixturesPcm(
+      Seq((1L, 8000, 1, 16)).toDF("id", "sr", "ch", "bits"),
+      col("id"), col("sr"), col("ch"), col("bits"), lit(payload))
+      .collect().head.getAs[Array[Byte]]("blob")
+    assert(pcm8Stats(fx16).isEmpty) // declared 16-bit: refuse, not misread
+    assert(pcm8Stats(fx(0L).dropRight(2)).isEmpty) // data size > payload
+    assert(pcm8Stats(null).isEmpty)
+    assert(pcm8Stats("RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val streamed = StreamingDemand.runToBatch(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
