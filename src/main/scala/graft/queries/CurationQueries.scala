@@ -519,8 +519,83 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup funnel report — the per-gate catch table every corpus
+   * pipeline publishes: how many documents each dedup tier would
+   * remove, independently, over the same corpus. Exact
+   * (whitespace-normalized md5), MinHash-LSH (shared candidate pairs →
+   * connected components; removed = members − clusters), and SimHash
+   * (Hamming ≤ 3 pairs → components). One documents scan
+   * (localCheckpoint feeds exact + SimHash) plus the shared scratch
+   * pair table; the oracle replays BOTH cluster closures with
+   * recursive CTEs over the identical pair chains. */
+  val q287DedupFunnel: Q = Q("q287_dedup_funnel",
+    s"""WITH RECURSIVE ${TextQueries.minhashPairCtes},
+      medges AS (SELECT i AS a, j AS b FROM pairs
+                 UNION ALL SELECT j AS a, i AS b FROM pairs),
+      mreach(src, dst) AS (
+        SELECT a, b FROM medges
+        UNION
+        SELECT r.src, e.b FROM mreach r JOIN medges e ON r.dst = e.a),
+      mcl AS (SELECT src, least(src, min(dst)) AS c FROM mreach GROUP BY src),
+      wtok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+               FROM documents),
+      whash AS (SELECT doc_id,
+                  unnest(list_transform(w, t -> ('0x'||substr(md5(t),1,15))::BIGINT)) AS h
+                FROM wtok),
+      wbits AS (SELECT doc_id, b,
+                  sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+                FROM whash CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+      wfp AS (SELECT doc_id,
+                CAST(sum(CASE WHEN cnt > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+              FROM wbits GROUP BY doc_id),
+      wch AS (SELECT doc_id, fp, c AS ci, (fp >> (c * 15)) & 32767 AS cv
+              FROM wfp CROSS JOIN range(4) r(c)),
+      wpairs AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                 FROM wch a JOIN wch b
+                   ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+      wedges AS (SELECT i AS a, j AS b FROM wpairs
+                 UNION ALL SELECT j AS a, i AS b FROM wpairs),
+      wreach(src, dst) AS (
+        SELECT a, b FROM wedges
+        UNION
+        SELECT r.src, e.b FROM wreach r JOIN wedges e ON r.dst = e.a),
+      wcl AS (SELECT src, least(src, min(dst)) AS c FROM wreach GROUP BY src),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      f AS (
+        SELECT 'exact' AS tier,
+               CAST(count(*) - count(DISTINCT
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+                 AS n_removed
+        FROM documents
+        UNION ALL
+        SELECT 'minhash', CAST(count(*) - count(DISTINCT c) AS BIGINT) FROM mcl
+        UNION ALL
+        SELECT 'simhash', CAST(count(*) - count(DISTINCT c) AS BIGINT) FROM wcl)
+      SELECT tier, n_docs, n_removed,
+             n_removed * 1000000 // n_docs AS removed_ppm
+      FROM f, tot ORDER BY tier""") { (s, d) =>
+    val docs = table(s, d, "documents").localCheckpoint()
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val exact = docs
+      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+      .agg((count(lit(1)) - countDistinct(col("h"))).as("n_removed"))
+      .select(lit("exact").as("tier"), col("n_removed"))
+    def ccRemoved(name: String, pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(pairs)
+        .agg((count(lit(1)) - countDistinct(col("lbl"))).as("n_removed"))
+        .select(lit(name).as("tier"), col("n_removed"))
+    val mh = ccRemoved("minhash", TextQueries.sharedMinhashPairs(s, d))
+    val sh = ccRemoved("simhash", Dedup.simhashCandidates(docs, maxDist = 3))
+    broadcast(exact.unionAll(mh).unionAll(sh)).crossJoin(broadcast(tot))
+      .select(col("tier"), col("n_docs"), col("n_removed"),
+        expr("n_removed * 1000000 div n_docs").as("removed_ppm"))
+      .orderBy("tier")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
-    q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile)
+    q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile,
+    q287DedupFunnel)
 }
