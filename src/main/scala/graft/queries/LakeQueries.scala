@@ -449,8 +449,44 @@ object LakeQueries {
       .orderBy("event_type")
   }
 
+  /** Hilbert vs Morton clustering keys, bit-exact: every part row maps
+   * its planted (x, y) grid cell to BOTH curve indices —
+   * [[graft.ops.Layout.hilbertIndex]] (8 unrolled rotate/reflect
+   * rounds, pure column arithmetic) and [[graft.ops.Layout.zValue]]
+   * (bit interleave) — and the oracle replays all 8 Hilbert rounds as
+   * CTEs plus the interleave sum, so every intermediate rotation is
+   * hash-checked across 2000 cells. The locality property that makes
+   * Hilbert the better OPTIMIZE key (consecutive d ⇒ adjacent cells;
+   * Morton jumps at power-of-two seams) is pinned exhaustively in
+   * LakeOpsSpec. */
+  val q288HilbertIndex: Q = Q("q288_hilbert_index",
+    s"""WITH h0 AS (SELECT p_partkey,
+             CAST(p_partkey % 256 AS BIGINT) AS x,
+             CAST((p_size * 7 + 3) % 256 AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d FROM part),
+       ${graft.ops.Layout.hilbertOracleCtes(8, "p_partkey")},
+       z AS (SELECT p_partkey,
+               CAST(${(0 until 8).map(i =>
+                s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})")
+                .mkString(" + ")} AS BIGINT) AS z_d
+             FROM h0)
+       SELECT h0.p_partkey AS part_key, h0.x, h0.y,
+              h8.d AS hilbert_d, z.z_d
+       FROM h0 JOIN h8 USING (p_partkey) JOIN z USING (p_partkey)
+       ORDER BY part_key""") { (s, d) =>
+    import graft.ops.Layout
+    val seeds = table(s, d, "part").select(
+      col("p_partkey").as("part_key"),
+      (col("p_partkey") % 256).cast("long").as("x"),
+      ((col("p_size") * 7 + 3) % 256).cast("long").as("y"))
+    Layout.hilbertIndex(seeds, col("x"), col("y"), bits = 8, out = "hilbert_d")
+      .withColumn("z_d", Layout.zValue(col("x"), col("y"), 8))
+      .orderBy("part_key")
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
-    q116PartitionPruning, q131StreamOuterJoin, q132Zorder)
+    q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
+    q288HilbertIndex)
 }

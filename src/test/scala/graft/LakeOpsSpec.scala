@@ -122,4 +122,34 @@ class LakeOpsSpec extends AnyFunSuite with SparkSpec {
       case _ => ()
     }
   }
+
+  test("hilbertIndex: exhaustive bijection + unit adjacency; Morton jumps") {
+    import spark.implicits._
+    // all 256 cells of the 16x16 grid (bits = 4)
+    val cells = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y))
+      .toDF("x", "y")
+    val got = Layout.hilbertIndex(cells, col("x"), col("y"), bits = 4,
+        out = "d")
+      .withColumn("z", Layout.zValue(col("x"), col("y"), 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // bijection onto [0, 256)
+    assert(got.map(_._3).sorted.toSeq == (0L until 256L))
+    // THE Hilbert property: consecutive d are grid-adjacent (unit
+    // Manhattan step) — this is what makes a run of consecutive keys a
+    // compact 2-D region
+    val byD = got.map(t => t._3 -> (t._1, t._2)).toMap
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"Hilbert jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton does NOT have it: its max consecutive-key jump crosses the
+    // grid (the power-of-two seam) — the measured reason to prefer Hilbert
+    val byZ = got.map(t => t._4 -> (t._1, t._2)).toMap
+    val maxZJump = (0L until 255L).map { z =>
+      val (x1, y1) = byZ(z); val (x2, y2) = byZ(z + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(maxZJump > 1, s"expected Morton to jump, max step was $maxZJump")
+  }
 }
