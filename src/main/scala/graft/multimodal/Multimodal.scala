@@ -259,6 +259,118 @@ object Multimodal {
       lit("audio/wav").as("mime"), length(blob).cast("long").as("n_bytes"))
   }
 
+  /**
+   * REAL header-level MP4/ISO-BMFF decode — the video leg of the
+   * image (q259) / audio (q281) / video triad, from the published box
+   * layout (ISO/IEC 14496-12 §4.2/§8.2.2): a file is a sequence of
+   * boxes `size(u32be) + type(4)`; `moov` is a pure container whose
+   * children include `mvhd` (movie header: version/flags, then for
+   * version 0 two u32 timestamps, then timescale u32be and duration
+   * u32be). Duration in ms = duration·1000/timescale — the field a
+   * crawl pipeline reads before deciding whether to transcode. The
+   * walk skips arbitrary leading boxes (`ftyp`, `free`, `skip`) and
+   * arbitrary non-mvhd children inside `moov`; truncated or
+   * unrecognized blobs return None, never throw.
+   */
+  object Mp4Header {
+    final case class Mp4(timescale: Long, durationTicks: Long,
+                         durationMs: Long)
+
+    private def be32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+        ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, "US-ASCII")
+
+    def parse(b: Array[Byte]): Option[Mp4] = {
+      if (b == null || b.length < 16) return None
+      // ISO-BMFF sanity gate: the first box must be well-formed, and a
+      // real MP4 leads with ftyp (14496-12 §4.3: "shall be placed as
+      // early as possible")
+      if (be32(b, 0) < 8 || tag(b, 4) != "ftyp") return None
+      var i = 0
+      var out: Option[Mp4] = None
+      while (out.isEmpty && i + 8 <= b.length) {
+        val size = be32(b, 0 + i)
+        if (size < 8) return None // malformed box — bail, don't loop
+        if (tag(b, i + 4) == "moov") {
+          // walk the container's children for mvhd
+          var j = i + 8
+          val end = math.min(i + size, b.length.toLong).toInt
+          while (out.isEmpty && j + 8 <= end) {
+            val csize = be32(b, j)
+            if (csize < 8) return None
+            if (tag(b, j + 4) == "mvhd" && b(j + 8) == 0 && j + 28 <= end) {
+              // version 0: ver/flags(4) ctime(4) mtime(4) timescale(4) duration(4)
+              val ts = be32(b, j + 20)
+              val dur = be32(b, j + 24)
+              if (ts > 0) out = Some(Mp4(ts, dur, dur * 1000L / ts))
+            }
+            j += csize.toInt
+          }
+          i = end
+        } else i += size.toInt
+      }
+      out
+    }
+  }
+
+  /** Output schema of [[decodeMp4Headers]]. */
+  val mp4Schema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration_ticks", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Video-header stage: same per-partition batch contract as the
+    * image/audio walks — every media_id survives, nulls for
+    * unrecognized blobs. */
+  def decodeMp4Headers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "blob")
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          Mp4Header.parse(r.getAs[Array[Byte]]("blob")) match {
+            case Some(m) =>
+              Row(r.getLong(0), m.timescale, m.durationTicks, m.durationMs)
+            case None => Row(r.getLong(0), null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, mp4Schema)
+  }
+
+  /** Planted MP4 fixtures — pure binary column arithmetic like
+    * [[imageFixtures]]/[[wavFixtures]]: `ftyp` then a `free` junk box
+    * BEFORE `moov` (top-level skip path), and inside `moov` an `iods`
+    * junk child BEFORE `mvhd` (container-walk path). timescale and
+    * duration come from table columns so the oracle predicts the
+    * parse closed-form. */
+  def mp4Fixtures(rows: DataFrame, idCol: Column, timescale: Column,
+                  durationTicks: Column): DataFrame = {
+    def be32(c: Column) = unhex(lpad(hex(c), 8, "0"))
+    // mvhd v0 body: ver/flags + ctime + mtime + timescale + duration +
+    // rate/volume/reserved tail (truncated tail is legal for the walk:
+    // the box SIZE still accounts for it) — we emit the full 100-byte
+    // mvhd + 8-byte header = 108
+    val mvhd = concat(be32(lit(108)), lit("mvhd".getBytes("US-ASCII")),
+      unhex(lit("00000000")), be32(lit(0)), be32(lit(0)),
+      be32(timescale), be32(durationTicks),
+      unhex(lit("00010000FF000000")), // rate 1.0, volume, reserved bits
+      unhex(lit(Seq.fill(72)("00").mkString)))
+    val iods = concat(be32(lit(12)), lit("iods".getBytes("US-ASCII")),
+      unhex(lit("00000000")))
+    val moov = concat(be32(lit(8 + 12 + 108)),
+      lit("moov".getBytes("US-ASCII")), iods, mvhd)
+    val ftyp = concat(be32(lit(16)), lit("ftyp".getBytes("US-ASCII")),
+      lit("isom".getBytes("US-ASCII")), be32(lit(512)))
+    val free = concat(be32(lit(11)), lit("free".getBytes("US-ASCII")),
+      lit("pad".getBytes("US-ASCII")))
+    val blob = concat(ftyp, free, moov)
+    rows.select(idCol.cast("long").as("media_id"), blob.as("blob"),
+      lit("video/mp4").as("mime"), length(blob).cast("long").as("n_bytes"))
+  }
+
   /** Output schema of [[pcmStats]]. */
   val pcmSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

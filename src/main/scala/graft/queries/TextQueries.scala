@@ -777,6 +777,42 @@ object TextQueries {
     Multimodal.pcmStats(media).orderBy("media_id")
   }
 
+  /** REAL header-level MP4 decode against planted fixtures — the video
+   * leg completing the image/audio/video triad (q259/q281/q289). The
+   * part table seeds ISO-BMFF byte streams (ftyp, then a `free` junk
+   * box exercising the top-level skip, then moov with an `iods` junk
+   * child before mvhd exercising the container walk); the parser must
+   * recover timescale / duration ticks / derived ms that the oracle
+   * predicts from the planted columns. Every 7th blob is plain text →
+   * all-null metadata row. */
+  val q289Mp4Header: Q = Q("q289_mp4_header",
+    """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(CASE p_partkey % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                      ELSE 90000 END AS BIGINT) END AS timescale,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST(p_size * 977 + p_partkey % 100 AS BIGINT)
+       END AS duration_ticks,
+       CASE WHEN p_partkey % 7 = 3 THEN NULL
+            ELSE CAST((p_size * 977 + p_partkey % 100) * 1000 //
+              (CASE p_partkey % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+               ELSE 90000 END) AS BIGINT)
+       END AS duration_ms
+       FROM part ORDER BY media_id""") { (s, d) =>
+    import graft.multimodal.Multimodal
+    val seeds = table(s, d, "part")
+    val mp4 = Multimodal.mp4Fixtures(seeds, col("p_partkey"),
+      when(col("p_partkey") % 3 === 0, 600)
+        .when(col("p_partkey") % 3 === 1, 1000).otherwise(90000),
+      (col("p_size") * 977 + col("p_partkey") % 100).cast("int"))
+    val media = mp4.select(col("media_id"),
+      when(col("media_id") % 7 === 3,
+        encode(concat(lit("txt:"), col("media_id").cast("string")), "utf-8"))
+        .otherwise(col("blob")).as("blob"),
+      col("mime"), col("n_bytes"))
+    Multimodal.decodeMp4Headers(media).orderBy("media_id")
+  }
+
   /** Product quantization ANN ([[graft.sim.Pq]]): 64-dim unit vectors
    * compress to m=16 subspace codes (ksub=16 codebooks fit on the
    * deterministic hash sample), candidates score by ADC table lookups
@@ -981,7 +1017,7 @@ object TextQueries {
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
-    q286PcmStats)
+    q286PcmStats, q289Mp4Header)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

@@ -171,6 +171,26 @@ class PipelinesSpec extends AnyFunSuite with SparkSpec {
     assert(pcm8Stats("RIFFxxxxWAVEjunk".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("multimodal: Mp4Header box walk truth table") {
+    import Multimodal.Mp4Header
+    val fx = Multimodal.mp4Fixtures(
+      Seq((0L, 1000, 2500), (1L, 90000, 45)).toDF("id", "ts", "dur"),
+      col("id"), col("ts"), col("dur"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("blob")).toMap
+    assert(Mp4Header.parse(fx(0L)).contains(Mp4Header.Mp4(1000, 2500, 2500)))
+    assert(Mp4Header.parse(fx(1L)).contains(Mp4Header.Mp4(90000, 45, 0)))
+    // structure sanity: ftyp first, free junk before moov, iods before mvhd
+    assert(new String(fx(0L), 4, 4, "US-ASCII") == "ftyp")
+    assert(new String(fx(0L), 20, 4, "US-ASCII") == "free")
+    // refusals: no ftyp lead, malformed box size, truncation, garbage
+    assert(Mp4Header.parse(null).isEmpty)
+    assert(Mp4Header.parse(fx(0L).take(30)).isEmpty) // moov truncated away
+    assert(Mp4Header.parse("plain text long enough to walk".getBytes).isEmpty)
+    val badSize = fx(0L).clone()
+    badSize(0) = 0; badSize(1) = 0; badSize(2) = 0; badSize(3) = 1 // size 1 < 8
+    assert(Mp4Header.parse(badSize).isEmpty)
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val streamed = StreamingDemand.runToBatch(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
