@@ -593,9 +593,43 @@ object CurationQueries {
       .orderBy("tier")
   }
 
+  /** Deterministic per-epoch training shuffle: the ordering key is
+   * md5(epoch:doc_id) — reproducible at any partitioning and cluster
+   * size (no rand(), no zipWithIndex), different per epoch, and
+   * writable as a sort column so the epoch writer just
+   * range-partitions on it. The probe emits each epoch's first 20
+   * documents; per epoch that plans as TakeOrdered (distributed
+   * top-k), NOT a global sort — the 100 TB path materializes the key
+   * and lets the write sort, it never collects an ordering. Oracle
+   * replays the hash and the rank. */
+  val q290EpochShuffle: Q = Q("q290_epoch_shuffle",
+    """WITH k AS (SELECT CAST(e AS INTEGER) AS epoch, doc_id,
+         ('0x'||substr(md5(CAST(e AS VARCHAR)||':'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+       FROM documents CROSS JOIN range(3) r(e)),
+       t AS (SELECT epoch, doc_id, h,
+               row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+             FROM k)
+       SELECT epoch, pos, doc_id, h FROM t WHERE pos <= 20
+       ORDER BY epoch, pos""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents").select("doc_id").localCheckpoint()
+    val perEpoch = (0 until 3).map { e =>
+      docs.select(lit(e).as("epoch"), col("doc_id"),
+        graft.ops.Exprs.md5Long(
+          concat(lit(e.toString), lit(":"), col("doc_id").cast("string")))
+          .as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(20) // TakeOrdered, no sort
+    }
+    val top = perEpoch.reduce(_ unionAll _).localCheckpoint() // 60 rows
+    top.withColumn("pos", row_number().over(
+        Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select("epoch", "pos", "doc_id", "h")
+      .orderBy("epoch", "pos")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
     q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile,
-    q287DedupFunnel)
+    q287DedupFunnel, q290EpochShuffle)
 }
