@@ -606,9 +606,74 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment + rebalance
+   * disruption: shard(key) = argmax over shards of md5(shard:key) —
+   * stateless, ring-free consistent placement (Thaler & Ravishankar
+   * 1998; the assignment rule behind cache/partition placement in
+   * production systems). Adding shard 8 to an 8-shard fleet must move
+   * ONLY the keys the new shard now wins — expected 1/9 of them —
+   * and every key's assignment is deterministic md5 integer
+   * arithmetic, so the oracle replays placements, per-shard counts
+   * and the measured moved_ppm exactly. Map-side hash fan-out (keys ×
+   * 9 literal shards), one keyed argmax shuffle per fleet size; no
+   * coordination state anywhere. */
+  val q291Rendezvous: Q = Q("q291_rendezvous",
+    """WITH ks AS (SELECT c_custkey AS k, s,
+         ('0x'||substr(md5(CAST(s AS VARCHAR)||':'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT AS h
+       FROM customer CROSS JOIN range(9) r(s)),
+       a8 AS (SELECT k, s AS shard FROM (
+                SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+                FROM ks WHERE s < 8) WHERE rn = 1),
+       a9 AS (SELECT k, s AS shard FROM (
+                SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY h DESC, s DESC) AS rn
+                FROM ks) WHERE rn = 1),
+       mv AS (SELECT CAST(count(*) FILTER (WHERE a8.shard <> a9.shard) * 1000000
+                       // count(*) AS BIGINT) AS moved_ppm
+              FROM a8 JOIN a9 USING (k)),
+       c8 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM a8 GROUP BY shard),
+       c9 AS (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM a9 GROUP BY shard)
+       SELECT CAST(r.s AS BIGINT) AS shard,
+              coalesce(c8.n, 0) AS n_keys_8, coalesce(c9.n, 0) AS n_keys_9,
+              mv.moved_ppm
+       FROM range(9) r(s)
+       LEFT JOIN c8 ON c8.shard = r.s LEFT JOIN c9 ON c9.shard = r.s, mv
+       ORDER BY shard""") { (s, d) =>
+    import graft.ops.Exprs
+    val keys = table(s, d, "customer").select(col("c_custkey").as("k"))
+      .localCheckpoint() // feeds both fleet sizes
+    val ks = keys.select(col("k"),
+        explode(array((0 until 9).map(i => lit(i.toLong)): _*)).as("s"))
+      .withColumn("h", Exprs.md5Long(
+        concat(col("s").cast("string"), lit(":"), col("k").cast("string"))))
+    // argmax by (h, s): max of the struct is lexicographic — h first,
+    // shard id as the deterministic tiebreak
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(max(struct(col("h"), col("s"))).as("m"))
+        .select(col("k"), col("m.s").as("shard"))
+    val a8 = assign(ks.filter(col("s") < 8)).localCheckpoint()
+    val a9 = assign(ks).localCheckpoint()
+    val mv = a8.withColumnRenamed("shard", "s8")
+      .join(a9.withColumnRenamed("shard", "s9"), "k")
+      .agg(sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("nm"),
+        count(lit(1)).as("nt"))
+      .select(expr("nm * 1000000 div nt").as("moved_ppm"))
+    val shards = s.range(9).select(col("id").as("shard"))
+    broadcast(shards)
+      .join(broadcast(a8.groupBy("shard").agg(count(lit(1)).as("n_keys_8"))),
+        Seq("shard"), "left")
+      .join(broadcast(a9.groupBy("shard").agg(count(lit(1)).as("n_keys_9"))),
+        Seq("shard"), "left")
+      .crossJoin(broadcast(mv))
+      .select(col("shard"),
+        coalesce(col("n_keys_8"), lit(0L)).as("n_keys_8"),
+        coalesce(col("n_keys_9"), lit(0L)).as("n_keys_9"),
+        col("moved_ppm"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(q75AsofJoin, q76RangeJoin, q77Bm25, q78SpanDedup,
     q79DomainQuota, q80Surprisal, q81SeqPacking, q82Int8Quant,
     q83ClusterKeepBest, q84RollingAvg, q85Percentiles, q86Cube,
     q87SaltedJoin, q88GroupSample, q89StreamEnrich, q90Histogram,
-    q91Profile, q92Upsert)
+    q91Profile, q92Upsert, q291Rendezvous)
 }

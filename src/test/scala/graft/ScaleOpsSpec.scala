@@ -138,4 +138,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .collect().toSet
     assert(out == Set(("a", 1L, 1L), ("a", 2L, 2L), ("b", 5L, 1L)))
   }
+
+  test("q291 rendezvous: minimal-disruption identity and conservation") {
+    val rows = graft.queries.ScaleQueries.q291Rendezvous
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val total8 = rows.values.map(_._1).sum
+    val total9 = rows.values.map(_._2).sum
+    assert(total8 == total9 && total8 > 0) // every key stays assigned
+    assert(rows(8L)._1 == 0L) // shard 8 didn't exist in the 8-fleet
+    // THE rendezvous theorem: adding a shard moves EXACTLY the keys the
+    // new shard now wins — moved_ppm must equal shard 8's share
+    val movedPpm = rows.values.head._3
+    assert(movedPpm == rows(8L)._2 * 1000000L / total9,
+      s"moved $movedPpm != new-shard share ${rows(8L)._2 * 1000000L / total9}")
+    // and it is in the ballpark of the expected 1/9
+    assert(movedPpm > 40000 && movedPpm < 250000)
+  }
 }
