@@ -510,6 +510,65 @@ object GraphOps {
            FROM deg)""") ++ steps).mkString(",\n")
   }
 
+  /**
+   * HITS (hubs & authorities, Kleinberg) over a DIRECTED bipartite edge
+   * set `(c, s)` — integer-exact: hub scores start uniform at 10^6
+   * micro; each round computes raw authority a(s) = Σ_{c→s} h(c),
+   * L∞-normalizes to micro units (`a·10^6 div max(a)` — a deterministic
+   * integer variant of the usual L2 normalization; the RANKING it
+   * induces is identical, only the scale differs), then hub
+   * h(c) = Σ_{c→s} a(s) with the same normalization. Each half-step is
+   * one keyed equi-join + one keyed aggregate + one 1-row scalar-max
+   * broadcast — the standard distributed power-iteration shape (edge
+   * list deduped and checkpointed once; score tables checkpointed per
+   * round to keep lineage flat). All arithmetic stays in int64: scores
+   * are ≤ 10^6, so a raw sum is ≤ 10^6·max-degree, and the ×10^6
+   * normalization numerator is ≤ 10^12·max-degree — safe to ~10^6
+   * in-degree even at the 100 TB design point. Returns the authority
+   * table (s, a) after `rounds`.
+   */
+  def hitsAuthority(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hitsAuthority requires rounds >= 1 (got $rounds)")
+    val e = edges.select(col("c").cast("long").as("c"),
+        col("s").cast("long").as("s"))
+      .distinct().localCheckpoint()
+    var hub = e.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val araw = e.join(hub, "c").groupBy("s").agg(sum("h").as("ar"))
+      auth = araw.crossJoin(broadcast(araw.agg(max("ar").as("amax"))))
+        .select(col("s"), expr("ar * 1000000 div amax").as("a"))
+        .localCheckpoint()
+      val hraw = e.join(auth, "s").groupBy("c").agg(sum("a").as("hr"))
+      hub = hraw.crossJoin(broadcast(hraw.agg(max("hr").as("hmax"))))
+        .select(col("c"), expr("hr * 1000000 div hmax").as("h"))
+        .localCheckpoint()
+    }
+    auth
+  }
+
+  /** DuckDB replay of [[hitsAuthority]]: `be0(c, s)` (already DISTINCT)
+    * must be bound by the caller; emits `h0, ar1, a1, hr1, h1, …` — the
+    * final `a{rounds}` is the authority table (s, a). */
+  def hitsOracleCtes(rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""ar${r + 1} AS MATERIALIZED (SELECT s, CAST(sum(h) AS BIGINT) AS ar
+            FROM be0 JOIN h$r USING (c) GROUP BY s),
+         a${r + 1} AS MATERIALIZED (SELECT s,
+              ar * 1000000 // (SELECT max(ar) FROM ar${r + 1}) AS a
+            FROM ar${r + 1}),
+         hr${r + 1} AS MATERIALIZED (SELECT c, CAST(sum(a) AS BIGINT) AS hr
+            FROM be0 JOIN a${r + 1} USING (s) GROUP BY c),
+         h${r + 1} AS MATERIALIZED (SELECT c,
+              hr * 1000000 // (SELECT max(hr) FROM hr${r + 1}) AS h
+            FROM hr${r + 1})"""
+    }
+    (Seq("""h0 AS MATERIALIZED (SELECT DISTINCT c,
+              CAST(1000000 AS BIGINT) AS h FROM be0)""") ++ steps)
+      .mkString(",\n")
+  }
+
   /** DuckDB replay of [[kCorePeel]] as unrolled CTEs: `ed0` must be
     * bound by the caller; emits `d0, v1, ed1, …, ed{rounds}` and a final
     * `kcore` CTE (v, deg). */

@@ -859,9 +859,42 @@ object LinkQueries {
       .orderBy("r")
   }
 
+  /** HITS hubs & authorities over the DIRECTED customer→supplier
+   * bipartite graph (a customer "endorses" every supplier whose parts
+   * it ordered): authoritative suppliers are those endorsed by
+   * high-hub customers, and hub customers are those buying from
+   * authoritative suppliers — the mutual-reinforcement ranking
+   * PageRank's single undirected score cannot express. Two
+   * integer-exact [[GraphOps.hitsAuthority]] rounds (micro-unit L∞
+   * normalization, every half-step one keyed join + one keyed agg +
+   * one 1-row broadcast max), then distributed top-20 (orderBy+limit →
+   * TakeOrdered, never a global sort) with the picked-rank tie-break.
+   * The edge build joins the two facts on their natural key and
+   * distincts to the bounded (customer, supplier) endorsement set. */
+  val q292Hits: Q = Q("q292_hits",
+    s"""WITH be0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+       ${GraphOps.hitsOracleCtes(rounds = 2)}
+       SELECT CAST(s AS BIGINT) AS supplier, CAST(a AS BIGINT) AS auth_micro,
+              CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rk
+       FROM a2 QUALIFY rk <= 20 ORDER BY rk""") { (s, d) =>
+    val be = table(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(table(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey").isNotNull && col("l_suppkey").isNotNull)
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+    GraphOps.hitsAuthority(be, rounds = 2)
+      .orderBy(col("a").desc, col("s")).limit(20)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("a").desc, col("s"))).cast("long"))
+      .select(col("s").as("supplier"), col("a").as("auth_micro"), col("rk"))
+      .orderBy("rk")
+  }
+
   val all: Seq[Q] = Seq(q209PhraseSearch, q210LabelProp, q211Acf,
     q212ItemRecs, q213Containment, q214ClusteringCoeff,
     q215SortedNeighborhood, q216Ppr, q218Sssp, q219Mis, q220Landmarks,
     q225WeightedJaccard, q227Assortativity, q228AttackTolerance,
-    q232KTruss, q268Modularity, q277Pacf, q283Neighborhood)
+    q232KTruss, q268Modularity, q277Pacf, q283Neighborhood, q292Hits)
 }

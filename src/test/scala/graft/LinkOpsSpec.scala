@@ -32,6 +32,26 @@ class LinkOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r == Map(10L -> 204188L, 1L -> 741626L, 2L -> 54188L))
   }
 
+  test("hitsAuthority: hand-computed two-round scores on a planted bipartite graph") {
+    // customers {1,2,3} → suppliers {10,20}: supplier 10 endorsed by all
+    // three customers, 20 only by customer 3.
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L)).toDF("c", "s")
+    val r1 = GraphOps.hitsAuthority(e, rounds = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // round 1: araw(10)=3e6, araw(20)=1e6 → a(10)=1e6, a(20)=333333
+    assert(r1 == Map(10L -> 1000000L, 20L -> 333333L))
+    val r2 = GraphOps.hitsAuthority(e, rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // hubs after round 1: h(1)=h(2)=1e6*1e6 div 1333333=750000, h(3)=1e6
+    // round 2: araw(10)=2.5e6, araw(20)=1e6 → a(10)=1e6, a(20)=400000
+    assert(r2 == Map(10L -> 1000000L, 20L -> 400000L))
+    // duplicate endorsements must not double-count
+    val dup = e.union(e)
+    val r2d = GraphOps.hitsAuthority(dup, rounds = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2d == r2)
+  }
+
   test("sssp: cheap detour beats heavy direct edge within the round budget") {
     // 1-2 weight 10 direct, but 1-3 (1) + 3-2 (1) = 2 via the detour
     val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L)).toDF("i", "j", "w")
