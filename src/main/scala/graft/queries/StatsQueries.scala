@@ -1254,8 +1254,74 @@ object StatsQueries {
       .orderBy("event_type", "t")
   }
 
+  /** Holt linear-trend (double exponential smoothing) over the per-type
+   * daily count series, ENTIRELY integer: level/trend carried in micro
+   * units, α = 1/5 and β = 1/10 staged as exact integer operations
+   * (α·x·10⁶ = x·200000; (1−α)(l+b) = (l+b)·4 div 5;
+   * β(l−l') = Δl div 10; (1−β)b = b·9 div 10 — both engines truncate
+   * toward zero, including on a negative trend, verified). Init is the
+   * standard l₁ = x₁, b₁ = x₂−x₁; one update per day from day 2. The
+   * fold runs as an `aggregate` higher-order function over the sorted
+   * per-type day array — the series is the BOUNDED daily table
+   * (days × types, same justification as q282/q233), never the fact
+   * table, so the collect_list is a few hundred longs per group; the
+   * oracle replays the identical recurrence as a recursive CTE.
+   * Output: final level/trend and the h = 7 forecast l + 7b, all micro.
+   * Magnitudes: l ≤ x·10⁶ ≈ 10¹¹ at 100× harness scale; ×4 staging
+   * keeps everything far inside int64. */
+  val q293HoltTrend: Q = Q("q293_holt_trend",
+    """WITH RECURSIVE dc AS (SELECT event_type,
+              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS t,
+              CAST(count(*) AS BIGINT) AS x
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+       s AS (SELECT event_type,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS rn,
+               x FROM dc),
+       n AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days
+             FROM s GROUP BY 1 HAVING max(rn) >= 2),
+       rec AS (
+         SELECT a.event_type, CAST(1 AS BIGINT) AS rn,
+                a.x * 1000000 AS l, (b2.x - a.x) * 1000000 AS b
+         FROM s a JOIN s b2 ON b2.event_type = a.event_type AND b2.rn = 2
+         WHERE a.rn = 1
+         UNION ALL
+         SELECT r.event_type, r.rn + 1,
+                nx.x * 200000 + ((r.l + r.b) * 4) // 5 AS l,
+                (nx.x * 200000 + ((r.l + r.b) * 4) // 5 - r.l) // 10
+                  + (r.b * 9) // 10 AS b
+         FROM rec r JOIN s nx ON nx.event_type = r.event_type
+                             AND nx.rn = r.rn + 1)
+       SELECT r.event_type, n.n_days, r.l AS level_micro, r.b AS trend_micro,
+              r.l + 7 * r.b AS forecast7_micro
+       FROM rec r JOIN n ON n.event_type = r.event_type AND r.rn = n.n_days
+       ORDER BY r.event_type""") { (s, d) =>
+    table(s, d, "events")
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        (unix_timestamp(col("ts")) / 86400).cast("long").as("t"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("t"), col("x")))).as("sx"))
+      .filter(size(col("sx")) >= 2)
+      .withColumn("xs", expr("transform(sx, p -> p.x)"))
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+             named_struct('l', xs[0] * 1000000L,
+                          'b', (xs[1] - xs[0]) * 1000000L),
+             (st, x) -> named_struct(
+               'l', x * 200000L + ((st.l + st.b) * 4L) div 5L,
+               'b', (x * 200000L + ((st.l + st.b) * 4L) div 5L - st.l) div 10L
+                      + (st.b * 9L) div 10L))"""))
+      .select(col("event_type"),
+        size(col("xs")).cast("long").as("n_days"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro"),
+        (col("st.l") + lit(7L) * col("st.b")).as("forecast7_micro"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
-    q266TheilSen, q267Mase, q282EwmaAnomaly,
+    q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
