@@ -627,9 +627,71 @@ object CurationQueries {
       .orderBy("epoch", "pos")
   }
 
+  /** Cumulative inverse-CDF ladder of the TRUNCATED two-sided geometric
+   * (discrete Laplace) with α = 1/2 (ε = ln 2 per released count),
+   * support clamped to [−8, 8] with the tail mass folded into the
+   * clamp: P(0) = 256/768, P(±k) = 2^(8−k)/768 for 1 ≤ k ≤ 7,
+   * P(±8) = 2/768. Exact rational thresholds in 768ths, shared
+   * verbatim by the Spark plan and the oracle — (cum_threshold,
+   * noise). */
+  private[graft] val dpLadder: Seq[(Long, Long)] = {
+    val masses = (-8 to 8).map { k =>
+      val m = if (math.abs(k) == 8) 2L
+              else if (k == 0) 256L else 256L >> math.abs(k)
+      (k.toLong, m)
+    }
+    masses.scanLeft((0L, 0L)) { case ((_, cum), (k, m)) => (k, cum + m) }
+      .tail.map { case (k, cum) => (cum, k) }
+  }
+
+  /** Differentially-private group-count release: per (orderpriority,
+   * orderstatus) order counts plus two-sided-geometric noise (the
+   * discrete Laplace mechanism for sensitivity-1 counting queries,
+   * ε = ln 2) — SEEDED, so the release is reproducible run to run and
+   * the oracle replays it bit-exactly: the per-group uniform draw is
+   * the 60-bit md5 of a salted group key taken mod 768, mapped through
+   * the exact rational inverse-CDF ladder [[dpLadder]]. Truncation at
+   * ±8 (tail mass folded into the clamp) is the standard bounded-noise
+   * engineering variant; the 2^60-mod-768 residue bias is ~2^-52 —
+   * both documented, both deterministic. Pure map-side after one keyed
+   * count; the `noise` column is emitted for auditability here — a
+   * production release would drop it (and the seed). */
+  val q294DpCounts: Q = Q("q294_dp_counts",
+    s"""WITH g AS (SELECT o_orderpriority, o_orderstatus,
+              CAST(count(*) AS BIGINT) AS n
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            GROUP BY 1, 2),
+       u AS (SELECT o_orderpriority, o_orderstatus, n,
+               ${graft.ops.Exprs.md5LongSql.format(
+                 "'dp1:'||o_orderpriority||':'||o_orderstatus")} % 768 AS v
+             FROM g),
+       nz AS (SELECT o_orderpriority, o_orderstatus, n,
+                CAST(CASE ${dpLadder.init.map { case (c, k) =>
+                  s"WHEN v < $c THEN $k" }.mkString(" ")}
+                     ELSE 8 END AS BIGINT) AS noise
+              FROM u)
+       SELECT o_orderpriority, o_orderstatus, n + noise AS noisy_count, noise
+       FROM nz ORDER BY o_orderpriority, o_orderstatus""") { (s, d) =>
+    val v = graft.ops.Exprs.md5Long(
+      concat_ws(":", lit("dp1"), col("o_orderpriority"), col("o_orderstatus"))) % 768
+    val noise = dpLadder.init.foldRight(lit(8L)) { case ((c, k), acc) =>
+      when(col("v") < c, lit(k)).otherwise(acc)
+    }
+    table(s, d, "orders")
+      .filter(col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("v", v)
+      .withColumn("noise", noise)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        (col("n") + col("noise")).as("noisy_count"), col("noise"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
     q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile,
-    q287DedupFunnel, q290EpochShuffle)
+    q287DedupFunnel, q290EpochShuffle, q294DpCounts)
 }

@@ -205,4 +205,22 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     // garbage: null host, never a throw (crawl junk must not fail the stage)
     assert(p(3L).isNullAt(p(3L).fieldIndex("host")))
   }
+
+  test("dpLadder matches the closed-form truncated two-sided geometric (alpha = 1/2)") {
+    // independent recomputation — the ladder constants are shared by
+    // the q294 plan AND its oracle, so a bug there would pass the hash
+    // gate; this spec is the outside check. P(k) ∝ (1/2)^|k| with the
+    // tail beyond ±8 folded into the clamp; denominator 768 = 3·2^8.
+    val ladder = graft.queries.CurationQueries.dpLadder
+    def mass(k: Long): Long =
+      if (math.abs(k) == 8) 2L // (1/3)(1/2)^7 · 768, tail folded in
+      else (256.0 / math.pow(2.0, math.abs(k).toDouble)).round
+    val ks = (-8L to 8L)
+    assert(ladder.map(_._2) == ks, "support must be -8..8 in order")
+    assert(ks.map(mass).sum == 768L, "total mass must be exactly 1")
+    val expectedCum = ks.scanLeft(0L)((c, k) => c + mass(k)).tail
+    assert(ladder.map(_._1) == expectedCum)
+    // symmetry of the mechanism: P(k) = P(-k)
+    ks.filter(_ > 0).foreach(k => assert(mass(k) == mass(-k)))
+  }
 }
