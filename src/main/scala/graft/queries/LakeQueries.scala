@@ -484,9 +484,82 @@ object LakeQueries {
       .orderBy("part_key")
   }
 
+  /** Zone-map data-skipping planner: the MEASURED reason the
+   * range-clustered layout (q98/q132/q288) beats a hash-scattered one.
+   * Rows are assigned to planned files under both layouts — range:
+   * file = year·100+month of l_shipdate (the natural date-range
+   * partition, NO global sort needed); hash: file = md5₆₀(rowkey) mod
+   * 64 (the default scatter) — then per-file zone maps (min/max
+   * epoch-day) are evaluated against a fixed 3-month predicate exactly
+   * the way parquet row-group pruning and lakehouse file skipping
+   * consult footer stats. Output per layout: files total/read, rows
+   * scanned (in read files) vs selected, and scan-waste ppm. One fact
+   * scan feeds both layouts (localCheckpoint); the predicate bounds
+   * are epoch-day LITERALS computed once and shared with the oracle,
+   * so no date-function drift can split the engines. At 100 TB this
+   * is the planner half of OPTIMIZE: the same zone-map arithmetic
+   * over the real footer stats table. */
+  val q295ZonemapSkip: Q = {
+    val lo = java.time.LocalDate.of(1995, 3, 1).toEpochDay
+    val hi = java.time.LocalDate.of(1995, 6, 1).toEpochDay
+    Q("q295_zonemap_skip",
+      s"""WITH f AS (SELECT
+              CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS dday,
+              CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS rfile,
+              ${graft.ops.Exprs.md5LongSql.format(
+                "l_orderkey||':'||l_linenumber")} % 64 AS hfile
+            FROM lineitem WHERE l_shipdate IS NOT NULL),
+         z AS (SELECT 'range' AS layout, rfile AS fid,
+                 min(dday) AS mn, max(dday) AS mx,
+                 CAST(count(*) AS BIGINT) AS nrows,
+                 CAST(sum(CASE WHEN dday >= $lo AND dday < $hi THEN 1 ELSE 0 END) AS BIGINT) AS sel
+               FROM f GROUP BY 1, 2
+               UNION ALL
+               SELECT 'hash' AS layout, hfile AS fid,
+                 min(dday), max(dday), CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN dday >= $lo AND dday < $hi THEN 1 ELSE 0 END) AS BIGINT)
+               FROM f GROUP BY 1, 2)
+         SELECT layout,
+                CAST(count(*) AS BIGINT) AS files_total,
+                CAST(sum(CASE WHEN mx >= $lo AND mn < $hi THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+                CAST(sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                CAST(sum(sel) AS BIGINT) AS rows_selected,
+                (sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) - sum(sel)) * 1000000
+                  // sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) AS scan_waste_ppm
+         FROM z GROUP BY layout ORDER BY layout""") { (s, d) =>
+      val f = table(s, d, "lineitem")
+        .filter(col("l_shipdate").isNotNull)
+        .select(
+          (unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("dday"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("rfile"),
+          (graft.ops.Exprs.md5Long(concat_ws(":",
+            col("l_orderkey"), col("l_linenumber"))) % 64).as("hfile"))
+        .localCheckpoint() // one fact scan feeds both layout aggregates
+      def zones(layout: String, fid: Column): org.apache.spark.sql.DataFrame =
+        f.groupBy(lit(layout).as("layout"), fid.as("fid"))
+          .agg(min("dday").as("mn"), max("dday").as("mx"),
+            count(lit(1)).as("nrows"),
+            sum(when(col("dday") >= lo && col("dday") < hi, 1L)
+              .otherwise(0L)).as("sel"))
+      val read = col("mx") >= lo && col("mn") < hi
+      zones("range", col("rfile")).unionByName(zones("hash", col("hfile")))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(read, 1L).otherwise(0L)).as("files_read"),
+          sum(when(read, col("nrows")).otherwise(0L)).as("rows_scanned"),
+          sum("sel").as("rows_selected"))
+        .select(col("layout"), col("files_total"), col("files_read"),
+          col("rows_scanned"), col("rows_selected"),
+          expr("(rows_scanned - rows_selected) * 1000000 div rows_scanned")
+            .as("scan_waste_ppm"))
+        .orderBy("layout")
+    }
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
-    q288HilbertIndex)
+    q288HilbertIndex, q295ZonemapSkip)
 }
