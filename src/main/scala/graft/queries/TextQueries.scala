@@ -1009,6 +1009,86 @@ object TextQueries {
         expr("n_hits * 1000000 div nullif(n_cand, 0)").as("precision_ppm"))
   }
 
+  /** MMR diversified re-ranking ([[Similarity.mmrSelect]]): for each of
+   * 8 probe queries, a 12-wide exact-cosine shortlist is re-ranked by
+   * maximal marginal relevance (λ = 0.7, integer-staged 7·rel − 3·maxsim,
+   * similarities in deci-milli units via the established round(·,4)
+   * double contract ×10⁴) so the 5 returned results trade relevance
+   * against redundancy — the result-diversification operator RAG
+   * retrieval runs after ANN. The corpus is left behind at shortlist
+   * construction (broadcast probe side, q39 discipline); the greedy
+   * rounds run on queries×12 rows only. The oracle replays shortlist,
+   * pairwise sims, and all five greedy rounds as unrolled CTEs. */
+  val q296MmrRerank: Q = {
+    val rounds = (2 to 5).map { r =>
+      s"""cand$r AS (SELECT c.qid, c.nid, c.simi, max(p.psim) AS ms
+            FROM sh c
+            JOIN sel${r - 1} s ON s.qid = c.qid
+            JOIN ps p ON p.qid = c.qid AND p.i = c.nid AND p.j = s.nid
+            WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+                              WHERE x.qid = c.qid AND x.nid = c.nid)
+            GROUP BY c.qid, c.nid, c.simi),
+         pick$r AS (SELECT qid, nid, simi, ms, CAST($r AS BIGINT) AS pick FROM (
+            SELECT qid, nid, simi, ms,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY 7 * simi - 3 * ms DESC, nid) AS rn
+            FROM cand$r) WHERE rn = 1),
+         sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)"""
+    }.mkString(",\n")
+    Q("q296_mmr_rerank",
+      s"""WITH $unitCte,
+        sh AS (SELECT qid, nid, simi FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS nid,
+                   CAST(round(list_dot_product(q.u, c.u) * 10000) AS BIGINT) AS simi,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY CAST(round(list_dot_product(q.u, c.u) * 10000) AS BIGINT) DESC,
+                              c.vec_id) AS rk
+            FROM u q JOIN u c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          WHERE rk <= 12),
+        ps AS (SELECT s1.qid, s1.nid AS i, s2.nid AS j,
+                      CAST(round(list_dot_product(a.u, b.u) * 10000) AS BIGINT) AS psim
+               FROM sh s1 JOIN sh s2 ON s1.qid = s2.qid AND s1.nid <> s2.nid
+               JOIN u a ON a.vec_id = s1.nid JOIN u b ON b.vec_id = s2.nid),
+        sel1 AS (SELECT qid, nid, simi, CAST(0 AS BIGINT) AS ms,
+                        CAST(1 AS BIGINT) AS pick
+                 FROM (SELECT qid, nid, simi,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY simi DESC, nid) AS rn
+                       FROM sh) WHERE rn = 1),
+        $rounds
+        SELECT qid, pick, nid, simi AS rel_dmilli, ms AS maxsim_dmilli,
+               7 * simi - 3 * ms AS mmr_score
+        FROM sel5 ORDER BY qid, pick""") { (s, d) =>
+      val u = Similarity.withUnitVec(table(s, d, "embeddings"), "embedding", "u")
+        .select("vec_id", "u")
+      val q = u.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("u").as("qu"))
+      val sh = u.crossJoin(broadcast(q))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("simi",
+          round(Similarity.dot(col("qu"), col("u")) * 10000).cast("long"))
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("simi").desc, col("vec_id"))))
+        .filter(col("rk") <= 12)
+        .select(col("qid"), col("vec_id").as("nid"), col("simi"))
+        .localCheckpoint()
+      val shv = sh.join(u.withColumnRenamed("vec_id", "nid"), "nid")
+      val ps = shv.select(col("qid"), col("nid").as("i"), col("u").as("ui"))
+        .join(shv.select(col("qid"), col("nid").as("j"), col("u").as("uj")),
+          Seq("qid"))
+        .filter(col("i") =!= col("j"))
+        .select(col("qid"), col("i"), col("j"),
+          round(Similarity.dot(col("ui"), col("uj")) * 10000).cast("long")
+            .as("psim"))
+        .localCheckpoint()
+      Similarity.mmrSelect(sh, ps, k = 5)
+        .select(col("qid"), col("pick"), col("nid"),
+          col("simi").as("rel_dmilli"), col("ms").as("maxsim_dmilli"),
+          (col("simi") * 7 - col("ms") * 3).as("mmr_score"))
+        .orderBy("qid", "pick")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
@@ -1017,7 +1097,7 @@ object TextQueries {
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
-    q286PcmStats, q289Mp4Header)
+    q286PcmStats, q289Mp4Header, q296MmrRerank)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

@@ -316,4 +316,49 @@ object Similarity {
       .join(dropped, Seq("id"), "left")
       .withColumn("is_kept", col("keeper_id").isNull)
   }
+
+  /**
+   * Maximal-marginal-relevance (MMR, Carbonell & Goldstein '98)
+   * diversified selection: greedily pick `k` results per query
+   * maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), with λ = 0.7
+   * staged as the INTEGER score `7·rel − 3·maxsim` (argmax-equivalent,
+   * ×10) so every round replays exactly. Inputs are integer-scored:
+   * `shortlist(qid, nid, simi)` (relevance, already top-N-bounded per
+   * query) and `pairSims(qid, i, j, psim)` (candidate-candidate
+   * similarity, both orientations). Pick 1 is pure argmax relevance
+   * (empty-set maxsim = 0); each later round is one anti-join (drop
+   * selected), one equi-join + keyed max (maxsim against the selected
+   * set), and one per-query row_number pick — all on tables bounded by
+   * queries × shortlist width, so the k−1 unrolled rounds cost nothing
+   * at any corpus scale (the corpus was left behind at shortlist
+   * construction). Ties break to the smallest nid. Returns
+   * (qid, nid, simi, ms, pick).
+   */
+  def mmrSelect(shortlist: DataFrame, pairSims: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"mmrSelect requires k >= 1 (got $k)")
+    val wq = Window.partitionBy("qid")
+    var sel = shortlist
+      .withColumn("rn", row_number().over(
+        wq.orderBy(col("simi").desc, col("nid"))))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("simi"),
+        lit(0L).as("ms"), lit(1L).as("pick"))
+      .localCheckpoint()
+    (2 to k).foreach { r =>
+      val selJ = sel.select(col("qid"), col("nid").as("j"))
+      val psSel = pairSims.join(selJ, Seq("qid", "j"))
+        .withColumnRenamed("i", "nid")
+      val cand = shortlist.join(sel.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+      val pick = cand.join(psSel.select("qid", "nid", "psim"), Seq("qid", "nid"))
+        .groupBy("qid", "nid", "simi").agg(max("psim").as("ms"))
+        .withColumn("rn", row_number().over(
+          wq.orderBy((col("simi") * 7 - col("ms") * 3).desc, col("nid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("nid"), col("simi"), col("ms"),
+          lit(r.toLong).as("pick"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel
+  }
 }

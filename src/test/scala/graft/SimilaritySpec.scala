@@ -150,4 +150,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // no monotonicity ASSERT below 64: random projections of random
     // vectors can cross; the oracle pins the exact numbers instead
   }
+
+  test("mmrSelect trades relevance for diversity exactly as 7·rel − 3·maxsim says") {
+    // candidates: A(rel 100) and B(rel 99) nearly identical (psim 95),
+    // C(rel 80) distinct (psim 10). Pick 1 = A (pure argmax). Pick 2:
+    // B scores 7·99−3·95 = 408, C scores 7·80−3·10 = 530 → MMR must
+    // pick C, where a pure-relevance ranker would pick B.
+    val sh = Seq((1L, 10L, 100L), (1L, 11L, 99L), (1L, 12L, 80L))
+      .toDF("qid", "nid", "simi")
+    val ps = Seq(
+      (1L, 10L, 11L, 95L), (1L, 11L, 10L, 95L),
+      (1L, 10L, 12L, 10L), (1L, 12L, 10L, 10L),
+      (1L, 11L, 12L, 10L), (1L, 12L, 11L, 10L))
+      .toDF("qid", "i", "j", "psim")
+    val out = graft.sim.Similarity.mmrSelect(sh, ps, k = 3)
+      .collect().map(r => r.getLong(4) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((10L, 100L, 0L)))
+    assert(out(2L) == ((12L, 80L, 10L)))  // diversity beats redundancy
+    // pick 3 = B, maxsim vs {A, C} = max(95, 10) = 95
+    assert(out(3L) == ((11L, 99L, 95L)))
+  }
 }
