@@ -196,6 +196,36 @@ object AnalyticsQueries {
       .orderBy("window_epoch", "event_type")
   }
 
+  /** Watermark late-data drop accounting
+   * ([[graft.streaming.StreamingDemand.runLateDropToBatch]]): the
+   * events table arrives in two controlled waves (odd event_ids, then
+   * even), so the append-mode hourly aggregation actually exercises
+   * Spark's late-row drop — windows closed by the wave-1 watermark
+   * (end ≤ max(wave-1 ts) − 1 h) reject their wave-2 rows, and only
+   * windows closed by the final watermark are emitted at all. The
+   * oracle replays that exact arithmetic from the two wave maxima:
+   * what the stream DROPPED is pinned by the hash, not just what it
+   * kept. */
+  val q297StreamLateDrop: Q = Q("q297_stream_late_drop",
+    """WITH e AS (SELECT event_id,
+              CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS sec,
+              event_type
+            FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+       wm AS (SELECT (SELECT max(sec) FROM e WHERE event_id % 2 = 1) - 3600 AS wm1,
+                     (SELECT max(sec) FROM e) - 3600 AS wm2),
+       keep AS (SELECT sec, event_type FROM e, wm
+                WHERE event_id % 2 = 1
+                   OR (sec // 3600) * 3600 + 3600 > wm1),
+       agg AS (SELECT (sec // 3600) * 3600 AS ws_sec, event_type,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM keep GROUP BY 1, 2)
+       SELECT ws_sec, event_type, n FROM agg, wm
+       WHERE ws_sec + 3600 <= wm2
+       ORDER BY ws_sec, event_type""") { (s, d) =>
+    graft.streaming.StreamingDemand.runLateDropToBatch(s, d)
+      .orderBy("ws_sec", "event_type")
+  }
+
   // ---------------------------------------------------------- SemDeDup
 
   /** Embedding semantic dedup (SemDeDup): seeded-k-means cells, greedy
@@ -831,5 +861,5 @@ object AnalyticsQueries {
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
     q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex,
-    q135Unpivot, q136GroupedRegression)
+    q135Unpivot, q136GroupedRegression, q297StreamLateDrop)
 }

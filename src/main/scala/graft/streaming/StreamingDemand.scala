@@ -320,6 +320,57 @@ object StreamingDemand {
   }
 
   /**
+   * Watermark LATE-DATA DROP, pinned: the events table arrives in two
+   * controlled waves (wave 1 = odd event_ids, wave 2 = even — written
+   * to a scratch dir between `processAllAvailable` calls, so the file
+   * source sees exactly two arrival batches). After wave 1 the
+   * watermark advances to max(wave-1 event time) − 1 h and APPEND mode
+   * emits + evicts every hour window that closed; wave-2 rows falling
+   * in those closed windows are dropped by the late-data filter —
+   * Spark's actual bounded-state guarantee on an unbounded
+   * out-of-order stream, which none of the single-arrival streaming
+   * queries can exercise. The emitted table is therefore an exact
+   * deterministic function of the two wave maxima: a window (start s,
+   * end s+3600) appears iff s+3600 ≤ final watermark, with count =
+   * wave-1 rows + only those wave-2 rows whose window was still open
+   * at the wave-1 watermark (boundary: a window is closed and its
+   * late rows dropped when end ≤ watermark) — the q297 oracle replays
+   * exactly that arithmetic. Event time floors to whole seconds so
+   * the window/watermark arithmetic is integer-exact.
+   */
+  def runLateDropToBatch(spark: SparkSession, dir: String): DataFrame = {
+    val name = "stream_late_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStatePartitions(spark, statePartitionsFor(spark, dir)) { child =>
+      val src = graft.io.Sources.scratchDir("graft_late_src")
+      val ev = graft.io.Sources.table(child, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), date_trunc("second", col("ts")).as("ts"),
+          col("event_type"))
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .write.mode("overwrite").parquet(src)
+      val q = child.readStream
+        .schema(StructType(Seq(StructField("event_id", LongType),
+          StructField("ts", TimestampType), StructField("event_type", StringType))))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws_sec"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        q.processAllAvailable() // wave 1 fully processed; watermark set
+        ev.filter(pmod(col("event_id"), lit(2)) === 0)
+          .write.mode("append").parquet(src) // the late wave
+        q.processAllAvailable()
+      } finally q.stop()
+      drain(child, name)
+    }
+  }
+
+  /**
    * Run the stream over a (finite) parquet path to completion and return
    * the materialized result: epoch-second window start per event type.
    * Output mode "complete" so late batches restate the full table.
