@@ -855,11 +855,93 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Deterministic k-fold cross-validation (k = 3) of the q136 grouped
+   * OLS: fold = md5₆₀(event_id) mod 3 (reproducible at any
+   * partitioning — a row can never migrate folds), train moments for
+   * each held-out fold are TOTALS MINUS FOLD (exact BIGINT normal-
+   * equation sums, so no per-fold rescan), coefficients follow q136's
+   * round(·,4) double contract, and the held-out error is
+   * re-integerized per row (residual = y − round(slope·x + intercept),
+   * SSE an exact BIGINT sum) so the distributed sum is
+   * order-independent and the oracle replays everything. Two passes
+   * over the fact (one map-side-combined moment aggregate + one eval
+   * join against the k×groups broadcast coefficient table) at any
+   * scale. */
+  val q298KfoldCv: Q = Q("q298_kfold_cv",
+    s"""WITH e AS (SELECT event_type,
+              ${graft.ops.Exprs.md5LongSql.format("event_id")} % 3 AS fold,
+              CAST(hour(ts) AS BIGINT) AS x,
+              CAST(round(value * 1000) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       fm AS (SELECT event_type, fold, count(*) AS n, sum(x) AS sx,
+                     sum(x*x) AS sxx, sum(y) AS sy, sum(x*y) AS sxy
+              FROM e GROUP BY 1, 2),
+       tm AS (SELECT event_type, sum(n) AS tn, sum(sx) AS tsx,
+                     sum(sxx) AS tsxx, sum(sy) AS tsy, sum(sxy) AS tsxy
+              FROM fm GROUP BY 1),
+       tr AS (SELECT fm.event_type, fm.fold,
+                     tn - n AS ntr, tsx - sx AS sxtr, tsxx - sxx AS sxxtr,
+                     tsy - sy AS sytr, tsxy - sxy AS sxytr
+              FROM fm JOIN tm ON fm.event_type = tm.event_type),
+       cf AS (SELECT event_type, fold, ntr,
+                CASE WHEN ntr*sxxtr - sxtr*sxtr = 0 THEN NULL
+                     ELSE round(CAST(ntr*sxytr - sxtr*sytr AS DOUBLE)
+                                / (ntr*sxxtr - sxtr*sxtr), 4) END AS slope_q,
+                CASE WHEN ntr*sxxtr - sxtr*sxtr = 0 THEN NULL
+                     ELSE round(CAST(sytr*sxxtr - sxtr*sxytr AS DOUBLE)
+                                / (ntr*sxxtr - sxtr*sxtr), 4) END AS intercept_q
+              FROM tr)
+       SELECT e.event_type, e.fold, cf.ntr AS n_train,
+              CAST(count(*) AS BIGINT) AS n_test, cf.slope_q, cf.intercept_q,
+              CAST(sum((y - CAST(round(cf.slope_q * x + cf.intercept_q) AS BIGINT))
+                     * (y - CAST(round(cf.slope_q * x + cf.intercept_q) AS BIGINT)))
+                   AS BIGINT) AS sse
+       FROM e JOIN cf ON e.event_type = cf.event_type AND e.fold = cf.fold
+       GROUP BY e.event_type, e.fold, cf.ntr, cf.slope_q, cf.intercept_q
+       ORDER BY e.event_type, e.fold""") { (s, d) =>
+    val e = table(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        (graft.ops.Exprs.md5Long(col("event_id")) % 3).as("fold"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 1000, 0).cast("long").as("y"))
+      .localCheckpoint() // one materialization feeds moments AND eval
+    val fm = e.groupBy("event_type", "fold")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val tm = fm.groupBy("event_type")
+      .agg(sum("n").as("tn"), sum("sx").as("tsx"), sum("sxx").as("tsxx"),
+        sum("sy").as("tsy"), sum("sxy").as("tsxy"))
+    val denom = (col("tn") - col("n")) * (col("tsxx") - col("sxx")) -
+      (col("tsx") - col("sx")) * (col("tsx") - col("sx"))
+    val cf = fm.join(tm, "event_type")
+      .select(col("event_type"), col("fold"),
+        (col("tn") - col("n")).as("ntr"),
+        when(denom === 0, lit(null)).otherwise(
+          round(((col("tn") - col("n")) * (col("tsxy") - col("sxy")) -
+            (col("tsx") - col("sx")) * (col("tsy") - col("sy")))
+            .cast("double") / denom, 4)).as("slope_q"),
+        when(denom === 0, lit(null)).otherwise(
+          round(((col("tsy") - col("sy")) * (col("tsxx") - col("sxx")) -
+            (col("tsx") - col("sx")) * (col("tsxy") - col("sxy")))
+            .cast("double") / denom, 4)).as("intercept_q"))
+    val res = col("y") -
+      round(col("slope_q") * col("x") + col("intercept_q"), 0).cast("long")
+    e.join(broadcast(cf), Seq("event_type", "fold"))
+      .groupBy(col("event_type"), col("fold"), col("ntr").as("n_train"),
+        col("slope_q"), col("intercept_q"))
+      .agg(count(lit(1)).as("n_test"), sum(res * res).as("sse"))
+      .select(col("event_type"), col("fold"), col("n_train"), col("n_test"),
+        col("slope_q"), col("intercept_q"), col("sse"))
+      .orderBy("event_type", "fold")
+  }
+
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
     q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex,
-    q135Unpivot, q136GroupedRegression, q297StreamLateDrop)
+    q135Unpivot, q136GroupedRegression, q297StreamLateDrop, q298KfoldCv)
 }
