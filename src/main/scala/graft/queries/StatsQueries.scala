@@ -1320,8 +1320,106 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** Split conformal prediction (90% target coverage, α = 0.1): folds
+   * from md5₆₀(event_id) mod 4 — {0,1} fit the per-type OLS (exact
+   * BIGINT normal equations, q136's round(·,4) coefficient contract),
+   * fold 2 calibrates, fold 3 measures. The nonconformity score is the
+   * re-integerized |residual| (milli), the conformal quantile is the
+   * ⌈(n_cal+1)(1−α)⌉-th smallest calibration score — staged as
+   * k = (9·(n_cal+1)+9) div 10 and picked by a cumulative walk over
+   * the per-type (score → count) HISTOGRAM (bounded by distinct
+   * residual values, the q167/q234 scale-safe quantile shape — never
+   * a per-row rank window over the fact), and the held-out coverage
+   * (fraction of fold-3 rows with score ≤ q̂) is reported in ppm:
+   * distribution-free interval calibration, measured not assumed.
+   * Exchangeability guarantees E[coverage] ≥ 90%; the oracle replays
+   * fold assignment, fit, quantile pick, and coverage bit-exactly. */
+  val q299Conformal: Q = Q("q299_conformal",
+    s"""WITH e AS (SELECT event_type,
+              ${graft.ops.Exprs.md5LongSql.format("event_id")} % 4 AS fold,
+              CAST(hour(ts) AS BIGINT) AS x,
+              CAST(round(value * 1000) AS BIGINT) AS y
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+       a AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                    sum(y) AS sy, sum(x*y) AS sxy
+             FROM e WHERE fold <= 1 GROUP BY 1),
+       cf AS (SELECT event_type,
+                round(CAST(n*sxy - sx*sy AS DOUBLE) / (n*sxx - sx*sx), 4) AS slope_q,
+                round(CAST(sy*sxx - sx*sxy AS DOUBLE) / (n*sxx - sx*sx), 4) AS intercept_q
+              FROM a WHERE n*sxx - sx*sx <> 0),
+       r AS (SELECT e.event_type, e.fold,
+               abs(y - CAST(round(cf.slope_q * x + cf.intercept_q) AS BIGINT)) AS score
+             FROM e JOIN cf ON e.event_type = cf.event_type
+             WHERE e.fold >= 2),
+       h AS (SELECT event_type, score, CAST(count(*) AS BIGINT) AS c
+             FROM r WHERE fold = 2 GROUP BY 1, 2),
+       hc AS (SELECT event_type, score,
+                sum(c) OVER (PARTITION BY event_type ORDER BY score) AS cum
+              FROM h),
+       nc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+              FROM r WHERE fold = 2 GROUP BY 1),
+       kk AS (SELECT event_type, n_cal, (9*(n_cal+1)+9) // 10 AS k FROM nc),
+       qh AS (SELECT hc.event_type, min(score) AS qhat_milli
+              FROM hc JOIN kk ON hc.event_type = kk.event_type
+              WHERE cum >= kk.k GROUP BY 1),
+       t AS (SELECT r.event_type, CAST(count(*) AS BIGINT) AS n_test,
+                    CAST(sum(CASE WHEN score <= qhat_milli THEN 1 ELSE 0 END) AS BIGINT) AS covered
+             FROM r JOIN qh ON r.event_type = qh.event_type
+             WHERE fold = 3 GROUP BY 1)
+       SELECT t.event_type, kk.n_cal, t.n_test, qh.qhat_milli, t.covered,
+              t.covered * 1000000 // t.n_test AS coverage_ppm
+       FROM t JOIN qh ON t.event_type = qh.event_type
+              JOIN kk ON t.event_type = kk.event_type
+       ORDER BY t.event_type""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = table(s, d, "events")
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        (graft.ops.Exprs.md5Long(col("event_id")) % 4).as("fold"),
+        hour(col("ts")).cast("long").as("x"),
+        round(col("value") * 1000, 0).cast("long").as("y"))
+      .localCheckpoint()
+    val a = e.filter(col("fold") <= 1).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val denom = col("n") * col("sxx") - col("sx") * col("sx")
+    val cf = a.filter(denom =!= 0).select(col("event_type"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / denom, 4).as("slope_q"),
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+        / denom, 4).as("intercept_q"))
+    val r = e.filter(col("fold") >= 2)
+      .join(broadcast(cf), "event_type")
+      .select(col("event_type"), col("fold"),
+        abs(col("y") - round(col("slope_q") * col("x") + col("intercept_q"), 0)
+          .cast("long")).as("score"))
+      .localCheckpoint()
+    val nc = r.filter(col("fold") === 2).groupBy("event_type")
+      .agg(count(lit(1)).as("n_cal"))
+      .withColumn("k", expr("(9 * (n_cal + 1) + 9) div 10"))
+    val hc = r.filter(col("fold") === 2)
+      .groupBy("event_type", "score").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("score")))
+    val qh = hc.join(broadcast(nc), "event_type")
+      .filter(col("cum") >= col("k"))
+      .groupBy("event_type").agg(min("score").as("qhat_milli"))
+    r.filter(col("fold") === 3)
+      .join(broadcast(qh), "event_type")
+      .groupBy("event_type", "qhat_milli")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("score") <= col("qhat_milli"), 1L).otherwise(0L))
+          .as("covered"))
+      .join(broadcast(nc.select("event_type", "n_cal")), "event_type")
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("qhat_milli"), col("covered"),
+        expr("covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
-    q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend,
+    q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend, q299Conformal,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
