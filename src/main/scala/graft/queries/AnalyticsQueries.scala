@@ -456,6 +456,76 @@ object AnalyticsQueries {
       .orderBy("dist")
   }
 
+  /** Golden-record survivorship — the step AFTER q117's fuzzy matching
+   * that actual MDM/entity-resolution pipelines ship: matched pairs
+   * (same q117 block + edit-distance rule) close into entity clusters
+   * via [[Dedup.connectedComponents]] (O(log n) star contraction, the
+   * q60 machinery), then each cluster collapses to one canonical
+   * record by explicit survivorship rules — id = smallest member key,
+   * name = most complete (longest, tie → lexicographic), balance =
+   * max, segment = from the anchor (min-key) member. Each rule is a
+   * keyed aggregate or picked-rank window over the CLUSTER table
+   * (pairs-bounded, not fact-bounded); the oracle replays the closure
+   * with a recursive CTE and every pick. */
+  val q300GoldenRecord: Q = Q("q300_golden_record",
+    """WITH RECURSIVE c AS (SELECT c_custkey, c_nationkey, c_name AS nm,
+                c_acctbal, c_mktsegment FROM customer),
+       p AS (SELECT a.c_custkey AS i, b.c_custkey AS j
+             FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+              AND substr(a.nm, 1, 15) = substr(b.nm, 1, 15)
+              AND a.c_custkey < b.c_custkey
+             WHERE levenshtein(a.nm, b.nm) <= 3),
+       edges AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+       reach(src, dst) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       lbl AS (SELECT src AS id, CAST(least(src, min(dst)) AS BIGINT) AS cl
+               FROM reach GROUP BY src),
+       mem AS (SELECT lbl.id, lbl.cl, c.nm, c.c_acctbal
+               FROM lbl JOIN c ON c.c_custkey = lbl.id),
+       nameq AS (SELECT cl, nm AS name_canon FROM (
+           SELECT cl, nm, row_number() OVER (PARTITION BY cl
+             ORDER BY length(nm) DESC, nm) AS rn FROM mem) WHERE rn = 1),
+       agg AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_members,
+                      round(max(c_acctbal), 2) AS acctbal_max
+               FROM mem GROUP BY cl)
+       SELECT agg.cl AS cluster_id, agg.n_members, nameq.name_canon,
+              agg.acctbal_max, src.c_mktsegment AS segment_src
+       FROM agg JOIN nameq ON nameq.cl = agg.cl
+            JOIN c src ON src.c_custkey = agg.cl
+       ORDER BY cluster_id""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
+        substring(col("c_name"), 1, 15).as("blk"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val pairs = c.select(col("c_custkey").as("i"), col("c_nationkey"),
+        col("blk"), col("nm").as("nma"))
+      .join(c.select(col("c_custkey").as("j"), col("c_nationkey"),
+        col("blk"), col("nm").as("nmb")), Seq("c_nationkey", "blk"))
+      .filter(col("i") < col("j") &&
+        levenshtein(col("nma"), col("nmb")) <= 3)
+      .select("i", "j")
+    val mem = graft.dedup.Dedup.connectedComponents(pairs)
+      .join(c, col("id") === col("c_custkey"))
+      .select(col("lbl").as("cl"), col("nm"), col("c_acctbal"))
+    val nameq = mem
+      .withColumn("rn", row_number().over(Window.partitionBy("cl")
+        .orderBy(length(col("nm")).desc, col("nm"))))
+      .filter(col("rn") === 1)
+      .select(col("cl"), col("nm").as("name_canon"))
+    val agg = mem.groupBy("cl")
+      .agg(count(lit(1)).as("n_members"),
+        round(max("c_acctbal"), 2).as("acctbal_max"))
+    agg.join(nameq, "cl")
+      .join(c.select(col("c_custkey"), col("c_mktsegment").as("segment_src")),
+        col("cl") === col("c_custkey"))
+      .select(col("cl").as("cluster_id"), col("n_members"),
+        col("name_canon"), col("acctbal_max"), col("segment_src"))
+      .orderBy("cluster_id")
+  }
+
   // ---------------------------------------------------- regex extraction
 
   /** Regex extraction over semi-structured payloads: all digit runs in
@@ -940,7 +1010,7 @@ object AnalyticsQueries {
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
-    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
+    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract, q300GoldenRecord,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
     q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex,
     q135Unpivot, q136GroupedRegression, q297StreamLateDrop, q298KfoldCv)
