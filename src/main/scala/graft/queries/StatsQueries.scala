@@ -1418,8 +1418,64 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** Weight-of-evidence / information-value feature encoding — the
+   * credit-scoring categorical encoder: acctbal bucketed to fixed-width
+   * bins (floor/1000, value-range-bounded), target = "customer placed
+   * ≥ 10 orders", per-bin WOE = ln(smoothed good share / smoothed bad
+   * share) in milli-nats (the q103/q104 round(ln·1000) contract;
+   * Laplace +1/+16 smoothing keeps empty cells finite) and the IV
+   * contribution (pg − pb)·woe staged as exact ppm × mnat integers.
+   * One customer-keyed count join + one bin aggregate + one 1-row
+   * broadcast total — the bin table is bounded by the value range at
+   * any scale. */
+  val q301WoeIv: Q = Q("q301_woe_iv",
+    """WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+            FROM orders GROUP BY 1),
+       base AS (SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+                       (coalesce(oc.n_ord, 0) >= 10) AS good
+                FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+       b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_customers,
+                    CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS gb,
+                    CAST(sum(CASE WHEN good THEN 0 ELSE 1 END) AS BIGINT) AS bb
+             FROM base GROUP BY 1),
+       t AS (SELECT CAST(sum(gb) AS BIGINT) AS gt, CAST(sum(bb) AS BIGINT) AS bt
+             FROM b),
+       w AS (SELECT bucket, n_customers, gb, bb,
+               CAST(round(ln(((gb + 1.0) / (gt + 16)) / ((bb + 1.0) / (bt + 16)))
+                          * 1000) AS BIGINT) AS woe_mnat,
+               (gb + 1) * 1000000 // (gt + 16)
+                 - (bb + 1) * 1000000 // (bt + 16) AS dp_ppm
+             FROM b CROSS JOIN t)
+       SELECT bucket, n_customers, gb AS n_good, bb AS n_bad, woe_mnat,
+              dp_ppm * woe_mnat AS iv_contrib_nano
+       FROM w ORDER BY bucket""") { (s, d) =>
+    val oc = table(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"))
+    val base = table(s, d, "customer")
+      .join(oc, col("o_custkey") === col("c_custkey"), "left")
+      .select(floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"),
+        (coalesce(col("n_ord"), lit(0L)) >= 10).as("good"))
+    val b = base.groupBy("bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("good"), 1L).otherwise(0L)).as("gb"),
+        sum(when(col("good"), 0L).otherwise(1L)).as("bb"))
+    val t = b.agg(sum("gb").as("gt"), sum("bb").as("bt"))
+    b.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_customers"),
+        col("gb").as("n_good"), col("bb").as("n_bad"),
+        round(log(((col("gb") + 1.0) / (col("gt") + 16)) /
+          ((col("bb") + 1.0) / (col("bt") + 16))) * 1000, 0)
+          .cast("long").as("woe_mnat"),
+        (expr("(gb + 1) * 1000000 div (gt + 16)")
+          - expr("(bb + 1) * 1000000 div (bt + 16)")).as("dp_ppm"))
+      .select(col("bucket"), col("n_customers"), col("n_good"), col("n_bad"),
+        col("woe_mnat"), (col("dp_ppm") * col("woe_mnat")).as("iv_contrib_nano"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend, q299Conformal,
+    q301WoeIv,
     q170BenfordAudit, q171RepetitionSignals, q172EmbeddingHealth,
     q173TreeRollup, q174MovingMedian, q175PathMining, q176CorpusDrift,
     q177ChiSquare, q178HllRegisters, q179InvertedIndex,
