@@ -380,8 +380,61 @@ object ExtraQueries {
     }
   }
 
+  /** Referential-integrity audit over every FK edge of the schema —
+   * the data-quality gate a warehouse load runs before publishing:
+   * per edge, child rows, null keys, orphans (left-anti against the
+   * parent's key set) and orphan ppm. Each edge is one anti-join whose
+   * parent side is a distinct key projection (broadcast for the dims;
+   * the lineitem→orders edge shuffles on the natural key like every
+   * consumer of that join). Orphan ppm divides by NON-NULL child keys
+   * (a null FK is a separate defect class, counted on its own). */
+  val q302FkAudit: Q = {
+    // (edge label, child table, child key, parent table, parent key)
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    val sql = edges.map { case (label, ct, ck, pt, pk) =>
+      s"""SELECT '$label' AS edge,
+            (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+            (SELECT CAST(count(*) AS BIGINT) FROM $ct WHERE $ck IS NULL) AS n_null_key,
+            (SELECT CAST(count(*) AS BIGINT) FROM $ct
+             WHERE $ck IS NOT NULL
+               AND $ck NOT IN (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphan"""
+    }.mkString("\nUNION ALL\n")
+    Q("q302_fk_audit",
+      s"""WITH a AS ($sql)
+         SELECT edge, n_child, n_null_key, n_orphan,
+                CASE WHEN n_child - n_null_key = 0 THEN 0
+                     ELSE n_orphan * 1000000 // (n_child - n_null_key) END AS orphan_ppm
+         FROM a ORDER BY edge""") { (s, d) =>
+      val per = edges.map { case (label, ct, ck, pt, pk) =>
+        val child = table(s, d, ct)
+        val parentKeys = table(s, d, pt)
+          .filter(col(pk).isNotNull).select(col(pk).as(ck)).distinct()
+        val nChild = child.agg(count(lit(1)).as("n_child"),
+          count(when(col(ck).isNull, 1)).as("n_null_key"))
+        val nOrphan = child.filter(col(ck).isNotNull)
+          .join(parentKeys, Seq(ck), "left_anti")
+          .agg(count(lit(1)).as("n_orphan"))
+        nChild.crossJoin(nOrphan).select(lit(label).as("edge"),
+          col("n_child"), col("n_null_key"), col("n_orphan"))
+      }
+      per.reduce(_ unionByName _)
+        .select(col("edge"), col("n_child"), col("n_null_key"), col("n_orphan"),
+          when(col("n_child") - col("n_null_key") === 0, 0L)
+            .otherwise(expr("n_orphan * 1000000 div (n_child - n_null_key)"))
+            .as("orphan_ppm"))
+        .orderBy("edge")
+    }
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
     q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup,
-    q260OrcRoundtrip, q271Manifest)
+    q260OrcRoundtrip, q271Manifest, q302FkAudit)
 }
