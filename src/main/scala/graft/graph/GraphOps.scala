@@ -569,6 +569,48 @@ object GraphOps {
       .mkString(",\n")
   }
 
+  /**
+   * Weighted PageRank in integer micro-units over an UNDIRECTED weighted
+   * pair table (`aCol` < `bCol`, positive BIGINT weight `wCol`) — the
+   * TextRank recurrence (Mihalcea & Tarau 2004): per iteration each
+   * vertex sends `round(0.85 · r(u) · w(u,v) / wdeg(u))` along every
+   * incident edge and collects `150000 +` the sum. Ranks and weights
+   * stay BIGINT (the one double step is the round, identical in DuckDB),
+   * so every iteration replays exactly in SQL — the weighted sibling of
+   * [[graft.dedup.Dedup.pageRankMicro]].
+   *
+   * Scale shape: each iteration is one equi-join of the edge table with
+   * the k-row-per-vertex rank table plus one keyed aggregate, lineage
+   * cut per round — no driver-side graph state. Callers aggregate the
+   * pair input first (weights collapse repeated co-occurrence), so the
+   * edge table is vocabulary²-bounded for token graphs, never
+   * corpus-sized.
+   */
+  def weightedPageRankMicro(weightedPairs: DataFrame, iters: Int,
+                            aCol: String = "a", bCol: String = "b",
+                            wCol: String = "c"): DataFrame = {
+    require(iters >= 1, s"weightedPageRankMicro requires iters >= 1 (got $iters)")
+    val und = weightedPairs.select(col(aCol).as("a"), col(bCol).as("b"),
+      col(wCol).cast("long").as("c"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("c"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("c")))
+      .localCheckpoint()
+    val wdeg = edges.groupBy("src").agg(sum("c").as("wd"))
+    val withDeg = edges.join(wdeg, "src").localCheckpoint()
+    var ranks = wdeg.select(col("src").as("v"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = withDeg.join(ranks, col("src") === col("v"))
+        .select(col("dst"),
+          round(lit(0.85) * col("r") * col("c") / col("wd"), 0)
+            .cast("long").as("contrib"))
+        .groupBy("dst")
+        .agg((lit(150000L) + sum("contrib")).as("r"))
+        .select(col("dst").as("v"), col("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** DuckDB replay of [[kCorePeel]] as unrolled CTEs: `ed0` must be
     * bound by the caller; emits `d0, v1, ed1, …, ed{rounds}` and a final
     * `kcore` CTE (v, deg). */

@@ -61,4 +61,41 @@ object Lloyd {
     }
     last.select(col("cid") +: col("n") +: ds.map(i => col(s"c$i")): _*)
   }
+
+  /** Simplified silhouette (Hruschka et al. 2004 — centroid distances
+    * instead of all-pairs member distances, the only silhouette that
+    * scales: all-pairs is O(n²), this is one broadcast cross join
+    * against the k-row centroid table) per final cluster. Per point:
+    * `a` = squared distance to its own (nearest) centroid, `b` = the
+    * smallest squared distance to any OTHER centroid, score
+    * `(b − a)·10⁶ div max(a, b, 1)` — b ≥ a by construction so the
+    * score is a non-negative BIGINT and truncating div == floor div.
+    * Returns (cid, n, mean_sil_ppm) with the mean as sum div count.
+    * Everything stays integer-exact; no float whose aggregation order
+    * could flip a bit.
+    *
+    * Magnitude bound (same convention as Stats.acf): the ppm step
+    * computes (b − a)·10⁶ on BIGINT squared distances, so it requires
+    * dims · span² · 10⁶ < 2⁶³ where span is the per-dimension
+    * micro-unit coordinate spread — i.e. span ≲ 1.5·10⁶ (raw values in
+    * roughly [−1.5, 1.5]) at dims = 4. Pre-scale wider inputs before
+    * [[quantize]]. */
+  def simplifiedSilhouette(pts: DataFrame, cent: DataFrame,
+                           dims: Int): DataFrame = {
+    val ds = 1 to dims
+    val distExpr = expr(ds.map(i => s"(x$i-c$i)*(x$i-c$i)").mkString(" + "))
+    val w = Window.partitionBy("id").orderBy(col("dst"), col("cid"))
+    pts.crossJoin(broadcast(cent))
+      .withColumn("dst", distExpr)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cl"),
+        max(when(col("rn") === 1, col("dst"))).as("a"),
+        min(when(col("rn") > 1, col("dst"))).as("b"))
+      .select(col("cl").as("cid"),
+        expr("(b - a) * 1000000 div greatest(a, b, 1)").as("s"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(s) div count(1)").as("mean_sil_ppm"))
+  }
 }

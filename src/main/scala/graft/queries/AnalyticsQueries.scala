@@ -496,10 +496,13 @@ object AnalyticsQueries {
             JOIN c src ON src.c_custkey = agg.cl
        ORDER BY cluster_id""") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
+    // four consumers (both self-join sides, the member join, the anchor
+    // join) — checkpoint so customer is scanned once
     val c = table(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
         substring(col("c_name"), 1, 15).as("blk"),
         col("c_acctbal"), col("c_mktsegment"))
+      .localCheckpoint()
     val pairs = c.select(col("c_custkey").as("i"), col("c_nationkey"),
         col("blk"), col("nm").as("nma"))
       .join(c.select(col("c_custkey").as("j"), col("c_nationkey"),
@@ -524,6 +527,60 @@ object AnalyticsQueries {
       .select(col("cl").as("cluster_id"), col("n_members"),
         col("name_canon"), col("acctbal_max"), col("segment_src"))
       .orderBy("cluster_id")
+  }
+
+  /** Blocking-quality evaluation for the q117/q300 entity-resolution
+   * pipeline — the metrics an ER practitioner checks BEFORE trusting a
+   * blocking key (Christen 2012): against a gold standard of edit-
+   * distance-≤3 matches inside a coarser (nation, name-prefix-10)
+   * block, score the production (nation, prefix-15) block by pair-count
+   * reduction, pairs completeness (recall of gold matches), and
+   * precision — all in exact ppm. One blocked self-join (prefix-15
+   * match implies prefix-10 match, so the fine candidates are a subset
+   * and every metric comes from ONE pass over the coarse pair set);
+   * per-block pair counts stay bounded by the blocking discipline. */
+  val q306BlockingQuality: Q = Q("q306_blocking_quality",
+    """WITH c AS (SELECT c_custkey, c_nationkey, c_name AS nm FROM customer),
+       p AS (SELECT levenshtein(a.nm, b.nm) <= 3 AS m,
+                    substr(a.nm, 1, 15) = substr(b.nm, 1, 15) AS fine
+             FROM c a JOIN c b
+               ON a.c_nationkey = b.c_nationkey
+              AND substr(a.nm, 1, 10) = substr(b.nm, 1, 10)
+              AND a.c_custkey < b.c_custkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_coarse,
+              CAST(count(*) FILTER (WHERE fine) AS BIGINT) AS n_cand,
+              CAST(count(*) FILTER (WHERE m) AS BIGINT) AS n_truth,
+              CAST(count(*) FILTER (WHERE m AND fine) AS BIGINT) AS n_found,
+              CAST((count(*) - count(*) FILTER (WHERE fine)) * 1000000
+                   // greatest(count(*), 1) AS BIGINT) AS reduction_ppm,
+              CAST(count(*) FILTER (WHERE m AND fine) * 1000000
+                   // greatest(count(*) FILTER (WHERE m), 1) AS BIGINT) AS completeness_ppm,
+              CAST(count(*) FILTER (WHERE m AND fine) * 1000000
+                   // greatest(count(*) FILTER (WHERE fine), 1) AS BIGINT) AS precision_ppm
+       FROM p""") { (s, d) =>
+    val c = table(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
+        substring(col("c_name"), 1, 10).as("blk10"))
+    val a = c.select(col("c_custkey").as("i"), col("c_nationkey"),
+      col("blk10"), col("nm").as("nma"))
+    val b = c.select(col("c_custkey").as("j"), col("c_nationkey"),
+      col("blk10"), col("nm").as("nmb"))
+    a.join(b, Seq("c_nationkey", "blk10"))
+      .filter(col("i") < col("j"))
+      .select((levenshtein(col("nma"), col("nmb")) <= 3).as("m"),
+        (substring(col("nma"), 1, 15) === substring(col("nmb"), 1, 15))
+          .as("fine"))
+      .agg(count(lit(1)).as("n_coarse"),
+        count(when(col("fine"), 1)).as("n_cand"),
+        count(when(col("m"), 1)).as("n_truth"),
+        count(when(col("m") && col("fine"), 1)).as("n_found"))
+      .select(col("n_coarse"), col("n_cand"), col("n_truth"), col("n_found"),
+        expr("(n_coarse - n_cand) * 1000000 div greatest(n_coarse, 1)")
+          .as("reduction_ppm"),
+        expr("n_found * 1000000 div greatest(n_truth, 1)")
+          .as("completeness_ppm"),
+        expr("n_found * 1000000 div greatest(n_cand, 1)")
+          .as("precision_ppm"))
   }
 
   // ---------------------------------------------------- regex extraction
@@ -1010,7 +1067,8 @@ object AnalyticsQueries {
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
     q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
-    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract, q300GoldenRecord,
+    q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
+    q300GoldenRecord, q306BlockingQuality,
     q119FullOuter, q120Pagerank, q121PercentRank, q122Streaks,
     q123NearestDoc, q124SplitLeakage, q125Transitions, q126SeasonalIndex,
     q135Unpivot, q136GroupedRegression, q297StreamLateDrop, q298KfoldCv)

@@ -710,8 +710,65 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  // --------------------------------------------- TextRank keyword extraction
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): the corpus
+   * token co-occurrence graph (adjacent-token pairs, weights = corpus
+   * co-occurrence counts) scored by 3 weighted-PageRank iterations in
+   * integer micro-units, top-20 keywords. The graph build is pure
+   * map-side (an indexed `transform` over each doc's token array — no
+   * window, no self-join) and aggregates to a VOCABULARY²-bounded edge
+   * table before any iteration, so the iterative stage never touches
+   * corpus-sized data; the oracle replays the tokenization, the edge
+   * weights, and all three rank iterations term for term
+   * ([[graft.graph.GraphOps.weightedPageRankMicro]]). */
+  val q303Textrank: Q = Q("q303_textrank",
+    """WITH tok AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+                    FROM documents WHERE text IS NOT NULL),
+       bg AS (SELECT least(w[i], w[i+1]) AS a, greatest(w[i], w[i+1]) AS b
+              FROM tok, unnest(range(1, len(w))) AS t(i)
+              WHERE w[i] <> w[i+1]),
+       e0 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+       edges AS (SELECT a AS src, b AS dst, c FROM e0
+                 UNION ALL SELECT b, a, c FROM e0),
+       wd AS (SELECT src, CAST(sum(c) AS BIGINT) AS wd FROM edges GROUP BY src),
+       r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM wd),
+       r1 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r0.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r0 ON e.src = r0.v JOIN wd ON e.src = wd.src
+              GROUP BY e.dst),
+       r2 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r1.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r1 ON e.src = r1.v JOIN wd ON e.src = wd.src
+              GROUP BY e.dst),
+       r3 AS (SELECT e.dst AS v,
+                CAST(150000 + sum(CAST(round(0.85 * r2.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+              FROM edges e JOIN r2 ON e.src = r2.v JOIN wd ON e.src = wd.src
+              GROUP BY e.dst)
+       SELECT v AS word, r AS rank_micro,
+              row_number() OVER (ORDER BY r DESC, v) AS rnk
+       FROM r3 QUALIFY rnk <= 20 ORDER BY rnk""") { (s, d) =>
+    val pairs = table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(split(trim(lower(col("text"))), "\\s+").as("w"))
+      .select(explode(expr(
+        """transform(slice(w, 1, size(w) - 1),
+           (x, i) -> struct(least(x, element_at(w, i + 2)) AS a,
+                            greatest(x, element_at(w, i + 2)) AS b))"""))
+        .as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    graft.graph.GraphOps.weightedPageRankMicro(pairs, iters = 3)
+      .orderBy(col("r").desc, col("v").asc).limit(20)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("r").desc, col("v").asc)).cast("long"))
+      .select(col("v").as("word"), col("r").as("rank_micro"), col("rnk"))
+      .orderBy("rnk")
+  }
+
   val all: Seq[Q] = Seq(q188Chunking, q189OovRate, q190StratifiedSample,
     q191Moments, q192RrfFusion, q193Survival, q194RollingZscore, q195AnnNdcg,
     q196KAnonymity, q197SoleLateSupplier, q199PerplexityFilter,
-    q200MixturePlan)
+    q200MixturePlan, q303Textrank)
 }

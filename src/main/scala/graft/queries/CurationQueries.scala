@@ -689,9 +689,52 @@ object CurationQueries {
       .orderBy("o_orderpriority", "o_orderstatus")
   }
 
+  // ----------------------------------------------- dataset card (CUBE)
+
+  /** Dataset-card rollup via CUBE (lang × source): every grouping-set
+   * combination — per cell, the margins, and the grand total — in ONE
+   * pass over the corpus (Spark plans CUBE as a single Expand +
+   * aggregate, not 4 scans). Rolled-up dimensions print as '(all)' and
+   * the grouping id is emitted explicitly (lang = MSB, matching both
+   * engines' GROUPING bit order), so the row provenance is part of the
+   * hash check. This is the "dataset card" table an LLM-data release
+   * ships: doc counts, whitespace-token totals, char totals, per
+   * language × source slice. */
+  val q305DatasetCard: Q = Q("q305_dataset_card",
+    """WITH b AS (SELECT lang, source,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+             n_chars
+           FROM documents WHERE text IS NOT NULL)
+       SELECT CASE WHEN GROUPING(lang) = 1 THEN '(all)' ELSE lang END AS lang_g,
+              CASE WHEN GROUPING(source) = 1 THEN '(all)' ELSE source END AS source_g,
+              CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       FROM b GROUP BY CUBE (lang, source)
+       ORDER BY gid, lang_g, source_g""") { (s, d) =>
+    table(s, d, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tok"),
+        col("n_chars"))
+      .cube("lang", "source")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+      .select(
+        when(col("gid").bitwiseAND(2) > 0, lit("(all)"))
+          .otherwise(col("lang")).as("lang_g"),
+        when(col("gid").bitwiseAND(1) > 0, lit("(all)"))
+          .otherwise(col("source")).as("source_g"),
+        col("gid"), col("n_docs"), col("n_tokens"), col("sum_chars"))
+      .orderBy("gid", "lang_g", "source_g")
+  }
+
   val all: Seq[Q] = Seq(q60DupClusters, q61SampleMix, q62VocabTopK,
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
     q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile,
-    q287DedupFunnel, q290EpochShuffle, q294DpCounts)
+    q287DedupFunnel, q290EpochShuffle, q294DpCounts, q305DatasetCard)
 }

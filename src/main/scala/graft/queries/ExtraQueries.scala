@@ -382,12 +382,17 @@ object ExtraQueries {
 
   /** Referential-integrity audit over every FK edge of the schema —
    * the data-quality gate a warehouse load runs before publishing:
-   * per edge, child rows, null keys, orphans (left-anti against the
-   * parent's key set) and orphan ppm. Each edge is one anti-join whose
-   * parent side is a distinct key projection (broadcast for the dims;
-   * the lineitem→orders edge shuffles on the natural key like every
-   * consumer of that join). Orphan ppm divides by NON-NULL child keys
-   * (a null FK is a separate defect class, counted on its own). */
+   * per edge, child rows, null keys, orphans and orphan ppm. Scan
+   * discipline: each CHILD table is scanned once (its FK columns are
+   * projected and checkpointed, then every edge groups that projection
+   * to a DISTINCT-KEY count table) and each PARENT key set is built
+   * once and shared across its edges — so the audit's orphan anti-join
+   * runs key-table vs key-table, never fact vs fact (pre-aggregate
+   * before join, the at-scale RI recipe), and no parquet table is read
+   * more than twice. The per-edge totals × orphan combine is a 1-row
+   * broadcast cross join (the q294/q299 shape). Orphan ppm divides by
+   * NON-NULL child keys (a null FK is a separate defect class, counted
+   * on its own). */
   val q302FkAudit: Q = {
     // (edge label, child table, child key, parent table, parent key)
     val edges = Seq(
@@ -412,16 +417,31 @@ object ExtraQueries {
                 CASE WHEN n_child - n_null_key = 0 THEN 0
                      ELSE n_orphan * 1000000 // (n_child - n_null_key) END AS orphan_ppm
          FROM a ORDER BY edge""") { (s, d) =>
+      // one checkpointed FK projection per child table; one shared
+      // distinct key set per parent table
+      val childProj: Map[String, org.apache.spark.sql.DataFrame] =
+        edges.groupBy(_._2).map { case (ct, es) =>
+          ct -> table(s, d, ct)
+            .select(es.map(_._3).distinct.map(col): _*).localCheckpoint()
+        }
+      val parentKeys: Map[(String, String), org.apache.spark.sql.DataFrame] =
+        edges.map(e => (e._4, e._5)).distinct.map { case (pt, pk) =>
+          (pt, pk) -> table(s, d, pt)
+            .filter(col(pk).isNotNull).select(col(pk)).distinct()
+            .localCheckpoint()
+        }.toMap
       val per = edges.map { case (label, ct, ck, pt, pk) =>
-        val child = table(s, d, ct)
-        val parentKeys = table(s, d, pt)
-          .filter(col(pk).isNotNull).select(col(pk).as(ck)).distinct()
-        val nChild = child.agg(count(lit(1)).as("n_child"),
-          count(when(col(ck).isNull, 1)).as("n_null_key"))
-        val nOrphan = child.filter(col(ck).isNotNull)
-          .join(parentKeys, Seq(ck), "left_anti")
-          .agg(count(lit(1)).as("n_orphan"))
-        nChild.crossJoin(nOrphan).select(lit(label).as("edge"),
+        val keyCnt = childProj(ct).groupBy(col(ck))
+          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+        val tot = keyCnt.agg(
+          coalesce(sum("cnt"), lit(0L)).as("n_child"),
+          coalesce(sum(when(col(ck).isNull, col("cnt"))), lit(0L))
+            .as("n_null_key"))
+        val orphan = keyCnt.filter(col(ck).isNotNull)
+          .join(parentKeys((pt, pk)).select(col(pk).as(ck)),
+            Seq(ck), "left_anti")
+          .agg(coalesce(sum("cnt"), lit(0L)).as("n_orphan"))
+        tot.crossJoin(broadcast(orphan)).select(lit(label).as("edge"),
           col("n_child"), col("n_null_key"), col("n_orphan"))
       }
       per.reduce(_ unionByName _)

@@ -879,6 +879,73 @@ object StatsQueries {
       .orderBy("cid")
   }
 
+  /** Cluster-quality scoring for q222's k-means: SIMPLIFIED silhouette
+   * (centroid distances, not all-pairs member distances — the only
+   * silhouette shape that survives scale; all-pairs is O(n²), this is
+   * one broadcast cross join against the k-row centroid table) per
+   * final cluster, integer-exact end to end: squared BIGINT distances,
+   * score = (b−a)·10⁶ div max(a,b,1) where a = own-centroid distance
+   * and b = nearest-other-centroid distance (b ≥ a by construction so
+   * the score is non-negative and truncating div == floor), cluster
+   * mean = sum div count. The oracle replays q222's two Lloyd rounds
+   * and then the scoring pass term for term. */
+  val q304Silhouette: Q = Q("q304_silhouette",
+    """WITH pts AS (SELECT vec_id,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS x1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS x2,
+             CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000000) AS BIGINT) AS x3,
+             CAST(floor(CAST(embedding[4] AS DOUBLE) * 1000000) AS BIGINT) AS x4
+           FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 4),
+       c0 AS (SELECT vec_id AS cid, x1 AS c1, x2 AS c2, x3 AS c3, x4 AS c4
+              FROM pts ORDER BY vec_id LIMIT 4),
+       a1 AS (SELECT vec_id, cid, x1, x2, x3, x4 FROM (
+              SELECT p.*, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                       (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c0 c) WHERE rn = 1),
+       c1t AS (SELECT cid, CAST(sum(x1) // count(*) AS BIGINT) AS c1,
+                    CAST(sum(x2) // count(*) AS BIGINT) AS c2,
+                    CAST(sum(x3) // count(*) AS BIGINT) AS c3,
+                    CAST(sum(x4) // count(*) AS BIGINT) AS c4
+               FROM a1 GROUP BY cid),
+       a2 AS (SELECT vec_id, cid, x1, x2, x3, x4 FROM (
+              SELECT p.*, c.cid,
+                     row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                       (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                       (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4),
+                       c.cid) AS rn
+              FROM pts p CROSS JOIN c1t c) WHERE rn = 1),
+       c2t AS (SELECT cid, CAST(sum(x1) // count(*) AS BIGINT) AS c1,
+                    CAST(sum(x2) // count(*) AS BIGINT) AS c2,
+                    CAST(sum(x3) // count(*) AS BIGINT) AS c3,
+                    CAST(sum(x4) // count(*) AS BIGINT) AS c4
+               FROM a2 GROUP BY cid),
+       d3 AS (SELECT p.vec_id, c.cid,
+                (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4) AS dst,
+                row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                  (p.x1-c.c1)*(p.x1-c.c1) + (p.x2-c.c2)*(p.x2-c.c2) +
+                  (p.x3-c.c3)*(p.x3-c.c3) + (p.x4-c.c4)*(p.x4-c.c4),
+                  c.cid) AS rn
+              FROM pts p CROSS JOIN c2t c),
+       sc AS (SELECT vec_id,
+                max(CASE WHEN rn = 1 THEN cid END) AS cid,
+                max(CASE WHEN rn = 1 THEN dst END) AS a,
+                min(CASE WHEN rn > 1 THEN dst END) AS b
+              FROM d3 GROUP BY vec_id),
+       s AS (SELECT cid, (b - a) * 1000000 // greatest(a, b, 1) AS s FROM sc)
+       SELECT CAST(cid AS BIGINT) AS cid, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(s) // count(*) AS BIGINT) AS mean_sil_ppm
+       FROM s GROUP BY cid ORDER BY cid""") { (s, d) =>
+    import graft.ml.Lloyd
+    val pts = Lloyd.quantize(table(s, d, "embeddings"), "embedding",
+      "vec_id", dims = 4)
+    val cent = Lloyd.iterate(pts, k = 4, rounds = 2, dims = 4).drop("n")
+    Lloyd.simplifiedSilhouette(pts, cent, dims = 4).orderBy("cid")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic between the price
    * distributions of urgent/high-priority orders and the rest — the
    * distribution-shape test that complements the categorical chi-square
@@ -1482,5 +1549,5 @@ object StatsQueries {
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
-    q226Calibration, q233StlDecompose, q234WeightedQuantiles)
+    q226Calibration, q233StlDecompose, q234WeightedQuantiles, q304Silhouette)
 }

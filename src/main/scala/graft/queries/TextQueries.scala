@@ -1089,6 +1089,79 @@ object TextQueries {
     }
   }
 
+  // ------------------------------------- contrastive-training negatives
+
+  /** Deterministic uniform negative sampling for contrastive training:
+   * per anchor (a bounded probe set — the contract every per-query
+   * family here uses), 4 negatives drawn from the different-label
+   * corpus by md5-prefix rank — reproducible across runs, partitions,
+   * and engines, with no RNG state. One corpus pass against the
+   * broadcast anchor table (BroadcastNestedLoopJoin on the label
+   * disequality — anchors bounded, corpus streams map-side), then a
+   * per-anchor top-4 window on the 60-bit hash key. */
+  val q307NegativeSample: Q = {
+    val hk = graft.ops.Exprs.md5LongSql.format(
+      "CAST(q.vec_id AS VARCHAR) || '_' || CAST(c.vec_id AS VARCHAR)")
+    Q("q307_negative_sample",
+      s"""WITH e AS (SELECT vec_id, label FROM embeddings),
+         s AS (SELECT q.vec_id AS qid, c.vec_id AS nid, $hk AS hk
+               FROM e q JOIN e c ON q.vec_id < 20 AND q.label <> c.label)
+         SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY hk, nid) AS rank
+         FROM s QUALIFY rank <= 4 ORDER BY qid, rank""") { (s, d) =>
+      val e = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+      val anchors = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlab"))
+      e.join(broadcast(anchors), col("label") =!= col("qlab"))
+        .withColumn("hk", graft.ops.Exprs.md5Long(
+          concat(col("qid").cast("string"), lit("_"),
+            col("vec_id").cast("string"))))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("hk"), col("vec_id")))
+          .cast("long"))
+        .filter(col("rank") <= 4)
+        .select(col("qid"), col("vec_id").as("nid"), col("rank"))
+        .orderBy("qid", "rank")
+    }
+  }
+
+  /** Hard-negative mining (the retrieval-training step after q307's
+   * uniform draw): per anchor, the 4 MOST SIMILAR different-label
+   * vectors by exact cosine — the near-misses a contrastive loss
+   * learns most from. Same bounded-anchor broadcast shape as q39
+   * (anchors broadcast, one dot product per streamed corpus row, no
+   * corpus shuffle until the per-anchor top-k window); the label
+   * disequality rides the same join. */
+  val q308HardNegatives: Q = Q("q308_hard_negatives",
+    s"""WITH v AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+       nn AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       u AS (SELECT vec_id, label,
+               list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+             FROM nn),
+       s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    round(list_dot_product(q.u, c.u), 4) AS sim
+             FROM u q JOIN u c ON q.vec_id < 20 AND q.label <> c.label)
+       SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank,
+              sim
+       FROM s QUALIFY rank <= 4 ORDER BY qid, rank""") { (s, d) =>
+    val u = Similarity.withUnitVec(table(s, d, "embeddings"), "embedding", "u")
+      .select(col("vec_id"), col("label"), col("u"))
+    val anchors = u.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("u").as("qu"))
+    u.join(broadcast(anchors), col("label") =!= col("qlab"))
+      .withColumn("sim", round(Similarity.dot(col("qu"), col("u")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
@@ -1097,7 +1170,8 @@ object TextQueries {
     q259HeaderDecode, q261PqTopK, q262BpeMerges, q264RandomProjection,
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
-    q286PcmStats, q289Mp4Header, q296MmrRerank)
+    q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
+    q308HardNegatives)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that

@@ -149,6 +149,27 @@ class AnalyticsOpsSpec extends AnyFunSuite with SparkSpec {
     assert((1L to 5L).map(r).toSet.size == 1)
   }
 
+  test("weightedPageRankMicro: weight pull beats degree symmetry; " +
+    "unit weights equal pageRankMicro") {
+    import spark.implicits._
+    // path graph a-b-c with a heavy a-b edge: b and the heavy edge pull
+    // a above c even though a and c have identical degree
+    val pairs = Seq(("a", "b", 9L), ("b", "c", 1L)).toDF("a", "b", "c")
+    val r = graft.graph.GraphOps.weightedPageRankMicro(pairs, iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.size == 3)
+    assert(r("b") > r("a") && r("b") > r("c"), s"center must dominate: $r")
+    assert(r("a") > r("c"), s"heavy-edge endpoint must outrank light: $r")
+    // with unit weights the recurrence degenerates to pageRankMicro
+    val star = (1L to 5L).map(j => (0L, j, 1L)).toDF("a", "b", "c")
+    val wr = graft.graph.GraphOps.weightedPageRankMicro(star, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ur = graft.dedup.Dedup.pageRankMicro(
+      (1L to 5L).map(j => (0L, j)).toDF("i", "j"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(wr == ur, s"unit-weight ranks must equal unweighted: $wr vs $ur")
+  }
+
   test("runLatestWinsToBatch equals batch argmax truth") {
     val out = graft.streaming.StreamingUpsert
       .runLatestWinsToBatch(spark, sf001, nFiles = 3)
