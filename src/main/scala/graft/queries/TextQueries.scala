@@ -1162,6 +1162,84 @@ object TextQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Hashing-trick vectorizer (Weinberger et al. 2009) over the corpus
+   * vocabulary: every term maps to md5₆₀ mod 64 — the fixed-width
+   * featurization that needs NO vocabulary table at 100 TB — with full
+   * collision accounting per bucket (token mass, distinct terms, the
+   * dominant term, collision flag). One token scan with map-side
+   * combine into a (bucket, term) aggregate, bounded by the vocabulary,
+   * then a 64-row report; the oracle replays the hash arithmetic. */
+  val q309FeatureHashing: Q = {
+    val hk = graft.ops.Exprs.md5LongSql.format("w")
+    Q("q309_feature_hashing",
+      s"""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                       FROM documents WHERE text IS NOT NULL),
+         h AS (SELECT w, $hk % 64 AS bucket FROM tok),
+         g AS (SELECT bucket, w, CAST(count(*) AS BIGINT) AS c
+               FROM h GROUP BY 1, 2),
+         r AS (SELECT bucket, w, c,
+                 row_number() OVER (PARTITION BY bucket ORDER BY c DESC, w) AS rn
+               FROM g)
+         SELECT bucket, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(count(*) AS BIGINT) AS n_terms,
+                max(CASE WHEN rn = 1 THEN w END) AS top_term,
+                count(*) > 1 AS has_collision
+         FROM r GROUP BY bucket ORDER BY bucket""") { (s, d) =>
+      table(s, d, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .withColumn("bucket", graft.ops.Exprs.md5Long(col("w")) % 64)
+        .groupBy("bucket", "w").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("bucket").orderBy(col("c").desc, col("w"))))
+        .groupBy("bucket")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_terms"),
+          max(when(col("rn") === 1, col("w"))).as("top_term"),
+          (count(lit(1)) > 1).as("has_collision"))
+        .orderBy("bucket")
+    }
+  }
+
+  /** Positive-pair mining — the anchor/positive complement of
+   * q307/q308: per bounded anchor, the 4 most-similar SAME-label
+   * vectors by exact cosine (self excluded). The label equality makes
+   * this a plain equi-join on label (anchors broadcast), so unlike the
+   * negative paths it doesn't even need a nested-loop: candidates
+   * hash-route by label. Together the three queries emit the
+   * (anchor, positive, negatives) triplets a contrastive trainer
+   * consumes. */
+  val q310PositivePairs: Q = Q("q310_positive_pairs",
+    s"""WITH v AS (SELECT vec_id, label,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings),
+       nn AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+       u AS (SELECT vec_id, label,
+               list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
+             FROM nn),
+       s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    round(list_dot_product(q.u, c.u), 4) AS sim
+             FROM u q JOIN u c ON q.label = c.label
+              AND q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       SELECT qid, nid,
+              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank,
+              sim
+       FROM s QUALIFY rank <= 4 ORDER BY qid, rank""") { (s, d) =>
+    val u = Similarity.withUnitVec(table(s, d, "embeddings"), "embedding", "u")
+      .select(col("vec_id"), col("label"), col("u"))
+    val anchors = u.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("label"), col("u").as("qu"))
+    u.join(broadcast(anchors), Seq("label"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(Similarity.dot(col("qu"), col("u")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("sim"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     q31TokenStats, q32QualityScore, q33LangId, q34Fingerprint, q35PrefixDedup,
     q36MinhashPairs, q37NgramJaccard, q38SimhashPairs, q39CosineTopK,
@@ -1171,7 +1249,7 @@ object TextQueries {
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
-    q308HardNegatives)
+    q308HardNegatives, q309FeatureHashing, q310PositivePairs)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
