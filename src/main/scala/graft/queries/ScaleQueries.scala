@@ -66,6 +66,57 @@ object ScaleQueries {
       .orderBy("user_id")
   }
 
+  /** Nearest-value matching (the observational-study shape: each
+   * "treated" unit matched to the closest-below control on a numeric
+   * covariate) — [[Temporal.asofJoin]] driven through the VALUE domain
+   * instead of time: urgent orders match the most expensive
+   * low-priority order with price ≤ theirs in the same order month.
+   * Controls pre-dedup per (month, cents) by greatest orderkey so the
+   * match is unique; price quantizes to exact cents (one
+   * floor(×100) double op, identical in both engines) so the
+   * per-month matched-gap sums stay BIGINT. Per month: treated count,
+   * matched count, total match gap — the covariate-balance table a
+   * matching study reports. Same one-window-per-key scale shape as
+   * q75. */
+  val q312NearestMatch: Q = Q("q312_nearest_match",
+    """WITH t AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders WHERE o_orderpriority = '1-URGENT'),
+       c0 AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                     o_orderkey
+              FROM orders WHERE o_orderpriority = '5-LOW'),
+       c AS (SELECT mon, cents FROM (
+               SELECT mon, cents, row_number() OVER (PARTITION BY mon, cents
+                 ORDER BY o_orderkey DESC) AS rn FROM c0) WHERE rn = 1),
+       m AS (SELECT t.mon, t.cents,
+               (SELECT max(c.cents) FROM c
+                WHERE c.mon = t.mon AND c.cents <= t.cents) AS ctl_cents
+             FROM t)
+       SELECT mon, CAST(count(*) AS BIGINT) AS n_treat,
+              CAST(count(ctl_cents) AS BIGINT) AS n_matched,
+              CAST(coalesce(sum(cents - ctl_cents), 0) AS BIGINT) AS gap_cents
+       FROM m GROUP BY mon ORDER BY mon""") { (s, d) =>
+    val o = table(s, d, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"), col("o_orderpriority"))
+    val treat = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("mon", "cents")
+    val ctl = Temporal.latestPerKeyTime(
+      o.filter(col("o_orderpriority") === "5-LOW")
+        .select("mon", "cents", "o_orderkey"),
+      "mon", "cents", "o_orderkey")
+      .select("mon", "cents", "o_orderkey")
+    Temporal.asofJoin(treat, ctl, "mon", "cents", "cents", Seq("o_orderkey"))
+      .groupBy("mon")
+      .agg(count(lit(1)).as("n_treat"),
+        count(col("asof_time")).as("n_matched"),
+        coalesce(sum(col("cents") - col("asof_time")), lit(0L))
+          .as("gap_cents"))
+      .orderBy("mon")
+  }
+
   // ------------------------------------------------------------ range join
 
   /** Interval-point range join: each user's first-hour window
@@ -675,5 +726,5 @@ object ScaleQueries {
     q79DomainQuota, q80Surprisal, q81SeqPacking, q82Int8Quant,
     q83ClusterKeepBest, q84RollingAvg, q85Percentiles, q86Cube,
     q87SaltedJoin, q88GroupSample, q89StreamEnrich, q90Histogram,
-    q91Profile, q92Upsert, q291Rendezvous)
+    q91Profile, q92Upsert, q291Rendezvous, q312NearestMatch)
 }

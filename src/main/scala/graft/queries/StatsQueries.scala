@@ -1540,6 +1540,80 @@ object StatsQueries {
       .orderBy("bucket")
   }
 
+  /** Decision-stump induction — the best single split of q301's
+   * scorecard feature by INFORMATION GAIN: candidate splits are the
+   * (value-range-bounded) acctbal bucket boundaries, left/right label
+   * counts come from one cumulative window over the bucket table
+   * (never the fact table — the q167/q223 discipline), and the gain is
+   * parent entropy minus size-weighted child entropies, all computed
+   * from exact BIGINT counts with ONE sanctioned double step (the
+   * `round(ln ·1000)` milli-nat convention q301 established). Top-5
+   * splits by gain. This is the root-node computation of every
+   * distributed decision-tree trainer (one pass per tree level). */
+  val q311DecisionStump: Q = {
+    // entropy of a (good g, total n) side in nats, 0 at the degenerate
+    // edges — SAME textual formula in both engines so the double
+    // arithmetic matches op for op
+    def h(g: String, n: String) =
+      s"""(CASE WHEN $g = 0 OR $g = $n THEN 0.0
+           ELSE -($g*1.0/$n)*ln($g*1.0/$n) - (($n-$g)*1.0/$n)*ln(($n-$g)*1.0/$n) END)"""
+    val ig = s"""CAST(round((${h("gt", "nt")}
+                 - (nl*1.0/nt) * ${h("gl", "nl")}
+                 - (nr*1.0/nt) * ${h("gr", "nr")}) * 1000, 0) AS BIGINT)"""
+    Q("q311_decision_stump",
+      s"""WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+              FROM orders GROUP BY 1),
+         base AS (SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+                         (coalesce(oc.n_ord, 0) >= 10) AS good
+                  FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS g
+               FROM base GROUP BY 1),
+         c AS (SELECT bucket, CAST(sum(n) OVER win AS BIGINT) AS nl,
+                      CAST(sum(g) OVER win AS BIGINT) AS gl
+               FROM b WINDOW win AS (ORDER BY bucket)),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(g) AS BIGINT) AS gt
+               FROM b),
+         s AS (SELECT bucket AS split_bucket, nl, gl, nt - nl AS nr,
+                      gt - gl AS gr, nt, gt
+               FROM c CROSS JOIN t WHERE nl > 0 AND nt - nl > 0),
+         ig AS (SELECT split_bucket, nl AS n_left, nr AS n_right,
+                       gl AS good_left, gr AS good_right, $ig AS ig_mnat
+                FROM s)
+         SELECT split_bucket, n_left, n_right, good_left, good_right, ig_mnat,
+                row_number() OVER (ORDER BY ig_mnat DESC, split_bucket) AS rnk
+         FROM ig QUALIFY rnk <= 5 ORDER BY rnk""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val oc = table(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      val b = table(s, d, "customer")
+        .join(oc, col("o_custkey") === col("c_custkey"), "left")
+        .select(floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"),
+          (coalesce(col("n_ord"), lit(0L)) >= 10).as("good"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("good"), 1L).otherwise(0L)).as("g"))
+      // cumulative + totals over the BUCKET table (value-range bounded)
+      val win = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = b.select(col("bucket"),
+        sum("n").over(win).as("nl"), sum("g").over(win).as("gl"))
+      val t = b.agg(sum("n").as("nt"), sum("g").as("gt"))
+      c.crossJoin(broadcast(t))
+        .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
+        .select(col("bucket").as("split_bucket"), col("nl"), col("gl"),
+          (col("nt") - col("nl")).as("nr"), (col("gt") - col("gl")).as("gr"),
+          col("nt"), col("gt"))
+        .select(col("split_bucket"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("gl").as("good_left"),
+          col("gr").as("good_right"), expr(ig).as("ig_mnat"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("ig_mnat").desc, col("split_bucket"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .orderBy("rnk")
+    }
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend, q299Conformal,
     q301WoeIv,
@@ -1549,5 +1623,6 @@ object StatsQueries {
     q180JoinSizeEstimate, q182GapInterpolation, q183CurationPipeline,
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
-    q226Calibration, q233StlDecompose, q234WeightedQuantiles, q304Silhouette)
+    q226Calibration, q233StlDecompose, q234WeightedQuantiles, q304Silhouette,
+    q311DecisionStump)
 }
