@@ -689,6 +689,36 @@ object CurationQueries {
       .orderBy("o_orderpriority", "o_orderstatus")
   }
 
+  /** Cross-source duplicate-flow matrix — "which crawls duplicate each
+   * other": the shared MinHash near-dup pair table (built once per run,
+   * io/Scratch) joined twice against the doc→source projection and
+   * rolled up per UNORDERED source pair, with the within-source count
+   * on the diagonal. The curation report that decides which source to
+   * drop when two overlap heavily. Pair-table-sized work only — the
+   * corpus is touched once for the (doc_id, source) projection. */
+  val q314DupFlows: Q = Q("q314_dup_flows",
+    s"""WITH ${TextQueries.minhashPairCtes},
+       src AS (SELECT doc_id, source FROM documents),
+       m AS (SELECT least(a.source, b.source) AS source_a,
+                    greatest(a.source, b.source) AS source_b
+             FROM pairs
+             JOIN src a ON a.doc_id = pairs.i
+             JOIN src b ON b.doc_id = pairs.j)
+       SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+              (source_a = source_b) AS within_source
+       FROM m GROUP BY 1, 2 ORDER BY source_a, source_b""") { (s, d) =>
+    val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+    TextQueries.sharedMinhashPairs(s, d)
+      .join(src.select(col("doc_id").as("i"), col("source").as("sa")), "i")
+      .join(src.select(col("doc_id").as("j"), col("source").as("sb")), "j")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("source_a") === col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ----------------------------------------------- dataset card (CUBE)
 
   /** Dataset-card rollup via CUBE (lang × source): every grouping-set
@@ -736,5 +766,6 @@ object CurationQueries {
     q63Contamination, q64PiiScrub, q65SaltedAgg, q67StreamDedup,
     q68StreamSessions, q74Repetition, q269PreferencePairs,
     q270LengthBuckets, q274QualityLr, q279StreamNearDup, q285UrlProfile,
-    q287DedupFunnel, q290EpochShuffle, q294DpCounts, q305DatasetCard)
+    q287DedupFunnel, q290EpochShuffle, q294DpCounts, q305DatasetCard,
+    q314DupFlows)
 }

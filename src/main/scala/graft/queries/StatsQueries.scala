@@ -1614,6 +1614,54 @@ object StatsQueries {
     }
   }
 
+  /** Leakage-safe target encoding — the tabular-ML categorical encoder
+   * (mean target per category) made safe for training: each customer's
+   * nation is encoded from the OTHER two folds only (fold =
+   * md5₆₀(c_custkey) mod 3, q298's reproducible assignment; encoding =
+   * totals − own fold, so one aggregate pass serves all folds with no
+   * rescans), add-one smoothed and emitted in exact ppm. A row can
+   * never see its own label in its feature — the leakage q298-style CV
+   * would otherwise silently reward. One customer scan + one orders
+   * aggregate; output is category × fold bounded. */
+  val q313TargetEncoding: Q = Q("q313_target_encoding",
+    s"""WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+            FROM orders GROUP BY 1),
+       base AS (SELECT c_nationkey,
+                  ${graft.ops.Exprs.md5LongSql.format("c_custkey")} % 3 AS fold,
+                  CASE WHEN coalesce(oc.n_ord, 0) >= 10 THEN 1 ELSE 0 END AS good
+                FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+       fm AS (SELECT c_nationkey, fold, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(good) AS BIGINT) AS g
+              FROM base GROUP BY 1, 2),
+       tm AS (SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS tn,
+                     CAST(sum(g) AS BIGINT) AS tg
+              FROM fm GROUP BY 1)
+       SELECT fm.c_nationkey AS nationkey, fm.fold,
+              tn - n AS n_oof, tg - g AS g_oof,
+              (tg - g + 1) * 1000000 // (tn - n + 2) AS enc_ppm
+       FROM fm JOIN tm ON fm.c_nationkey = tm.c_nationkey
+       ORDER BY nationkey, fold""") { (s, d) =>
+    val oc = table(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"))
+    val fm = table(s, d, "customer")
+      .join(oc, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_nationkey"),
+        (graft.ops.Exprs.md5Long(col("c_custkey")) % 3).as("fold"),
+        when(coalesce(col("n_ord"), lit(0L)) >= 10, 1L).otherwise(0L)
+          .as("good"))
+      .groupBy("c_nationkey", "fold")
+      .agg(count(lit(1)).as("n"), sum("good").as("g"))
+    val tm = fm.groupBy("c_nationkey")
+      .agg(sum("n").as("tn"), sum("g").as("tg"))
+      .withColumnRenamed("c_nationkey", "nk")
+    fm.join(broadcast(tm), col("c_nationkey") === col("nk"))
+      .select(col("c_nationkey").as("nationkey"), col("fold"),
+        (col("tn") - col("n")).as("n_oof"),
+        (col("tg") - col("g")).as("g_oof"),
+        expr("(tg - g + 1) * 1000000 div (tn - n + 2)").as("enc_ppm"))
+      .orderBy("nationkey", "fold")
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend, q299Conformal,
     q301WoeIv,
@@ -1624,5 +1672,5 @@ object StatsQueries {
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
     q226Calibration, q233StlDecompose, q234WeightedQuantiles, q304Silhouette,
-    q311DecisionStump)
+    q311DecisionStump, q313TargetEncoding)
 }
