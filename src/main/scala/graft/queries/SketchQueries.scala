@@ -654,9 +654,75 @@ object SketchQueries {
       .orderBy("month")
   }
 
+  // ------------------------------------------- sliding-window KMV merge
+
+  /** 7-day sliding distinct users from PER-DAY bottom-64 sketches
+   * ([[Sketches.kmvSlidingDistinct]]) — the mergeable-sketch answer to
+   * "unique visitors in the trailing week, every day": daily sketches
+   * are built once and each window re-ranks ≤ 7·64 sketch hashes,
+   * instead of rescanning the window's raw keys per day. Emitted next
+   * to the EXACT sliding distinct (computed from the distinct
+   * (day, user) table through the same window fan-out — the expensive
+   * path the sketch replaces) and the realized error in ppm, so the
+   * estimator itself is hash-gated day by day. Leading partial windows
+   * are included (n_kept < 64 ⇒ exact by the KMV contract). */
+  val q315SlidingKmv: Q = Q("q315_sliding_kmv",
+    s"""WITH e AS (SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+             ${md5sql.format("user_id")} AS h, user_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       dh AS (SELECT DISTINCT d, h FROM e),
+       daily AS (SELECT d, h FROM (
+             SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rk
+             FROM dh) WHERE rk <= 64),
+       days AS (SELECT DISTINCT d AS td FROM dh),
+       fan AS (SELECT DISTINCT f.td, f.h FROM (
+             SELECT d + off AS td, h
+             FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS off)) f
+             JOIN days ON days.td = f.td),
+       r AS (SELECT td, h, row_number() OVER (PARTITION BY td ORDER BY h) AS rk
+             FROM fan),
+       s AS (SELECT td, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS theta
+             FROM r WHERE rk <= 64 GROUP BY td),
+       est AS (SELECT td, n_kept, theta,
+                 CASE WHEN n_kept < 64 THEN n_kept
+                      ELSE (${Sketches.HashSpace} // theta) * 63 END AS est_distinct
+               FROM s),
+       du AS (SELECT DISTINCT d, user_id FROM e),
+       exf AS (SELECT DISTINCT f.td, f.user_id FROM (
+             SELECT d + off AS td, user_id
+             FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off)) f
+             JOIN days ON days.td = f.td),
+       ex AS (SELECT td, CAST(count(*) AS BIGINT) AS n_exact
+              FROM exf GROUP BY td)
+       SELECT est.td AS day_idx, n_kept, theta, est_distinct, n_exact,
+              abs(est_distinct - n_exact) * 1000000 // n_exact AS err_ppm
+       FROM est JOIN ex ON ex.td = est.td ORDER BY day_idx""") { (s, d) =>
+    val dcol = datediff(col("ts").cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val ev = table(s, d, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val sk = Sketches.kmvSlidingDistinct(ev, col("user_id"), dcol,
+      k = 64, window = 7)
+    // exact verdict path: distinct (day, user) through the same fan-out
+    val du = ev.select(dcol.as("dd"), col("user_id")).distinct()
+      .localCheckpoint() // day list + fan-out both read it
+    val days = du.select(col("dd").as("td")).distinct()
+    val exact = du
+      .select(col("dd"), col("user_id"), explode(expr("sequence(0, 6)")).as("off"))
+      .select((col("dd") + col("off")).as("td"), col("user_id"))
+      .join(days, "td").distinct()
+      .groupBy("td").agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, "td")
+      .select(col("td").as("day_idx"), col("n_kept"), col("theta"),
+        col("est_distinct"), col("n_exact"),
+        expr("abs(est_distinct - n_exact) * 1000000 div n_exact")
+          .as("err_ppm"))
+      .orderBy("day_idx")
+  }
+
   val all: Seq[Q] = Seq(q159KmvDistinct, q160KmvSetOps, q161CountMin,
     q162BloomFilter, q163EntropyProfile, q164KCore, q165MarkovTransitions,
     q166FirSmoother, q181BfsHops, q198StreamKmv,
     q257QuantileSketchDaily, q258QuantileSketchMerge, q263StreamQsketch,
-    q276QsketchMonthly)
+    q276QsketchMonthly, q315SlidingKmv)
 }

@@ -72,6 +72,48 @@ object Sketches {
   }
 
   /**
+   * Per-day KMV sketches merged over a trailing `window`-day sliding
+   * window — THE mergeable-sketch use case: build bottom-k once per
+   * day, then answer "distinct keys in the last N days ending at D"
+   * for every D by re-ranking the union of ≤ window·k sketch hashes
+   * (min-k of min-k's equals the global min-k). The window fan-out
+   * ships ONLY sketch rows (≤ k per day per offset), never raw keys —
+   * at 100 TB the daily sketches are a few KB each while the exact
+   * sliding distinct would rescan the window's raw keys every day.
+   *
+   * Input: `dayIdx` an integer day number; only target days that
+   * actually appear in the input are emitted (leading partial windows
+   * included — n_kept < k reports the window's exact count, the
+   * [[kmvDistinct]] contract). Returns
+   * (td, n_kept, theta, est_distinct).
+   */
+  def kmvSlidingDistinct(df: DataFrame, key: Column, dayIdx: Column,
+                         k: Int, window: Int): DataFrame = {
+    require(window >= 1, s"kmvSlidingDistinct requires window >= 1 (got $window)")
+    val hashed = df.filter(key.isNotNull && dayIdx.isNotNull)
+      .select(dayIdx.cast("long").as("d"), Exprs.md5Long(key).as("h"))
+      .distinct()
+    val wDay = Window.partitionBy("d").orderBy(col("h").asc)
+    val daily = hashed.withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= k).select("d", "h")
+      .localCheckpoint() // day list + window fan-out both read it
+    val days = daily.select(col("d").as("td")).distinct()
+    val fan = daily
+      .select(col("d"), col("h"),
+        explode(expr(s"sequence(0, ${window - 1})")).as("off"))
+      .select((col("d") + col("off")).as("td"), col("h"))
+      .join(days, "td")
+      .distinct() // the same key hash can enter through several days
+    val wTd = Window.partitionBy("td").orderBy(col("h").asc)
+    fan.withColumn("rk", row_number().over(wTd)).filter(col("rk") <= k)
+      .groupBy("td")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"($HashSpace div theta) * ${k - 1}")))
+  }
+
+  /**
    * KMV set-operation sketch over TWO keyed sets A and B (audience
    * overlap without exact distinct): take the k smallest hashes of
    * A ∪ B; within that sample count members of A, of B, and of both.

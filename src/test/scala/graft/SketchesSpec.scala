@@ -26,6 +26,30 @@ class SketchesSpec extends AnyFunSuite with SparkSpec {
     assert(rel < 3.0 / math.sqrt(256), s"est=$est rel=$rel")
   }
 
+  test("kmvSlidingDistinct: under-k windows are exact; partial leading " +
+    "windows included; merge equals whole-window sketch") {
+    // days 0..2, users overlap across days: day0={1..5}, day1={4..8},
+    // day2={8..12}; with k >= union size every window is exact
+    val rows = (1 to 5).map(u => (0L, u)) ++ (4 to 8).map(u => (1L, u)) ++
+      (8 to 12).map(u => (2L, u))
+    val df = rows.toDF("d", "u")
+    val out = Sketches.kmvSlidingDistinct(df, col("u"), col("d"),
+        k = 64, window = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_distinct")).toMap
+    assert(out == Map(0L -> 5L, 1L -> 8L, 2L -> 12L), s"got $out")
+    // at small k the merged window-3 sketch must equal the sketch built
+    // directly on the pooled 3 days (min-k of min-k's = global min-k)
+    val merged = Sketches.kmvSlidingDistinct(df, col("u"), col("d"),
+        k = 4, window = 3)
+      .filter(col("td") === 2L).head()
+    val pooled = Sketches.kmvDistinct(
+        df.withColumn("g", lit("w")), col("u"), Seq("g"), k = 4)
+      .head()
+    assert(merged.getAs[Long]("theta") == pooled.getAs[Long]("theta"))
+    assert(merged.getAs[Long]("est_distinct") ==
+      pooled.getAs[Long]("est_distinct"))
+  }
+
   test("kmvSetOps: disjoint sets estimate zero intersection") {
     val df = ((1 to 500).map(i => (i, true, false)) ++
       (1001 to 1500).map(i => (i, false, true))).toDF("k", "a", "b")
