@@ -532,20 +532,24 @@ object AnalyticsQueries {
   /** Blocking-quality evaluation for the q117/q300 entity-resolution
    * pipeline — the metrics an ER practitioner checks BEFORE trusting a
    * blocking key (Christen 2012): against a gold standard of edit-
-   * distance-≤3 matches inside a coarser (nation, name-prefix-10)
+   * distance-≤3 matches inside a coarser (nation, name-prefix-14)
    * block, score the production (nation, prefix-15) block by pair-count
    * reduction, pairs completeness (recall of gold matches), and
    * precision — all in exact ppm. One blocked self-join (prefix-15
-   * match implies prefix-10 match, so the fine candidates are a subset
-   * and every metric comes from ONE pass over the coarse pair set);
-   * per-block pair counts stay bounded by the blocking discipline. */
+   * match implies prefix-14 match, so the fine candidates are a subset
+   * and every metric comes from ONE pass over the coarse pair set).
+   * The coarse key spans a 10⁴-id name range per nation, so its
+   * per-block size is CAPPED at any corpus scale and the gold pass is
+   * linear in total rows — the dense sequential names make any shorter
+   * prefix degenerate (prefix-10 measured 4.5M pairs at sf0.1,
+   * all-pairs-per-nation at scale). */
   val q306BlockingQuality: Q = Q("q306_blocking_quality",
     """WITH c AS (SELECT c_custkey, c_nationkey, c_name AS nm FROM customer),
        p AS (SELECT levenshtein(a.nm, b.nm) <= 3 AS m,
                     substr(a.nm, 1, 15) = substr(b.nm, 1, 15) AS fine
              FROM c a JOIN c b
                ON a.c_nationkey = b.c_nationkey
-              AND substr(a.nm, 1, 10) = substr(b.nm, 1, 10)
+              AND substr(a.nm, 1, 14) = substr(b.nm, 1, 14)
               AND a.c_custkey < b.c_custkey)
        SELECT CAST(count(*) AS BIGINT) AS n_coarse,
               CAST(count(*) FILTER (WHERE fine) AS BIGINT) AS n_cand,
@@ -560,12 +564,12 @@ object AnalyticsQueries {
        FROM p""") { (s, d) =>
     val c = table(s, d, "customer")
       .select(col("c_custkey"), col("c_nationkey"), col("c_name").as("nm"),
-        substring(col("c_name"), 1, 10).as("blk10"))
+        substring(col("c_name"), 1, 14).as("blk14"))
     val a = c.select(col("c_custkey").as("i"), col("c_nationkey"),
-      col("blk10"), col("nm").as("nma"))
+      col("blk14"), col("nm").as("nma"))
     val b = c.select(col("c_custkey").as("j"), col("c_nationkey"),
-      col("blk10"), col("nm").as("nmb"))
-    a.join(b, Seq("c_nationkey", "blk10"))
+      col("blk14"), col("nm").as("nmb"))
+    a.join(b, Seq("c_nationkey", "blk14"))
       .filter(col("i") < col("j"))
       .select((levenshtein(col("nma"), col("nmb")) <= 3).as("m"),
         (substring(col("nma"), 1, 15) === substring(col("nmb"), 1, 15))

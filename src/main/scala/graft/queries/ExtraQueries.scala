@@ -424,15 +424,24 @@ object ExtraQueries {
           ct -> table(s, d, ct)
             .select(es.map(_._3).distinct.map(col): _*).localCheckpoint()
         }
+      // checkpoint a parent key set only when several edges share it
+      // (nation); single-edge parents keep their one pruned scan
+      val parentEdgeCount = edges.groupBy(e => (e._4, e._5)).map {
+        case (k, es) => k -> es.size
+      }
       val parentKeys: Map[(String, String), org.apache.spark.sql.DataFrame] =
         edges.map(e => (e._4, e._5)).distinct.map { case (pt, pk) =>
-          (pt, pk) -> table(s, d, pt)
+          val keys = table(s, d, pt)
             .filter(col(pk).isNotNull).select(col(pk)).distinct()
-            .localCheckpoint()
+          (pt, pk) -> (if (parentEdgeCount((pt, pk)) > 1) keys.localCheckpoint()
+                       else keys)
         }.toMap
       val per = edges.map { case (label, ct, ck, pt, pk) =>
+        // consumed twice (totals + anti-join) but both reads hit the
+        // childProj checkpoint, so no extra parquet scan — not worth a
+        // checkpoint of its own
         val keyCnt = childProj(ct).groupBy(col(ck))
-          .agg(count(lit(1)).as("cnt")).localCheckpoint()
+          .agg(count(lit(1)).as("cnt"))
         val tot = keyCnt.agg(
           coalesce(sum("cnt"), lit(0L)).as("n_child"),
           coalesce(sum(when(col(ck).isNull, col("cnt"))), lit(0L))
