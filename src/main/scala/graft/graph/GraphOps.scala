@@ -574,9 +574,16 @@ object GraphOps {
    * pair table (`aCol` < `bCol`, positive BIGINT weight `wCol`) — the
    * TextRank recurrence (Mihalcea & Tarau 2004): per iteration each
    * vertex sends `round(0.85 · r(u) · w(u,v) / wdeg(u))` along every
-   * incident edge and collects `150000 +` the sum. Ranks and weights
-   * stay BIGINT (the one double step is the round, identical in DuckDB),
-   * so every iteration replays exactly in SQL — the weighted sibling of
+   * incident edge and collects `150000 +` the sum. The contrib is PURE
+   * INTEGER arithmetic — `(34·r·c + 20·wd) div (40·wd)` is round-half-up
+   * of `17·r·c / (20·wd)` for positive operands, so there is no double
+   * step at all and DuckDB replays it bit-for-bit (the earlier
+   * `round(0.85·r·c/wd)` double formulation could disagree with DuckDB's
+   * DECIMAL-typed `0.85*r*c` at a round() half boundary once r·c
+   * approached 2^53). Exactness bound: requires `34·r·c < 2^63`, i.e.
+   * r·c < 2.7e17 — vs 9e15 for the double path — and rank mass is
+   * conserved-ish per round (Σr ≈ n·1e6), so token graphs stay far
+   * below it. The weighted sibling of
    * [[graft.dedup.Dedup.pageRankMicro]].
    *
    * Scale shape: each iteration is one equi-join of the edge table with
@@ -601,8 +608,7 @@ object GraphOps {
     (1 to iters).foreach { _ =>
       ranks = withDeg.join(ranks, col("src") === col("v"))
         .select(col("dst"),
-          round(lit(0.85) * col("r") * col("c") / col("wd"), 0)
-            .cast("long").as("contrib"))
+          expr("(34 * r * c + 20 * wd) div (40 * wd)").as("contrib"))
         .groupBy("dst")
         .agg((lit(150000L) + sum("contrib")).as("r"))
         .select(col("dst").as("v"), col("r"))

@@ -1022,7 +1022,7 @@ object AnalyticsQueries {
                      ELSE round(CAST(sytr*sxxtr - sxtr*sxytr AS DOUBLE)
                                 / (ntr*sxxtr - sxtr*sxtr), 4) END AS intercept_q
               FROM tr)
-       SELECT e.event_type, e.fold, cf.ntr AS n_train,
+       SELECT e.event_type, e.fold, CAST(cf.ntr AS BIGINT) AS n_train,
               CAST(count(*) AS BIGINT) AS n_test, cf.slope_q, cf.intercept_q,
               CAST(sum((y - CAST(round(cf.slope_q * x + cf.intercept_q) AS BIGINT))
                      * (y - CAST(round(cf.slope_q * x + cf.intercept_q) AS BIGINT)))

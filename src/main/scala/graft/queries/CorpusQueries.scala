@@ -734,15 +734,15 @@ object CorpusQueries {
        wd AS (SELECT src, CAST(sum(c) AS BIGINT) AS wd FROM edges GROUP BY src),
        r0 AS (SELECT src AS v, CAST(1000000 AS BIGINT) AS r FROM wd),
        r1 AS (SELECT e.dst AS v,
-                CAST(150000 + sum(CAST(round(0.85 * r0.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+                CAST(150000 + sum(((34 * r0.r * e.c + 20 * wd.wd) // (40 * wd.wd))) AS BIGINT) AS r
               FROM edges e JOIN r0 ON e.src = r0.v JOIN wd ON e.src = wd.src
               GROUP BY e.dst),
        r2 AS (SELECT e.dst AS v,
-                CAST(150000 + sum(CAST(round(0.85 * r1.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+                CAST(150000 + sum(((34 * r1.r * e.c + 20 * wd.wd) // (40 * wd.wd))) AS BIGINT) AS r
               FROM edges e JOIN r1 ON e.src = r1.v JOIN wd ON e.src = wd.src
               GROUP BY e.dst),
        r3 AS (SELECT e.dst AS v,
-                CAST(150000 + sum(CAST(round(0.85 * r2.r * e.c / wd.wd) AS BIGINT)) AS BIGINT) AS r
+                CAST(150000 + sum(((34 * r2.r * e.c + 20 * wd.wd) // (40 * wd.wd))) AS BIGINT) AS r
               FROM edges e JOIN r2 ON e.src = r2.v JOIN wd ON e.src = wd.src
               GROUP BY e.dst)
        SELECT v AS word, r AS rank_micro,

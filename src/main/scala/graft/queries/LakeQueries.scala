@@ -524,8 +524,8 @@ object LakeQueries {
                 CAST(sum(CASE WHEN mx >= $lo AND mn < $hi THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
                 CAST(sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) AS BIGINT) AS rows_scanned,
                 CAST(sum(sel) AS BIGINT) AS rows_selected,
-                (sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) - sum(sel)) * 1000000
-                  // sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) AS scan_waste_ppm
+                CAST((sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) - sum(sel)) * 1000000
+                  // sum(CASE WHEN mx >= $lo AND mn < $hi THEN nrows ELSE 0 END) AS BIGINT) AS scan_waste_ppm
          FROM z GROUP BY layout ORDER BY layout""") { (s, d) =>
       val f = table(s, d, "lineitem")
         .filter(col("l_shipdate").isNotNull)

@@ -266,10 +266,13 @@ object TextQueries {
   // ------------------------------------------------------------- similarity
 
   /** Shared oracle CTE: unit-normalized double vectors (norm once per
-   * row — mirrors Similarity.withUnitVec exactly, op for op). */
+   * row — mirrors Similarity.withUnitVec exactly, op for op, INCLUDING
+   * its null gate: withUnitVec drops null-embedding rows, so the oracle
+   * must too or a null-vector anchor would emit phantom null-sim rows
+   * in DuckDB only). */
   private[queries] val unitCte =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-             FROM embeddings),
+             FROM embeddings WHERE embedding IS NOT NULL),
       nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
       u AS (SELECT vec_id,
                    list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
@@ -1135,7 +1138,7 @@ object TextQueries {
   val q308HardNegatives: Q = Q("q308_hard_negatives",
     s"""WITH v AS (SELECT vec_id, label,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
        nn AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        u AS (SELECT vec_id, label,
                list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
@@ -1212,7 +1215,7 @@ object TextQueries {
   val q310PositivePairs: Q = Q("q310_positive_pairs",
     s"""WITH v AS (SELECT vec_id, label,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-            FROM embeddings),
+            FROM embeddings WHERE embedding IS NOT NULL),
        nn AS (SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
        u AS (SELECT vec_id, label,
                list_transform(e, x -> CASE WHEN nrm = 0 THEN 0.0 ELSE x / nrm END) AS u
