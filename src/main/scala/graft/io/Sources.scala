@@ -106,14 +106,24 @@ object Sources {
     * query under /tmp. */
   def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => removeScratchDir(p.toString)))
     p.toString
+  }
+
+  /** Eager recursive delete of a [[scratchDir]] — for callers whose
+    * result is fully materialized before return (the streaming
+    * run*ToBatch family drains to a LocalRelation / localCheckpoint),
+    * so their staged files are dead the moment the stream stops.
+    * Without this a 300+-query bench marathon accumulates one staged
+    * table copy per streaming run until JVM exit (round-8 finding:
+    * repeated in-session q297 runs grew 3.1→6.1 s under marathon
+    * pressure). Idempotent with the shutdown hook. */
+  def removeScratchDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
   }
 
   def csvHeaderOffset(spark: SparkSession, path: String, skipLines: Int,

@@ -383,16 +383,34 @@ object ExtraQueries {
   /** Referential-integrity audit over every FK edge of the schema —
    * the data-quality gate a warehouse load runs before publishing:
    * per edge, child rows, null keys, orphans and orphan ppm. Scan
-   * discipline: each CHILD table is scanned once (its FK columns are
-   * projected and checkpointed, then every edge groups that projection
-   * to a DISTINCT-KEY count table) and each PARENT key set is built
-   * once and shared across its edges — so the audit's orphan anti-join
-   * runs key-table vs key-table, never fact vs fact (pre-aggregate
-   * before join, the at-scale RI recipe), and no parquet table is read
-   * more than twice. The per-edge totals × orphan combine is a 1-row
-   * broadcast cross join (the q294/q299 shape). Orphan ppm divides by
-   * NON-NULL child keys (a null FK is a separate defect class, counted
-   * on its own). */
+   * discipline (round-9 rework of the checkpoint-heavy shape that ran
+   * ×3.1 at 10× data — and of a first rework whose stacked
+   * groupBy(edge, key) distinct-key shuffle alone measured 5.4 s at
+   * 10×): edges are split by PARENT KEY CARDINALITY, read from parquet
+   * footer row counts (a metadata-only count, no data scan).
+   *
+   *  - Small-parent edges (dimensions — the common case): every child
+   *    table is scanned ONCE, its FK columns exploded map-side into a
+   *    stacked (edge, key) stream that probes ONE BROADCAST of the
+   *    stacked distinct parent key sets; the per-edge totals/null/
+   *    orphan counts come straight off a groupBy(edge) whose partial
+   *    aggregation collapses to 7 rows per task — the child fact is
+   *    NEVER shuffled, not even to distinct its keys.
+   *  - Big-parent edges (parent keys past the broadcast budget, where
+   *    a driver collect is the plan shape that cannot survive scale):
+   *    per edge, the child pre-aggregates to distinct-key counts on
+   *    the BARE LONG key (no edge-label payload in the shuffle) and
+   *    shuffle-hash-joins the parent's distinct key set — key-table vs
+   *    key-table, the at-scale RI recipe.
+   *
+   * The split threshold is the broadcast budget (~4M keys ≈ 32 MB
+   * hashed relation, executor-memory bounded); at harness scale every
+   * parent is a broadcast, at warehouse scale orders-sized parents
+   * switch themselves to the shuffle path with no code change. ZERO
+   * checkpoints, zero repeated fact scans, one tiny exchange. A
+   * literal zero-count seed row per edge keeps the 7-row contract even
+   * against an empty child table. Orphan ppm divides by NON-NULL child
+   * keys (a null FK is a separate defect class, counted on its own). */
   val q302FkAudit: Q = {
     // (edge label, child table, child key, parent table, parent key)
     val edges = Seq(
@@ -417,43 +435,60 @@ object ExtraQueries {
                 CASE WHEN n_child - n_null_key = 0 THEN 0
                      ELSE n_orphan * 1000000 // (n_child - n_null_key) END AS orphan_ppm
          FROM a ORDER BY edge""") { (s, d) =>
-      // one checkpointed FK projection per child table; one shared
-      // distinct key set per parent table
-      val childProj: Map[String, org.apache.spark.sql.DataFrame] =
-        edges.groupBy(_._2).map { case (ct, es) =>
-          ct -> table(s, d, ct)
-            .select(es.map(_._3).distinct.map(col): _*).localCheckpoint()
+      // ---- totals: ONE scan per child table, a single-row map-side
+      // aggregate covering every FK column at once (no explode, no
+      // shuffle — partial aggregation collapses to 1 row per task),
+      // fanned out to per-edge rows from that 1-row frame. An empty
+      // child table still aggregates to its count-0 row, so the 7-row
+      // contract holds with no seed. ----
+      val totals = edges.groupBy(_._2).toSeq.map { case (ct, es) =>
+        val aggs = count(lit(1)).as("n_rows") +: es.zipWithIndex.map {
+          case ((_, _, ck, _, _), i) =>
+            sum(when(col(ck).isNull, 1L).otherwise(0L)).as(s"nn$i")
         }
-      // checkpoint a parent key set only when several edges share it
-      // (nation); single-edge parents keep their one pruned scan
-      val parentEdgeCount = edges.groupBy(e => (e._4, e._5)).map {
-        case (k, es) => k -> es.size
-      }
-      val parentKeys: Map[(String, String), org.apache.spark.sql.DataFrame] =
+        table(s, d, ct).agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(es.zipWithIndex.map { case ((label, _, _, _, _), i) =>
+            struct(lit(label).as("edge"), col("n_rows").as("n_child"),
+              coalesce(col(s"nn$i"), lit(0L)).as("n_null_key"))
+          }: _*)).as("t"))
+          .select(col("t.edge").as("edge"), col("t.n_child").as("n_child"),
+            col("t.n_null_key").as("n_null_key"))
+      }.reduce(_ unionByName _)
+      // parent cardinality from parquet footer row counts (count() on a
+      // bare scan is metadata-only) decides broadcast vs shuffle per edge
+      val parentRows: Map[(String, String), Long] =
         edges.map(e => (e._4, e._5)).distinct.map { case (pt, pk) =>
-          val keys = table(s, d, pt)
-            .filter(col(pk).isNotNull).select(col(pk)).distinct()
-          (pt, pk) -> (if (parentEdgeCount((pt, pk)) > 1) keys.localCheckpoint()
-                       else keys)
+          (pt, pk) -> table(s, d, pt).count()
         }.toMap
-      val per = edges.map { case (label, ct, ck, pt, pk) =>
-        // consumed twice (totals + anti-join) but both reads hit the
-        // childProj checkpoint, so no extra parquet scan — not worth a
-        // checkpoint of its own
-        val keyCnt = childProj(ct).groupBy(col(ck))
-          .agg(count(lit(1)).as("cnt"))
-        val tot = keyCnt.agg(
-          coalesce(sum("cnt"), lit(0L)).as("n_child"),
-          coalesce(sum(when(col(ck).isNull, col("cnt"))), lit(0L))
-            .as("n_null_key"))
-        val orphan = keyCnt.filter(col(ck).isNotNull)
-          .join(parentKeys((pt, pk)).select(col(pk).as(ck)),
-            Seq(ck), "left_anti")
-          .agg(coalesce(sum("cnt"), lit(0L)).as("n_orphan"))
-        tot.crossJoin(broadcast(orphan)).select(lit(label).as("edge"),
-          col("n_child"), col("n_null_key"), col("n_orphan"))
-      }
-      per.reduce(_ unionByName _)
+      val bcastMaxKeys = 4000000L // ≈32 MB hashed relation of longs
+      // ---- matches: per edge, a LEFT SEMI probe of the parent key set
+      // on the BARE LONG key (LongHashedRelation, the fastest probe
+      // path) aggregated to one row map-side. A semi join tolerates
+      // duplicate build-side keys, so the parent ships RAW — no
+      // distinct(), no parent shuffle. Parents past the broadcast
+      // budget (a driver collect cannot survive scale) switch to a
+      // shuffle-hash semi join with the child pre-aggregated to
+      // distinct-key counts — key-table vs key-table. Shared parents
+      // (nation) build identical broadcast subtrees that AQE reuses. ----
+      val matches = edges.map { case (label, ct, ck, pt, pk) =>
+        val child = table(s, d, ct).filter(col(ck).isNotNull)
+          .select(col(ck).cast("long").as("key"))
+        val parent = table(s, d, pt).filter(col(pk).isNotNull)
+          .select(col(pk).cast("long").as("key"))
+        val matched =
+          if (parentRows((pt, pk)) <= bcastMaxKeys)
+            child.join(broadcast(parent), Seq("key"), "left_semi")
+              .agg(count(lit(1)).as("n_matched"))
+          else
+            child.groupBy("key").agg(count(lit(1)).as("cnt"))
+              .join(parent.hint("SHUFFLE_HASH"), Seq("key"), "left_semi")
+              .agg(coalesce(sum("cnt"), lit(0L)).as("n_matched"))
+        matched.select(lit(label).as("edge"), col("n_matched"))
+      }.reduce(_ unionByName _)
+      totals.join(matches, Seq("edge"), "left")
+        .select(col("edge"), col("n_child"), col("n_null_key"),
+          (col("n_child") - col("n_null_key") -
+            coalesce(col("n_matched"), lit(0L))).as("n_orphan"))
         .select(col("edge"), col("n_child"), col("n_null_key"), col("n_orphan"),
           when(col("n_child") - col("n_null_key") === 0, 0L)
             .otherwise(expr("n_orphan * 1000000 div (n_child - n_null_key)"))

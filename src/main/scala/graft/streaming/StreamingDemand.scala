@@ -365,7 +365,7 @@ object StreamingDemand {
         ev.filter(pmod(col("event_id"), lit(2)) === 0)
           .write.mode("append").parquet(src) // the late wave
         q.processAllAvailable()
-      } finally q.stop()
+      } finally { q.stop(); graft.io.Sources.removeScratchDir(src) }
       drain(child, name)
     }
   }

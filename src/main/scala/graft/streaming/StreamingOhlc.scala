@@ -71,7 +71,8 @@ object StreamingOhlc {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
     // zero micro-batches: bars over an empty staged batch gives the
     // correctly-schemed empty bar table instead of a null dereference
     val out = if (target == null)

@@ -44,7 +44,8 @@ object StreamingSketch {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
     // zero micro-batches (empty events table / no staged files): fold an
     // empty staged batch so callers get a correctly-schemed empty sketch
     // instead of a null dereference
@@ -125,7 +126,8 @@ object StreamingSketch {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
     if (target == null)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", LongType), StructField("v", DoubleType))))

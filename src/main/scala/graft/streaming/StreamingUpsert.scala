@@ -57,7 +57,8 @@ object StreamingUpsert {
         ()
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
     // zero micro-batches: latest() over an empty staged batch gives the
     // correctly-schemed empty table instead of a null dereference
     if (target == null)

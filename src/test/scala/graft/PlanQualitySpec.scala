@@ -65,13 +65,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
 
   test("every registered query plans at most 2 scans of any one table") {
     // self-joins (LSH band join, blocked jaccard) legitimately scan twice;
-    // 3+ scans of the same file means a missing reuse/checkpoint
+    // 3+ scans of the same file means a missing reuse/checkpoint.
+    // Adjudicated exception: q302's RI audit deliberately trades extra
+    // SINGLE-FK-COLUMN scans of each child table (totals pass + one
+    // bare-long broadcast-semi probe per edge — lineitem has 3 edges)
+    // for zero child shuffles; the stacked one-scan shape shuffled
+    // 3x the fact rows and measured 2.4x slower at 10x data.
+    val scanBudget = Map("q302_fk_audit" -> 4).withDefaultValue(2)
     SparkEntry.registry.foreach { q =>
       val byPath = scans(plan(q.name))
         .flatMap(_.relation.location.rootPaths.map(_.toString))
         .groupBy(identity).view.mapValues(_.size)
       byPath.foreach { case (path, n) =>
-        assert(n <= 2, s"${q.name} scans $path $n times")
+        assert(n <= scanBudget(q.name), s"${q.name} scans $path $n times")
       }
     }
   }
