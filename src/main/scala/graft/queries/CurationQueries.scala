@@ -520,13 +520,18 @@ object CurationQueries {
   }
 
   /** Dedup funnel report — the per-gate catch table every corpus
-   * pipeline publishes: how many documents each dedup tier would
-   * remove, independently, over the same corpus. Exact
-   * (whitespace-normalized md5), MinHash-LSH (shared candidate pairs →
-   * connected components; removed = members − clusters), and SimHash
-   * (Hamming ≤ 3 pairs → components). One documents scan
-   * (localCheckpoint feeds exact + SimHash) plus the shared scratch
-   * pair table; the oracle replays BOTH cluster closures with
+   * pipeline publishes: how many items each dedup tier would remove,
+   * independently, over the same corpus. Exact (whitespace-normalized
+   * md5), MinHash-LSH (shared candidate pairs → connected components;
+   * removed = members − clusters), SimHash (Hamming ≤ 3 pairs →
+   * components) — and, round 9, the IMAGE tier beside the text tiers:
+   * q275's planted-twin media corpus fingerprinted by dHash56,
+   * pigeonhole-blocked pairs at Hamming ≤ 3, same component closure
+   * (each tier reports against its own item universe — documents for
+   * the text tiers, media blobs for dhash — so the ppm columns are
+   * comparable gate rates). One documents scan (localCheckpoint feeds
+   * exact + SimHash + the media build) plus the shared scratch pair
+   * table; the oracle replays ALL THREE cluster closures with
    * recursive CTEs over the identical pair chains. */
   val q287DedupFunnel: Q = Q("q287_dedup_funnel",
     s"""WITH RECURSIVE ${TextQueries.minhashPairCtes},
@@ -561,35 +566,79 @@ object CurationQueries {
         UNION
         SELECT r.src, e.b FROM wreach r JOIN wedges e ON r.dst = e.a),
       wcl AS (SELECT src, least(src, min(dst)) AS c FROM wreach GROUP BY src),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      del AS (SELECT doc_id, text FROM documents
+              WHERE length(text) = octet_length(encode(text))
+                AND octet_length(encode(text)) >= 160),
+      dm AS (SELECT doc_id * 2 AS media_id, text AS txt FROM del
+             UNION ALL
+             SELECT doc_id * 2 + 1,
+                    concat(substring(text, 1, 1), '#', substring(text, 3))
+             FROM del),
+      dh AS MATERIALIZED (SELECT media_id,
+             ${graft.multimodal.Multimodal.dhashSql("txt")} AS dhash
+           FROM dm),
+      dpairs AS (SELECT a.media_id AS i, b.media_id AS j
+                 FROM dh a JOIN dh b ON a.media_id < b.media_id
+                 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+      dedges AS (SELECT i AS a, j AS b FROM dpairs
+                 UNION ALL SELECT j AS a, i AS b FROM dpairs),
+      dreach(src, dst) AS (
+        SELECT a, b FROM dedges
+        UNION
+        SELECT r.src, e.b FROM dreach r JOIN dedges e ON r.dst = e.a),
+      dcl AS (SELECT src, least(src, min(dst)) AS c FROM dreach GROUP BY src),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      dtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dm),
       f AS (
-        SELECT 'exact' AS tier,
-               CAST(count(*) - count(DISTINCT
-                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
-                 AS n_removed
-        FROM documents
+        SELECT 'exact' AS tier, (SELECT n FROM tot) AS n_items,
+               CAST((SELECT count(*) - count(DISTINCT
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+                 FROM documents) AS BIGINT) AS n_removed
         UNION ALL
-        SELECT 'minhash', CAST(count(*) - count(DISTINCT c) AS BIGINT) FROM mcl
+        SELECT 'minhash', (SELECT n FROM tot),
+               CAST((SELECT count(*) - count(DISTINCT c) FROM mcl) AS BIGINT)
         UNION ALL
-        SELECT 'simhash', CAST(count(*) - count(DISTINCT c) AS BIGINT) FROM wcl)
-      SELECT tier, n_docs, n_removed,
-             n_removed * 1000000 // n_docs AS removed_ppm
-      FROM f, tot ORDER BY tier""") { (s, d) =>
+        SELECT 'simhash', (SELECT n FROM tot),
+               CAST((SELECT count(*) - count(DISTINCT c) FROM wcl) AS BIGINT)
+        UNION ALL
+        SELECT 'dhash', (SELECT n FROM dtot),
+               CAST((SELECT count(*) - count(DISTINCT c) FROM dcl) AS BIGINT))
+      SELECT tier, n_items, n_removed,
+             n_removed * 1000000 // n_items AS removed_ppm
+      FROM f ORDER BY tier""") { (s, d) =>
+    import graft.multimodal.Multimodal
     val docs = table(s, d, "documents").localCheckpoint()
-    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val tot = docs.agg(count(lit(1)).as("n_items"))
     val exact = docs
       .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
       .agg((count(lit(1)) - countDistinct(col("h"))).as("n_removed"))
       .select(lit("exact").as("tier"), col("n_removed"))
+      .crossJoin(broadcast(tot))
     def ccRemoved(name: String, pairs: org.apache.spark.sql.DataFrame) =
       Dedup.connectedComponents(pairs)
         .agg((count(lit(1)) - countDistinct(col("lbl"))).as("n_removed"))
         .select(lit(name).as("tier"), col("n_removed"))
     val mh = ccRemoved("minhash", TextQueries.sharedMinhashPairs(s, d))
+      .crossJoin(broadcast(tot))
     val sh = ccRemoved("simhash", Dedup.simhashCandidates(docs, maxDist = 3))
-    broadcast(exact.unionAll(mh).unionAll(sh)).crossJoin(broadcast(tot))
-      .select(col("tier"), col("n_docs"), col("n_removed"),
-        expr("n_removed * 1000000 div n_docs").as("removed_ppm"))
+      .crossJoin(broadcast(tot))
+    // image tier: q275's planted-twin media corpus through the dHash56
+    // pigeonhole blocks, closed into components like the text tiers
+    val el = docs.filter(length(col("text")) === octet_length(col("text")) &&
+      octet_length(col("text")) >= 160)
+    val twin = concat(substring(col("text"), 1, 1), lit("#"),
+      substring(col("text"), 3, Int.MaxValue))
+    val media = el.select((col("doc_id") * 2).as("media_id"),
+        encode(col("text"), "utf-8").as("blob"))
+      .unionAll(el.select((col("doc_id") * 2 + 1).as("media_id"),
+        encode(twin, "utf-8").as("blob")))
+    val hashed = Multimodal.withDhash(media).localCheckpoint()
+    val dhTier = ccRemoved("dhash",
+      Multimodal.phashCandidates(hashed, maxDist = 3).select(col("i"), col("j")))
+      .crossJoin(broadcast(hashed.agg(count(lit(1)).as("n_items"))))
+    broadcast(exact.unionByName(mh).unionByName(sh).unionByName(dhTier))
+      .select(col("tier"), col("n_items"), col("n_removed"),
+        expr("n_removed * 1000000 div n_items").as("removed_ppm"))
       .orderBy("tier")
   }
 

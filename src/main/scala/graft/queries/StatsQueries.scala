@@ -1662,6 +1662,177 @@ object StatsQueries {
       .orderBy("nationkey", "fold")
   }
 
+  /** Depth-2 decision-tree scorecard with a held-out-fold verdict — the
+   * tabular-ML kit composed end-to-end (round-8 verdict task #8): the
+   * root split is q311's exact information-gain search over acctbal
+   * buckets; each child then gets the OPTIMAL CATEGORICAL split on
+   * nation via the Breiman ordering (sort categories by train good
+   * rate, scan prefix cuts — optimal for binary targets, and exactly
+   * replayable because the rate is integer ppm with nk tie-break);
+   * training uses folds ≠ 0 of q298/q313's md5 fold assignment and
+   * fold 0 is the held-out verdict (per-leaf test counts + majority-
+   * vote correctness). Nations unseen in a child's training data route
+   * to its right sub-leaf (the deterministic unseen-category rule).
+   * All counts BIGINT; the only doubles are q311's sanctioned
+   * round(entropy·1000) milli-nat step, textually identical in both
+   * engines. Scale shape: ONE customer scan (the base projection is
+   * localCheckpointed and feeds root search, child search, and test
+   * eval), one orders aggregate; everything after the two fact
+   * aggregates is bucket- or nation-bounded. */
+  val q317TreeScorecard: Q = {
+    def h(g: String, n: String) =
+      s"""(CASE WHEN $g = 0 OR $g = $n THEN 0.0
+           ELSE -($g*1.0/$n)*ln($g*1.0/$n) - (($n-$g)*1.0/$n)*ln(($n-$g)*1.0/$n) END)"""
+    val ig = s"""CAST(round((${h("gt", "nt")}
+                 - (nl*1.0/nt) * ${h("gl", "nl")}
+                 - (nr*1.0/nt) * ${h("gr", "nr")}) * 1000, 0) AS BIGINT)"""
+    Q("q317_tree_scorecard",
+      s"""WITH oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+              FROM orders GROUP BY 1),
+         base AS (SELECT CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+                    c_nationkey AS nk,
+                    ${graft.ops.Exprs.md5LongSql.format("c_custkey")} % 3 AS fold,
+                    CASE WHEN coalesce(oc.n_ord, 0) >= 10 THEN 1 ELSE 0 END AS good
+                  FROM customer LEFT JOIN oc ON oc.o_custkey = c_custkey),
+         tr AS (SELECT * FROM base WHERE fold <> 0),
+         b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(good) AS BIGINT) AS g FROM tr GROUP BY 1),
+         c AS (SELECT bucket, CAST(sum(n) OVER win AS BIGINT) AS nl,
+                      CAST(sum(g) OVER win AS BIGINT) AS gl
+               FROM b WINDOW win AS (ORDER BY bucket)),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(g) AS BIGINT) AS gt
+               FROM b),
+         root AS (SELECT bucket AS s1,
+                    row_number() OVER (ORDER BY $ig DESC, bucket) AS r
+                  FROM (SELECT bucket, nl, gl, nt - nl AS nr, gt - gl AS gr, nt, gt
+                        FROM c CROSS JOIN t WHERE nl > 0 AND nt - nl > 0)
+                  QUALIFY r = 1),
+         nbl AS (SELECT CASE WHEN tr.bucket <= root.s1 THEN 'L' ELSE 'R' END AS side,
+                        nk, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(good) AS BIGINT) AS g
+                 FROM tr CROSS JOIN root GROUP BY 1, 2),
+         nrk AS (SELECT side, nk, n, g,
+                   CAST(row_number() OVER (
+                     PARTITION BY side ORDER BY g * 1000000 // n, nk) AS BIGINT) AS rk
+                 FROM nbl),
+         ncum AS (SELECT side, rk, CAST(sum(n) OVER w AS BIGINT) AS nl,
+                         CAST(sum(g) OVER w AS BIGINT) AS gl
+                  FROM nrk WINDOW w AS (PARTITION BY side ORDER BY rk)),
+         st AS (SELECT side, CAST(sum(n) AS BIGINT) AS nt,
+                       CAST(sum(g) AS BIGINT) AS gt FROM nbl GROUP BY 1),
+         sp2 AS (SELECT side, rk AS cut_rk,
+                   row_number() OVER (PARTITION BY side ORDER BY $ig DESC, rk) AS r
+                 FROM (SELECT ncum.side, rk, nl, gl, nt - nl AS nr, gt - gl AS gr, nt, gt
+                       FROM ncum JOIN st ON ncum.side = st.side
+                       WHERE nl > 0 AND nt - nl > 0)
+                 QUALIFY r = 1),
+         leafdef AS (SELECT nrk.side, nrk.nk,
+                       CASE WHEN nrk.rk <= sp2.cut_rk THEN 'L' ELSE 'R' END AS sub
+                     FROM nrk JOIN sp2 ON nrk.side = sp2.side),
+         trleaf AS (SELECT l.side, l.sub, CAST(sum(nbl.n) AS BIGINT) AS n_train,
+                           CAST(sum(nbl.g) AS BIGINT) AS g_train
+                    FROM leafdef l JOIN nbl ON nbl.side = l.side AND nbl.nk = l.nk
+                    GROUP BY 1, 2),
+         teleaf AS (SELECT t.side, coalesce(l.sub, 'R') AS sub,
+                           CAST(count(*) AS BIGINT) AS n_test,
+                           CAST(sum(t.good) AS BIGINT) AS g_test
+                    FROM (SELECT CASE WHEN base.bucket <= root.s1 THEN 'L' ELSE 'R' END AS side,
+                                 nk, good
+                          FROM base CROSS JOIN root WHERE fold = 0) t
+                    LEFT JOIN leafdef l ON l.side = t.side AND l.nk = t.nk
+                    GROUP BY 1, 2)
+         SELECT tl.side, tl.sub, root.s1 AS root_split_bucket,
+                sp2.cut_rk AS nation_cut_rank, tl.n_train, tl.g_train,
+                (tl.g_train + 1) * 1000000 // (tl.n_train + 2) AS score_ppm,
+                coalesce(te.n_test, 0) AS n_test,
+                CASE WHEN 2 * tl.g_train > tl.n_train
+                     THEN coalesce(te.g_test, 0)
+                     ELSE coalesce(te.n_test, 0) - coalesce(te.g_test, 0)
+                END AS n_correct_test
+         FROM trleaf tl
+         CROSS JOIN root
+         JOIN sp2 ON sp2.side = tl.side
+         LEFT JOIN teleaf te ON te.side = tl.side AND te.sub = tl.sub
+         ORDER BY tl.side, tl.sub""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val oc = table(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"))
+      // ONE customer scan; checkpointed base feeds root search, child
+      // search, and the held-out eval (the q298 discipline)
+      val base = table(s, d, "customer")
+        .join(oc, col("o_custkey") === col("c_custkey"), "left")
+        .select(floor(col("c_acctbal") / 1000.0).cast("long").as("bucket"),
+          col("c_nationkey").as("nk"),
+          (graft.ops.Exprs.md5Long(col("c_custkey")) % 3).as("fold"),
+          when(coalesce(col("n_ord"), lit(0L)) >= 10, 1L).otherwise(0L)
+            .as("good"))
+        .localCheckpoint()
+      val tr = base.filter(col("fold") =!= 0)
+      val b = tr.groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum("good").as("g"))
+      val cumB = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = b.select(col("bucket"),
+        sum("n").over(cumB).as("nl"), sum("g").over(cumB).as("gl"))
+      val t = b.agg(sum("n").as("nt"), sum("g").as("gt"))
+      val root = c.crossJoin(broadcast(t))
+        .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
+        .select(col("bucket"), col("nl"), col("gl"),
+          (col("nt") - col("nl")).as("nr"), (col("gt") - col("gl")).as("gr"),
+          col("nt"), col("gt"))
+        .withColumn("r", row_number().over(
+          Window.orderBy(expr(ig).desc, col("bucket"))))
+        .filter(col("r") === 1).select(col("bucket").as("s1"))
+      val nbl = tr.crossJoin(broadcast(root))
+        .select(when(col("bucket") <= col("s1"), "L").otherwise("R").as("side"),
+          col("nk"), col("good"))
+        .groupBy("side", "nk")
+        .agg(count(lit(1)).as("n"), sum("good").as("g"))
+      val nrk = nbl.withColumn("rk", row_number().over(
+        Window.partitionBy("side")
+          .orderBy(expr("g * 1000000 div n"), col("nk"))).cast("long"))
+      val cumS = Window.partitionBy("side").orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ncum = nrk.select(col("side"), col("rk"),
+        sum("n").over(cumS).as("nl"), sum("g").over(cumS).as("gl"))
+      val st = nbl.groupBy("side").agg(sum("n").as("nt"), sum("g").as("gt"))
+      val sp2 = ncum.join(broadcast(st), "side")
+        .filter(col("nl") > 0 && col("nt") - col("nl") > 0)
+        .select(col("side"), col("rk"), col("nl"), col("gl"),
+          (col("nt") - col("nl")).as("nr"), (col("gt") - col("gl")).as("gr"),
+          col("nt"), col("gt"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("side").orderBy(expr(ig).desc, col("rk"))))
+        .filter(col("r") === 1).select(col("side"), col("rk").as("cut_rk"))
+      val leafdef = nrk.join(broadcast(sp2), "side")
+        .select(col("side"), col("nk"),
+          when(col("rk") <= col("cut_rk"), "L").otherwise("R").as("sub"))
+      val trleaf = leafdef.join(nbl, Seq("side", "nk"))
+        .groupBy("side", "sub")
+        .agg(sum("n").as("n_train"), sum("g").as("g_train"))
+      val teleaf = base.filter(col("fold") === 0)
+        .crossJoin(broadcast(root))
+        .select(when(col("bucket") <= col("s1"), "L").otherwise("R").as("side"),
+          col("nk"), col("good"))
+        .join(broadcast(leafdef), Seq("side", "nk"), "left")
+        .select(col("side"), coalesce(col("sub"), lit("R")).as("sub"), col("good"))
+        .groupBy("side", "sub")
+        .agg(count(lit(1)).as("n_test"), sum("good").as("g_test"))
+      trleaf.crossJoin(broadcast(root))
+        .join(broadcast(sp2), "side")
+        .join(broadcast(teleaf), Seq("side", "sub"), "left")
+        .select(col("side"), col("sub"), col("s1").as("root_split_bucket"),
+          col("cut_rk").as("nation_cut_rank"), col("n_train"), col("g_train"),
+          expr("(g_train + 1) * 1000000 div (n_train + 2)").as("score_ppm"),
+          coalesce(col("n_test"), lit(0L)).as("n_test"),
+          when(lit(2) * col("g_train") > col("n_train"),
+            coalesce(col("g_test"), lit(0L)))
+            .otherwise(coalesce(col("n_test"), lit(0L)) -
+              coalesce(col("g_test"), lit(0L))).as("n_correct_test"))
+        .orderBy("side", "sub")
+    }
+  }
+
   val all: Seq[Q] = Seq(q167SkewReport, q168QuantileNorm, q169MadOutliers,
     q266TheilSen, q267Mase, q282EwmaAnomaly, q293HoltTrend, q299Conformal,
     q301WoeIv,
@@ -1672,5 +1843,5 @@ object StatsQueries {
     q184RangeFrame, q185UnpivotRoundtrip, q186PointInTime,
     q187StreamCountMin, q222KmeansLloyd, q223KsTest, q224MannWhitney,
     q226Calibration, q233StlDecompose, q234WeightedQuantiles, q304Silhouette,
-    q311DecisionStump, q313TargetEncoding)
+    q311DecisionStump, q313TargetEncoding, q317TreeScorecard)
 }
