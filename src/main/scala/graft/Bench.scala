@@ -26,7 +26,7 @@ object Bench {
       // static conf, defensive sizing: the generated-class cache
       // defaults to 100 entries while a 300+-query marathon compiles
       // far more codegen stages, guaranteeing eviction between a
-      // query's warm-up and its timed runs. Measured NEUTRAL at 318
+      // query's warm-up and its timed runs. Measured NEUTRAL at 317
       // queries (x1.011 on the common set vs the default — each
       // query's back-to-back runs stay cached either way); kept so the
       // cache can't become the bottleneck as the suite grows.
@@ -71,7 +71,8 @@ object Bench {
     val touched = scala.collection.mutable.Set[String](warmed: _*)
     val cold = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.trim).filter(_.nonEmpty).map(_.split(",").toSet)
     // match Verify's subset syntax: full name or prefix up to the first _
     val selected = SparkEntry.registry.filter(q => only.forall(o =>
       o.contains(q.name) || o.contains(q.name.takeWhile(_ != '_'))))

@@ -24,7 +24,8 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q158,q159
     // (prefix match on the query name up to the first underscore)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.trim).filter(_.nonEmpty).map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(ids => ids.contains(name.takeWhile(_ != '_')) || ids.contains(name))
     }
