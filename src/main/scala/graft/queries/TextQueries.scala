@@ -1252,7 +1252,8 @@ object TextQueries {
     q265LshRecall, q272IvfCurve, q273IvfPqTopK, q275PhashPairs,
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
-    q308HardNegatives, q309FeatureHashing, q310PositivePairs)
+    q308HardNegatives, q309FeatureHashing, q310PositivePairs,
+    q318IvfAppend)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -1428,6 +1429,72 @@ object TextQueries {
       .select(col("lang"), col("n_words"), col("n_chars"), col("n_subwords"),
         expr("n_subwords * 1000000 div n_chars").as("subwords_per_mchar"))
       .orderBy("lang")
+  }
+
+  /** IVF index APPEND — the maintenance path a running ANN service
+   * takes between periodic re-trains ([[graft.sim.Ivf.appendToIndex]]):
+   * the corpus is split 90/10 by id hash, the index is built and
+   * persisted on the 90% base, the 10% delta batch is routed into the
+   * EXISTING centroids map-side (no re-clustering, no corpus rescan)
+   * and appended to the assignment table. Gates (q54's verdict-table
+   * pattern — k-means centroids are not SQL-replayable):
+   * merged_complete (assignment table = base + delta, ids unique),
+   * assignments_roundtrip (every persisted row's cluster re-derives
+   * from its stored unit vector and the centroid table — catches
+   * append/readback drift), recall_monotone (probe recall vs the
+   * full-corpus brute truth can only RISE after the append — provable:
+   * probing uses the same centroids, so an append only adds
+   * candidates, and a non-truth candidate can never displace a truth
+   * member from a top-k ranked by the global (sim, nid) order),
+   * delta_visible (appended vectors actually surface in probe
+   * results), and q54's recall floor on the merged index. */
+  lazy val q318IvfAppend: Q = Q("q318_ivf_append",
+    """SELECT * FROM (VALUES
+         ('assignments_roundtrip', TRUE), ('delta_visible', TRUE),
+         ('merged_complete', TRUE), ('recall_floor', TRUE),
+         ('recall_monotone', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.sim.Ivf
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val dir = graft.io.Sources.scratchDir("graft_ivf_append")
+    try {
+      Ivf.persistIndex(base, dir, nClusters = 64)
+      val q = emb.filter(col("vec_id") < 50)
+      val k = 5
+      val baseHits = Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+        .select("qid", "nid").localCheckpoint()
+      Ivf.appendToIndex(delta, dir)
+      val mergedHits = Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+        .select("qid", "nid").localCheckpoint()
+      val truth = Similarity.bruteForceTopK(q, emb, k = k)
+        .select("qid", "nid").localCheckpoint()
+      val nTruth = truth.count()
+      val hitsBase = baseHits.join(truth, Seq("qid", "nid"), "left_semi").count()
+      val hitsMerged = mergedHits.join(truth, Seq("qid", "nid"), "left_semi").count()
+      val assigned = s.read.parquet(s"$dir/assigned").localCheckpoint()
+      val centers = s.read.parquet(s"$dir/centroids")
+        .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+      val roundtrip = assigned
+        .select((col("cluster") ===
+          element_at(Ivf.nearestK(col("cu"), centers, 1), 1)).as("eq"))
+        .agg(coalesce(bool_and(col("eq")), lit(false))).collect()(0).getBoolean(0)
+      val nAssigned = assigned.count()
+      val nDistinct = assigned.select("vec_id").distinct().count()
+      val nExpected = base.count() + delta.count()
+      val deltaSeen = mergedHits
+        .filter(pmod(col("nid"), lit(10)) === 0).count()
+      import s.implicits._
+      Seq(
+        ("assignments_roundtrip", roundtrip),
+        ("delta_visible", deltaSeen > 0),
+        ("merged_complete", nAssigned == nExpected && nDistinct == nExpected),
+        ("recall_floor", hitsMerged * 4 >= nTruth),
+        ("recall_monotone", hitsMerged >= hitsBase)
+      ).toDF("chk", "ok").orderBy("chk")
+    } finally graft.io.Sources.removeScratchDir(dir)
   }
 
   /** Perceptual-hash image near-dup ([[graft.multimodal.Multimodal

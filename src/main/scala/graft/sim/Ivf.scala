@@ -107,7 +107,7 @@ object Ivf {
   }
 
   /** Nearest-`n` centroid indices of a vector column (native kernel). */
-  private[sim] def nearestK(vec: Column, centers: Array[Array[Double]], n: Int): Column =
+  private[graft] def nearestK(vec: Column, centers: Array[Array[Double]], n: Int): Column =
     ColumnBridge.column(NearestCentroids(ColumnBridge.expression(vec), centers, n))
 
   /** Build the index: learn `nClusters` centroids from a deterministic
@@ -171,6 +171,31 @@ object Ivf {
       .select(col(idCol), col("cluster"), col("cu"))
       .write.mode("overwrite").parquet(s"$dir/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Index MAINTENANCE: route a new vector batch into an EXISTING
+   * persisted index WITHOUT re-clustering — the append path a running
+   * ANN service takes between periodic re-trains. The centroid table
+   * is read once to the driver (bounded: nClusters rows), the batch is
+   * unit-normalized and assigned map-side by the same
+   * [[graft.functions.NearestCentroids]] kernel the build uses, and
+   * the rows append to the index's assignment table. Null vectors are
+   * dropped (the withUnitVec gate). Because probing uses the SAME
+   * centroids before and after, an append only ever ADDS candidates to
+   * each probed cell — recall against any fixed truth set is provably
+   * monotone (a non-truth candidate can never displace a truth member
+   * from a top-k that ranks by the global order), which q318 gates. */
+  def appendToIndex(delta: DataFrame, dir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect() // bounded: nClusters rows
+      .map(_.getSeq[Double](1).toArray)
+    Similarity.withUnitVec(delta, vecCol, "cu")
+      .withColumn("cluster", element_at(nearestK(col("cu"), centers, 1), 1))
+      .select(col(idCol), col("cluster"), col("cu"))
+      .write.mode("append").parquet(s"$dir/assigned")
   }
 
   /** Memoized [[persistIndex]] over the harness embeddings table — one
