@@ -497,8 +497,93 @@ object ExtraQueries {
     }
   }
 
+  /** Consistent-hash ring resharding report — the shard-movement
+   * arithmetic behind scaling a stateful service from 8 to 9 nodes,
+   * beside the naive `hash mod N` strawman. 16 virtual nodes per
+   * physical node at md5₆₀("ring:node:vnode") positions; a key owns to
+   * the vnode minimizing (pos − h) mod 2⁶⁰ (clockwise distance — the
+   * Karger ring). Output per (scheme, node): keys owned after the
+   * resize and how many MOVED IN — the ring moves ≈1/9 of keys
+   * (only those between the new node's vnodes and their predecessors)
+   * where mod-N reshuffles ≈8/9, which is the entire point of
+   * consistent hashing. Complements q291's rendezvous variant.
+   *
+   * Scale shape: the 144-row vnode table broadcasts; ownership is the
+   * key stream × vnodes with a map-side partial MIN(struct(dist,
+   * node, v)) — no window over the blown-up stream, and the keys
+   * table is a checkpointed dimension projection. (At fact-scale keys
+   * the same ring folds into a sorted-array literal probed by a pure
+   * map-side expression; the aggregate shape here keeps the oracle a
+   * line-for-line window replay.) All positions/distances are exact
+   * md5₆₀ integers, so DuckDB replays ownership key for key. */
+  val q319HashRing: Q = {
+    val P = "1152921504606846976" // 2^60: md5Long's value domain
+    val label = "'ring:' || CAST(n.node AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)"
+    Q("q319_hash_ring",
+      s"""WITH keys AS (SELECT c_custkey AS k,
+              ${graft.ops.Exprs.md5LongSql.format("c_custkey")} AS h
+            FROM customer),
+         vn AS (SELECT n.node, v.v,
+                  ${graft.ops.Exprs.md5LongSql.format(label)} AS pos
+                FROM range(9) n(node), range(16) v(v)),
+         a8 AS (SELECT k, node FROM (
+                  SELECT k, node, v, (pos - h + $P) % $P AS dist
+                  FROM keys CROSS JOIN vn WHERE node < 8)
+                QUALIFY row_number() OVER (
+                  PARTITION BY k ORDER BY dist, node, v) = 1),
+         a9 AS (SELECT k, node FROM (
+                  SELECT k, node, v, (pos - h + $P) % $P AS dist
+                  FROM keys CROSS JOIN vn)
+                QUALIFY row_number() OVER (
+                  PARTITION BY k ORDER BY dist, node, v) = 1),
+         f AS (SELECT 'ring' AS scheme, a9.node AS node,
+                      CASE WHEN a8.node <> a9.node THEN 1 ELSE 0 END AS moved
+               FROM a8 JOIN a9 USING (k)
+               UNION ALL
+               SELECT 'mod', h % 9,
+                      CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END
+               FROM keys)
+         SELECT scheme, CAST(node AS BIGINT) AS node,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(moved) AS BIGINT) AS n_moved_in,
+                CAST(sum(moved) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS moved_in_ppm
+         FROM f GROUP BY 1, 2 ORDER BY scheme, node""") { (s, d) =>
+      val keys = table(s, d, "customer")
+        .select(col("c_custkey").as("k"),
+          graft.ops.Exprs.md5Long(col("c_custkey")).as("h"))
+        .localCheckpoint() // dimension projection feeds both rings + mod
+      val vn = s.range(9).select(col("id").as("node"))
+        .crossJoin(s.range(16).select(col("id").as("v")))
+        .select(col("node"), col("v"),
+          graft.ops.Exprs.md5Long(concat(lit("ring:"),
+            col("node").cast("string"), lit(":"),
+            col("v").cast("string"))).as("pos"))
+      def owners(ring: org.apache.spark.sql.DataFrame, as: String) =
+        keys.crossJoin(broadcast(ring))
+          .withColumn("dist", expr(s"(pos - h + $P) % $P"))
+          .groupBy("k")
+          .agg(min(struct(col("dist"), col("node"), col("v"))).as("m"))
+          .select(col("k"), col("m.node").as(as))
+      val ring = owners(vn.filter(col("node") < 8), "n8")
+        .join(owners(vn, "n9"), "k")
+        .select(lit("ring").as("scheme"), col("n9").as("node"),
+          when(col("n8") =!= col("n9"), 1L).otherwise(0L).as("moved"))
+      val mod = keys.select(lit("mod").as("scheme"),
+        pmod(col("h"), lit(9L)).as("node"),
+        when(pmod(col("h"), lit(8L)) =!= pmod(col("h"), lit(9L)), 1L)
+          .otherwise(0L).as("moved"))
+      ring.unionByName(mod)
+        .groupBy("scheme", "node")
+        .agg(count(lit(1)).as("n_keys"), sum("moved").as("n_moved_in"))
+        .select(col("scheme"), col("node").cast("long").as("node"),
+          col("n_keys"), col("n_moved_in"),
+          expr("n_moved_in * 1000000 div n_keys").as("moved_in_ppm"))
+        .orderBy("scheme", "node")
+    }
+  }
+
   val all: Seq[Q] = Seq(q52Confirmations, q53ProbeCascade, q56Sketches,
     q69PartitionConfig, q70CsvRoundtrip, q72HeaderOffset,
     q127RequireTables, q128PartitionEquiv, q129HeavyHitters, q133HllRollup,
-    q260OrcRoundtrip, q271Manifest, q302FkAudit)
+    q260OrcRoundtrip, q271Manifest, q302FkAudit, q319HashRing)
 }

@@ -59,6 +59,46 @@ class Round9Spec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_.getAs[Long]("root_split_bucket")).distinct.length == 1)
   }
 
+  test("integer TextRank contrib == BigInt round-half-up of 0.85*r*c/wd " +
+    "(through the Spark expression)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // bounds inside the documented 34*r*c < 2^63 exactness window
+    val g = for {
+      r <- Gen.choose(1L, 3000000L)
+      c <- Gen.choose(1L, 100000L)
+      wd <- Gen.choose(1L, 10000000L)
+    } yield (r, c, wd)
+    val cases = (0 until 300).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(11L + i)))
+    import spark.implicits._
+    val got = cases.toDF("r", "c", "wd")
+      .select(col("r"), col("c"), col("wd"),
+        expr("(34 * r * c + 20 * wd) div (40 * wd)").as("contrib"))
+      .collect()
+    got.foreach { row =>
+      val (r, c, wd) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      // round-half-up(17rc/20wd) = floor((2*17rc + 20wd) / (2*20wd)), exact
+      val expected = ((BigInt(34) * r * c + BigInt(20) * wd) /
+        (BigInt(40) * wd)).toLong
+      assert(row.getLong(3) == expected, s"($r,$c,$wd)")
+    }
+  }
+
+  test("q319: adding a ring node only moves keys ONTO the new node") {
+    val rows = graft.queries.ExtraQueries.q319HashRing.fn(spark, sf001)
+      .filter(col("scheme") === "ring").collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val (node, movedIn) = (r.getAs[Long]("node"), r.getAs[Long]("n_moved_in"))
+      if (node < 8) assert(movedIn == 0,
+        s"consistent hashing must not move keys between old nodes: " +
+          s"node $node gained $movedIn")
+      else assert(movedIn == r.getAs[Long]("n_keys"),
+        "every key on the new node must be newly moved")
+    }
+  }
+
   test("q287: dhash tier counts twins against the media universe") {
     val rows = graft.queries.CurationQueries.q287DedupFunnel.fn(spark, sf001)
       .collect().map(r => r.getAs[String]("tier") ->
