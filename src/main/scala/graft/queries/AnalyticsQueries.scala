@@ -176,6 +176,40 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Retraction-aware streaming CDC ([[graft.streaming.StreamingUpsert
+   * .runCdcDeletesToBatch]]): the change stream carries upserts AND
+   * deletions (event_id % 7 = 0 → 'D'), folded per micro-batch by the
+   * op-carrying latest-wins max-merge; the materialized view is the
+   * keys whose LATEST change is an upsert — a delete retracts its key
+   * unless a later upsert re-creates it. The oracle replays the
+   * changelog contract as a window argmax over the same derived ops,
+   * keeps rn = 1 upserts, and rolls the view up by user decile with an
+   * order-proof md5₆₀ key XOR — so both the retraction semantics and
+   * the surviving values are hash-checked against batch truth. */
+  val q321StreamCdcDelete: Q = Q("q321_stream_cdc_delete",
+    s"""WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                event_id,
+                CASE WHEN event_id % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                CAST(round(value * 1000) AS BIGINT) AS v
+            FROM events WHERE value IS NOT NULL),
+       r AS (SELECT user_id, op, v,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY sec DESC, event_id DESC,
+                                                op DESC, v DESC) AS rn
+             FROM c)
+       SELECT user_id % 10 AS decile, CAST(count(*) AS BIGINT) AS n_users,
+              CAST(sum(v) AS BIGINT) AS v_sum,
+              CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("user_id")}) AS BIGINT) AS key_xor
+       FROM r WHERE rn = 1 AND op = 'U'
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    graft.streaming.StreamingUpsert.runCdcDeletesToBatch(s, d, nFiles = 4)
+      .withColumn("h", graft.ops.Exprs.md5Long(col("user_id")))
+      .groupBy((col("user_id") % 10).as("decile"))
+      .agg(count(lit(1)).as("n_users"), sum("v").as("v_sum"),
+        expr("bit_xor(h)").as("key_xor"))
+      .orderBy("decile")
+  }
+
   // ------------------------------------------------- sliding stream windows
 
   /** Sliding event-time windows (2 h / 30 min slide) over the January
@@ -1069,7 +1103,7 @@ object AnalyticsQueries {
   }
 
   val all: Seq[Q] = Seq(q100Funnel, q101CohortRetention, q102WeightedSample,
-    q103TfidfKeywords, q104Pmi, q105StreamUpsert, q106StreamSliding,
+    q103TfidfKeywords, q104Pmi, q105StreamUpsert, q321StreamCdcDelete, q106StreamSliding,
     q109SemDedup, q110RangeWindow, q111MadOutliers, q112Entropy,
     q113OrderedList, q114SetOps, q117FuzzyMatch, q118RegexExtract,
     q300GoldenRecord, q306BlockingQuality,

@@ -553,7 +553,7 @@ object ExtraQueries {
           graft.ops.Exprs.md5Long(col("c_custkey")).as("h"))
         .localCheckpoint() // dimension projection feeds both rings + mod
       val vn = s.range(9).select(col("id").as("node"))
-        .crossJoin(s.range(16).select(col("id").as("v")))
+        .crossJoin(broadcast(s.range(16).select(col("id").as("v"))))
         .select(col("node"), col("v"),
           graft.ops.Exprs.md5Long(concat(lit("ring:"),
             col("node").cast("string"), lit(":"),

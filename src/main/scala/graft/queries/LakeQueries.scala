@@ -651,9 +651,84 @@ object LakeQueries {
     }
   }
 
+  /** MERGE INTO semantics (the lakehouse upsert-with-deletes statement:
+   * WHEN MATCHED AND del THEN DELETE / WHEN MATCHED THEN UPDATE /
+   * WHEN NOT MATCHED AND NOT del THEN INSERT), expressed Spark-first
+   * as ONE full-outer key join + conditional projection — exactly the
+   * shuffle a MERGE plans at any scale (bucketed targets co-locate it;
+   * here the join is the honest keyed exchange). Target = customers
+   * with custkey % 3 ≠ 0; change feed = custkey % 2 = 0 with +$100
+   * balances and every custkey % 10 = 0 marked delete. Output: the
+   * merged table's per-segment signature (row count, exact cents sum,
+   * order-proof md5₆₀ XOR over keys — a flipped row flips the tag) and
+   * the per-action audit counts (insert/update/delete/keep/noop), so
+   * the oracle hash-checks both the RESULT and the MERGE bookkeeping. */
+  val q320MergeUpsert: Q = Q("q320_merge_upsert",
+    s"""WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey % 3 <> 0),
+       s AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS cents,
+               (c_custkey % 10 = 0) AS is_del
+             FROM customer WHERE c_custkey % 2 = 0),
+       j AS (SELECT coalesce(t.k, s.k) AS k, coalesce(s.seg, t.seg) AS seg,
+                    t.k IS NOT NULL AS in_t, s.k IS NOT NULL AS in_s,
+                    coalesce(s.is_del, FALSE) AS is_del,
+                    t.cents AS tc, s.cents AS sc
+             FROM t FULL OUTER JOIN s ON t.k = s.k),
+       m AS (SELECT k, seg, CASE WHEN in_s THEN sc ELSE tc END AS cents,
+                    CASE WHEN in_t AND in_s AND is_del THEN 'delete'
+                         WHEN in_t AND in_s THEN 'update'
+                         WHEN in_t THEN 'keep'
+                         WHEN is_del THEN 'noop'
+                         ELSE 'insert' END AS act
+             FROM j),
+       segs AS (SELECT 'seg:' || seg AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum,
+                  CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT) AS key_xor
+                FROM m WHERE act IN ('update', 'keep', 'insert') GROUP BY 1),
+       acts AS (SELECT 'act:' || act AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS cents_sum, CAST(0 AS BIGINT) AS key_xor
+                FROM m GROUP BY 1)
+       SELECT * FROM (SELECT * FROM segs UNION ALL SELECT * FROM acts)
+       ORDER BY tag""") { (s, d) =>
+    val cents = round(col("c_acctbal") * 100, 0).cast("long")
+    val cust = table(s, d, "customer")
+    val t = cust.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        cents.as("tc"))
+    val src = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
+        (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
+    val m = t.join(src, col("k") === col("sk"), "full_outer")
+      .select(coalesce(col("k"), col("sk")).as("k"),
+        coalesce(col("sseg"), col("seg")).as("seg"),
+        col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
+        coalesce(col("is_del"), lit(false)).as("is_del"),
+        col("tc"), col("sc"))
+      .select(col("k"), col("seg"),
+        when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents"),
+        when(col("in_t") && col("in_s") && col("is_del"), "delete")
+          .when(col("in_t") && col("in_s"), "update")
+          .when(col("in_t"), "keep")
+          .when(col("is_del"), "noop")
+          .otherwise("insert").as("act"))
+      .localCheckpoint() // one merge pass feeds signature AND audit
+    val segs = m.filter(col("act").isin("update", "keep", "insert"))
+      .withColumn("h", graft.ops.Exprs.md5Long(col("k")))
+      .groupBy(concat(lit("seg:"), col("seg")).as("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+        expr("bit_xor(h)").as("key_xor"))
+    val acts = m.groupBy(concat(lit("act:"), col("act")).as("tag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("tag"), col("n_rows"), lit(0L).as("cents_sum"),
+        lit(0L).as("key_xor"))
+    segs.unionByName(acts).orderBy("tag")
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
-    q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap)
+    q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert)
 }

@@ -1253,7 +1253,7 @@ object TextQueries {
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
-    q318IvfAppend)
+    q318IvfAppend, q322IvfPqAppend)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -1493,6 +1493,87 @@ object TextQueries {
         ("merged_complete", nAssigned == nExpected && nDistinct == nExpected),
         ("recall_floor", hitsMerged * 4 >= nTruth),
         ("recall_monotone", hitsMerged >= hitsBase)
+      ).toDF("chk", "ok").orderBy("chk")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  /** IVF-PQ composed-index APPEND ([[graft.sim.IvfPq.appendToIndex]] —
+   * q318's twin for the PRODUCTION index shape): the 10% delta batch
+   * is PQ-encoded by the STORED codebooks and routed into the STORED
+   * centroids, both pure map-side (no re-fit, no re-cluster, no base
+   * rescan). Gates: merged completeness, full roundtrip (every
+   * persisted row's cluster AND all m PQ codes re-derive from its
+   * stored unit vector against the persisted codebooks — catches
+   * encode/readback drift code for code), delta visibility, q273's
+   * recall floor on the merged index, and recall-not-worse with a
+   * documented slack of 2 hits: unlike q318's exact-candidate probe,
+   * the ADC SHORTLIST is bounded, so an appended near-miss can
+   * legitimately push a truth member off the shortlist — strict
+   * monotonicity is not a theorem here, near-monotonicity is the
+   * contract. */
+  lazy val q322IvfPqAppend: Q = Q("q322_ivfpq_append",
+    """SELECT * FROM (VALUES
+         ('codes_roundtrip', TRUE), ('delta_visible', TRUE),
+         ('merged_complete', TRUE), ('recall_floor', TRUE),
+         ('recall_not_worse', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.sim.{Ivf, IvfPq, Pq}
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val dir = graft.io.Sources.scratchDir("graft_ivfpq_append")
+    try {
+      IvfPq.persistIndex(base, dir, dim = 64, nClusters = 64, m = 16, ksub = 16)
+      val q = emb.filter(col("vec_id") < 50)
+      val k = 5
+      val baseHits = IvfPq.probeIndex(q, dir, k = k, nProbe = 16, shortlist = 32)
+        .select("qid", "nid").localCheckpoint()
+      IvfPq.appendToIndex(delta, dir)
+      val mergedHits = IvfPq.probeIndex(q, dir, k = k, nProbe = 16, shortlist = 32)
+        .select("qid", "nid").localCheckpoint()
+      val truth = Similarity.bruteForceTopK(q, emb, k = k)
+        .select("qid", "nid").localCheckpoint()
+      val nTruth = truth.count()
+      val hitsBase = baseHits.join(truth, Seq("qid", "nid"), "left_semi").count()
+      val hitsMerged = mergedHits.join(truth, Seq("qid", "nid"), "left_semi").count()
+      val assigned = s.read.parquet(s"$dir/assigned").localCheckpoint()
+      val centers = s.read.parquet(s"$dir/centroids")
+        .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
+      val model = {
+        val rows = s.read.parquet(s"$dir/codebooks").collect()
+        val m = rows.iterator.map(_.getInt(0)).max + 1
+        val ksub = rows.iterator.map(_.getInt(1)).max + 1
+        val books = Array.ofDim[Array[Double]](m, ksub)
+        rows.foreach(r =>
+          books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+        Pq.PqModel(m, books(0)(0).length, books)
+      }
+      // re-derive cluster + all 16 codes from each stored unit vector
+      val recoded = Pq.encode(
+        assigned.select(col("vec_id"), col("cu").as("embedding"),
+          col("cluster").as("cl0"), col("codes").as("codes0")),
+        model)
+        .withColumn("cl1", element_at(Ivf.nearestK(col("cu"), centers, 1), 1))
+      val joined = recoded.join(
+        assigned.select(col("vec_id"), col("cluster").as("cl0"),
+          col("codes").as("codes0")), Seq("vec_id"))
+      val roundtrip = joined
+        .select((col("cl1") === col("cl0") &&
+          col("codes") === col("codes0")).as("eq"))
+        .agg(coalesce(bool_and(col("eq")), lit(false))).collect()(0).getBoolean(0)
+      val nAssigned = assigned.count()
+      val nDistinct = assigned.select("vec_id").distinct().count()
+      val nExpected = base.count() + delta.count()
+      val deltaSeen = mergedHits
+        .filter(pmod(col("nid"), lit(10)) === 0).count()
+      import s.implicits._
+      Seq(
+        ("codes_roundtrip", roundtrip),
+        ("delta_visible", deltaSeen > 0),
+        ("merged_complete", nAssigned == nExpected && nDistinct == nExpected),
+        ("recall_floor", hitsMerged * 4 >= nTruth),
+        ("recall_not_worse", hitsMerged + 2 >= hitsBase)
       ).toDF("chk", "ok").orderBy("chk")
     } finally graft.io.Sources.removeScratchDir(dir)
   }

@@ -66,6 +66,28 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$dir/codebooks")
   }
 
+  /** Composed-index MAINTENANCE ([[Ivf.appendToIndex]]'s IVF-PQ twin):
+    * route a new vector batch into an EXISTING persisted index — the
+    * stored codebooks encode the batch map-side (no PQ re-fit), the
+    * stored centroids assign its cells (no re-clustering), and the
+    * rows append to the assignment table. Both lookups are bounded
+    * driver reads (nClusters + m·ksub rows); the batch itself is one
+    * map-side pass. */
+  def appendToIndex(delta: DataFrame, dir: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = delta.sparkSession
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect() // bounded: nClusters rows
+      .map(_.getSeq[Double](1).toArray)
+    val model = loadModel(spark, dir)
+    Pq.encode(delta, model, idCol, vecCol)
+      .withColumn("cluster",
+        element_at(Ivf.nearestK(col("cu"), centers, 1), 1))
+      .select(col(idCol), col("cluster"), col("cu"), col("codes"))
+      .write.mode("append").parquet(s"$dir/assigned")
+  }
+
   /** Memoized [[persistIndex]] over the harness embeddings table — one
     * persisted composed index per (session, sfDir), shared by every
     * probe in the session (the [[Ivf.persistedIndex]] pattern). */

@@ -27,6 +27,69 @@ object StreamingUpsert {
       .select(col("user_id"), col("m.sec").as("sec"),
         col("m.event_id").as("event_id"), col("m.event_type").as("event_type"))
 
+  private val cdcSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("sec", LongType),
+    StructField("event_id", LongType), StructField("op", StringType),
+    StructField("v", LongType)))
+
+  /** Latest-wins WITH the op carried: the retraction-aware CDC state.
+    * Still a per-key max(struct) — commutative/associative, so the
+    * folded state is arrival-order independent; a DELETE only wins if
+    * it is the key's LATEST change, exactly the changelog contract. */
+  private def latestOp(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max(struct(col("sec"), col("event_id"), col("op"), col("v"))).as("m"))
+      .select(col("user_id"), col("m.sec").as("sec"),
+        col("m.event_id").as("event_id"), col("m.op").as("op"),
+        col("m.v").as("v"))
+
+  /**
+   * CDC apply WITH DELETES: the change stream carries upserts ('U')
+   * and deletions ('D'); the fold keeps each key's latest change
+   * (op included), and the materialized view is the keys whose latest
+   * op is an upsert — a deletion retracts the row unless a later
+   * upsert re-creates it. Ops are derived deterministically from the
+   * events table (event_id % 7 = 0 → delete; value quantized to
+   * integer milli). Same staged-files / one-file-per-micro-batch
+   * harness as [[runLatestWinsToBatch]]; state is the keyed target
+   * itself, localCheckpointed per batch.
+   */
+  def runCdcDeletesToBatch(spark: SparkSession, dir: String,
+                           nFiles: Int = 4): DataFrame = {
+    val stage = graft.io.Sources.scratchDir("graft_cdc_del")
+    graft.io.Sources.table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"),
+        when(col("event_id") % 7 === 0, "D").otherwise("U").as("op"),
+        round(col("value") * 1000, 0).cast("long").as("v"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+
+    @volatile var target: DataFrame = null
+    val q = spark.readStream
+      .schema(cdcSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = latestOp(batch)
+        target = latestOp(if (target == null) delta
+                          else target.unionByName(delta))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    val folded = if (target == null)
+      latestOp(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema))
+    else target
+    folded.filter(col("op") === "U") // deletions retract their key
+      .select("user_id", "sec", "event_id", "v")
+  }
+
   /**
    * Stage the events table into `nFiles` parquet files, stream them
    * back ONE FILE PER MICRO-BATCH, and fold each batch into the
