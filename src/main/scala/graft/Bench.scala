@@ -72,7 +72,8 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, String]()
     // optional subset for local profiling: SPARK_GRAFT_ONLY=q37,q40
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.trim).filter(_.nonEmpty).map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // match Verify's subset syntax: full name or prefix up to the first _
     val selected = SparkEntry.registry.filter(q => only.forall(o =>
       o.contains(q.name) || o.contains(q.name.takeWhile(_ != '_'))))

@@ -25,7 +25,8 @@ object Verify {
     // optional subset for local iteration: SPARK_GRAFT_ONLY=q158,q159
     // (prefix match on the query name up to the first underscore)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.trim).filter(_.nonEmpty).map(_.split(",").toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(ids => ids.contains(name.takeWhile(_ != '_')) || ids.contains(name))
     }

@@ -388,12 +388,17 @@ object LakeQueries {
   // --------------------------------------------------------- bucketed join
 
   /** Co-located big-big join via BUCKETED tables: both sides written
-   * bucketBy(8) on the join key, so the sort-merge join consumes the
+   * bucketBy(n) on the join key, so the sort-merge join consumes the
    * bucket layout with NO exchange on either side (pinned in
    * PlanQualitySpec) — at 100 TB this is the difference between
    * shuffling the fact table per join and never shuffling it at all.
-   * The oracle replays the plain join, so the layout provably changes
-   * the plan, not the result. */
+   * The bucket count FOLLOWS THE DATA (parquet-footer row count of the
+   * fact side, ~200k rows/bucket, clamped [8, 32]; same count both
+   * sides so the join stays exchange-free at any count) — a fixed 8
+   * capped the bucketed write at 8-way parallelism on a 32-core box
+   * and was most of q115's ×5.2 at 10× (r9 verdict). The oracle
+   * replays the plain join, so the layout provably changes the plan,
+   * not the result. */
   val q115BucketedJoin: Q = Q("q115_bucketed_join",
     """SELECT o_orderstatus, count(*) AS n,
               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
@@ -408,11 +413,14 @@ object LakeQueries {
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val loc = graft.io.Sources.scratchDir("graft_q115_db")
     s.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    // metadata-only count (parquet footers), not a data scan
+    val factRows = table(s, d, "lineitem").count()
+    val nBuckets = math.max(8, math.min(32, (factRows / 200000L).toInt))
     table(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .format("parquet").saveAsTable(s"$db.li_b")
     table(s, d, "orders").select("o_orderkey", "o_orderstatus")
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .format("parquet").saveAsTable(s"$db.ord_b")
     s.table(s"$db.li_b")
       .join(s.table(s"$db.ord_b"),
@@ -602,12 +610,16 @@ object LakeQueries {
           (unix_timestamp(col("l_shipdate")) / 86400).cast("long").as("dday"),
           (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
             .cast("long").as("rfile"))
+      // staged layout is consumed entirely by the footer walk below (zm
+      // is driver-local stats; sel re-reads the ORIGINAL table), so the
+      // scratch dir is removed eagerly — per-run accumulation on the
+      // shared bench JVM, not just the shutdown hook (r9 ADVICE)
       val dir = graft.io.Sources.scratchDir("graft_footer_zm")
-      f.repartition(col("rfile"))
-        .write.mode("overwrite").partitionBy("rfile").parquet(dir)
-      // footer walk: one open per file, blocks -> (rows, dday min/max)
-      val conf = s.sessionState.newHadoopConf()
-      val stats: Seq[(Long, Long, Long, Long)] =
+      val stats: Seq[(Long, Long, Long, Long)] = try {
+        f.repartition(col("rfile"))
+          .write.mode("overwrite").partitionBy("rfile").parquet(dir)
+        // footer walk: one open per file, blocks -> (rows, dday min/max)
+        val conf = s.sessionState.newHadoopConf()
         new java.io.File(dir).listFiles().toSeq
           .filter(_.getName.startsWith("rfile="))
           .flatMap { pd =>
@@ -631,6 +643,7 @@ object LakeQueries {
               } finally rd.close()
             }
           }
+      } finally graft.io.Sources.removeScratchDir(dir)
       import s.implicits._
       val zm = stats.toDF("rfile", "mn", "mx", "nrows")
         .groupBy("rfile").agg(min("mn").as("mn"), max("mx").as("mx"),

@@ -1550,15 +1550,12 @@ object TextQueries {
         Pq.PqModel(m, books(0)(0).length, books)
       }
       // re-derive cluster + all 16 codes from each stored unit vector
-      val recoded = Pq.encode(
-        assigned.select(col("vec_id"), col("cu").as("embedding"),
-          col("cluster").as("cl0"), col("codes").as("codes0")),
-        model)
-        .withColumn("cl1", element_at(Ivf.nearestK(col("cu"), centers, 1), 1))
-      val joined = recoded.join(
-        assigned.select(col("vec_id"), col("cluster").as("cl0"),
-          col("codes").as("codes0")), Seq("vec_id"))
-      val roundtrip = joined
+      // VERBATIM (Pq.codesFromUnit — no withUnitVec re-normalization,
+      // which can drift ~1 ulp and flip a Voronoi-boundary assignment)
+      val roundtrip = assigned
+        .select(col("cluster").as("cl0"), col("codes").as("codes0"),
+          Pq.codesFromUnit(col("cu"), model).as("codes"),
+          element_at(Ivf.nearestK(col("cu"), centers, 1), 1).as("cl1"))
         .select((col("cl1") === col("cl0") &&
           col("codes") === col("codes0")).as("eq"))
         .agg(coalesce(bool_and(col("eq")), lit(false))).collect()(0).getBoolean(0)

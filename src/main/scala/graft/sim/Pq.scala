@@ -83,12 +83,20 @@ object Pq {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withU = Similarity.withUnitVec(
       corpus.filter(col(vecCol).isNotNull), vecCol, "cu")
-    val codes = array((0 until model.m).map { j =>
-      nearest1(slice(col("cu"), j * model.dsub + 1, model.dsub),
+    withU.select(col(idCol), col("cu"),
+      codesFromUnit(col("cu"), model).as("codes"))
+  }
+
+  /** PQ codes straight from an ALREADY-UNIT vector column — no
+    * re-normalization. This is the roundtrip-gate path (q322): a stored
+    * `cu` re-encoded through withUnitVec can drift ~1 ulp per component
+    * and flip a nearest-codeword assignment at a Voronoi boundary, so
+    * gates must re-derive codes from the persisted floats verbatim. */
+  def codesFromUnit(cuCol: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      nearest1(slice(cuCol, j * model.dsub + 1, model.dsub),
         model.codebooks(j))
     }: _*)
-    withU.select(col(idCol), col("cu"), codes.as("codes"))
-  }
 
   /** The bounded query side with per-query ADC lookup tables:
     * lut[j][c] = q_sub_j · centroid_{j,c}. Queries are COLLECTED — the

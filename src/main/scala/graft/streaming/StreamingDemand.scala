@@ -55,38 +55,103 @@ object StreamingDemand {
    * caller's session on return so downstream composition never crosses
    * sessions.
    */
+  /** Child sessions CACHED per (parent, state-partition count) — one
+    * half of the q297 residual-accumulator fix (r9 verdict): the first
+    * streaming-query start on any session registers that session's
+    * `StreamingQueryListenerBus` on the SparkContext's shared
+    * `LiveListenerBus` (the bus constructor calls `addToQueue(this,
+    * STREAM_EVENT_QUERY)`) and nothing ever removes it. Caching bounds
+    * the session-manager buses at the number of distinct partition
+    * counts (≤ 31: statePartitionsFor clamps to [2, 32]) instead of the
+    * number of runs. */
+  private val childSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), SparkSession]()
+
+  /** The other half: EVERY streaming query leaks one more bus, cached
+    * sessions or not — `StreamExecution` runs each query on a
+    * `cloneSession()`, and the clone's lazily-built
+    * `StreamingQueryManager` registers its own listener bus on the
+    * shared `LiveListenerBus` the first time the execution touches
+    * `.streams` (progress-event posting). The clone dies with the
+    * query, its bus does not: in a 322-query marathon every later
+    * Spark event was dispatched through one more dead listener per past
+    * streaming run — the monotone +31%-over-4-runs q297 creep. After
+    * each run this sweep removes every StreamingQueryListenerBus that
+    * is NOT the manager bus of a session we still hold (the `spark`
+    * argument, its active/default siblings, cached children). Clone
+    * buses carry no user listeners (addListener attaches to the
+    * CREATOR session's manager bus, and run-id replay filtering happens
+    * per-bus), so removing them mid-flight is observationally inert —
+    * they only burn dispatch cycles. Pure-reflection introspection of
+    * spark-internal fields, so any internal rename degrades to the old
+    * leak, never to a broken query. */
+  private[graft] def sweepCloneListenerBuses(spark: SparkSession): Unit =
+    try {
+      def managerBus(s: SparkSession): AnyRef = {
+        val m = s.streams
+        val acc = m.getClass.getDeclaredMethod("listenerBus")
+        acc.setAccessible(true)
+        acc.invoke(m)
+      }
+      val keep = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+      keep.add(managerBus(spark))
+      SparkSession.getActiveSession.foreach(s => keep.add(managerBus(s)))
+      SparkSession.getDefaultSession.foreach(s => keep.add(managerBus(s)))
+      childSessions.forEach((k, c) => { keep.add(managerBus(k._1)); keep.add(managerBus(c)) })
+      val sc = spark.sparkContext
+      val lb = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val listeners = lb.getClass.getMethod("listeners").invoke(lb)
+        .asInstanceOf[java.util.List[AnyRef]]
+      val rm = lb.getClass.getMethods
+        .find(m => m.getName == "removeListener" && m.getParameterCount == 1)
+        .getOrElse(sys.error("LiveListenerBus.removeListener not found"))
+      listeners.forEach { l =>
+        if (l.getClass.getName.contains("StreamingQueryListenerBus") &&
+            !keep.contains(l))
+          rm.invoke(lb, l)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private[graft] def withStatePartitions(spark: SparkSession, n: Int)
       (body: SparkSession => DataFrame): DataFrame = {
     isolatedStarts.incrementAndGet()
-    val child = spark.newSession()
-    // newSession() restarts from builder-time confs; carry over the two
-    // runtime semantics the replay depends on before sizing the state
-    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
-      .foreach(k => child.conf.set(k, spark.conf.get(k)))
-    child.conf.set("spark.sql.shuffle.partitions", n.toString)
-    // Ephemeral checkpoints on the RAM-backed tmpfs when one exists:
-    // offset/commit WAL writes and state-store delta commits are pure
-    // fsync-ish fs I/O on scratch data that dies with the query —
-    // ~0.2-0.3s per run on a disk-backed /tmp (measured). A real
-    // deployment points this at durable storage; the finite-replay
-    // harness deletes it after the drain.
-    val ckptRoot = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite)
-        Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
-      else None
-    }
-    ckptRoot.foreach(d =>
-      child.conf.set("spark.sql.streaming.checkpointLocation", d))
-    try {
-      val out = body(child)
-      spark.createDataFrame(out.rdd, out.schema)
-    } finally {
-      ckptRoot.foreach { d =>
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    val child = childSessions.computeIfAbsent((spark, n), _ => spark.newSession())
+    // the per-run confs are set on the cached child, so two concurrent
+    // runs sharing a child must serialize — harness runs are sequential;
+    // the lock is insurance, and stream-beside-BATCH concurrency (the
+    // ConcurrencySpec pin) never touches it
+    child.synchronized {
+      // newSession() restarts from builder-time confs; carry over the two
+      // runtime semantics the replay depends on before sizing the state
+      Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+        .foreach(k => child.conf.set(k, spark.conf.get(k)))
+      child.conf.set("spark.sql.shuffle.partitions", n.toString)
+      // Ephemeral checkpoints on the RAM-backed tmpfs when one exists:
+      // offset/commit WAL writes and state-store delta commits are pure
+      // fsync-ish fs I/O on scratch data that dies with the query —
+      // ~0.2-0.3s per run on a disk-backed /tmp (measured). A real
+      // deployment points this at durable storage; the finite-replay
+      // harness deletes it after the drain.
+      val ckptRoot = {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite)
+          Some(s"/dev/shm/graft_ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+        else None
+      }
+      ckptRoot.foreach(d =>
+        child.conf.set("spark.sql.streaming.checkpointLocation", d))
+      try {
+        val out = body(child)
+        spark.createDataFrame(out.rdd, out.schema)
+      } finally {
+        ckptRoot.foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(d))
         }
-        rm(new java.io.File(d))
+        sweepCloneListenerBuses(spark)
       }
     }
   }

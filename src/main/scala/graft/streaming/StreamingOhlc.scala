@@ -72,7 +72,8 @@ object StreamingOhlc {
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
     // zero micro-batches: bars over an empty staged batch gives the
     // correctly-schemed empty bar table instead of a null dereference
     val out = if (target == null)

@@ -45,7 +45,8 @@ object StreamingSketch {
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
     // zero micro-batches (empty events table / no staged files): fold an
     // empty staged batch so callers get a correctly-schemed empty sketch
     // instead of a null dereference
@@ -127,7 +128,8 @@ object StreamingSketch {
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
     if (target == null)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("h", LongType), StructField("v", DoubleType))))

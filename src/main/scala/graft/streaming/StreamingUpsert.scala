@@ -81,7 +81,8 @@ object StreamingUpsert {
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
     val folded = if (target == null)
       latestOp(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema))
@@ -121,7 +122,8 @@ object StreamingUpsert {
       }
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); graft.io.Sources.removeScratchDir(stage) }
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
     // zero micro-batches: latest() over an empty staged batch gives the
     // correctly-schemed empty table instead of a null dereference
     if (target == null)

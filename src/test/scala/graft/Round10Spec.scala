@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 pins: the q297 residual accumulator (per-run child sessions
+  * permanently registering StreamingQueryListenerBus instances on the
+  * shared LiveListenerBus) and the q322 roundtrip-gate encoding path.
+  */
+class Round10Spec extends AnyFunSuite with SparkSpec {
+
+  /** Number of StreamingQueryListenerBus instances registered on the
+    * SparkContext's shared LiveListenerBus. `listenerBus` is
+    * private[spark] (public in bytecode), so reflection reads it —
+    * test-only introspection, no production dependency. */
+  private def streamingBusCount: Int = {
+    val sc = spark.sparkContext
+    val lb = sc.getClass.getMethod("listenerBus").invoke(sc)
+    val ls = lb.getClass.getMethod("listeners").invoke(lb)
+      .asInstanceOf[java.util.List[_]]
+    import scala.jdk.CollectionConverters._
+    ls.asScala.count(_.getClass.getName.contains("StreamingQueryListenerBus"))
+  }
+
+  test("repeated streaming runs do not grow the shared listener-bus population") {
+    // r9 verdict: q297 grew +31% over 4 in-session runs; each run's fresh
+    // newSession() registered one more StreamingQueryListenerBus on the
+    // shared LiveListenerBus (its constructor addToQueue's itself, and
+    // nothing removes it), so EVERY later Spark event in the marathon was
+    // dispatched through one more listener per past streaming run.
+    // withStatePartitions now caches child sessions per (parent, n) —
+    // the population must be flat run-over-run, not linear in runs.
+    graft.streaming.StreamingDemand.runToBatch(spark, sf001).collect()
+    val after1 = streamingBusCount
+    graft.streaming.StreamingDemand.runToBatch(spark, sf001).collect()
+    graft.streaming.StreamingDemand.runToBatch(spark, sf001).collect()
+    graft.streaming.StreamingDemand.runLateDropToBatch(spark, sf001).collect()
+    val after4 = streamingBusCount
+    assert(after4 == after1,
+      s"listener buses grew $after1 -> $after4 across 3 more streaming runs " +
+        "(per-run session leak is back)")
+  }
+
+  test("parent-session foreachBatch streams don't accumulate listener buses either") {
+    graft.streaming.StreamingUpsert.runLatestWinsToBatch(spark, sf001).collect()
+    val after1 = streamingBusCount
+    graft.streaming.StreamingUpsert.runLatestWinsToBatch(spark, sf001).collect()
+    graft.streaming.StreamingOhlc.runOhlcToBatch(spark, sf001).collect()
+    val after3 = streamingBusCount
+    assert(after3 == after1,
+      s"listener buses grew $after1 -> $after3 across 2 more parent-session runs")
+  }
+
+  test("cached child sessions still isolate shuffle-partition conf from the parent") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.streaming.StreamingDemand.runToBatch(spark, sf001).collect()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "streaming run mutated the parent session conf")
+  }
+
+  test("Pq.codesFromUnit on stored unit vectors reproduces encode's codes verbatim") {
+    // q322's roundtrip gate must re-derive codes from the PERSISTED cu
+    // floats without re-normalization (withUnitVec drift ~1 ulp can flip
+    // a Voronoi-boundary assignment) — pin that the no-renorm path agrees
+    // with encode on encode's own output.
+    import graft.sim.Pq
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+      .filter(col("embedding").isNotNull)
+    val model = Pq.fit(emb, dim = 64, m = 8, ksub = 16)
+    val enc = Pq.encode(emb, model)
+    val recoded = enc.select(col("codes").as("codes0"),
+      Pq.codesFromUnit(col("cu"), model).as("codes1"))
+    val bad = recoded.filter(col("codes0") =!= col("codes1")).count()
+    assert(bad == 0L, s"$bad rows re-encoded differently from their stored cu")
+  }
+}
