@@ -739,9 +739,117 @@ object LakeQueries {
     segs.unionByName(acts).orderBy("tag")
   }
 
+  /** MERGE INTO with PERSISTED table versions (q320 computes the merge
+   * action audit in-flight without writing a new table version — this
+   * closes that read-back gap, r9 verdict residue #3): the target
+   * lands on storage as parquet **v0**, ONE keyed full-outer merge
+   * pass against the change feed derives the new state AND the action
+   * audit, the surviving rows land beside it as **v1** (versioned
+   * write — the old version stays readable throughout, the lakehouse
+   * commit is a pointer flip), and the output per-segment SIGNATURE is
+   * computed from the v1 files READ BACK from storage, not from the
+   * in-memory merge. The DuckDB oracle recomputes the merged state
+   * from the raw table, so the hash equality proves the storage
+   * round-trip is lossless — count, exact cents sum, and the
+   * order-proof md5₆₀ key XOR all survive the write+read. Version
+   * audit rows carry the v0/v1 row counts. Same single-shuffle scale
+   * shape as q320 (one keyed full-outer join; bucketed targets
+   * co-locate it); the adds are two sequential table writes. */
+  val q324MergeReadback: Q = Q("q324_merge_readback",
+    s"""WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey % 3 <> 0),
+       s AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS cents,
+               (c_custkey % 10 = 0) AS is_del
+             FROM customer WHERE c_custkey % 2 = 0),
+       j AS (SELECT coalesce(t.k, s.k) AS k, coalesce(s.seg, t.seg) AS seg,
+                    t.k IS NOT NULL AS in_t, s.k IS NOT NULL AS in_s,
+                    coalesce(s.is_del, FALSE) AS is_del,
+                    t.cents AS tc, s.cents AS sc
+             FROM t FULL OUTER JOIN s ON t.k = s.k),
+       m AS (SELECT k, seg, CASE WHEN in_s THEN sc ELSE tc END AS cents,
+                    CASE WHEN in_t AND in_s AND is_del THEN 'delete'
+                         WHEN in_t AND in_s THEN 'update'
+                         WHEN in_t THEN 'keep'
+                         WHEN is_del THEN 'noop'
+                         ELSE 'insert' END AS act
+             FROM j),
+       v1 AS (SELECT k, seg, cents FROM m
+              WHERE act IN ('update', 'keep', 'insert')),
+       segs AS (SELECT 'seg:' || seg AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum,
+                  CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT) AS key_xor
+                FROM v1 GROUP BY 1),
+       acts AS (SELECT 'act:' || act AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS cents_sum, CAST(0 AS BIGINT) AS key_xor
+                FROM m GROUP BY 1),
+       vers AS (SELECT 'ver:v0_rows' AS tag, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(0 AS BIGINT) AS cents_sum, CAST(0 AS BIGINT) AS key_xor
+                FROM t
+                UNION ALL
+                SELECT 'ver:v1_rows', CAST(count(*) AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM v1)
+       SELECT * FROM (SELECT * FROM segs UNION ALL SELECT * FROM acts
+                      UNION ALL SELECT * FROM vers)
+       ORDER BY tag""") { (s, d) =>
+    val dir = graft.io.Sources.scratchDir("graft_merge_vers")
+    try {
+      val cents = round(col("c_acctbal") * 100, 0).cast("long")
+      val cust = table(s, d, "customer")
+      cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          cents.as("tc"))
+        .write.mode("overwrite").parquet(s"$dir/v0")
+      // the merge reads the PERSISTED v0, as a real MERGE INTO would
+      val t = s.read.parquet(s"$dir/v0")
+      val src = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
+          (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
+      val m = t.join(src, col("k") === col("sk"), "full_outer")
+        .select(coalesce(col("k"), col("sk")).as("k"),
+          coalesce(col("sseg"), col("seg")).as("seg"),
+          col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
+          coalesce(col("is_del"), lit(false)).as("is_del"),
+          col("tc"), col("sc"))
+        .select(col("k"), col("seg"),
+          when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents"),
+          when(col("in_t") && col("in_s") && col("is_del"), "delete")
+            .when(col("in_t") && col("in_s"), "update")
+            .when(col("in_t"), "keep")
+            .when(col("is_del"), "noop")
+            .otherwise("insert").as("act"))
+        .localCheckpoint() // one merge pass feeds v1 write AND audit
+      m.filter(col("act").isin("update", "keep", "insert"))
+        .select("k", "seg", "cents")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      // signature from the files READ BACK, not from the in-memory merge
+      val v1 = s.read.parquet(s"$dir/v1")
+      val segs = v1
+        .withColumn("h", graft.ops.Exprs.md5Long(col("k")))
+        .groupBy(concat(lit("seg:"), col("seg")).as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
+          expr("bit_xor(h)").as("key_xor"))
+      val acts = m.groupBy(concat(lit("act:"), col("act")).as("tag"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("tag"), col("n_rows"), lit(0L).as("cents_sum"),
+          lit(0L).as("key_xor"))
+      import s.implicits._
+      val vers = Seq(("ver:v0_rows", t.count()), ("ver:v1_rows", v1.count()))
+        .toDF("tag", "n_rows")
+        .select(col("tag"), col("n_rows"), lit(0L).as("cents_sum"),
+          lit(0L).as("key_xor"))
+      // materialize before the eager scratch cleanup (the result must
+      // not reference the removed files)
+      segs.unionByName(acts).unionByName(vers).orderBy("tag")
+        .localCheckpoint()
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
-    q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert)
+    q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
+    q324MergeReadback)
 }

@@ -1253,7 +1253,7 @@ object TextQueries {
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
-    q318IvfAppend, q322IvfPqAppend)
+    q318IvfAppend, q322IvfPqAppend, q323IndexDelete)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -1571,6 +1571,68 @@ object TextQueries {
         ("merged_complete", nAssigned == nExpected && nDistinct == nExpected),
         ("recall_floor", hitsMerged * 4 >= nTruth),
         ("recall_not_worse", hitsMerged + 2 >= hitsBase)
+      ).toDF("chk", "ok").orderBy("chk")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  /** ANN index DELETE + COMPACTION ([[graft.sim.Ivf.deleteFromIndex]] /
+   * [[graft.sim.Ivf.compactIndex]] — the maintenance rung after
+   * q318/q322's append-only story, r9 verdict residue #3): deletes
+   * land as TOMBSTONES (O(|ids|) append, visible to the very next
+   * probe through one anti-join — never an index rewrite), and a later
+   * compaction folds them into the assignment table with ONE
+   * write-new-then-swap pass, leaving the index probeable throughout.
+   * Centroids never retrain. Gates (q318's verdict-table pattern):
+   * deleted_was_hit (the tombstoned slice actually appeared in
+   * pre-delete probe results, so the delete observably changes them),
+   * excludes_deleted (post-delete probe returns no tombstoned id),
+   * recall_floor (vs brute truth on the LIVE corpus), compact_conserves
+   * (rows after = rows before − tombstoned; removed count exact),
+   * probe_stable (probe results bit-identical before vs after the
+   * compaction — the rewrite is provably a no-op to readers), and
+   * tombstones_cleared (the tombstone table is gone afterwards). */
+  lazy val q323IndexDelete: Q = Q("q323_index_delete",
+    """SELECT * FROM (VALUES
+         ('compact_conserves', TRUE), ('deleted_was_hit', TRUE),
+         ('excludes_deleted', TRUE), ('probe_stable', TRUE),
+         ('recall_floor', TRUE), ('tombstones_cleared', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.sim.Ivf
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val dir = graft.io.Sources.scratchDir("graft_ivf_delete")
+    try {
+      Ivf.persistIndex(emb, dir, nClusters = 64)
+      val q = emb.filter(col("vec_id") < 50)
+      val k = 5
+      val pre = Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+        .select("qid", "nid", "rank").localCheckpoint()
+      val del = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+      val nDel = del.count()
+      Ivf.deleteFromIndex(del.select("vec_id"), dir)
+      val mid = Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+        .select("qid", "nid", "rank").localCheckpoint()
+      val (before, removed, after) = Ivf.compactIndex(s, dir)
+      val post = Ivf.probeIndex(q, dir, k = k, nProbe = 8)
+        .select("qid", "nid", "rank").localCheckpoint()
+      val live = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+      val truth = Similarity.bruteForceTopK(q, live, k = k)
+        .select("qid", "nid").localCheckpoint()
+      val nTruth = truth.count()
+      val hitsMid = mid.join(truth, Seq("qid", "nid"), "left_semi").count()
+      import s.implicits._
+      Seq(
+        ("compact_conserves",
+          removed == nDel && after == before - nDel && before == emb.count()),
+        ("deleted_was_hit",
+          pre.filter(pmod(col("nid"), lit(7)) === 3).count() > 0),
+        ("excludes_deleted",
+          mid.filter(pmod(col("nid"), lit(7)) === 3).count() == 0),
+        ("probe_stable",
+          mid.exceptAll(post).isEmpty && post.exceptAll(mid).isEmpty),
+        ("recall_floor", hitsMid * 4 >= nTruth),
+        ("tombstones_cleared",
+          !new java.io.File(s"$dir/tombstones").isDirectory)
       ).toDF("chk", "ok").orderBy("chk")
     } finally graft.io.Sources.removeScratchDir(dir)
   }

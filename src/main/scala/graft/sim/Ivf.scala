@@ -198,6 +198,62 @@ object Ivf {
       .write.mode("append").parquet(s"$dir/assigned")
   }
 
+  /** Index MAINTENANCE, deletion side: TOMBSTONES. Ids append to a
+   * `dir/tombstones` table; every probe applies them via
+   * [[liveAssigned]], so a delete is visible IMMEDIATELY while costing
+   * O(|ids|) — never an assignment-table rewrite (the faiss
+   * `remove_ids` / lakehouse deletion-vector pattern: at 100 TB a
+   * delete that rewrites the index is a non-starter). The rewrite is
+   * deferred and batched into [[compactIndex]]. Shared by the IVF and
+   * IVF-PQ layouts — both persist `assigned` and probe through
+   * [[liveAssigned]]. */
+  def deleteFromIndex(ids: DataFrame, dir: String,
+                      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The assignment table with tombstones applied — the ONLY way probes
+   * read it. Compacted state (no tombstone table) is the bare scan with
+   * zero extra I/O; pending deletes cost one anti-join against the
+   * (small, delete-sized) tombstone table. */
+  private[sim] def liveAssigned(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                idCol: String = "vec_id"): DataFrame = {
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    if (!new java.io.File(s"$dir/tombstones").isDirectory) assigned
+    else assigned.join(
+      spark.read.parquet(s"$dir/tombstones"), Seq(idCol), "left_anti")
+  }
+
+  /** Index COMPACTION: fold pending tombstones into the assignment
+   * table. Write-new-then-swap, NOT read-overwrite: the live rows land
+   * in a sibling directory first (one distributed anti-join pass), then
+   * the directories swap and the tombstone table drops — the old files
+   * stay valid until the swap, so the index stays probeable throughout
+   * the heavy phase. Centroids (and IVF-PQ codebooks) are untouched: no
+   * re-cluster, no re-fit, exactly like [[appendToIndex]]. On a real
+   * object store the swap is a manifest-pointer flip instead of a
+   * rename; the recovery rule is the same (complete the swap). Returns
+   * (rows before, rows removed, rows after) — footer-count reads. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String = "vec_id"): (Long, Long, Long) = {
+    val before = spark.read.parquet(s"$dir/assigned").count()
+    if (!new java.io.File(s"$dir/tombstones").isDirectory)
+      return (before, 0L, before)
+    liveAssigned(spark, dir, idCol)
+      .write.mode("overwrite").parquet(s"$dir/assigned_compacting")
+    val after = spark.read.parquet(s"$dir/assigned_compacting").count()
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(new java.io.File(s"$dir/assigned"))
+    require(new java.io.File(s"$dir/assigned_compacting")
+      .renameTo(new java.io.File(s"$dir/assigned")),
+      s"compaction swap failed for $dir")
+    rmTree(new java.io.File(s"$dir/tombstones"))
+    (before, before - after, after)
+  }
+
   /** Memoized [[persistIndex]] over the harness embeddings table — one
    * persisted index per (session, sfDir, nClusters), shared by every
    * probe query in the session. */
@@ -236,7 +292,7 @@ object Ivf {
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect() // bounded: nClusters rows
       .map(_.getSeq[Double](1).toArray)
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned = liveAssigned(spark, dir, idCol)
     rankCandidates(
       assigned.select(col(idCol).as("nid"), col("cu"), col("cluster")),
       probes(queries, centers, nProbe, idCol, vecCol), k)

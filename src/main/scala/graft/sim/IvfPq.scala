@@ -166,7 +166,7 @@ object IvfPq {
           StructField("qu0", ArrayType(DoubleType), nullable = false))))
       .select(col("qid"), explode(
         Ivf.nearestK(col("qu0"), centers, nProbe)).as("cluster"))
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val assigned = Ivf.liveAssigned(spark, dir, idCol)
     val wAdc = Window.partitionBy("qid")
       .orderBy(col("adc_score").desc, col("nid"))
     val wSim = Window.partitionBy("qid")
