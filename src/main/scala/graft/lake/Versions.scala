@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Minimal versioned-table layout — the lakehouse COMMIT primitive the
+ * MERGE family (q320/q324) and the incremental-view / vacuum queries
+ * (q325/q326) build on. Each version is an immutable parquet directory
+ * `v<N>` under the table root; the CURRENT version is a one-line
+ * `_current` manifest naming it. A commit is
+ * write-new-directory-then-flip-pointer:
+ *
+ *   - readers of the old version are never disturbed (its files are
+ *     immutable and stay on disk until [[vacuum]]);
+ *   - a crash before the pointer flip leaves the old version current —
+ *     the half-written directory is garbage, never corruption;
+ *   - time travel is just [[read]] with an explicit version that
+ *     vacuum hasn't reclaimed yet;
+ *   - at 100 TB the pointer flip is O(1) regardless of table size —
+ *     the same role Delta Lake's `_last_checkpoint` and Iceberg's
+ *     `version-hint.text` play (public formats; here reduced to the
+ *     single-writer harness case, so the manifest write IS the commit
+ *     with no CAS needed).
+ *
+ * The reference has no storage engine at all (pandas frames die with
+ * the Streamlit process, SURVEY.md §0) — this is part of the scale
+ * extension surface.
+ */
+object Versions {
+
+  private def manifest(root: String) = new java.io.File(root, "_current")
+
+  /** Highest committed version, or -1 for an empty table root. */
+  def current(root: String): Int = {
+    val m = manifest(root)
+    if (!m.isFile) -1
+    else new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toInt
+  }
+
+  /** Commit `df` as the next version: write `v<N>` fully, then flip
+    * the `_current` pointer. Returns N. */
+  def commit(df: DataFrame, root: String): Int = {
+    val n = current(root) + 1
+    df.write.mode("errorifexists").parquet(s"$root/v$n")
+    val tmp = new java.io.File(root, s"_current.tmp$n")
+    java.nio.file.Files.write(tmp.toPath, s"$n\n".getBytes("UTF-8"))
+    // atomic on POSIX; object stores swap this for a CAS'd manifest PUT
+    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    n
+  }
+
+  /** Read a version (default: current). Reading a vacuumed or
+    * never-committed version fails loudly (no files ≠ empty table). */
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else current(root)
+    require(v >= 0, s"no committed version under $root")
+    require(new java.io.File(root, s"v$v").isDirectory,
+      s"version $v under $root is vacuumed or was never committed")
+    spark.read.parquet(s"$root/v$v")
+  }
+
+  /** Retention: remove all versions BELOW `keepFrom` (the current
+    * version is always kept regardless). Returns the number of version
+    * directories reclaimed. Time travel to a vacuumed version fails
+    * loudly in [[read]] — the retention/readability trade every
+    * lakehouse exposes. */
+  def vacuum(root: String, keepFrom: Int): Int = {
+    val cur = current(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    val victims = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .filter(f => f.getName.stripPrefix("v").toInt < math.min(keepFrom, cur))
+    victims.foreach(rmTree)
+    victims.size
+  }
+}

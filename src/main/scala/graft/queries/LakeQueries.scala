@@ -744,9 +744,10 @@ object LakeQueries {
    * closes that read-back gap, r9 verdict residue #3): the target
    * lands on storage as parquet **v0**, ONE keyed full-outer merge
    * pass against the change feed derives the new state AND the action
-   * audit, the surviving rows land beside it as **v1** (versioned
-   * write — the old version stays readable throughout, the lakehouse
-   * commit is a pointer flip), and the output per-segment SIGNATURE is
+   * audit, the surviving rows land beside it as **v1**
+   * ([[graft.lake.Versions]]: immutable version dirs behind a
+   * `_current` manifest — the commit is the pointer flip, so the old
+   * version stays readable throughout), and the output SIGNATURE is
    * computed from the v1 files READ BACK from storage, not from the
    * in-memory merge. The DuckDB oracle recomputes the merged state
    * from the raw table, so the hash equality proves the storage
@@ -797,12 +798,12 @@ object LakeQueries {
     try {
       val cents = round(col("c_acctbal") * 100, 0).cast("long")
       val cust = table(s, d, "customer")
-      cust.filter(col("c_custkey") % 3 =!= 0)
-        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-          cents.as("tc"))
-        .write.mode("overwrite").parquet(s"$dir/v0")
+      graft.lake.Versions.commit(
+        cust.filter(col("c_custkey") % 3 =!= 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            cents.as("tc")), dir)
       // the merge reads the PERSISTED v0, as a real MERGE INTO would
-      val t = s.read.parquet(s"$dir/v0")
+      val t = graft.lake.Versions.read(s, dir, 0)
       val src = cust.filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
           (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
@@ -820,11 +821,11 @@ object LakeQueries {
             .when(col("is_del"), "noop")
             .otherwise("insert").as("act"))
         .localCheckpoint() // one merge pass feeds v1 write AND audit
-      m.filter(col("act").isin("update", "keep", "insert"))
-        .select("k", "seg", "cents")
-        .write.mode("overwrite").parquet(s"$dir/v1")
+      graft.lake.Versions.commit(
+        m.filter(col("act").isin("update", "keep", "insert"))
+          .select("k", "seg", "cents"), dir)
       // signature from the files READ BACK, not from the in-memory merge
-      val v1 = s.read.parquet(s"$dir/v1")
+      val v1 = graft.lake.Versions.read(s, dir, 1)
       val segs = v1
         .withColumn("h", graft.ops.Exprs.md5Long(col("k")))
         .groupBy(concat(lit("seg:"), col("seg")).as("tag"))
@@ -846,10 +847,118 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(dir)
   }
 
+  /** INCREMENTAL materialized-view maintenance ([[graft.lake.Versions]]
+   * commits): the monthly order rollup (count, exact cents sum, cents
+   * max) is committed as view v0 over the base slice, then a delta
+   * batch arrives and v1 is derived INCREMENTALLY — aggregate the
+   * DELTA ALONE, full-outer merge it with v0 READ BACK from storage
+   * (count/sum add, max takes greatest: all three maintain under
+   * insert-only deltas), commit v1. Cost O(|delta| + |view|), never a
+   * base rescan — at 100 TB this is the difference between touching
+   * the day's arrivals and re-aggregating the fact table per refresh.
+   * The output is the CURRENT view read back from storage; the DuckDB
+   * oracle recomputes the whole view from scratch over base+delta, so
+   * the hash equality is the incremental≡full proof, row for row. */
+  val q325IncrView: Q = Q("q325_incr_view",
+    """WITH o AS (SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS month,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+       SELECT month, CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS cents_sum,
+              CAST(max(cents) AS BIGINT) AS cents_max
+       FROM o GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_incr_view")
+    try {
+      val o = table(s, d, "orders").select(
+        col("o_orderkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("month"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      def viewOf(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = rows.groupBy("month")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents_sum"),
+          max("cents").as("cents_max"))
+      graft.lake.Versions.commit(
+        viewOf(o.filter(col("o_orderkey") % 10 =!= 0)), root)
+      // ---- the incremental refresh: delta aggregate + view merge ----
+      val dAgg = viewOf(o.filter(col("o_orderkey") % 10 === 0))
+        .select(col("month").as("d_month"), col("n_orders").as("d_n"),
+          col("cents_sum").as("d_sum"), col("cents_max").as("d_max"))
+      val v0 = graft.lake.Versions.read(s, root, 0)
+      val merged = v0.join(dAgg, col("month") === col("d_month"), "full_outer")
+        .select(coalesce(col("month"), col("d_month")).as("month"),
+          (coalesce(col("n_orders"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("cents_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+            .as("cents_sum"),
+          when(col("cents_max").isNull, col("d_max"))
+            .when(col("d_max").isNull, col("cents_max"))
+            .otherwise(greatest(col("cents_max"), col("d_max")))
+            .as("cents_max"))
+      graft.lake.Versions.commit(merged, root)
+      graft.lake.Versions.read(s, root).orderBy("month")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  /** TIME TRAVEL + VACUUM on a [[graft.lake.Versions]] table: two
+   * committed versions of the per-segment customer rollup are read
+   * back SIMULTANEOUSLY (v0 the pre-merge slice, v1 all customers) —
+   * the as-of read every lakehouse audit/debug workflow leans on —
+   * then retention vacuums v0 and the gates pin the trade: exactly one
+   * version directory reclaimed, v0 now fails loudly (vacuumed ≠
+   * empty), v1's read-back unchanged, and the `_current` pointer never
+   * moved. Pointer flips and the vacuum walk are O(#versions), never
+   * O(data) — the signatures rows are the only distributed work. */
+  val q326TimeTravelVacuum: Q = Q("q326_timetravel_vacuum",
+    """WITH v0 AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+           FROM customer WHERE c_custkey % 3 <> 0 GROUP BY 1),
+       v1 AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+           FROM customer GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:current_stable'), ('chk:v0_unreadable'),
+                            ('chk:v1_stable'), ('chk:vacuumed_one')) t(chk))
+       SELECT * FROM (SELECT 'v0:' || seg AS tag, n, cents_sum FROM v0
+                      UNION ALL SELECT 'v1:' || seg, n, cents_sum FROM v1
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_timetravel")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      Versions.commit(cust.filter(col("k") % 3 =!= 0), root)
+      Versions.commit(cust, root)
+      def sig(v: Int, tag: String): org.apache.spark.sql.DataFrame =
+        Versions.read(s, root, v).groupBy(concat(lit(tag), col("seg")).as("tag"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      // time travel: BOTH versions read back side by side
+      val rows = sig(0, "v0:").unionByName(sig(1, "v1:")).localCheckpoint()
+      val v1Before = Versions.read(s, root, 1).count()
+      val reclaimed = Versions.vacuum(root, keepFrom = 1)
+      val v0Gone =
+        try { Versions.read(s, root, 0); false }
+        catch { case _: IllegalArgumentException => true }
+      import s.implicits._
+      val chks = Seq(
+        ("chk:current_stable", Versions.current(root) == 1),
+        ("chk:v0_unreadable", v0Gone),
+        ("chk:v1_stable", Versions.read(s, root, 1).count() == v1Before),
+        ("chk:vacuumed_one", reclaimed == 1)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag").localCheckpoint()
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
-    q324MergeReadback)
+    q324MergeReadback, q325IncrView, q326TimeTravelVacuum)
 }

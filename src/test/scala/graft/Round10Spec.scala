@@ -58,6 +58,29 @@ class Round10Spec extends AnyFunSuite with SparkSpec {
       "streaming run mutated the parent session conf")
   }
 
+  test("Versions: commit/read/time-travel/vacuum contract") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_spec")
+    try {
+      assert(Versions.current(root) == -1)
+      assert(Versions.commit(Seq(1L, 2L).toDF("x"), root) == 0)
+      assert(Versions.commit(Seq(1L, 2L, 3L).toDF("x"), root) == 1)
+      assert(Versions.current(root) == 1)
+      // time travel: both versions readable side by side
+      assert(Versions.read(spark, root, 0).count() == 2)
+      assert(Versions.read(spark, root).count() == 3)
+      // vacuum below current: v0 reclaimed, v1 untouched, pointer stable
+      assert(Versions.vacuum(root, keepFrom = 1) == 1)
+      assert(Versions.current(root) == 1)
+      assert(Versions.read(spark, root).count() == 3)
+      intercept[IllegalArgumentException](Versions.read(spark, root, 0))
+      // vacuum never eats the current version, even if asked
+      assert(Versions.vacuum(root, keepFrom = 99) == 0)
+      assert(Versions.read(spark, root).count() == 3)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("Pq.codesFromUnit on stored unit vectors reproduces encode's codes verbatim") {
     // q322's roundtrip gate must re-derive codes from the PERSISTED cu
     // floats without re-normalization (withUnitVec drift ~1 ulp can flip
