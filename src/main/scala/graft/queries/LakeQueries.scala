@@ -955,10 +955,65 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** STREAMING micro-batch commits into a [[graft.lake.Versions]]
+   * table ([[graft.streaming.StreamingLake]]) — q325's incremental
+   * view maintenance DRIVEN BY A STREAM: the events table arrives in
+   * four controlled micro-batches, each one delta-aggregates ITS OWN
+   * rows, full-outer merges with the view read back from storage, and
+   * commits the refresh as the next version, marking the batchId
+   * applied. Gates: the final view read back from storage hash-matches
+   * the one-shot batch truth (stream-of-commits ≡ batch, the q89
+   * contract extended to a persisted table), one commit per
+   * micro-batch, per-version totals monotone (each commit folds a
+   * batch IN, never loses one), and REDELIVERY IS IDEMPOTENT —
+   * re-applying batch 0 after completion commits nothing (the
+   * foreachBatch exactly-once recipe: batchId-keyed markers standing
+   * in for a transaction-log txn entry). */
+  val q327StreamViewCommits: Q = Q("q327_stream_view_commits",
+    """WITH v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:monotone_versions'),
+                            ('chk:one_commit_per_batch'),
+                            ('chk:redelivery_idempotent')) t(chk))
+       SELECT * FROM (SELECT 'et:' || event_type AS tag, n, id_sum FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_stream_view")
+    try {
+      import graft.lake.Versions
+      val nBatches = graft.streaming.StreamingLake
+        .runViewCommits(s, d, root, nFiles = 4)
+      val cur = Versions.current(root)
+      val ets = Versions.read(s, root)
+        .select(concat(lit("et:"), col("event_type")).as("tag"),
+          col("n"), col("id_sum"))
+      // per-version totals: bounded driver loop (#versions = #batches)
+      val totals = (0 to cur).map(v =>
+        Versions.read(s, root, v).agg(sum("n")).collect()(0).getLong(0))
+      val monotone = totals.zip(totals.tail).forall { case (a, b) => a <= b }
+      // redeliver batch 0 after completion: the marker must skip it
+      import s.implicits._
+      graft.streaming.StreamingLake.applyBatch(root,
+        Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
+      val chks = Seq(
+        ("chk:monotone_versions", monotone),
+        ("chk:one_commit_per_batch", cur.toLong == nBatches - 1),
+        ("chk:redelivery_idempotent", Versions.current(root) == cur)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      ets.unionByName(chks).orderBy("tag").localCheckpoint()
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
-    q324MergeReadback, q325IncrView, q326TimeTravelVacuum)
+    q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
+    q327StreamViewCommits)
 }

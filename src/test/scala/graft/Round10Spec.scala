@@ -81,6 +81,35 @@ class Round10Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("IVF-PQ probes honor tombstones and survive compaction (shared liveAssigned path)") {
+    // q323 oracle-gates the IVF side; this pins that the COMPOSED index
+    // reads through the same tombstone-aware path.
+    import graft.sim.IvfPq
+    import org.apache.spark.sql.functions._
+    val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val dir = graft.io.Sources.scratchDir("graft_ivfpq_del_spec")
+    try {
+      IvfPq.persistIndex(emb, dir, dim = 64, nClusters = 16, m = 8, ksub = 16)
+      val q = emb.filter(col("vec_id") < 20)
+      def probe() = IvfPq.probeIndex(q, dir, k = 3, nProbe = 8, shortlist = 16)
+        .select("qid", "nid", "rank").localCheckpoint()
+      val pre = probe()
+      assert(pre.filter(pmod(col("nid"), lit(5)) === 2).count() > 0,
+        "planted delete slice never surfaced pre-delete; test is vacuous")
+      graft.sim.Ivf.deleteFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+      val mid = probe()
+      assert(mid.filter(pmod(col("nid"), lit(5)) === 2).count() == 0,
+        "tombstoned ids still surfaced from the IVF-PQ probe")
+      val (before, removed, after) = graft.sim.Ivf.compactIndex(spark, dir)
+      assert(after == before - removed && removed > 0)
+      val post = probe()
+      assert(mid.exceptAll(post).isEmpty && post.exceptAll(mid).isEmpty,
+        "IVF-PQ probe results changed across compaction")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
   test("Pq.codesFromUnit on stored unit vectors reproduces encode's codes verbatim") {
     // q322's roundtrip gate must re-derive codes from the PERSISTED cu
     // floats without re-normalization (withUnitVec drift ~1 ulp can flip
