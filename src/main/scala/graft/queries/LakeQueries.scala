@@ -1009,11 +1009,95 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** VERSION DIFF — the change-data-feed derivation (Delta's
+   * `table_changes()` shape, public docs): given ONLY two stored
+   * versions of the q324 merge target, recover what the commit did —
+   * inserted (key in v1 only), deleted (key in v0 only), updated (key
+   * in both, payload changed), unchanged — as ONE keyed full-outer
+   * join over the two read-backs, with per-action counts and
+   * order-proof md5₆₀ key-XOR signatures. This is the audit a
+   * pipeline runs when the writer's own log is unavailable or
+   * untrusted: by construction the counts must equal q320/q324's
+   * in-flight action audit (insert/delete/update/keep), and the
+   * DuckDB oracle re-derives both versions from the raw table and
+   * replays the diff — so the hash gate pins that storage alone
+   * reconstructs the commit exactly. One shuffle on the key, same
+   * scale shape as the merge itself. */
+  val q328VersionDiff: Q = Q("q328_version_diff",
+    s"""WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey % 3 <> 0),
+       s AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(round(c_acctbal * 100) AS BIGINT) + 10000 AS cents,
+               (c_custkey % 10 = 0) AS is_del
+             FROM customer WHERE c_custkey % 2 = 0),
+       j AS (SELECT coalesce(t.k, s.k) AS k, coalesce(s.seg, t.seg) AS seg,
+                    t.k IS NOT NULL AS in_t, s.k IS NOT NULL AS in_s,
+                    coalesce(s.is_del, FALSE) AS is_del,
+                    t.cents AS tc, s.cents AS sc
+             FROM t FULL OUTER JOIN s ON t.k = s.k),
+       v1 AS (SELECT k, seg, CASE WHEN in_s THEN sc ELSE tc END AS cents
+              FROM j WHERE NOT (in_t AND in_s AND is_del)
+                       AND NOT (NOT in_t AND is_del)),
+       d AS (SELECT coalesce(a.k, b.k) AS k,
+                    CASE WHEN a.k IS NULL THEN 'inserted'
+                         WHEN b.k IS NULL THEN 'deleted'
+                         WHEN a.seg <> b.seg OR a.cents <> b.cents THEN 'updated'
+                         ELSE 'unchanged' END AS action
+             FROM t a FULL OUTER JOIN v1 b ON a.k = b.k)
+       SELECT action, CAST(count(*) AS BIGINT) AS n,
+              CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT) AS key_xor
+       FROM d GROUP BY action ORDER BY action""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_version_diff")
+    try {
+      import graft.lake.Versions
+      val cents = round(col("c_acctbal") * 100, 0).cast("long")
+      val cust = table(s, d, "customer")
+      val t = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          cents.as("tc"))
+      val src = cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
+          (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
+      Versions.commit(t.select(col("k"), col("seg"), col("tc").as("cents")),
+        root)
+      Versions.commit(
+        t.join(src, col("k") === col("sk"), "full_outer")
+          .select(coalesce(col("k"), col("sk")).as("k"),
+            coalesce(col("sseg"), col("seg")).as("seg"),
+            col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
+            coalesce(col("is_del"), lit(false)).as("is_del"),
+            col("tc"), col("sc"))
+          .filter(!(col("in_t") && col("in_s") && col("is_del")) &&
+            !(!col("in_t") && col("is_del")))
+          .select(col("k"), col("seg"),
+            when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents")),
+        root)
+      // the diff sees ONLY the two read-backs — no writer state
+      val v0 = Versions.read(s, root, 0)
+        .select(col("k"), col("seg").as("seg0"), col("cents").as("cents0"))
+      val v1 = Versions.read(s, root, 1)
+        .select(col("k").as("k1"), col("seg"), col("cents"))
+      v0.join(v1, col("k") === col("k1"), "full_outer")
+        .select(coalesce(col("k"), col("k1")).as("kk"),
+          when(col("k").isNull, "inserted")
+            .when(col("k1").isNull, "deleted")
+            .when(col("seg0") =!= col("seg") || col("cents0") =!= col("cents"),
+              "updated")
+            .otherwise("unchanged").as("action"))
+        .withColumn("h", graft.ops.Exprs.md5Long(col("kk")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("key_xor"))
+        .orderBy("action")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
-    q327StreamViewCommits)
+    q327StreamViewCommits, q328VersionDiff)
 }
