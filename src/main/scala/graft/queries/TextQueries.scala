@@ -1253,7 +1253,7 @@ object TextQueries {
     q278BpeApply, q280IvfPqCurve, q281WavHeader, q284Matryoshka,
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
-    q318IvfAppend, q322IvfPqAppend, q323IndexDelete)
+    q318IvfAppend, q322IvfPqAppend, q323IndexDelete, q329IndexDrift)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -1633,6 +1633,73 @@ object TextQueries {
         ("recall_floor", hitsMid * 4 >= nTruth),
         ("tombstones_cleared",
           !new java.io.File(s"$dir/tombstones").isDirectory)
+      ).toDF("chk", "ok").orderBy("chk")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  /** ANN index DRIFT MONITORING — the "when to retrain" signal that
+   * completes the maintenance story (q318/q322 append, q323
+   * delete/compact): a healthy index routes incoming batches with the
+   * SAME per-cell occupancy distribution it was trained on; a drifted
+   * batch skews the routing, and the skew is measurable WITHOUT any
+   * retrain — assign the batch map-side via the STORED centroids (one
+   * bounded driver read + the codegen'd NearestCentroids kernel),
+   * then take the L1 distance between the batch's per-cell share and
+   * the index's own (integer ppm, one bounded per-cell aggregate).
+   * Planted contrast: the in-distribution batch is a held-out slice
+   * of the same corpus; the drifted batch is the SAME slice pushed
+   * through an embedding collapse (x → unit(x + 3) — every component
+   * biased toward the all-ones direction, the classic upstream-model
+   * drift failure), which funnels routing into few cells. Gates:
+   * assignment conservation for both batches, drift strictly above
+   * the in-distribution baseline, and materially so (> 20% L1 in
+   * ppm); centroids are k-means (not SQL-replayable), so the verdict
+   * table carries the contract, the quantities are pinned by the
+   * conservation checks. */
+  lazy val q329IndexDrift: Q = Q("q329_index_drift",
+    """SELECT * FROM (VALUES
+         ('assign_conserves', TRUE), ('drift_material', TRUE),
+         ('drift_over_baseline', TRUE)) t(chk, ok)
+       ORDER BY chk""") { (s, d) =>
+    import graft.sim.{Ivf, Similarity}
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val base = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val held = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+    val dir = graft.io.Sources.scratchDir("graft_ivf_drift")
+    try {
+      Ivf.persistIndex(base, dir, nClusters = 64)
+      val centers = s.read.parquet(s"$dir/centroids")
+        .orderBy("cluster").collect() // bounded: nClusters rows
+        .map(_.getSeq[Double](1).toArray)
+      val idxShares = s.read.parquet(s"$dir/assigned")
+        .groupBy("cluster").agg(count(lit(1)).as("n_idx"))
+        .localCheckpoint() // bounded: one row per cell
+      // routing L1 divergence in ppm: Σ_cells |share_batch − share_idx|
+      def l1Ppm(batch: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val assigned = Similarity.withUnitVec(batch, "embedding", "cu")
+          .select(element_at(Ivf.nearestK(col("cu"), centers, 1), 1)
+            .as("cluster"))
+          .groupBy("cluster").agg(count(lit(1)).as("n_b"))
+          .localCheckpoint()
+        val nb = assigned.agg(sum("n_b")).collect()(0).getLong(0)
+        val ni = idxShares.agg(sum("n_idx")).collect()(0).getLong(0)
+        val l1 = idxShares.join(assigned, Seq("cluster"), "full_outer")
+          .select(expr(s"abs(coalesce(n_b, 0) * 1000000 div $nb - " +
+            s"coalesce(n_idx, 0) * 1000000 div $ni)").as("dev"))
+          .agg(sum("dev")).collect()(0).getLong(0)
+        (l1, nb)
+      }
+      val (l1In, nIn) = l1Ppm(held)
+      val collapsed = held.select(col("vec_id"),
+        expr("transform(embedding, x -> x + 3.0d)").as("embedding"))
+      val (l1Drift, nDrift) = l1Ppm(collapsed)
+      val nHeld = held.count()
+      import s.implicits._
+      Seq(
+        ("assign_conserves", nIn == nHeld && nDrift == nHeld),
+        ("drift_material", l1Drift > 200000L),
+        ("drift_over_baseline", l1Drift > l1In)
       ).toDF("chk", "ok").orderBy("chk")
     } finally graft.io.Sources.removeScratchDir(dir)
   }
