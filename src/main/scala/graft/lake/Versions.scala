@@ -39,9 +39,23 @@ object Versions {
   }
 
   /** Commit `df` as the next version: write `v<N>` fully, then flip
-    * the `_current` pointer. Returns N. */
+    * the `_current` pointer. Returns N.
+    *
+    * Crash recovery: a writer that died between starting the `v<N>`
+    * write and flipping the pointer leaves a half-written `v<N>`
+    * directory that is provably garbage (the pointer never reached it,
+    * so no reader can hold it) — it is cleared here so a crashed
+    * commit never wedges the table. Single-writer contract, as stated
+    * on the object. */
   def commit(df: DataFrame, root: String): Int = {
     val n = current(root) + 1
+    val orphan = new java.io.File(root, s"v$n")
+    if (orphan.isDirectory) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      rmTree(orphan)
+    }
     df.write.mode("errorifexists").parquet(s"$root/v$n")
     val tmp = new java.io.File(root, s"_current.tmp$n")
     java.nio.file.Files.write(tmp.toPath, s"$n\n".getBytes("UTF-8"))

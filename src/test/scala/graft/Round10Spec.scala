@@ -81,6 +81,25 @@ class Round10Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("Versions: a crashed commit (orphan v<N> dir, pointer unflipped) never wedges the table") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_crash")
+    try {
+      Versions.commit(Seq(1L).toDF("x"), root) // v0 committed
+      // simulate a writer that died mid-v1-write: directory exists with
+      // partial junk, _current still points at v0
+      val orphan = new java.io.File(root, "v1")
+      assert(orphan.mkdirs())
+      java.nio.file.Files.write(new java.io.File(orphan, "part-junk").toPath,
+        Array[Byte](1, 2, 3))
+      assert(Versions.current(root) == 0, "pointer must not see the orphan")
+      // next commit reclaims the orphan slot instead of erroring forever
+      assert(Versions.commit(Seq(1L, 2L).toDF("x"), root) == 1)
+      assert(Versions.read(spark, root).count() == 2)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("IVF-PQ probes honor tombstones and survive compaction (shared liveAssigned path)") {
     // q323 oracle-gates the IVF side; this pins that the COMPOSED index
     // reads through the same tombstone-aware path.
