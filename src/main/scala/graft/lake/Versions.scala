@@ -30,12 +30,28 @@ object Versions {
 
   private def manifest(root: String) = new java.io.File(root, "_current")
 
+  private def manifestTokens(root: String): Array[String] = {
+    val m = manifest(root)
+    if (!m.isFile) Array.empty
+    else new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+      .split("\\s+")
+  }
+
   /** Highest committed version, or -1 for an empty table root. */
   def current(root: String): Int = {
-    val m = manifest(root)
-    if (!m.isFile) -1
-    else new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim.toInt
+    val t = manifestTokens(root)
+    if (t.isEmpty) -1 else t(0).toInt
+  }
+
+  /** The writer transaction id recorded by the LAST commit (-1 if the
+    * last commit carried none, or the table is empty). Because the id
+    * rides the `_current` pointer flip itself, "txn recorded" and
+    * "version visible" are ONE atomic step — the idempotence handle a
+    * streaming writer needs (Delta's `txn` action, public docs). */
+  def lastTxn(root: String): Long = {
+    val t = manifestTokens(root)
+    if (t.length < 2) -1L else t(1).toLong
   }
 
   /** Commit `df` as the next version: write `v<N>` fully, then flip
@@ -47,7 +63,7 @@ object Versions {
     * so no reader can hold it) — it is cleared here so a crashed
     * commit never wedges the table. Single-writer contract, as stated
     * on the object. */
-  def commit(df: DataFrame, root: String): Int = {
+  def commit(df: DataFrame, root: String, txn: Long = -1L): Int = {
     val n = current(root) + 1
     val orphan = new java.io.File(root, s"v$n")
     if (orphan.isDirectory) {
@@ -58,7 +74,8 @@ object Versions {
     }
     df.write.mode("errorifexists").parquet(s"$root/v$n")
     val tmp = new java.io.File(root, s"_current.tmp$n")
-    java.nio.file.Files.write(tmp.toPath, s"$n\n".getBytes("UTF-8"))
+    val line = if (txn >= 0) s"$n $txn\n" else s"$n\n"
+    java.nio.file.Files.write(tmp.toPath, line.getBytes("UTF-8"))
     // atomic on POSIX; object stores swap this for a CAS'd manifest PUT
     java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,

@@ -432,6 +432,54 @@ object LakeQueries {
       .orderBy("o_orderstatus")
   }
 
+  // ---------------------------- shared MERGE fixture (q320 / q324 / q328)
+
+  /** One definition of the MERGE fixture for all three merge queries:
+    * target = customers with custkey % 3 ≠ 0; change feed = custkey %
+    * 2 = 0 with +$100 cents and every custkey % 10 = 0 marked delete;
+    * resolution = ONE keyed full-outer join + conditional projection to
+    * (k, seg, cents, act). q328's documented invariant — its
+    * storage-only version diff equals the in-flight action audit —
+    * holds because all three queries build from THESE definitions (the
+    * SQL oracles stay self-contained by design). */
+  private def mergeTarget(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    table(s, d, "customer").filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("tc"))
+
+  private def mergeSource(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame =
+    table(s, d, "customer").filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
+        (round(col("c_acctbal") * 100, 0).cast("long") + 10000L).as("sc"),
+        (col("c_custkey") % 10 === 0).as("is_del"))
+
+  /** (k, seg, cents, act ∈ insert/update/delete/keep/noop). `t` is a
+    * parameter so q324 can feed the READ-BACK v0 instead of the raw
+    * target. */
+  private def mergeResolve(t: org.apache.spark.sql.DataFrame,
+                           src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    t.join(src, col("k") === col("sk"), "full_outer")
+      .select(coalesce(col("k"), col("sk")).as("k"),
+        coalesce(col("sseg"), col("seg")).as("seg"),
+        col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
+        coalesce(col("is_del"), lit(false)).as("is_del"),
+        col("tc"), col("sc"))
+      .select(col("k"), col("seg"),
+        when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents"),
+        when(col("in_t") && col("in_s") && col("is_del"), "delete")
+          .when(col("in_t") && col("in_s"), "update")
+          .when(col("in_t"), "keep")
+          .when(col("is_del"), "noop")
+          .otherwise("insert").as("act"))
+
+  private def mergeSurvivors(m: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    m.filter(col("act").isin("update", "keep", "insert"))
+      .select("k", "seg", "cents")
+
   // ---------------------------------------------------- partition pruning
 
   /** Hive-style partitioned write + partition-pruned read: events
@@ -705,29 +753,9 @@ object LakeQueries {
                 FROM m GROUP BY 1)
        SELECT * FROM (SELECT * FROM segs UNION ALL SELECT * FROM acts)
        ORDER BY tag""") { (s, d) =>
-    val cents = round(col("c_acctbal") * 100, 0).cast("long")
-    val cust = table(s, d, "customer")
-    val t = cust.filter(col("c_custkey") % 3 =!= 0)
-      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-        cents.as("tc"))
-    val src = cust.filter(col("c_custkey") % 2 === 0)
-      .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
-        (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
-    val m = t.join(src, col("k") === col("sk"), "full_outer")
-      .select(coalesce(col("k"), col("sk")).as("k"),
-        coalesce(col("sseg"), col("seg")).as("seg"),
-        col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
-        coalesce(col("is_del"), lit(false)).as("is_del"),
-        col("tc"), col("sc"))
-      .select(col("k"), col("seg"),
-        when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents"),
-        when(col("in_t") && col("in_s") && col("is_del"), "delete")
-          .when(col("in_t") && col("in_s"), "update")
-          .when(col("in_t"), "keep")
-          .when(col("is_del"), "noop")
-          .otherwise("insert").as("act"))
+    val m = mergeResolve(mergeTarget(s, d), mergeSource(s, d))
       .localCheckpoint() // one merge pass feeds signature AND audit
-    val segs = m.filter(col("act").isin("update", "keep", "insert"))
+    val segs = mergeSurvivors(m)
       .withColumn("h", graft.ops.Exprs.md5Long(col("k")))
       .groupBy(concat(lit("seg:"), col("seg")).as("tag"))
       .agg(count(lit(1)).as("n_rows"), sum("cents").as("cents_sum"),
@@ -796,34 +824,12 @@ object LakeQueries {
        ORDER BY tag""") { (s, d) =>
     val dir = graft.io.Sources.scratchDir("graft_merge_vers")
     try {
-      val cents = round(col("c_acctbal") * 100, 0).cast("long")
-      val cust = table(s, d, "customer")
-      graft.lake.Versions.commit(
-        cust.filter(col("c_custkey") % 3 =!= 0)
-          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-            cents.as("tc")), dir)
+      graft.lake.Versions.commit(mergeTarget(s, d), dir)
       // the merge reads the PERSISTED v0, as a real MERGE INTO would
       val t = graft.lake.Versions.read(s, dir, 0)
-      val src = cust.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
-          (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
-      val m = t.join(src, col("k") === col("sk"), "full_outer")
-        .select(coalesce(col("k"), col("sk")).as("k"),
-          coalesce(col("sseg"), col("seg")).as("seg"),
-          col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
-          coalesce(col("is_del"), lit(false)).as("is_del"),
-          col("tc"), col("sc"))
-        .select(col("k"), col("seg"),
-          when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents"),
-          when(col("in_t") && col("in_s") && col("is_del"), "delete")
-            .when(col("in_t") && col("in_s"), "update")
-            .when(col("in_t"), "keep")
-            .when(col("is_del"), "noop")
-            .otherwise("insert").as("act"))
+      val m = mergeResolve(t, mergeSource(s, d))
         .localCheckpoint() // one merge pass feeds v1 write AND audit
-      graft.lake.Versions.commit(
-        m.filter(col("act").isin("update", "keep", "insert"))
-          .select("k", "seg", "cents"), dir)
+      graft.lake.Versions.commit(mergeSurvivors(m), dir)
       // signature from the files READ BACK, not from the in-memory merge
       val v1 = graft.lake.Versions.read(s, dir, 1)
       val segs = v1
@@ -1051,28 +1057,11 @@ object LakeQueries {
     val root = graft.io.Sources.scratchDir("graft_version_diff")
     try {
       import graft.lake.Versions
-      val cents = round(col("c_acctbal") * 100, 0).cast("long")
-      val cust = table(s, d, "customer")
-      val t = cust.filter(col("c_custkey") % 3 =!= 0)
-        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
-          cents.as("tc"))
-      val src = cust.filter(col("c_custkey") % 2 === 0)
-        .select(col("c_custkey").as("sk"), col("c_mktsegment").as("sseg"),
-          (cents + 10000L).as("sc"), (col("c_custkey") % 10 === 0).as("is_del"))
+      val t = mergeTarget(s, d)
       Versions.commit(t.select(col("k"), col("seg"), col("tc").as("cents")),
         root)
       Versions.commit(
-        t.join(src, col("k") === col("sk"), "full_outer")
-          .select(coalesce(col("k"), col("sk")).as("k"),
-            coalesce(col("sseg"), col("seg")).as("seg"),
-            col("k").isNotNull.as("in_t"), col("sk").isNotNull.as("in_s"),
-            coalesce(col("is_del"), lit(false)).as("is_del"),
-            col("tc"), col("sc"))
-          .filter(!(col("in_t") && col("in_s") && col("is_del")) &&
-            !(!col("in_t") && col("is_del")))
-          .select(col("k"), col("seg"),
-            when(col("in_s"), col("sc")).otherwise(col("tc")).as("cents")),
-        root)
+        mergeSurvivors(mergeResolve(t, mergeSource(s, d))), root)
       // the diff sees ONLY the two read-backs — no writer state
       val v0 = Versions.read(s, root, 0)
         .select(col("k"), col("seg").as("seg0"), col("cents").as("cents0"))

@@ -215,14 +215,40 @@ object Ivf {
   /** The assignment table with tombstones applied — the ONLY way probes
    * read it. Compacted state (no tombstone table) is the bare scan with
    * zero extra I/O; pending deletes cost one anti-join against the
-   * (small, delete-sized) tombstone table. */
+   * (small, delete-sized) tombstone table. Entry first completes any
+   * compaction swap a crashed writer left half-done ([[recoverSwap]]),
+   * so the index is readable in every crash state. */
   private[sim] def liveAssigned(spark: org.apache.spark.sql.SparkSession,
                                 dir: String,
                                 idCol: String = "vec_id"): DataFrame = {
+    recoverSwap(dir)
     val assigned = spark.read.parquet(s"$dir/assigned")
     if (!new java.io.File(s"$dir/tombstones").isDirectory) assigned
     else assigned.join(
       spark.read.parquet(s"$dir/tombstones"), Seq(idCol), "left_anti")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Complete (or discard) a [[compactIndex]] swap interrupted by a
+   * crash — every intermediate state maps to exactly one action:
+   * `assigned` missing + `assigned_compacting` complete → finish the
+   * swap (the compacted table is self-contained, tombstones already
+   * folded in, so the pending tombstone table is dropped with it);
+   * `assigned` present + `assigned_compacting` lingering → the swap
+   * never started, the compacting dir may be half-written garbage →
+   * discard it (tombstones still pending, nothing lost). */
+  private[sim] def recoverSwap(dir: String): Unit = {
+    val assigned = new java.io.File(s"$dir/assigned")
+    val compacting = new java.io.File(s"$dir/assigned_compacting")
+    if (!compacting.isDirectory) return
+    if (assigned.isDirectory) rmTree(compacting)
+    else {
+      require(compacting.renameTo(assigned), s"swap recovery failed for $dir")
+      rmTree(new java.io.File(s"$dir/tombstones"))
+    }
   }
 
   /** Index COMPACTION: fold pending tombstones into the assignment
@@ -233,19 +259,21 @@ object Ivf {
    * the heavy phase. Centroids (and IVF-PQ codebooks) are untouched: no
    * re-cluster, no re-fit, exactly like [[appendToIndex]]. On a real
    * object store the swap is a manifest-pointer flip instead of a
-   * rename; the recovery rule is the same (complete the swap). Returns
-   * (rows before, rows removed, rows after) — footer-count reads. */
+   * rename; here every crash state is mechanically recoverable
+   * ([[recoverSwap]], run at the top of this method AND of every
+   * probe): compacting dir half-written → discarded (tombstones still
+   * pending); old table deleted but rename not yet done → the
+   * complete compacted table is swapped in. Returns (rows before,
+   * rows removed, rows after) — footer-count reads. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String = "vec_id"): (Long, Long, Long) = {
+    recoverSwap(dir)
     val before = spark.read.parquet(s"$dir/assigned").count()
     if (!new java.io.File(s"$dir/tombstones").isDirectory)
       return (before, 0L, before)
     liveAssigned(spark, dir, idCol)
       .write.mode("overwrite").parquet(s"$dir/assigned_compacting")
     val after = spark.read.parquet(s"$dir/assigned_compacting").count()
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
     rmTree(new java.io.File(s"$dir/assigned"))
     require(new java.io.File(s"$dir/assigned_compacting")
       .renameTo(new java.io.File(s"$dir/assigned")),

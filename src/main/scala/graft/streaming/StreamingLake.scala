@@ -12,30 +12,35 @@ import org.apache.spark.sql.types._
  *
  * Shape per micro-batch (the standard `foreachBatch` exactly-once sink
  * recipe): aggregate the BATCH alone (O(|batch|)), full-outer merge
- * with the current view read back from storage (O(|view|)), commit the
- * refreshed view as the next version, then mark the batchId applied. A
- * redelivered micro-batch (restart replaying an uncommitted epoch) hits
- * its marker and skips — the view never double-counts. At 100 TB the
- * per-batch cost is O(|batch| + |view|): the base is never rescanned,
- * and the commit itself is a pointer flip. Production systems put the
- * batchId inside the table's transaction log (Delta's
- * `txn`/`foreachBatch` idempotence recipe — public docs); the marker
- * file here is that contract reduced to the single-writer harness.
+ * with the current view read back from storage (O(|view|)), and commit
+ * the refreshed view as the next version WITH the batchId riding the
+ * commit's own atomic pointer flip ([[graft.lake.Versions.commit]]'s
+ * `txn` — Delta's `txn` action, public docs). "Batch applied" and
+ * "version visible" are therefore ONE atomic step: a writer that dies
+ * mid-commit leaves the pointer (and the recorded txn) on the OLD
+ * version, so the replayed batch re-merges from exactly the state it
+ * saw before — never a double count. Since streaming batchIds are
+ * monotone, `batchId <= lastTxn` is the complete skip test. At 100 TB
+ * the per-batch cost is O(|batch| + |view|): the base is never
+ * rescanned, and the commit itself is a pointer flip.
  */
 object StreamingLake {
 
   private val stagedSchema = StructType(Seq(
     StructField("event_type", StringType), StructField("event_id", LongType)))
 
-  /** One micro-batch into the versioned view: skip if already applied,
-    * else delta-aggregate + merge with the stored view + commit + mark.
-    * Exposed for the redelivery test — calling it twice with the same
-    * batchId must commit exactly once. */
+  /** One micro-batch into the versioned view: skip if already applied
+    * (batchId ≤ the txn recorded by the LAST commit — batchIds are
+    * monotone), else delta-aggregate + merge with the stored view +
+    * commit with the batchId as the commit's txn. Exposed for the
+    * redelivery test — calling it twice with the same batchId must
+    * commit exactly once, and because the txn rides the pointer flip
+    * there is no crash window where the view is committed but the
+    * batch not marked. */
   private[graft] def applyBatch(root: String, batch: DataFrame,
                                 batchId: Long): Unit = {
     import graft.lake.Versions
-    val marker = new java.io.File(root, s"_applied_$batchId")
-    if (marker.exists()) return // redelivered epoch: idempotent skip
+    if (batchId <= Versions.lastTxn(root)) return // redelivered epoch
     val spark = batch.sparkSession
     val agg = batch.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
@@ -52,8 +57,7 @@ object StreamingLake {
             (coalesce(col("c_sum"), lit(0L)) + coalesce(col("id_sum"), lit(0L)))
               .as("id_sum"))
       }
-    Versions.commit(merged, root)
-    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+    Versions.commit(merged, root, txn = batchId)
     ()
   }
 

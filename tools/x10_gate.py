@@ -29,7 +29,7 @@ Usage:
                 (probes re-run against it; required unless --no-probe).
   --no-probe    report breaches but skip the isolated re-probes (exit 1
                 if any breach lacks a static adjudication).
-  --out         verdict JSON path (default: alongside <bench_x10.json>
+  --out=PATH    verdict JSON path (default: alongside <bench_x10.json>
                 as <stem>_gate.json).
 
 Exit 1 on any breach that survives both the static adjudications and its
@@ -45,13 +45,13 @@ FLOOR = 0.15
 RATIO = 10.0
 
 
-def steady(runs_or_time):
-    return runs_or_time
-
-
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    bad = [f for f in flags if f != "--no-probe" and not f.startswith("--out=")]
+    if bad:  # e.g. a space-separated "--out path" would silently become
+        # a positional arg and be misread as the x10 dir or adj file
+        sys.exit(f"unknown flag(s) {bad}; use --no-probe / --out=PATH")
     if len(args) < 2:
         sys.exit(__doc__)
     small_f, big_f = args[0], args[1]
@@ -121,9 +121,13 @@ def main():
             stderr=subprocess.DEVNULL).returncode
         iso = None
         try:
+            # a probe JVM that died before writing leaves an empty file:
+            # record probe_failed below instead of crashing the gate
             probe = json.load(open(probe_out))
             iso = probe["queries"].get(q)
             b["isolated_runs"] = probe.get("runs", {}).get(q)
+        except (json.JSONDecodeError, OSError, KeyError):
+            iso = None
         finally:
             os.unlink(probe_out)
         if rc != 0 or iso is None:
