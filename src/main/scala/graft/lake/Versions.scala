@@ -44,14 +44,32 @@ object Versions {
     if (t.isEmpty) -1 else t(0).toInt
   }
 
-  /** The writer transaction id recorded by the LAST commit (-1 if the
-    * last commit carried none, or the table is empty). Because the id
-    * rides the `_current` pointer flip itself, "txn recorded" and
-    * "version visible" are ONE atomic step — the idempotence handle a
-    * streaming writer needs (Delta's `txn` action, public docs). */
+  /** The writer-transaction HIGH-WATER MARK: the highest txn id any
+    * commit ever recorded (-1 if none, or the table is empty). Because
+    * the id rides the `_current` pointer flip itself, "txn recorded"
+    * and "version visible" are ONE atomic step — the idempotence handle
+    * a streaming writer needs (Delta's `txn` action, public docs). The
+    * mark SURVIVES txn-less commits ([[commit]] carries it forward) and
+    * [[vacuum]] (which never touches the manifest): a maintenance
+    * rewrite between stream batches cannot reset it and silently
+    * re-admit a replayed batch. */
   def lastTxn(root: String): Long = {
     val t = manifestTokens(root)
     if (t.length < 2) -1L else t(1).toLong
+  }
+
+  /** How long an orphaned `v<N>` directory must have been quiescent
+    * (newest mtime in its tree) before [[commit]] reclaims it. Below
+    * this, the directory is treated as a CONCURRENT writer's in-flight
+    * commit and the single-writer contract violation fails loudly
+    * instead of silently clobbering it. A genuinely crashed writer's
+    * orphan ages past this within minutes; an active writer keeps
+    * touching its task files. */
+  private[graft] val orphanGraceMs: Long = 10 * 60 * 1000L
+
+  private def newestMtime(f: java.io.File): Long = {
+    val children = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    (f.lastModified() +: children.map(newestMtime)).max
   }
 
   /** Commit `df` as the next version: write `v<N>` fully, then flip
@@ -60,21 +78,45 @@ object Versions {
     * Crash recovery: a writer that died between starting the `v<N>`
     * write and flipping the pointer leaves a half-written `v<N>`
     * directory that is provably garbage (the pointer never reached it,
-    * so no reader can hold it) — it is cleared here so a crashed
-    * commit never wedges the table. Single-writer contract, as stated
-    * on the object. */
+    * so no reader can hold it) — once it has been quiescent for
+    * [[orphanGraceMs]] it is cleared here so a crashed commit never
+    * wedges the table. A FRESH `v<N>`, by contrast, is most likely a
+    * concurrent writer mid-commit: the single-writer contract is being
+    * violated, and this fails loudly (IllegalStateException) rather
+    * than deleting another writer's in-progress data. Real lakehouses
+    * upgrade this rung to optimistic concurrency (CAS the manifest,
+    * detect conflicts); the loud failure is the honest single-writer
+    * version of the same guarantee.
+    *
+    * Txn high-water: when `txn` is supplied the recorded mark is
+    * `max(txn, previous)`; when it is not, the PREVIOUS mark is carried
+    * forward — so a txn-less maintenance commit (compaction, manual
+    * fix-up) between stream batches can never reset the idempotence
+    * handle and double-apply a redelivered batch. */
   def commit(df: DataFrame, root: String, txn: Long = -1L): Int = {
     val n = current(root) + 1
     val orphan = new java.io.File(root, s"v$n")
     if (orphan.isDirectory) {
+      val quietMs = System.currentTimeMillis() - newestMtime(orphan)
+      if (quietMs < orphanGraceMs)
+        throw new IllegalStateException(
+          s"v$n under $root exists and was written ${quietMs}ms ago — " +
+            "a concurrent writer is mid-commit (single-writer contract " +
+            "violated); refusing to clobber it. A crashed writer's " +
+            s"orphan is reclaimed after ${orphanGraceMs}ms of quiescence.")
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
       }
       rmTree(orphan)
     }
     df.write.mode("errorifexists").parquet(s"$root/v$n")
+    // read() keys completeness off this marker — fail loudly NOW if the
+    // committer was configured not to write it
+    require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
+      s"commit wrote no _SUCCESS marker under $root/v$n")
+    val hw = math.max(txn, lastTxn(root))
     val tmp = new java.io.File(root, s"_current.tmp$n")
-    val line = if (txn >= 0) s"$n $txn\n" else s"$n\n"
+    val line = if (hw >= 0) s"$n $hw\n" else s"$n\n"
     java.nio.file.Files.write(tmp.toPath, line.getBytes("UTF-8"))
     // atomic on POSIX; object stores swap this for a CAS'd manifest PUT
     java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
@@ -83,21 +125,29 @@ object Versions {
     n
   }
 
-  /** Read a version (default: current). Reading a vacuumed or
-    * never-committed version fails loudly (no files ≠ empty table). */
+  /** Read a version (default: current). Reading a vacuumed,
+    * never-committed, or HALF-VACUUMED version fails loudly (no files ≠
+    * empty table; a directory a crashed [[vacuum]] partially deleted
+    * would otherwise read back as silently-partial data — the
+    * `_SUCCESS` marker is removed FIRST by vacuum precisely so this
+    * gate catches the remains). */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else current(root)
     require(v >= 0, s"no committed version under $root")
-    require(new java.io.File(root, s"v$v").isDirectory,
-      s"version $v under $root is vacuumed or was never committed")
+    require(new java.io.File(root, s"v$v/_SUCCESS").isFile,
+      s"version $v under $root is vacuumed, incomplete, or was never committed")
     spark.read.parquet(s"$root/v$v")
   }
 
   /** Retention: remove all versions BELOW `keepFrom` (the current
     * version is always kept regardless). Returns the number of version
-    * directories reclaimed. Time travel to a vacuumed version fails
-    * loudly in [[read]] — the retention/readability trade every
-    * lakehouse exposes. */
+    * directories reclaimed. Each victim's `_SUCCESS` marker is deleted
+    * FIRST, so a crash mid-delete leaves a directory [[read]] rejects
+    * rather than one that reads back partial data. Time travel to a
+    * vacuumed version fails loudly in [[read]] — the
+    * retention/readability trade every lakehouse exposes. The manifest
+    * (and with it [[lastTxn]]) is never touched: vacuuming history
+    * cannot break a streaming writer's replay-skip test. */
   def vacuum(root: String, keepFrom: Int): Int = {
     val cur = current(root)
     def rmTree(f: java.io.File): Unit = {
@@ -106,7 +156,10 @@ object Versions {
     val victims = Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .filter(f => f.getName.stripPrefix("v").toInt < math.min(keepFrom, cur))
-    victims.foreach(rmTree)
+    victims.foreach { v =>
+      new java.io.File(v, "_SUCCESS").delete() // invalidate before delete
+      rmTree(v)
+    }
     victims.size
   }
 }

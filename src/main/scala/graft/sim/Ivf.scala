@@ -213,16 +213,30 @@ object Ivf {
       .write.mode("append").parquet(s"$dir/tombstones")
 
   /** The assignment table with tombstones applied — the ONLY way probes
-   * read it. Compacted state (no tombstone table) is the bare scan with
-   * zero extra I/O; pending deletes cost one anti-join against the
-   * (small, delete-sized) tombstone table. Entry first completes any
-   * compaction swap a crashed writer left half-done ([[recoverSwap]]),
-   * so the index is readable in every crash state. */
-  private[sim] def liveAssigned(spark: org.apache.spark.sql.SparkSession,
+   * read it, and STRICTLY READ-ONLY (a reader that deletes — the old
+   * recoverSwap-on-read — could destroy an in-flight writer's
+   * `assigned_compacting`; recovery belongs to writer entry alone).
+   * Compacted state (no tombstone table) is the bare scan with zero
+   * extra I/O; pending deletes cost one anti-join against the (small,
+   * delete-sized) tombstone table. Crash readability without mutating:
+   * the rename-based swap ([[compactIndex]]) keeps a complete copy of
+   * the assignment table on disk in every intermediate state —
+   * `assigned` when present, else the `_SUCCESS`-complete
+   * `assigned_compacting`, else `assigned_old` — and applying the
+   * pending tombstones to ANY of those copies yields the same live set
+   * (a tombstone already folded into a copy anti-joins to nothing:
+   * idempotent). */
+  private[graft] def liveAssigned(spark: org.apache.spark.sql.SparkSession,
                                 dir: String,
                                 idCol: String = "vec_id"): DataFrame = {
-    recoverSwap(dir)
-    val assigned = spark.read.parquet(s"$dir/assigned")
+    val src =
+      if (new java.io.File(s"$dir/assigned").isDirectory) s"$dir/assigned"
+      else if (new java.io.File(s"$dir/assigned_compacting/_SUCCESS").isFile)
+        s"$dir/assigned_compacting"
+      else if (new java.io.File(s"$dir/assigned_old").isDirectory)
+        s"$dir/assigned_old"
+      else s"$dir/assigned" // fail in the read with the canonical path
+    val assigned = spark.read.parquet(src)
     if (!new java.io.File(s"$dir/tombstones").isDirectory) assigned
     else assigned.join(
       spark.read.parquet(s"$dir/tombstones"), Seq(idCol), "left_anti")
@@ -233,38 +247,68 @@ object Ivf {
   }
 
   /** Complete (or discard) a [[compactIndex]] swap interrupted by a
-   * crash — every intermediate state maps to exactly one action:
-   * `assigned` missing + `assigned_compacting` complete → finish the
-   * swap (the compacted table is self-contained, tombstones already
-   * folded in, so the pending tombstone table is dropped with it);
-   * `assigned` present + `assigned_compacting` lingering → the swap
-   * never started, the compacting dir may be half-written garbage →
-   * discard it (tombstones still pending, nothing lost). */
+   * crash. The swap is rename-only (`assigned` → `assigned_old`, then
+   * `assigned_compacting` → `assigned`), so directories are always
+   * either fully present or fully absent — no partially-deleted
+   * ambiguity — and the `_SUCCESS` marker Spark writes with the
+   * compacted table disambiguates complete from garbage. Every state
+   * maps to exactly one action:
+   *
+   *   - `assigned_compacting/_SUCCESS` present → the compacted table is
+   *     COMPLETE → always swap it in (when `assigned` is also present —
+   *     the pre-rename crash — this merely saves redoing the
+   *     compaction; when absent it finishes the interrupted swap);
+   *   - `assigned_compacting` without `_SUCCESS` → half-written garbage
+   *     → discard it (`assigned` is still intact: the renames only run
+   *     after `_SUCCESS` exists);
+   *   - a lingering `assigned_old` beside `assigned` → the swap
+   *     finished but cleanup didn't → reclaim it.
+   *
+   * Recovery NEVER drops the tombstone table: [[deleteFromIndex]] may
+   * have appended NEW tombstones between the crash and this recovery,
+   * and dropping would silently lose them. Tombstones already folded
+   * into the swapped-in copy re-apply as no-ops (their ids are gone, the
+   * anti-join matches nothing), so keeping them is always correct; the
+   * next completed [[compactIndex]] run folds and drops the lot. */
   private[sim] def recoverSwap(dir: String): Unit = {
     val assigned = new java.io.File(s"$dir/assigned")
     val compacting = new java.io.File(s"$dir/assigned_compacting")
-    if (!compacting.isDirectory) return
-    if (assigned.isDirectory) rmTree(compacting)
-    else {
-      require(compacting.renameTo(assigned), s"swap recovery failed for $dir")
-      rmTree(new java.io.File(s"$dir/tombstones"))
+    val old = new java.io.File(s"$dir/assigned_old")
+    if (compacting.isDirectory) {
+      if (new java.io.File(compacting, "_SUCCESS").isFile) {
+        // complete compacted table: always swap it in
+        if (assigned.isDirectory) {
+          rmTree(old) // defensive: free the rename target
+          require(assigned.renameTo(old), s"swap recovery failed for $dir")
+        }
+        require(compacting.renameTo(assigned),
+          s"swap recovery failed for $dir")
+      } else rmTree(compacting) // markerless: half-written garbage
+    } else if (old.isDirectory && !assigned.isDirectory) {
+      // defensive (unreachable under the protocol: compacting is renamed,
+      // never deleted, once assigned moved aside): restore the old table
+      require(old.renameTo(assigned), s"swap recovery failed for $dir")
     }
+    if (old.isDirectory && assigned.isDirectory) rmTree(old)
   }
 
   /** Index COMPACTION: fold pending tombstones into the assignment
    * table. Write-new-then-swap, NOT read-overwrite: the live rows land
    * in a sibling directory first (one distributed anti-join pass), then
-   * the directories swap and the tombstone table drops — the old files
-   * stay valid until the swap, so the index stays probeable throughout
-   * the heavy phase. Centroids (and IVF-PQ codebooks) are untouched: no
-   * re-cluster, no re-fit, exactly like [[appendToIndex]]. On a real
-   * object store the swap is a manifest-pointer flip instead of a
-   * rename; here every crash state is mechanically recoverable
-   * ([[recoverSwap]], run at the top of this method AND of every
-   * probe): compacting dir half-written → discarded (tombstones still
-   * pending); old table deleted but rename not yet done → the
-   * complete compacted table is swapped in. Returns (rows before,
-   * rows removed, rows after) — footer-count reads. */
+   * the swap is TWO ATOMIC RENAMES — `assigned` → `assigned_old`, then
+   * `assigned_compacting` → `assigned` — so at every instant a complete
+   * copy of the table exists on disk under a well-known name and the
+   * index stays probeable throughout the heavy phase (readers never
+   * mutate: [[liveAssigned]] just picks the surviving copy). Centroids
+   * (and IVF-PQ codebooks) are untouched: no re-cluster, no re-fit,
+   * exactly like [[appendToIndex]]. On a real object store the swap is
+   * a manifest-pointer flip instead of the renames; here every crash
+   * state is mechanically recoverable at writer entry ([[recoverSwap]])
+   * keyed off the `_SUCCESS` marker — a markerless compacting dir is
+   * garbage, a marked one always swaps in. Tombstones drop only at the
+   * end of THIS completed run (recovery keeps them: they re-apply
+   * idempotently). Returns (rows before, rows removed, rows after) —
+   * footer-count reads. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                    idCol: String = "vec_id"): (Long, Long, Long) = {
     recoverSwap(dir)
@@ -273,11 +317,17 @@ object Ivf {
       return (before, 0L, before)
     liveAssigned(spark, dir, idCol)
       .write.mode("overwrite").parquet(s"$dir/assigned_compacting")
+    // recovery keys off this marker — fail loudly NOW if the committer
+    // was configured not to write it, not at some future crash
+    require(new java.io.File(s"$dir/assigned_compacting/_SUCCESS").isFile,
+      s"compaction wrote no _SUCCESS marker under $dir")
     val after = spark.read.parquet(s"$dir/assigned_compacting").count()
-    rmTree(new java.io.File(s"$dir/assigned"))
-    require(new java.io.File(s"$dir/assigned_compacting")
-      .renameTo(new java.io.File(s"$dir/assigned")),
+    val assigned = new java.io.File(s"$dir/assigned")
+    val old = new java.io.File(s"$dir/assigned_old")
+    require(assigned.renameTo(old), s"compaction swap failed for $dir")
+    require(new java.io.File(s"$dir/assigned_compacting").renameTo(assigned),
       s"compaction swap failed for $dir")
+    rmTree(old)
     rmTree(new java.io.File(s"$dir/tombstones"))
     (before, before - after, after)
   }

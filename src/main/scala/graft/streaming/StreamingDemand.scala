@@ -116,6 +116,12 @@ object StreamingDemand {
   private[graft] def withStatePartitions(spark: SparkSession, n: Int)
       (body: SparkSession => DataFrame): DataFrame = {
     isolatedStarts.incrementAndGet()
+    // lazy eviction (the Ivf.persistedIndex pattern): entries keyed by a
+    // STOPPED parent would otherwise pin that session — and its child's
+    // listener bus — for the JVM lifetime, the leak class this cache
+    // exists to fix
+    childSessions.keySet.removeIf(
+      (k: (SparkSession, Int)) => k._1.sparkContext.isStopped)
     val child = childSessions.computeIfAbsent((spark, n), _ => spark.newSession())
     // the per-run confs are set on the cached child, so two concurrent
     // runs sharing a child must serialize — harness runs are sequential;

@@ -91,10 +91,14 @@ class Round10Spec extends AnyFunSuite with SparkSpec {
       // partial junk, _current still points at v0
       val orphan = new java.io.File(root, "v1")
       assert(orphan.mkdirs())
-      java.nio.file.Files.write(new java.io.File(orphan, "part-junk").toPath,
-        Array[Byte](1, 2, 3))
+      val junk = new java.io.File(orphan, "part-junk")
+      java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
       assert(Versions.current(root) == 0, "pointer must not see the orphan")
-      // next commit reclaims the orphan slot instead of erroring forever
+      // age the orphan past the quiescence grace (a fresh one is treated
+      // as a CONCURRENT writer and fails loudly — Round11Spec pins that)
+      val old = System.currentTimeMillis() - Versions.orphanGraceMs - 60000L
+      assert(orphan.setLastModified(old) && junk.setLastModified(old))
+      // next commit reclaims the aged orphan slot instead of erroring forever
       assert(Versions.commit(Seq(1L, 2L).toDF("x"), root) == 1)
       assert(Versions.read(spark, root).count() == 2)
     } finally graft.io.Sources.removeScratchDir(root)

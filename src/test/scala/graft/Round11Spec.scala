@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 pins: the rename-based IVF compaction swap (every crash
+  * state recoverable, readers strictly read-only, post-crash tombstones
+  * never lost) and the Versions hardening (loud concurrent-writer
+  * failure, half-vacuum detection, txn high-water surviving maintenance
+  * commits and vacuum).
+  */
+class Round11Spec extends AnyFunSuite with SparkSpec {
+
+  private def emb = graft.io.Sources.table(spark, sf001, "embeddings")
+    .filter(col("embedding").isNotNull)
+
+  private def probeOf(dir: String) = {
+    val q = emb.filter(col("vec_id") < 20)
+    graft.sim.Ivf.probeIndex(q, dir, k = 3, nProbe = 4)
+      .select("qid", "nid", "rank").localCheckpoint()
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame,
+                       b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("Ivf swap crash mid-rename: readers read through WITHOUT mutating; writer entry completes the swap") {
+    // The r10 verdict finding: the old rmTree-based swap had a crash
+    // state (partial assigned + complete compacting) that recovery
+    // mis-adjudicated, silently losing rows. The rename-based swap has
+    // no partial state; this simulates its mid-point (assigned renamed
+    // away, complete _SUCCESS-marked compacting) and pins both halves
+    // of the contract.
+    import graft.sim.Ivf
+    val dir = graft.io.Sources.scratchDir("graft_swapcrash")
+    try {
+      Ivf.persistIndex(emb, dir, nClusters = 16)
+      Ivf.deleteFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+      val want = probeOf(dir)
+      // phase 1 of compactIndex, then "crash" right after rename #1
+      Ivf.liveAssigned(spark, dir)
+        .write.parquet(s"$dir/assigned_compacting")
+      assert(new java.io.File(s"$dir/assigned_compacting/_SUCCESS").isFile)
+      assert(new java.io.File(s"$dir/assigned")
+        .renameTo(new java.io.File(s"$dir/assigned_old")))
+      // reader in the crash state: same live set, and STRICTLY read-only
+      val got = probeOf(dir)
+      assert(sameRows(got, want), "probe changed across the crash state")
+      assert(!new java.io.File(s"$dir/assigned").isDirectory &&
+        new java.io.File(s"$dir/assigned_old").isDirectory &&
+        new java.io.File(s"$dir/assigned_compacting").isDirectory,
+        "a READER mutated the crash state (recovery must be writer-only)")
+      // writer entry recovers: swap completed, leftovers reclaimed
+      val (before, removed, after) = Ivf.compactIndex(spark, dir)
+      assert(removed == 0L && before == after,
+        "recovered swap re-removed rows the fold already dropped")
+      assert(new java.io.File(s"$dir/assigned").isDirectory &&
+        !new java.io.File(s"$dir/assigned_old").isDirectory &&
+        !new java.io.File(s"$dir/assigned_compacting").isDirectory &&
+        !new java.io.File(s"$dir/tombstones").isDirectory)
+      assert(sameRows(probeOf(dir), want), "probe changed across recovery")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  test("Ivf swap crash pre-rename: complete compacting swaps in without losing POST-crash tombstones") {
+    import graft.sim.Ivf
+    val dir = graft.io.Sources.scratchDir("graft_swapcrash2")
+    try {
+      Ivf.persistIndex(emb, dir, nClusters = 16)
+      val n = spark.read.parquet(s"$dir/assigned").count()
+      val n2 = emb.filter(pmod(col("vec_id"), lit(5)) === 2).count()
+      val n3 = emb.filter(pmod(col("vec_id"), lit(5)) === 3).count()
+      Ivf.deleteFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+      // "crash" after the compacted table is fully written but before
+      // either rename — assigned still intact beside it
+      Ivf.liveAssigned(spark, dir)
+        .write.parquet(s"$dir/assigned_compacting")
+      // MORE deletes arrive after the crash: recovery must not drop them
+      Ivf.deleteFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 3).select("vec_id"), dir)
+      val (before, removed, after) = Ivf.compactIndex(spark, dir)
+      // recovery swapped in the folded table (n - n2 rows), then the
+      // run folded the post-crash tombstones (n3 more)
+      assert(before == n - n2 && removed == n3 && after == n - n2 - n3,
+        s"($before, $removed, $after) vs n=$n n2=$n2 n3=$n3")
+      val post = probeOf(dir)
+      assert(post.filter(pmod(col("nid"), lit(5)).isin(2, 3)).count() == 0,
+        "a tombstoned id survived the recovered compaction")
+      assert(!new java.io.File(s"$dir/tombstones").isDirectory)
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  test("Ivf swap: markerless compacting garbage is discarded, pending tombstones still apply") {
+    import graft.sim.Ivf
+    val dir = graft.io.Sources.scratchDir("graft_swapcrash3")
+    try {
+      Ivf.persistIndex(emb, dir, nClusters = 16)
+      val n = spark.read.parquet(s"$dir/assigned").count()
+      val n2 = emb.filter(pmod(col("vec_id"), lit(5)) === 2).count()
+      Ivf.deleteFromIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 2).select("vec_id"), dir)
+      // "crash" mid-write: junk parquet dir with NO _SUCCESS marker
+      val junkDir = new java.io.File(s"$dir/assigned_compacting")
+      assert(junkDir.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(junkDir, "part-halfwritten").toPath,
+        Array[Byte](1, 2, 3))
+      val (before, removed, after) = Ivf.compactIndex(spark, dir)
+      assert(before == n && removed == n2 && after == n - n2)
+      assert(probeOf(dir)
+        .filter(pmod(col("nid"), lit(5)) === 2).count() == 0)
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  test("Ivf swap: a lingering assigned_old beside assigned is reclaimed at writer entry") {
+    import graft.sim.Ivf
+    val dir = graft.io.Sources.scratchDir("graft_swapcrash4")
+    try {
+      Ivf.persistIndex(emb, dir, nClusters = 16)
+      val oldDir = new java.io.File(s"$dir/assigned_old")
+      assert(oldDir.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(oldDir, "part-stale").toPath, Array[Byte](9))
+      val n = spark.read.parquet(s"$dir/assigned").count()
+      val (before, removed, after) = Ivf.compactIndex(spark, dir)
+      assert(before == n && removed == 0L && after == n)
+      assert(!oldDir.isDirectory, "stale assigned_old not reclaimed")
+    } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  test("Versions: a FRESH orphan (concurrent writer mid-commit) fails loudly instead of being clobbered") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_fresh")
+    try {
+      Versions.commit(Seq(1L).toDF("x"), root)
+      // writer B is mid-commit on v1: fresh directory, fresh files
+      val inflight = new java.io.File(root, "v1")
+      assert(inflight.mkdirs())
+      val data = new java.io.File(inflight, "part-writerB")
+      java.nio.file.Files.write(data.toPath, Array[Byte](1, 2, 3))
+      // writer A violating the single-writer contract must ERROR, and
+      // writer B's in-progress data must be untouched
+      intercept[IllegalStateException](
+        Versions.commit(Seq(9L).toDF("x"), root))
+      assert(data.isFile, "the concurrent writer's data was clobbered")
+      assert(Versions.current(root) == 0)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("Versions: a half-vacuumed version is rejected on read, not served as partial data") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_halfvac")
+    try {
+      Versions.commit(Seq(1L, 2L, 3L).toDF("x"), root)
+      Versions.commit(Seq(1L, 2L, 3L, 4L).toDF("x"), root)
+      // crash mid-vacuum: marker gone (vacuum deletes it FIRST), data
+      // files still on disk — a bare parquet read would "succeed"
+      assert(new java.io.File(root, "v0/_SUCCESS").delete())
+      intercept[IllegalArgumentException](Versions.read(spark, root, 0))
+      assert(Versions.read(spark, root, 1).count() == 4)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("Versions: txn high-water survives txn-less maintenance commits and vacuum (replay-skip safety)") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_hw")
+    try {
+      val view = Seq(("a", 1L, 10L)).toDF("event_type", "n", "id_sum")
+      Versions.commit(view, root, txn = 0L)
+      Versions.commit(view, root, txn = 1L)
+      assert(Versions.lastTxn(root) == 1L)
+      // a txn-less maintenance commit (compaction/fix-up) must CARRY the
+      // mark forward, not reset it to -1
+      Versions.commit(view, root)
+      assert(Versions.lastTxn(root) == 1L,
+        "maintenance commit reset the txn high-water mark")
+      // vacuum never touches the manifest
+      Versions.vacuum(root, keepFrom = Versions.current(root))
+      assert(Versions.lastTxn(root) == 1L)
+      // the composed footgun from the r10 verdict: redelivered batch
+      // after maintenance + vacuum must still be SKIPPED
+      val cur = Versions.current(root)
+      graft.streaming.StreamingLake.applyBatch(root,
+        Seq(("a", 999L)).toDF("event_type", "event_id"), batchId = 1L)
+      assert(Versions.current(root) == cur,
+        "redelivered batch was re-applied after a maintenance commit")
+      // an out-of-order LOWER txn cannot regress the mark either
+      Versions.commit(view, root, txn = 0L)
+      assert(Versions.lastTxn(root) == 1L)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+}
