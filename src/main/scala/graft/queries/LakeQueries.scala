@@ -1082,11 +1082,179 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** N-VERSION CHANGE-DATA-FEED REPLAY (Delta CDF's
+   * `table_changes(start, end)` semantics, public docs — the q328
+   * two-version diff extended to arbitrary as-of spans): a 4-version
+   * history of the keyed customer table is committed (inserts, deletes,
+   * updates, a mid-history re-insert, an update-then-revert, and keys
+   * that appear and vanish without touching either endpoint), the
+   * per-commit CDF records are derived STORAGE-ONLY (q328's keyed
+   * full-outer diff per consecutive pair), and the replay COMPOSES them
+   * into the net v0→v3 change set: per key, the old value at its FIRST
+   * changed record and the new value at its LAST (values are stable
+   * between touches, so those are exactly the endpoint states). Net
+   * classification: inserted (null→val), deleted (val→null), updated
+   * (values differ), net_noop_transient (null→null: inserted then
+   * deleted mid-span — in NO endpoint), net_noop_reverted (equal
+   * values: updated then reverted). The DuckDB oracle computes the
+   * DIRECT v0→v3 diff from the raw table (plus the closed-form mod
+   * classes for both noop rows), so the hash equality IS the
+   * composition proof: folding three per-commit diffs reproduces the
+   * direct endpoint diff, action for action, key-XOR for key-XOR. An
+   * in-engine chk additionally replays the direct diff from the two
+   * read-backs and compares per-key. Scale shape: every step — the
+   * per-commit diffs, the composition groupBy, the direct check — is
+   * keyed on k (co-partitioned single-shuffle passes over version-sized
+   * inputs, never the base table); a real CDF keeps per-commit diffs as
+   * stored artifacts, so the replay cost is O(Σ|diff_i|), not
+   * O(versions × table). */
+  val q330CdfReplay: Q = Q("q330_cdf_replay",
+    s"""WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+       s0 AS (SELECT k, c AS cents FROM c WHERE k % 3 <> 0),
+       s3 AS (SELECT k,
+                CASE WHEN k % 13 = 0 AND NOT (k % 5 = 0 AND k % 3 <> 0 AND k % 2 = 1)
+                     THEN (CASE WHEN k % 6 = 0 THEN c + 5
+                           ELSE c + CASE WHEN k % 7 = 0 THEN 1000 ELSE 0 END END)
+                     ELSE (CASE WHEN k % 5 = 0 AND k % 3 <> 0 AND k % 2 = 1 THEN c + 50
+                           ELSE (CASE WHEN k % 6 = 0 THEN c + 5
+                                 ELSE c + CASE WHEN k % 7 = 0 THEN 1000 ELSE 0 END END)
+                                + CASE WHEN k % 13 = 0 THEN 7 ELSE 0 END END) END AS cents
+              FROM c
+              WHERE ((((k % 3 <> 0 AND k % 5 <> 0) OR k % 6 = 0) AND k % 11 <> 0)
+                     OR (k % 5 = 0 AND k % 3 <> 0 AND k % 2 = 1))
+                AND k % 17 <> 0),
+       d AS (SELECT coalesce(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'inserted'
+                    WHEN b.k IS NULL THEN 'deleted'
+                    WHEN a.cents <> b.cents THEN 'updated'
+                    ELSE 'unchanged' END AS action,
+               coalesce(b.cents, 0) - coalesce(a.cents, 0) AS delta
+             FROM s0 a FULL OUTER JOIN s3 b ON a.k = b.k),
+       acts AS (SELECT 'act:' || action AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(delta) AS BIGINT) AS cents_delta,
+                  CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT) AS key_xor
+                FROM d WHERE action <> 'unchanged' GROUP BY 1),
+       noops AS (SELECT 'act:net_noop_transient' AS tag,
+                   CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS cents_delta,
+                   CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT) AS key_xor
+                 FROM c WHERE k % 6 = 0 AND (k % 11 = 0 OR k % 17 = 0)
+                 UNION ALL
+                 SELECT 'act:net_noop_reverted', CAST(count(*) AS BIGINT),
+                   CAST(0 AS BIGINT),
+                   CAST(bit_xor(${graft.ops.Exprs.md5LongSql.format("k")}) AS BIGINT)
+                 FROM c WHERE k % 13 = 0 AND k % 7 <> 0 AND k % 3 <> 0
+                   AND k % 5 <> 0 AND k % 11 <> 0 AND k % 17 <> 0),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_delta, CAST(0 AS BIGINT) AS key_xor
+               FROM (VALUES ('chk:composed_equals_direct'),
+                            ('chk:four_versions'),
+                            ('chk:reverts_net_noop'),
+                            ('chk:transients_net_noop')) t(chk))
+       SELECT * FROM (SELECT * FROM acts UNION ALL SELECT * FROM noops
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_cdf_replay")
+    try {
+      import graft.lake.Versions
+      val c = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("c"))
+      val k = col("k")
+      val reins = (k % 5 === 0) && (k % 3 =!= 0) && (k % 2 === 1)
+      val c1 = when(k % 6 === 0, col("c") + 5)
+        .otherwise(col("c") + when(k % 7 === 0, 1000L).otherwise(0L))
+      val c2 = when(reins, col("c") + 50)
+        .otherwise(c1 + when(k % 13 === 0, 7L).otherwise(0L))
+      val c3 = when((k % 13 === 0) && !reins, c1).otherwise(c2)
+      val p1 = ((k % 3 =!= 0) && (k % 5 =!= 0)) || (k % 6 === 0)
+      val states = Seq(
+        c.filter(k % 3 =!= 0).select(k, col("c").as("cents")),
+        c.filter(p1).select(k, c1.as("cents")),
+        c.filter((p1 && (k % 11 =!= 0)) || reins).select(k, c2.as("cents")),
+        c.filter(((p1 && (k % 11 =!= 0)) || reins) && (k % 17 =!= 0))
+          .select(k, c3.as("cents")))
+      states.foreach(v => Versions.commit(v, root))
+      // changed-only CDF records between two stored versions — q328's
+      // keyed full-outer diff, tagged with the commit index
+      def diff(i: Int, j: Int): org.apache.spark.sql.DataFrame = {
+        val a = Versions.read(s, root, i)
+          .select(col("k"), col("cents").as("oc"))
+        val b = Versions.read(s, root, j)
+          .select(col("k").as("k1"), col("cents").as("nc"))
+        a.join(b, col("k") === col("k1"), "full_outer")
+          .select(coalesce(col("k"), col("k1")).as("k"),
+            when(col("k").isNull, "inserted")
+              .when(col("k1").isNull, "deleted")
+              .when(col("oc") =!= col("nc"), "updated")
+              .otherwise("unchanged").as("action"),
+            col("oc"), col("nc"), lit(i).as("ci"))
+          .filter(col("action") =!= "unchanged")
+      }
+      val cdf = (0 until 3).map(i => diff(i, i + 1))
+        .reduce(_ unionByName _).localCheckpoint()
+      // composition: endpoint states are the first record's old value
+      // and the last record's new value (stable between touches);
+      // struct-wrapped so a null endpoint survives min_by/max_by
+      val net = cdf.groupBy("k").agg(
+          min_by(struct(col("oc")), col("ci")).as("fo"),
+          max_by(struct(col("nc")), col("ci")).as("ln"))
+        .select(col("k"), col("fo.oc").as("oc"), col("ln.nc").as("nc"))
+        .withColumn("action",
+          when(col("oc").isNull && col("nc").isNull, "net_noop_transient")
+            .when(col("oc").isNull, "inserted")
+            .when(col("nc").isNull, "deleted")
+            .when(col("oc") === col("nc"), "net_noop_reverted")
+            .otherwise("updated"))
+        .localCheckpoint()
+      val acts = net
+        .withColumn("h", graft.ops.Exprs.md5Long(col("k")))
+        .groupBy(concat(lit("act:"), col("action")).as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("nc"), lit(0L)) - coalesce(col("oc"), lit(0L)))
+            .as("cents_delta"),
+          expr("bit_xor(h)").as("key_xor"))
+      // in-engine direct check: the composed changed set must equal the
+      // endpoint diff replayed from the two read-backs, key for key
+      val composed = net
+        .filter(col("action").isin("inserted", "deleted", "updated"))
+        .select("k", "action")
+      val direct = diff(0, 3).select("k", "action")
+      val composedEq = composed.exceptAll(direct).isEmpty &&
+        direct.exceptAll(composed).isEmpty
+      // noop-class validation against the read-backs themselves
+      val v0r = Versions.read(s, root, 0)
+      val v3r = Versions.read(s, root, 3)
+      val trans = net.filter(col("action") === "net_noop_transient")
+        .select("k").localCheckpoint()
+      val transOk = trans.count() > 0 &&
+        trans.join(v0r, Seq("k"), "left_semi").count() == 0 &&
+        trans.join(v3r, Seq("k"), "left_semi").count() == 0
+      val revs = net.filter(col("action") === "net_noop_reverted")
+        .select("k").localCheckpoint()
+      val revsOk = revs.count() > 0 &&
+        revs.join(v0r.select(col("k"), col("cents").as("c0")), Seq("k"))
+          .join(v3r.select(col("k"), col("cents").as("cN")), Seq("k"))
+          .filter(col("c0") =!= col("cN")).count() == 0 &&
+        revs.join(v0r, Seq("k"), "left_anti").count() == 0
+      import s.implicits._
+      val chks = Seq(
+        ("chk:composed_equals_direct", composedEq),
+        ("chk:four_versions", Versions.current(root) == 3),
+        ("chk:reverts_net_noop", revsOk),
+        ("chk:transients_net_noop", transOk)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_delta"), lit(0L).as("key_xor"))
+      acts.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
-    q327StreamViewCommits, q328VersionDiff)
+    q327StreamViewCommits, q328VersionDiff, q330CdfReplay)
 }
