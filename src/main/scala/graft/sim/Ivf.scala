@@ -332,6 +332,98 @@ object Ivf {
     (before, before - after, after)
   }
 
+  /** Index MAINTENANCE, retrain side: re-cluster ONLY `cells` — the
+   * cells a drift report (q329) flagged as funneled — into `kNew`
+   * fresh sub-centroids, and reassign ONLY their rows. This closes the
+   * loop the drift signal opens without the full-rebuild cost: training
+   * reads a bounded deterministic sample of the flagged cells' rows
+   * (the [[buildIndex]] recipe), every other cell's centroid AND row
+   * assignments are byte-identical afterwards, and the reassignment is
+   * one map-side pass over the flagged rows' STORED unit vectors (no
+   * corpus re-read, no re-normalization). New cluster ids reuse the
+   * flagged ids first, then extend past the current max, so untouched
+   * ids never move. The assignment rewrite goes through the same
+   * rename-based crash-safe swap as [[compactIndex]] (it also folds any
+   * pending tombstones, being a rewrite anyway); the centroid table
+   * swaps second, so a crash between the two leaves orphaned cluster
+   * ids — probes then fail loudly or lose recall on the flagged region
+   * only, never return wrong rows (candidates are exact-re-ranked). A
+   * production deployment roots both tables behind one
+   * [[graft.lake.Versions]]-style manifest flip. At 100 TB the cost is
+   * O(rows of the flagged cells) for the reassignment and a full-table
+   * rewrite only because this layout stores `assigned` unpartitioned —
+   * cluster-partitioned storage would rewrite just the flagged
+   * directories. Returns (rows reassigned, the new cell ids). */
+  def partialRetrain(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     cells: Seq[Int], kNew: Int,
+                     idCol: String = "vec_id",
+                     trainSample: Long = 65536L): (Long, Seq[Int]) = {
+    require(cells.nonEmpty, "partialRetrain needs at least one flagged cell")
+    require(kNew >= 1, "partialRetrain needs kNew >= 1")
+    recoverSwap(dir)
+    val flagged = cells.toSet
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster").collect() // bounded: nClusters rows
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val kept = centroids.filterNot { case (id, _) => flagged(id) }
+    val newIds: Seq[Int] = {
+      val maxId = centroids.map(_._1).max
+      (cells ++ (maxId + 1 to maxId + kNew)).take(kNew)
+    }
+    val assigned = liveAssigned(spark, dir, idCol)
+    val hot = assigned.filter(col("cluster").isin(cells: _*))
+    val nHot = hot.count()
+    require(nHot > 0, s"flagged cells $cells hold no rows under $dir")
+    // bounded deterministic training sample of the flagged rows only
+    val bp = if (nHot <= trainSample) 10000L
+             else math.max(1L, trainSample * 10000L / nHot)
+    val sample = hot
+      .filter(graft.curation.Curation.samplingKey(col(idCol)) < lit(bp))
+      .select(col(idCol), col("cu"))
+      .orderBy(idCol) // stable driver order -> deterministic k-means++
+      .collect().map(_.getSeq[Double](1).toArray)
+    val train = if (sample.length >= math.min(kNew, nHot).toInt) sample
+      else hot.orderBy(col(idCol)).select(col("cu"))
+        .limit(kNew).collect().map(_.getSeq[Double](0).toArray)
+    val newCenters = kmeansFit(train, kNew)
+    val usedIds = newIds.take(newCenters.length)
+    val reassigned = hot.withColumn("cluster",
+        get(typedLit(usedIds), // 0-based lookup by a COLUMN index
+          element_at(nearestK(col("cu"), newCenters, 1), 1)))
+      .select(col(idCol), col("cluster"), col("cu"))
+    assigned.filter(!col("cluster").isin(cells: _*))
+      .select(col(idCol), col("cluster"), col("cu"))
+      .unionByName(reassigned)
+      .write.parquet(s"$dir/assigned_compacting")
+    require(new java.io.File(s"$dir/assigned_compacting/_SUCCESS").isFile,
+      s"retrain wrote no _SUCCESS marker under $dir")
+    // stage the new centroid table BEFORE swapping anything
+    val rows = (kept ++ usedIds.zip(newCenters))
+      .map { case (id, v) => Row(id, v.toSeq) }
+    val schema = StructType(Seq(
+      StructField("cluster", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .write.parquet(s"$dir/centroids_new")
+    // swap assigned (crash-recoverable rename protocol), then centroids
+    val aDir = new java.io.File(s"$dir/assigned")
+    val oldDir = new java.io.File(s"$dir/assigned_old")
+    require(aDir.renameTo(oldDir), s"retrain swap failed for $dir")
+    require(new java.io.File(s"$dir/assigned_compacting").renameTo(aDir),
+      s"retrain swap failed for $dir")
+    rmTree(oldDir)
+    rmTree(new java.io.File(s"$dir/tombstones")) // folded by the rewrite
+    val cDir = new java.io.File(s"$dir/centroids")
+    val cOld = new java.io.File(s"$dir/centroids_old")
+    rmTree(cOld)
+    require(cDir.renameTo(cOld) &&
+      new java.io.File(s"$dir/centroids_new").renameTo(cDir),
+      s"retrain centroid swap failed for $dir")
+    rmTree(cOld)
+    (nHot, usedIds)
+  }
+
   /** Memoized [[persistIndex]] over the harness embeddings table — one
    * persisted index per (session, sfDir, nClusters), shared by every
    * probe query in the session. */
