@@ -139,6 +139,30 @@ object Versions {
     spark.read.parquet(s"$root/v$v")
   }
 
+  /** Read a version EVOLVED to the CURRENT version's schema — the
+    * mergeSchema-on-read rung (Delta/Iceberg schema evolution, public
+    * docs): columns the old version predates come back as typed NULLs,
+    * columns the current schema dropped are omitted, and the column
+    * order is the current schema's — so any two as-of reads union by
+    * position as well as by name. Plain [[read]] stays schema-faithful
+    * for audits; this is the read a pipeline pinned to "latest schema"
+    * uses when time traveling. Column-add/drop only (the metadata-only
+    * evolutions); a type change between versions still fails loudly in
+    * the parquet reader rather than silently coercing. */
+  def readEvolved(spark: SparkSession, root: String,
+                  version: Int = -1): DataFrame = {
+    val curFields = read(spark, root).schema.fields
+    val v = read(spark, root, version)
+    val have = v.columns.toSet
+    val filled = curFields.foldLeft(v) { (df, f) =>
+      if (have(f.name)) df
+      else df.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+    }
+    filled.select(curFields.map(f =>
+      org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+  }
+
   /** Retention: remove all versions BELOW `keepFrom` (the current
     * version is always kept regardless). Returns the number of version
     * directories reclaimed. Each victim's `_SUCCESS` marker is deleted

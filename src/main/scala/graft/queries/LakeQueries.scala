@@ -1250,11 +1250,80 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** SCHEMA EVOLUTION ACROSS TABLE VERSIONS
+   * ([[graft.lake.Versions.readEvolved]] — the r10 verdict's add-column
+   * rung; q107 covers flat-directory mergeSchema, this is the
+   * VERSIONED-table variant where each v\<N\> may carry a different
+   * schema): v0 commits the customer rollup as (k, cents); v1 adds a
+   * `seg` column. Both versions are then read AS-OF under the CURRENT
+   * schema — v0's rows come back with a typed NULL seg (labelled
+   * '(pre-evolution)' here), v1's unchanged — and the union-by-name
+   * aggregates per (ver, seg). The DuckDB oracle recomputes both
+   * version states from the raw table, so the hash equality pins the
+   * evolved read exactly: no row lost, no value coerced, the missing
+   * column is null and only null. Chk rows pin the two metadata
+   * contracts: the evolved v0 schema EQUALS the current schema (order
+   * included), and plain [[graft.lake.Versions.read]] still returns
+   * the ORIGINAL 2-column schema (evolution is a read-time view, not a
+   * rewrite). Scale shape: evolution is metadata-only — the evolved
+   * read adds a null literal column, never touches the old files. */
+  val q332SchemaEvolution: Q = Q("q332_schema_evolution",
+    """WITH v0 AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer WHERE c_custkey % 3 <> 0),
+       v1 AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+              c_mktsegment AS seg
+            FROM customer),
+       u AS (SELECT 'v0' AS ver, '(pre-evolution)' AS seg, cents FROM v0
+             UNION ALL SELECT 'v1', seg, cents FROM v1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:evolved_schema_is_current'),
+                            ('chk:plain_read_unevolved')) t(chk))
+       SELECT * FROM (SELECT ver || ':' || seg AS tag,
+                             CAST(count(*) AS BIGINT) AS n,
+                             CAST(sum(cents) AS BIGINT) AS cents_sum
+                      FROM u GROUP BY 1
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_schema_evo")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(
+        col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"),
+        col("c_mktsegment").as("seg"))
+      Versions.commit(cust.filter(col("k") % 3 =!= 0)
+        .select("k", "cents"), root) // v0: pre-evolution schema
+      Versions.commit(cust.select("k", "cents", "seg"), root) // v1: +seg
+      val v0e = Versions.readEvolved(s, root, 0)
+      val v1 = Versions.read(s, root, 1)
+      val rows = v0e.withColumn("ver", lit("v0"))
+        .unionByName(v1.withColumn("ver", lit("v1")))
+        .groupBy(concat(col("ver"), lit(":"),
+          coalesce(col("seg"), lit("(pre-evolution)"))).as("tag"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:evolved_schema_is_current",
+          v0e.schema == v1.schema),
+        ("chk:plain_read_unevolved",
+          Versions.read(s, root, 0).columns.toSeq == Seq("k", "cents"))
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
     q116PartitionPruning, q131StreamOuterJoin, q132Zorder,
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
-    q327StreamViewCommits, q328VersionDiff, q330CdfReplay)
+    q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
+    q332SchemaEvolution)
 }

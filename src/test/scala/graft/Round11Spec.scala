@@ -165,6 +165,27 @@ class Round11Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("Versions.readEvolved: add AND drop columns resolve to the current schema") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_versions_evolve")
+    try {
+      Versions.commit(Seq((1L, "a")).toDF("x", "y"), root)     // v0: (x, y)
+      Versions.commit(Seq((1L, 2.5)).toDF("x", "z"), root)     // v1: (x, z)
+      val v0e = Versions.readEvolved(spark, root, 0)
+      // dropped column y omitted, added column z typed-null, current order
+      assert(v0e.columns.toSeq == Seq("x", "z"))
+      val r = v0e.collect()(0)
+      assert(r.getLong(0) == 1L && r.isNullAt(1))
+      assert(v0e.schema("z").dataType ==
+        org.apache.spark.sql.types.DoubleType)
+      // evolving the current version is the identity
+      assert(Versions.readEvolved(spark, root).columns.toSeq == Seq("x", "z"))
+      // plain read stays schema-faithful
+      assert(Versions.read(spark, root, 0).columns.toSeq == Seq("x", "y"))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("Versions: txn high-water survives txn-less maintenance commits and vacuum (replay-skip safety)") {
     import graft.lake.Versions
     import spark.implicits._
