@@ -30,6 +30,26 @@ object Versions {
 
   private def manifest(root: String) = new java.io.File(root, "_current")
 
+  /** A branch root's `_base` file: two lines — the PHYSICAL directory
+    * of the snapshot the branch was cut from, and (for audit) the
+    * source root it came from. Resolved once at [[branch]] time so a
+    * branch-of-a-branch still reads its v0 in one hop. */
+  private def baseFile(root: String) = new java.io.File(root, "_base")
+
+  private def baseDir(root: String): Option[java.io.File] = {
+    val b = baseFile(root)
+    if (!b.isFile) None
+    else new String(java.nio.file.Files.readAllBytes(b.toPath), "UTF-8")
+      .linesIterator.toSeq.headOption.map(new java.io.File(_))
+  }
+
+  /** The physical directory holding version `v` of the table at
+    * `root` — local `v<N>` for ordinary tables and for a branch's own
+    * commits (v1+); the recorded base snapshot for a branch's v0. */
+  private def versionDir(root: String, v: Int): java.io.File =
+    if (v == 0) baseDir(root).getOrElse(new java.io.File(root, "v0"))
+    else new java.io.File(root, s"v$v")
+
   private def manifestTokens(root: String): Array[String] = {
     val m = manifest(root)
     if (!m.isFile) Array.empty
@@ -134,9 +154,65 @@ object Versions {
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else current(root)
     require(v >= 0, s"no committed version under $root")
-    require(new java.io.File(root, s"v$v/_SUCCESS").isFile,
-      s"version $v under $root is vacuumed, incomplete, or was never committed")
-    spark.read.parquet(s"$root/v$v")
+    val dir = versionDir(root, v)
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"version $v under $root (dir $dir) is vacuumed, incomplete, " +
+        "or was never committed")
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** SNAPSHOT-ISOLATION handle: the version a multi-query pipeline
+    * pins itself to. Every [[read]](root, snap) against the returned
+    * version sees the SAME immutable files no matter how many commits
+    * land in between (commits only ever add `v<N+1>` and flip the
+    * pointer; committed directories are never rewritten), so a report
+    * that runs ten queries against one snapshot is internally
+    * consistent — the repeatable-read guarantee MVCC tables get from
+    * their snapshot epoch. The handle stays valid until [[vacuum]]
+    * reclaims the version, at which point reads fail loudly rather
+    * than silently switching data. */
+  def snapshot(root: String): Int = {
+    val v = current(root)
+    require(v >= 0, s"no committed version under $root to snapshot")
+    v
+  }
+
+  /** Zero-copy BRANCH (shallow clone): cut `dstRoot` from `srcRoot`'s
+    * snapshot `version` (default: current) WITHOUT copying any data —
+    * the Delta `SHALLOW CLONE` / Iceberg snapshot-ref shape (public
+    * docs). The branch's v0 is a `_base` pointer at the source
+    * snapshot's physical directory (resolved once here, so branching a
+    * branch still reads in one hop); diverging commits write LOCAL
+    * v1, v2, … under `dstRoot` and never disturb the source. At 100 TB
+    * the branch costs two metadata files regardless of table size.
+    *
+    * Ownership contract: the branch does NOT pin the source's files —
+    * [[vacuum]] on the branch only ever reclaims the branch's own local
+    * versions (v0 has no local directory, so the shared snapshot is
+    * never deleted from the branch side), while vacuuming the SOURCE
+    * below the branched version breaks the branch's v0 LOUDLY (the
+    * `_SUCCESS` gate in [[read]]), the same retention footgun a real
+    * lakehouse documents for shallow clones. The branch starts with a
+    * clean txn high-water (-1): it is a new table, and a streaming
+    * writer attached to it keeps its own idempotence ledger. */
+  def branch(srcRoot: String, dstRoot: String, version: Int = -1): Int = {
+    val v = if (version >= 0) version else current(srcRoot)
+    require(v >= 0, s"no committed version under $srcRoot to branch from")
+    val src = versionDir(srcRoot, v)
+    require(new java.io.File(src, "_SUCCESS").isFile,
+      s"source snapshot v$v under $srcRoot is vacuumed or incomplete")
+    require(current(dstRoot) < 0 && !baseFile(dstRoot).isFile,
+      s"$dstRoot already holds a table; refusing to overwrite it")
+    new java.io.File(dstRoot).mkdirs()
+    java.nio.file.Files.write(baseFile(dstRoot).toPath,
+      (src.getAbsolutePath + "\n" + srcRoot + " v" + v + "\n")
+        .getBytes("UTF-8"))
+    val tmp = new java.io.File(dstRoot, "_current.tmp0")
+    java.nio.file.Files.write(tmp.toPath, "0\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, manifest(dstRoot).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    0
   }
 
   /** Read a version EVOLVED to the CURRENT version's schema — the

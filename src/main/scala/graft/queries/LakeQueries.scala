@@ -1318,6 +1318,187 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** ZERO-COPY BRANCH / SHALLOW CLONE of a versioned table
+   * ([[graft.lake.Versions.branch]] — the Delta `SHALLOW CLONE` /
+   * Iceberg snapshot-ref rung, public docs): the per-customer rollup
+   * commits v0 then evolves to v1 on the SOURCE table; a branch is cut
+   * from src@v0 (two metadata files, no data copied), reads its v0
+   * THROUGH the base pointer, and commits a DIVERGENT v1 (drop k%7=0,
+   * +100 cents) derived from that read-back. Output rows are the
+   * per-version signatures of all four states — src v0/v1 and branch
+   * v0/v1 — which the DuckDB oracle recomputes from the raw customer
+   * table, so the hash equality pins both the read-through-base path
+   * and the divergent lineage. Gates: branch v0 ≡ src v0 row-for-row
+   * (exceptAll both ways), the branch root holds NO local v0 directory
+   * (zero-copy is physical, not aspirational), src's pointer/txn were
+   * not disturbed by the branch commit, and the two v1s genuinely
+   * diverged. Scale shape: branching is O(1) metadata at any table
+   * size; the only distributed work here is the signature aggregates. */
+  val q333BranchClone: Q = Q("q333_branch_clone",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       s0 AS (SELECT k, cents FROM c WHERE k % 3 <> 0),
+       s1 AS (SELECT k, cents + CASE WHEN k % 2 = 0 THEN 10 ELSE 0 END AS cents
+              FROM c),
+       b1 AS (SELECT k, cents + 100 AS cents FROM s0 WHERE k % 7 <> 0),
+       sigs AS (SELECT 'src:v0' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM s0
+                UNION ALL SELECT 'src:v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM s1
+                UNION ALL SELECT 'branch:v0', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM s0
+                UNION ALL SELECT 'branch:v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM b1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:branch_v0_equals_src_v0'),
+                            ('chk:diverged'), ('chk:src_undisturbed'),
+                            ('chk:zero_copy')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val src = graft.io.Sources.scratchDir("graft_branch_src")
+    val dst = graft.io.Sources.scratchDir("graft_branch_dst")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      Versions.commit(cust.filter(col("k") % 3 =!= 0), src, txn = 7L) // v0
+      Versions.branch(src, dst, version = 0)
+      // source keeps evolving AFTER the branch was cut
+      Versions.commit(cust.select(col("k"),
+        (col("cents") + when(col("k") % 2 === 0, 10L).otherwise(0L))
+          .as("cents")), src)                                        // src v1
+      // divergent branch commit, derived from the branch's own v0
+      // READ BACK through the base pointer
+      val bv0 = Versions.read(s, dst, 0)
+      Versions.commit(bv0.filter(col("k") % 7 =!= 0)
+        .select(col("k"), (col("cents") + 100L).as("cents")), dst)   // br v1
+      def sig(root: String, v: Int, tag: String) =
+        Versions.read(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+          .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      val rows = sig(src, 0, "src:v0").unionByName(sig(src, 1, "src:v1"))
+        .unionByName(sig(dst, 0, "branch:v0"))
+        .unionByName(sig(dst, 1, "branch:v1"))
+      val sv0 = Versions.read(s, src, 0)
+      val sameV0 = bv0.exceptAll(sv0).isEmpty && sv0.exceptAll(bv0).isEmpty
+      val diverged = Versions.read(s, dst, 1)
+        .exceptAll(Versions.read(s, src, 1)).count() > 0
+      import s.implicits._
+      val chks = Seq(
+        ("chk:branch_v0_equals_src_v0", sameV0),
+        ("chk:diverged", diverged),
+        // the branch commit must not have moved the source's pointer or
+        // txn mark, and the branch starts its own txn ledger at -1
+        ("chk:src_undisturbed",
+          Versions.current(src) == 1 && Versions.lastTxn(src) == 7L &&
+            Versions.lastTxn(dst) == -1L),
+        ("chk:zero_copy", !new java.io.File(dst, "v0").exists() &&
+          new java.io.File(dst, "v1").isDirectory)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally {
+      graft.io.Sources.removeScratchDir(dst)
+      graft.io.Sources.removeScratchDir(src)
+    }
+  }
+
+  /** SNAPSHOT-ISOLATION READS for a multi-query pipeline
+   * ([[graft.lake.Versions.snapshot]] — the MVCC repeatable-read
+   * guarantee a report pins itself to while writers keep committing):
+   * v0 commits the customer rollup, the pipeline takes a snapshot
+   * handle, TWO MORE commits land (v1 drops k%5=0, v2 adds 7 cents to
+   * even keys), and then three separate "report queries" — row count +
+   * cents sum, per-bucket distribution, top-cents argmax — all run
+   * against the PINNED snapshot. Every one of them must reflect v0
+   * exactly (the oracle recomputes all three from the raw table's v0
+   * state), even though `_current` moved twice in between — and a
+   * fourth read taken at the very end must still match, pinning
+   * repeatable-read across the whole pipeline, not just at open time.
+   * Gates: the pinned version never moved, the current read reflects
+   * v2 (writers were never blocked — readers don't lock writers), and
+   * the late re-read equals the early materialized read row-for-row.
+   * Scale shape: a snapshot is an integer; pinning costs nothing and
+   * blocks nobody, because committed version directories are immutable
+   * by construction. */
+  val q334SnapshotIsolation: Q = Q("q334_snapshot_isolation",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       v0 AS (SELECT k, cents FROM c WHERE k % 3 <> 0),
+       v2 AS (SELECT k, cents + CASE WHEN k % 2 = 0 THEN 7 ELSE 0 END AS cents
+              FROM c WHERE k % 3 <> 0 AND k % 5 <> 0),
+       snaptotal AS (SELECT 'snap:total' AS tag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(cents) AS BIGINT) AS cents_sum FROM v0),
+       snapbuckets AS (SELECT 'snap:bucket' || CAST(k % 4 AS VARCHAR) AS tag,
+                         CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cents) AS BIGINT) AS cents_sum
+                       FROM v0 GROUP BY 1),
+       snaptop AS (SELECT 'snap:top' AS tag, CAST(max(k) AS BIGINT) AS n,
+                     CAST(max(cents) AS BIGINT) AS cents_sum
+                   FROM v0 WHERE cents = (SELECT max(cents) FROM v0)),
+       curtotal AS (SELECT 'cur:total' AS tag, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(cents) AS BIGINT) AS cents_sum FROM v2),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:pin_stable'), ('chk:repeatable_read'),
+                            ('chk:writers_not_blocked')) t(chk))
+       SELECT * FROM (SELECT * FROM snaptotal UNION ALL
+                      SELECT * FROM snapbuckets UNION ALL
+                      SELECT * FROM snaptop UNION ALL
+                      SELECT * FROM curtotal UNION ALL
+                      SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_snapshot_iso")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      Versions.commit(cust.filter(col("k") % 3 =!= 0), root)        // v0
+      val snap = Versions.snapshot(root)
+      // the pipeline's first query, materialized NOW (pre-commit truth
+      // for the repeatable-read gate at the end)
+      val early = Versions.read(s, root, snap).localCheckpoint()
+      // two writers land while the pipeline is mid-flight
+      Versions.commit(Versions.read(s, root)
+        .filter(col("k") % 5 =!= 0), root)                          // v1
+      Versions.commit(Versions.read(s, root).select(col("k"),
+        (col("cents") + when(col("k") % 2 === 0, 7L).otherwise(0L))
+          .as("cents")), root)                                      // v2
+      // three report queries, all against the SAME pinned snapshot
+      def snapRead = Versions.read(s, root, snap)
+      val total = snapRead
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit("snap:total").as("tag"), col("n"), col("cents_sum"))
+      val buckets = snapRead
+        .groupBy(concat(lit("snap:bucket"), col("k") % 4).as("tag"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      val top = snapRead
+        .agg(max_by(col("k"), struct(col("cents"), col("k"))).as("n"),
+          max("cents").as("cents_sum"))
+        .select(lit("snap:top").as("tag"), col("n"), col("cents_sum"))
+      val cur = Versions.read(s, root)
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit("cur:total").as("tag"), col("n"), col("cents_sum"))
+      val late = Versions.read(s, root, snap)
+      val repeatable = late.exceptAll(early).isEmpty &&
+        early.exceptAll(late).isEmpty
+      import s.implicits._
+      val chks = Seq(
+        ("chk:pin_stable", snap == 0 && Versions.snapshot(root) == 2),
+        ("chk:repeatable_read", repeatable),
+        ("chk:writers_not_blocked", Versions.current(root) == 2)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      total.unionByName(buckets).unionByName(top).unionByName(cur)
+        .unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1325,5 +1506,5 @@ object LakeQueries {
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
-    q332SchemaEvolution)
+    q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation)
 }

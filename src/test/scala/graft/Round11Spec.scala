@@ -215,4 +215,68 @@ class Round11Spec extends AnyFunSuite with SparkSpec {
       assert(Versions.lastTxn(root) == 1L)
     } finally graft.io.Sources.removeScratchDir(root)
   }
+
+  test("Versions.branch: zero-copy contract, refusal modes, and the cross-table retention footgun") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val src = graft.io.Sources.scratchDir("graft_br_src")
+    val dst = graft.io.Sources.scratchDir("graft_br_dst")
+    val dst2 = graft.io.Sources.scratchDir("graft_br_dst2")
+    try {
+      // branching an empty table fails loudly
+      intercept[IllegalArgumentException](Versions.branch(src, dst))
+      Versions.commit(Seq(1L, 2L, 3L).toDF("x"), src)       // src v0
+      Versions.commit(Seq(1L, 2L, 3L, 4L).toDF("x"), src)   // src v1
+      Versions.branch(src, dst, version = 0)
+      // zero-copy: no local v0 directory, reads go through the base
+      assert(!new java.io.File(dst, "v0").exists())
+      assert(Versions.read(spark, dst).as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      // branching onto an existing table (manifest or base) fails loudly
+      intercept[IllegalArgumentException](Versions.branch(src, dst))
+      // branch-of-branch resolves the PHYSICAL dir once (one-hop reads)
+      Versions.branch(dst, dst2)
+      assert(Versions.read(spark, dst2).count() == 3)
+      // diverging commit lands locally and never moves the source
+      Versions.commit(Seq(9L).toDF("x"), dst)               // branch v1
+      assert(Versions.current(dst) == 1 && Versions.current(src) == 1)
+      assert(Versions.read(spark, src, 1).count() == 4)
+      // vacuum on the branch only reclaims LOCAL versions — the shared
+      // base snapshot stays readable from both roots
+      assert(Versions.vacuum(dst, keepFrom = 1) == 0)
+      assert(Versions.read(spark, dst, 0).count() == 3)
+      // ...but vacuuming the SOURCE below the branched version breaks
+      // the branch's v0 LOUDLY, never silently (the documented footgun)
+      assert(Versions.vacuum(src, keepFrom = 1) == 1)
+      intercept[IllegalArgumentException](Versions.read(spark, dst, 0))
+      // the branch's own diverged commit is unaffected
+      assert(Versions.read(spark, dst, 1).as[Long].head() == 9L)
+    } finally {
+      graft.io.Sources.removeScratchDir(dst2)
+      graft.io.Sources.removeScratchDir(dst)
+      graft.io.Sources.removeScratchDir(src)
+    }
+  }
+
+  test("Versions.snapshot: pinned reads are repeatable while commits land; vacuum breaks the pin loudly") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_snap")
+    try {
+      intercept[IllegalArgumentException](Versions.snapshot(root))
+      Versions.commit(Seq(1L, 2L, 3L).toDF("x"), root)
+      val snap = Versions.snapshot(root)
+      val before = Versions.read(spark, root, snap)
+        .as[Long].collect().sorted.toSeq
+      Versions.commit(Seq(7L).toDF("x"), root)
+      Versions.commit(Seq(8L).toDF("x"), root)
+      // repeatable read across two commits
+      assert(Versions.read(spark, root, snap)
+        .as[Long].collect().sorted.toSeq == before)
+      assert(Versions.snapshot(root) == 2)
+      // reclaiming the pinned version turns the handle into a loud error
+      Versions.vacuum(root, keepFrom = 2)
+      intercept[IllegalArgumentException](Versions.read(spark, root, snap))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
 }
