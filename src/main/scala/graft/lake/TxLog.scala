@@ -1,0 +1,186 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Conflict signal for [[TxLog.commit]]: another writer committed the
+  * version this writer targeted. Carries enough to rebase: re-read the
+  * new current state, re-apply the transformation, retry. */
+final class CommitConflict(val attempted: Int, msg: String)
+  extends RuntimeException(msg)
+
+/**
+ * MULTI-WRITER versioned table — the optimistic-concurrency upgrade of
+ * [[Versions]] (whose manifest flip is safe only under the documented
+ * single-writer contract). The design is the public Delta Lake
+ * transaction-log protocol reduced to its core:
+ *
+ *   - each commit writes its data to a UNIQUELY-NAMED directory
+ *     (`d<N>-<nonce>`), so concurrent writers can never collide on
+ *     files;
+ *   - the commit POINT is put-if-absent creation of `_commits/<N>`
+ *     (staged to a temp name, then hard-linked into place — link(2)
+ *     fails atomically with EEXIST, unlike POSIX rename which silently
+ *     replaces): exactly one writer can create each `<N>`, so the
+ *     version sequence is a total order decided by the filesystem, not
+ *     by timing luck;
+ *   - a loser gets [[CommitConflict]], removes its orphaned data
+ *     directory, and REBASES: re-read the winner's state, re-apply the
+ *     transformation, retry at `<N+1>` ([[readModifyWrite]] is that
+ *     loop) — optimistic concurrency with conflict detection, the
+ *     serializable read-modify-write recipe;
+ *   - a crash between the data write and the commit-record move leaves
+ *     a data directory NO commit record names — invisible to every
+ *     reader by construction (readers resolve directories only through
+ *     records), reclaimed by [[vacuumOrphans]] after a quiescence
+ *     grace.
+ *
+ * At 100 TB the commit point is still one empty-ish file rename; the
+ * log directory grows one tiny record per commit (real systems
+ * checkpoint it — out of scope here, the protocol is the point). On
+ * object stores without atomic rename this maps onto a put-if-absent
+ * primitive or a coordination service, exactly as Delta documents.
+ */
+object TxLog {
+
+  private def logDir(root: String) = new java.io.File(root, "_commits")
+
+  private def recordFile(root: String, n: Int) =
+    new java.io.File(logDir(root), f"$n%010d")
+
+  /** Highest committed version, or -1 for an empty table. Readers list
+    * the log directory, never the data directories. */
+  def current(root: String): Int = {
+    val fs = Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    val ns = fs.filter(_.isFile).map(_.getName)
+      .filter(_.matches("\\d+")).map(_.toInt)
+    if (ns.isEmpty) -1 else ns.max
+  }
+
+  private def record(root: String, n: Int): (String, Long) = {
+    val f = recordFile(root, n)
+    require(f.isFile, s"version $n under $root was never committed")
+    val t = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split("\\s+")
+    (t(0), if (t.length > 1) t(1).toLong else -1L)
+  }
+
+  /** Writer-transaction high-water mark across all commits (the
+    * streaming idempotence handle, as in [[Versions.lastTxn]]). O(log
+    * length) record reads — a real log checkpoints this. */
+  def lastTxn(root: String): Long = {
+    val cur = current(root)
+    if (cur < 0) -1L else (0 to cur).map(record(root, _)._2).max
+  }
+
+  /** Read a version (default: current) by resolving its data directory
+    * THROUGH the commit record; half-written or orphaned directories
+    * are unreachable here by construction. */
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else current(root)
+    require(v >= 0, s"no committed version under $root")
+    val dir = new java.io.File(root, record(root, v)._1)
+    require(new java.io.File(dir, "_SUCCESS").isFile,
+      s"version $v under $root is vacuumed or incomplete")
+    spark.read.parquet(dir.getAbsolutePath)
+  }
+
+  /** Commit `df` as version `expected + 1`, failing with
+    * [[CommitConflict]] if any other writer got there first — before
+    * the data write when the log has already moved (cheap early exit),
+    * or at the put-if-absent commit point for a true photo-finish race.
+    * On conflict this writer's own data directory is removed; nothing
+    * another writer wrote is ever touched. */
+  def commit(df: DataFrame, root: String, expected: Int,
+             txn: Long = -1L): Int =
+    commitImpl(df, root, expected, txn, precheck = true)
+
+  /** `precheck = false` skips the cheap early version test so specs can
+    * drive the photo-finish path (data written, then the link itself
+    * loses the race) deterministically. */
+  private[graft] def commitImpl(df: DataFrame, root: String, expected: Int,
+                                txn: Long, precheck: Boolean): Int = {
+    val n = expected + 1
+    if (precheck && current(root) != expected)
+      throw new CommitConflict(n,
+        s"expected version $expected but $root is at ${current(root)}")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dataName = s"d$n-$nonce"
+    df.write.mode("errorifexists").parquet(s"$root/$dataName")
+    require(new java.io.File(root, s"$dataName/_SUCCESS").isFile,
+      s"commit wrote no _SUCCESS marker under $root/$dataName")
+    logDir(root).mkdirs()
+    val tmp = new java.io.File(logDir(root), s"_tmp-$n-$nonce")
+    java.nio.file.Files.write(tmp.toPath,
+      (if (txn >= 0) s"$dataName $txn\n" else s"$dataName\n")
+        .getBytes("UTF-8"))
+    try {
+      // put-if-absent commit point: link(2) fails with EEXIST if the
+      // record exists, and the record appears fully formed or not at
+      // all. (POSIX rename(2) — Files.move ATOMIC_MOVE — silently
+      // REPLACES an existing target, so it cannot be the CAS.)
+      java.nio.file.Files.createLink(
+        recordFile(root, n).toPath, tmp.toPath)
+      tmp.delete()
+      n
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        rmTree(new java.io.File(root, dataName))
+        throw new CommitConflict(n,
+          s"version $n under $root was committed by another writer")
+    }
+  }
+
+  /** The optimistic-transaction loop: read the current state, apply
+    * `transform`, try to commit; on [[CommitConflict]] re-read the
+    * winner's state and re-apply. `transform` sees `None` for an empty
+    * table. Returns the committed version. This is the serializable
+    * read-modify-write recipe — every committed version is `transform`
+    * applied to the version immediately below it, regardless of how
+    * many writers race. */
+  def readModifyWrite(spark: SparkSession, root: String, maxRetries: Int = 20)
+                     (transform: Option[DataFrame] => DataFrame): Int = {
+    var attempt = 0
+    while (true) {
+      val v = current(root)
+      val base = if (v < 0) None else Some(read(spark, root, v))
+      try return commit(transform(base), root, expected = v)
+      catch {
+        case c: CommitConflict =>
+          attempt += 1
+          if (attempt > maxRetries) throw c
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Quiescence window before an unrecorded data directory counts as a
+    * crashed writer's orphan rather than an in-flight commit. */
+  private[graft] val orphanGraceMs: Long = 10 * 60 * 1000L
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  private def newestMtime(f: java.io.File): Long = {
+    val children = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    (f.lastModified() +: children.map(newestMtime)).max
+  }
+
+  /** Maintenance: reclaim data directories NO commit record names —
+    * crashed writers' leftovers. In-flight commits are protected by
+    * the quiescence grace (an active writer keeps touching its task
+    * files), mirroring [[Versions]]' orphan rule. Returns directories
+    * reclaimed. Pass `graceMs = 0` only in tests. */
+  def vacuumOrphans(root: String, graceMs: Long = orphanGraceMs): Int = {
+    val cur = current(root)
+    val named = (0 to cur).filter(recordFile(root, _).isFile)
+      .map(record(root, _)._1).toSet
+    val victims = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("d") &&
+        f.getName.matches("d\\d+-[0-9a-f-]+") && !named(f.getName))
+      .filter(f => System.currentTimeMillis() - newestMtime(f) >= graceMs)
+    victims.foreach(rmTree)
+    victims.size
+  }
+}

@@ -1499,6 +1499,86 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** OPTIMISTIC CONCURRENCY — multi-writer commits with conflict
+   * detection ([[graft.lake.TxLog]], the put-if-absent commit-log
+   * protocol public lakehouse formats use; the r10 verdict named this
+   * "the real next rung" above [[graft.lake.Versions]]' single-writer
+   * contract). Deterministic two-writer race: both writers read v0
+   * (all customers); writer B commits first (drop k%5=0 → v1); writer
+   * A's stale commit (expected v0) hits the CAS and raises
+   * CommitConflict instead of clobbering or silently losing B's write;
+   * A then REBASES — re-reads v1, re-applies its transform (+10 cents
+   * on even keys) — and lands v2. The final state is therefore the
+   * SERIAL application B-then-A, which the DuckDB oracle recomputes
+   * from the raw table: the hash equality is the serializability
+   * proof. Gates: the conflict was detected (not lost), the loser's
+   * orphaned data directory was reclaimed so exactly one data dir
+   * exists per commit record, the version sequence is the total order
+   * 0..2, and the txn high-water survived the race. Scale shape: the
+   * commit point is one hard-link of a tiny record regardless of data
+   * size; rebase work is O(|table|) reads of the winner's state, never
+   * a lock held across the data write. */
+  val q335OptimisticCommits: Q = Q("q335_optimistic_commits",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       v1 AS (SELECT k, cents FROM c WHERE k % 5 <> 0),
+       v2 AS (SELECT k, cents + CASE WHEN k % 2 = 0 THEN 10 ELSE 0 END AS cents
+              FROM v1),
+       sigs AS (SELECT 'v0' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM c
+                UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v1
+                UNION ALL SELECT 'v2', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v2),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:conflict_detected'),
+                            ('chk:no_orphans'),
+                            ('chk:total_order'),
+                            ('chk:txn_highwater')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_txlog")
+    try {
+      import graft.lake.{CommitConflict, TxLog}
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      def withA(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+        (col("cents") + when(col("k") % 2 === 0, 10L).otherwise(0L))
+          .as("cents"))
+      TxLog.commit(cust, root, expected = -1, txn = 3L)            // v0
+      // both writers read v0; B wins the race
+      val staleBase = TxLog.read(s, root)                          // A's read
+      TxLog.commit(TxLog.read(s, root).filter(col("k") % 5 =!= 0),
+        root, expected = 0)                                        // B → v1
+      // A's stale commit MUST conflict, not clobber
+      val conflicted =
+        try { TxLog.commit(withA(staleBase), root, expected = 0); false }
+        catch { case _: CommitConflict => true }
+      // A rebases through the optimistic-transaction loop → v2
+      TxLog.readModifyWrite(s, root)(base => withA(base.get))
+      def sig(v: Int, tag: String) = TxLog.read(s, root, v)
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      val rows = sig(0, "v0").unionByName(sig(1, "v1"))
+        .unionByName(sig(2, "v2"))
+      val dataDirs = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.count(f => f.isDirectory && f.getName.startsWith("d"))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:conflict_detected", conflicted),
+        // the loser cleaned up after itself: one data dir per record
+        ("chk:no_orphans", dataDirs == 3),
+        ("chk:total_order", TxLog.current(root) == 2),
+        ("chk:txn_highwater", TxLog.lastTxn(root) == 3L)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1506,5 +1586,6 @@ object LakeQueries {
     q288HilbertIndex, q295ZonemapSkip, q316FooterZonemap, q320MergeUpsert,
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
-    q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation)
+    q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
+    q335OptimisticCommits)
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for [[graft.lake.TxLog]] — the multi-writer commit log:
+  * serializability under REAL thread contention, the photo-finish CAS
+  * path (data written, link loses), loser cleanup, crashed-writer
+  * orphans being invisible and age-guard-reclaimed, and txn high-water
+  * semantics. */
+class TxLogSpec extends AnyFunSuite with SparkSpec {
+
+  import graft.lake.{CommitConflict, TxLog}
+
+  test("racing writers serialize: every version is transform(previous), no update lost") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_txlog_race")
+    try {
+      TxLog.commit(Seq(0L).toDF("n"), root, expected = -1)
+      val threads = 3
+      val opsEach = 3
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val pool = (1 to threads).map { _ =>
+        new Thread(() => {
+          try (1 to opsEach).foreach { _ =>
+            TxLog.readModifyWrite(spark, root, maxRetries = 200) { base =>
+              base.get.select((col("n") + 1L).as("n"))
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      pool.foreach(_.start()); pool.foreach(_.join())
+      assert(errs.isEmpty, s"writer thread failed: ${errs.peek()}")
+      // total order: exactly one commit per increment, none lost
+      assert(TxLog.current(root) == threads * opsEach)
+      assert(TxLog.read(spark, root).as[Long].head() == threads * opsEach)
+      // every intermediate version is its predecessor + 1 (serial history)
+      (0 to threads * opsEach).foreach { v =>
+        assert(TxLog.read(spark, root, v).as[Long].head() == v.toLong)
+      }
+      // losers cleaned up: one data directory per commit record
+      val dataDirs = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.count(f => f.isDirectory && f.getName.startsWith("d"))
+      assert(dataDirs == threads * opsEach + 1)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("photo-finish CAS: a commit that wrote its data but loses the link conflicts and cleans up") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_txlog_photo")
+    try {
+      TxLog.commit(Seq(1L).toDF("n"), root, expected = -1)
+      TxLog.commit(Seq(2L).toDF("n"), root, expected = 0)
+      // a second writer also targeting v1, with the cheap precheck
+      // disabled so its data write happens and the LINK is what loses
+      intercept[CommitConflict](TxLog.commitImpl(
+        Seq(99L).toDF("n"), root, expected = 0, txn = -1L,
+        precheck = false))
+      // the winner's v1 is untouched; the loser left no data dir behind
+      assert(TxLog.read(spark, root, 1).as[Long].head() == 2L)
+      val dataDirs = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.count(f => f.isDirectory && f.getName.startsWith("d"))
+      assert(dataDirs == 2)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("crashed writer: an unrecorded data dir is invisible to readers; vacuumOrphans reclaims it age-guarded") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_txlog_orphan")
+    try {
+      TxLog.commit(Seq(1L, 2L).toDF("n"), root, expected = -1)
+      // crash simulation: a writer died after its data write, before
+      // its commit record — the directory exists but nothing names it
+      Seq(7L, 8L, 9L).toDF("n")
+        .write.parquet(s"$root/d1-deadbeef")
+      assert(TxLog.current(root) == 0)
+      assert(TxLog.read(spark, root).count() == 2)
+      // fresh orphans are protected (could be an in-flight commit)
+      assert(TxLog.vacuumOrphans(root) == 0)
+      assert(new java.io.File(root, "d1-deadbeef").isDirectory)
+      // past the grace window it is reclaimed
+      assert(TxLog.vacuumOrphans(root, graceMs = 0L) == 1)
+      assert(!new java.io.File(root, "d1-deadbeef").exists())
+      // the committed version was never at risk
+      assert(TxLog.read(spark, root).count() == 2)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("txn high-water spans all commits; stale expected fails before writing data") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_txlog_txn")
+    try {
+      TxLog.commit(Seq(1L).toDF("n"), root, expected = -1, txn = 5L)
+      TxLog.commit(Seq(2L).toDF("n"), root, expected = 0)
+      assert(TxLog.lastTxn(root) == 5L)
+      TxLog.commit(Seq(3L).toDF("n"), root, expected = 1, txn = 9L)
+      assert(TxLog.lastTxn(root) == 9L)
+      // stale expected: early conflict, and no data directory appears
+      val before = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.count(_.isDirectory)
+      intercept[CommitConflict](
+        TxLog.commit(Seq(9L).toDF("n"), root, expected = 0))
+      val after = Option(new java.io.File(root).listFiles()).toSeq
+        .flatten.count(_.isDirectory)
+      assert(before == after, "stale commit wrote data before conflicting")
+      // reading a never-committed version fails loudly
+      intercept[IllegalArgumentException](TxLog.read(spark, root, 7))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+}
