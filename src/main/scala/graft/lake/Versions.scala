@@ -115,6 +115,17 @@ object Versions {
     * handle and double-apply a redelivered batch. */
   def commit(df: DataFrame, root: String, txn: Long = -1L): Int = {
     val n = current(root) + 1
+    reclaimOrphan(root, n)
+    df.write.mode("errorifexists").parquet(s"$root/v$n")
+    // read() keys completeness off this marker — fail loudly NOW if the
+    // committer was configured not to write it
+    require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
+      s"commit wrote no _SUCCESS marker under $root/v$n")
+    flipPointer(root, n, txn)
+    n
+  }
+
+  private def reclaimOrphan(root: String, n: Int): Unit = {
     val orphan = new java.io.File(root, s"v$n")
     if (orphan.isDirectory) {
       val quietMs = System.currentTimeMillis() - newestMtime(orphan)
@@ -124,16 +135,15 @@ object Versions {
             "a concurrent writer is mid-commit (single-writer contract " +
             "violated); refusing to clobber it. A crashed writer's " +
             s"orphan is reclaimed after ${orphanGraceMs}ms of quiescence.")
-      def rmTree(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-      }
       rmTree(orphan)
     }
-    df.write.mode("errorifexists").parquet(s"$root/v$n")
-    // read() keys completeness off this marker — fail loudly NOW if the
-    // committer was configured not to write it
-    require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
-      s"commit wrote no _SUCCESS marker under $root/v$n")
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  private def flipPointer(root: String, n: Int, txn: Long): Unit = {
     val hw = math.max(txn, lastTxn(root))
     val tmp = new java.io.File(root, s"_current.tmp$n")
     val line = if (hw >= 0) s"$n $hw\n" else s"$n\n"
@@ -142,8 +152,92 @@ object Versions {
     java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Merge-on-read overlay marker of a version: `Some((keyCol,
+    * isUpsert))` for a DV/upsert version, None for a full one. The
+    * marker lives INSIDE the version directory, so it rides every
+    * existing crash rule (an unflipped dir is orphan garbage whether
+    * or not the marker got written). */
+  private def overlay(root: String, v: Int): Option[(String, Boolean)] = {
+    val dir = versionDir(root, v)
+    val dv = new java.io.File(dir, "_dv")
+    val mor = new java.io.File(dir, "_mor")
+    def readKey(f: java.io.File) = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    if (dv.isFile) Some((readKey(dv), false))
+    else if (mor.isFile) Some((readKey(mor), true))
+    else None
+  }
+
+  private def dvKeyCol(root: String, v: Int): Option[String] =
+    overlay(root, v).collect { case (kc, false) => kc }
+
+  /** Nearest FULL version at or below `v` — the base a merge-on-read
+    * chain resolves down to. */
+  private def fullBase(root: String, v: Int): Int =
+    if (v <= 0 || overlay(root, v).isEmpty) v else fullBase(root, v - 1)
+
+  /** DELETION-VECTOR commit (merge-on-read delete — the Delta/Iceberg
+    * deletion-vector rung, public docs): record WHICH rows die instead
+    * of rewriting the table. The new version's directory holds ONLY the
+    * distinct deleted keys plus a `_dv` marker naming the key column;
+    * [[read]] of a DV version resolves the previous version and
+    * anti-joins the vector, recursively down to the nearest full
+    * version. At 100 TB a delete therefore costs O(|keys|) written
+    * bytes and a pointer flip — the copy-on-write rewrite is deferred
+    * to [[compactDeletes]], exactly the merge-on-read/copy-on-write
+    * trade every lakehouse exposes. Time travel still works at every
+    * version; [[vacuum]] auto-lowers its floor to the retained chain's
+    * base so it can never orphan a readable version's chain. */
+  def commitDelete(keys: DataFrame, root: String, keyCol: String,
+                   txn: Long = -1L): Int = {
+    val cur = current(root)
+    require(cur >= 0, s"cannot delete from empty table $root")
+    val n = cur + 1
+    reclaimOrphan(root, n)
+    keys.select(keyCol).distinct()
+      .write.mode("errorifexists").parquet(s"$root/v$n")
+    require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
+      s"commit wrote no _SUCCESS marker under $root/v$n")
+    java.nio.file.Files.write(
+      new java.io.File(root, s"v$n/_dv").toPath,
+      (keyCol + "\n").getBytes("UTF-8"))
+    flipPointer(root, n, txn)
     n
   }
+
+  /** MERGE-ON-READ UPSERT (the Iceberg equality-delete + data-file
+    * shape, public docs): commit `rows` as an OVERLAY version whose
+    * read is "previous minus the overlay's keys, plus the overlay's
+    * rows" — replaced rows and brand-new inserts both land in one
+    * O(|delta|) commit, and the base is never rewritten. `rows` must
+    * carry the full row schema; keys are taken from it. Chains compose
+    * with [[commitDelete]] freely and collapse via [[compactDeletes]].
+    */
+  def commitUpsert(rows: DataFrame, root: String, keyCol: String,
+                   txn: Long = -1L): Int = {
+    val cur = current(root)
+    require(cur >= 0, s"cannot upsert into empty table $root — commit first")
+    val n = cur + 1
+    reclaimOrphan(root, n)
+    rows.write.mode("errorifexists").parquet(s"$root/v$n")
+    require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
+      s"commit wrote no _SUCCESS marker under $root/v$n")
+    java.nio.file.Files.write(
+      new java.io.File(root, s"v$n/_mor").toPath,
+      (keyCol + "\n").getBytes("UTF-8"))
+    flipPointer(root, n, txn)
+    n
+  }
+
+  /** Collapse the current merge-on-read chain into one FULL version
+    * (the OPTIMIZE/compaction step): commit the resolved current state,
+    * after which [[vacuum]] may reclaim the whole old chain. Returns
+    * the new version. No-op-shaped but still a commit when current is
+    * already full. */
+  def compactDeletes(spark: SparkSession, root: String): Int =
+    commit(read(spark, root), root)
 
   /** Read a version (default: current). Reading a vacuumed,
     * never-committed, or HALF-VACUUMED version fails loudly (no files ≠
@@ -158,7 +252,20 @@ object Versions {
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"version $v under $root (dir $dir) is vacuumed, incomplete, " +
         "or was never committed")
-    spark.read.parquet(dir.getAbsolutePath)
+    val df = spark.read.parquet(dir.getAbsolutePath)
+    overlay(root, v) match {
+      case None => df
+      case Some((kc, false)) =>
+        // deletion vector: "previous minus these keys"; resolve
+        // recursively down to the nearest full version
+        read(spark, root, v - 1).join(df, Seq(kc), "left_anti")
+      case Some((kc, true)) =>
+        // upsert overlay: previous rows whose key is NOT replaced,
+        // plus the overlay's own rows (replacements and inserts)
+        read(spark, root, v - 1)
+          .join(df.select(kc).distinct(), Seq(kc), "left_anti")
+          .unionByName(df)
+    }
   }
 
   /** SNAPSHOT-ISOLATION handle: the version a multi-query pipeline
@@ -198,6 +305,10 @@ object Versions {
   def branch(srcRoot: String, dstRoot: String, version: Int = -1): Int = {
     val v = if (version >= 0) version else current(srcRoot)
     require(v >= 0, s"no committed version under $srcRoot to branch from")
+    require(overlay(srcRoot, v).isEmpty,
+      s"v$v under $srcRoot is a merge-on-read overlay version — its " +
+        "data lives in the chain below it, which a zero-copy branch " +
+        "cannot carry; compactDeletes first")
     val src = versionDir(srcRoot, v)
     require(new java.io.File(src, "_SUCCESS").isFile,
       s"source snapshot v$v under $srcRoot is vacuumed or incomplete")
@@ -250,12 +361,13 @@ object Versions {
     * cannot break a streaming writer's replay-skip test. */
   def vacuum(root: String, keepFrom: Int): Int = {
     val cur = current(root)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
-    }
+    // merge-on-read safety: a DV version is only readable down to its
+    // nearest FULL base, so the retention floor auto-lowers to that
+    // base — vacuum can never orphan a retained version's chain.
+    val floor = fullBase(root, math.min(keepFrom, cur))
     val victims = Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .filter(f => f.getName.stripPrefix("v").toInt < math.min(keepFrom, cur))
+      .filter(f => f.getName.stripPrefix("v").toInt < floor)
     victims.foreach { v =>
       new java.io.File(v, "_SUCCESS").delete() // invalidate before delete
       rmTree(v)

@@ -1579,6 +1579,191 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** DELETION VECTORS — merge-on-read deletes for a versioned table
+   * ([[graft.lake.Versions.commitDelete]], the Delta/Iceberg
+   * deletion-vector rung, public docs): v0 commits the full customer
+   * rollup; two deletes land as O(|keys|) DV commits (v1 drops k%5=0,
+   * v2 drops k%7=0) that write ONLY the deleted keys — never a table
+   * rewrite; reads resolve the chain (base anti-join vectors); then
+   * [[graft.lake.Versions.compactDeletes]] collapses the chain into a
+   * full v3 and vacuum reclaims the whole old chain. The oracle
+   * recomputes every state from the raw table, so the hash equality
+   * pins the chain resolution exactly. Gates: the v1 directory holds
+   * EXACTLY the deleted keys and one column (delete is physically
+   * O(|keys|)), the base's files were never touched by either delete,
+   * time travel into the middle of the chain works, the compacted full
+   * version reads bit-identically to the chain it replaced, vacuum
+   * BEFORE compaction auto-lowers its floor to the chain base and
+   * reclaims nothing, and vacuum AFTER compaction reclaims all three
+   * chain members while the compacted read survives. Scale shape: a
+   * delete ships |keys| rows and a pointer flip; the deferred rewrite
+   * cost is paid once at compaction, the merge-on-read /
+   * copy-on-write trade. */
+  val q336DeletionVectors: Q = Q("q336_deletion_vectors",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       v1 AS (SELECT k, cents FROM c WHERE k % 5 <> 0),
+       v2 AS (SELECT k, cents FROM c WHERE k % 5 <> 0 AND k % 7 <> 0),
+       sigs AS (SELECT 'v0' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM c
+                UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v1
+                UNION ALL SELECT 'v2', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v2),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:base_untouched'),
+                            ('chk:compacted_equiv'),
+                            ('chk:dv_is_o_keys'),
+                            ('chk:vacuum_floor_guard'),
+                            ('chk:vacuum_after_compact')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_dv")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      Versions.commit(cust, root)                                   // v0
+      def filesOf(v: Int) = Option(
+        new java.io.File(root, s"v$v").listFiles()).toSeq.flatten
+        .map(f => (f.getName, f.length)).toSet
+      val baseBefore = filesOf(0)
+      val del1 = cust.filter(col("k") % 5 === 0).select("k")
+      Versions.commitDelete(del1, root, "k")                        // v1 (DV)
+      Versions.commitDelete(
+        cust.filter(col("k") % 7 === 0).select("k"), root, "k")     // v2 (DV)
+      // captured NOW: both deletes left the base's physical files alone
+      val baseUntouched = filesOf(0) == baseBefore
+      def sig(v: Int, tag: String) = Versions.read(s, root, v)
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      // time travel INTO the chain (v1) plus both endpoints
+      val rows = sig(0, "v0").unionByName(sig(1, "v1"))
+        .unionByName(sig(2, "v2")).localCheckpoint()
+      // physical O(|keys|): the v1 dir holds exactly the deleted keys
+      val rawDv = s.read.parquet(s"$root/v1")
+      val dvOk = rawDv.columns.toSeq == Seq("k") &&
+        rawDv.count() == del1.distinct().count()
+      // vacuum before compaction: floor auto-lowers to the chain base
+      val preReclaim = Versions.vacuum(root, keepFrom = 2)
+      val chainStillReads = Versions.read(s, root, 2).count() > 0
+      val v2Resolved = Versions.read(s, root, 2).localCheckpoint()
+      Versions.compactDeletes(s, root)                              // v3 full
+      val compactEquiv = {
+        val v3 = Versions.read(s, root, 3)
+        v3.exceptAll(v2Resolved).isEmpty && v2Resolved.exceptAll(v3).isEmpty
+      }
+      val postReclaim = Versions.vacuum(root, keepFrom = 3)
+      val survived = Versions.read(s, root).count() == v2Resolved.count()
+      import s.implicits._
+      val chks = Seq(
+        ("chk:base_untouched", baseUntouched),
+        ("chk:compacted_equiv", compactEquiv),
+        ("chk:dv_is_o_keys", dvOk),
+        ("chk:vacuum_floor_guard", preReclaim == 0 && chainStillReads),
+        ("chk:vacuum_after_compact", postReclaim == 3 && survived)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  /** MERGE-ON-READ UPSERT ([[graft.lake.Versions.commitUpsert]] — the
+   * Iceberg equality-delete + data-file shape, public docs; completes
+   * q336's CRUD story): v0 commits the full customer rollup; v1 lands
+   * updates (+55 cents on k%6=0) AND inserts (synthetic keys 10M+k for
+   * k%10=3) in ONE O(|delta|) overlay commit — the version directory
+   * holds exactly the delta rows, the base is untouched; v2 is a DV
+   * delete of k%4=0, proving upsert and delete overlays COMPOSE in one
+   * chain; compaction then collapses the chain into a full v3. The
+   * oracle recomputes v1/v2 from the raw table so the hash equality
+   * pins the overlay resolution (replaced rows out, replacements +
+   * inserts in, then deletes). Gates: the v1 directory row count
+   * equals the delta size exactly, the base files never changed, the
+   * compacted version reads bit-identically to the chain, and a
+   * zero-copy branch refuses to cut from an overlay version. Scale
+   * shape: updates and inserts ship |delta| rows + a pointer flip;
+   * the rewrite is deferred to one compaction pass. */
+  val q337MorUpsert: Q = Q("q337_mor_upsert",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       delta AS (SELECT k, cents + 55 AS cents FROM c WHERE k % 6 = 0
+                 UNION ALL
+                 SELECT k + 10000000, CAST(k * 3 + 1 AS BIGINT)
+                 FROM c WHERE k % 10 = 3),
+       v1 AS (SELECT k, cents FROM c WHERE k % 6 <> 0
+              UNION ALL SELECT k, cents FROM delta),
+       v2 AS (SELECT k, cents FROM v1 WHERE k % 4 <> 0),
+       sigs AS (SELECT 'v0' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM c
+                UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v1
+                UNION ALL SELECT 'v2', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v2),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:base_untouched'),
+                            ('chk:branch_refused'),
+                            ('chk:compacted_equiv'),
+                            ('chk:delta_is_o_rows')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mor")
+    val br = graft.io.Sources.scratchDir("graft_mor_branch")
+    try {
+      import graft.lake.Versions
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      Versions.commit(cust, root)                                   // v0
+      def filesOf(v: Int) = Option(
+        new java.io.File(root, s"v$v").listFiles()).toSeq.flatten
+        .map(f => (f.getName, f.length)).toSet
+      val baseBefore = filesOf(0)
+      val delta = cust.filter(col("k") % 6 === 0)
+        .select(col("k"), (col("cents") + 55L).as("cents"))
+        .unionByName(cust.filter(col("k") % 10 === 3)
+          .select((col("k") + 10000000L).as("k"),
+            (col("k") * 3L + 1L).as("cents")))
+      Versions.commitUpsert(delta, root, "k")                       // v1 (MOR)
+      Versions.commitDelete(
+        Versions.read(s, root).filter(col("k") % 4 === 0)
+          .select("k"), root, "k")                                  // v2 (DV)
+      val baseUntouched = filesOf(0) == baseBefore
+      def sig(v: Int, tag: String) = Versions.read(s, root, v)
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      val rows = sig(0, "v0").unionByName(sig(1, "v1"))
+        .unionByName(sig(2, "v2")).localCheckpoint()
+      val deltaOk =
+        s.read.parquet(s"$root/v1").count() == delta.count()
+      val branchRefused =
+        try { Versions.branch(root, br); false }
+        catch { case _: IllegalArgumentException => true }
+      val v2Resolved = Versions.read(s, root, 2).localCheckpoint()
+      Versions.compactDeletes(s, root)                              // v3 full
+      val v3 = Versions.read(s, root, 3)
+      val compactEquiv = v3.exceptAll(v2Resolved).isEmpty &&
+        v2Resolved.exceptAll(v3).isEmpty
+      import s.implicits._
+      val chks = Seq(
+        ("chk:base_untouched", baseUntouched),
+        ("chk:branch_refused", branchRefused),
+        ("chk:compacted_equiv", compactEquiv),
+        ("chk:delta_is_o_rows", deltaOk)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally {
+      graft.io.Sources.removeScratchDir(br)
+      graft.io.Sources.removeScratchDir(root)
+    }
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1587,5 +1772,5 @@ object LakeQueries {
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
-    q335OptimisticCommits)
+    q335OptimisticCommits, q336DeletionVectors, q337MorUpsert)
 }

@@ -258,6 +258,77 @@ class Round11Spec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("Versions deletion vectors: chain reads, branch refusal, vacuum floor, delete-from-empty") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_dv_spec")
+    val br = graft.io.Sources.scratchDir("graft_dv_branch")
+    try {
+      // deleting from an empty table fails loudly
+      intercept[IllegalArgumentException](Versions.commitDelete(
+        Seq(1L).toDF("k"), root, "k"))
+      Versions.commit(Seq(1L, 2L, 3L, 4L, 5L).toDF("k"), root)  // v0
+      Versions.commitDelete(Seq(2L, 4L).toDF("k"), root, "k")   // v1 (DV)
+      Versions.commitDelete(Seq(5L).toDF("k"), root, "k")       // v2 (DV)
+      assert(Versions.read(spark, root).as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L))
+      // time travel into the middle of the chain
+      assert(Versions.read(spark, root, 1).as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L, 5L))
+      // deleting an already-deleted or absent key is idempotent
+      Versions.commitDelete(Seq(2L, 99L).toDF("k"), root, "k")  // v3 (DV)
+      assert(Versions.read(spark, root).as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L))
+      // a zero-copy branch cannot be cut from a DV version
+      intercept[IllegalArgumentException](Versions.branch(root, br))
+      // vacuum floor auto-lowers to the chain base: nothing reclaimable
+      assert(Versions.vacuum(root, keepFrom = 3) == 0)
+      assert(Versions.read(spark, root, 2).count() == 2)
+      // compaction collapses the chain; the old chain becomes reclaimable
+      val v4 = Versions.compactDeletes(spark, root)
+      assert(Versions.read(spark, root, v4).as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L))
+      assert(Versions.vacuum(root, keepFrom = v4) == 4)
+      assert(Versions.read(spark, root).as[Long].collect().sorted.toSeq
+        == Seq(1L, 3L))
+      // ...and the compacted version can be branched
+      Versions.branch(root, br)
+      assert(Versions.read(spark, br).count() == 2)
+    } finally {
+      graft.io.Sources.removeScratchDir(br)
+      graft.io.Sources.removeScratchDir(root)
+    }
+  }
+
+  test("Versions merge-on-read upsert: replace + insert in one overlay, composes with DV deletes") {
+    import graft.lake.Versions
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_mor_spec")
+    try {
+      intercept[IllegalArgumentException](Versions.commitUpsert(
+        Seq((1L, "a")).toDF("k", "s"), root, "k"))
+      Versions.commit(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"), root) // v0
+      // one overlay: replace k=2, insert k=9
+      Versions.commitUpsert(
+        Seq((2L, "B"), (9L, "i")).toDF("k", "s"), root, "k")       // v1
+      assert(Versions.read(spark, root).as[(Long, String)].collect()
+        .sorted.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "i")))
+      // DV delete composes on top of the upsert overlay
+      Versions.commitDelete(Seq(1L, 9L).toDF("k"), root, "k")      // v2
+      assert(Versions.read(spark, root).as[(Long, String)].collect()
+        .sorted.toSeq == Seq((2L, "B"), (3L, "c")))
+      // a second upsert can resurrect a deleted key
+      Versions.commitUpsert(Seq((9L, "i2")).toDF("k", "s"), root, "k")
+      assert(Versions.read(spark, root).as[(Long, String)].collect()
+        .sorted.toSeq == Seq((2L, "B"), (3L, "c"), (9L, "i2")))
+      // time travel sees each overlay state exactly
+      assert(Versions.read(spark, root, 1).count() == 4)
+      assert(Versions.read(spark, root, 0).as[(Long, String)].collect()
+        .sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("Versions.snapshot: pinned reads are repeatable while commits land; vacuum breaks the pin loudly") {
     import graft.lake.Versions
     import spark.implicits._
