@@ -75,8 +75,19 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     // match Verify's subset syntax: full name or prefix up to the first _
-    val selected = SparkEntry.registry.filter(q => only.forall(o =>
+    val ordered = SparkEntry.registry.filter(q => only.forall(o =>
       o.contains(q.name) || o.contains(q.name.takeWhile(_ != '_'))))
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the marathon back-to-front —
+    // the controlled experiment that separates position-dependent
+    // environmental pressure (late queries pay an accumulating tax
+    // regardless of identity) from per-query regressions (a query is
+    // slow wherever it runs). Per-query numbers stay attributable
+    // because the warm-up run and cold annotations work identically in
+    // either direction.
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse"))
+        ordered.reverse
+      else ordered
     // child-session stream runs (withStatePartitions isolation) don't hit
     // the parent listener, so count them via the explicit counter too
     def streamCount: Int = streamStarts.get() +
