@@ -1764,6 +1764,82 @@ object LakeQueries {
     }
   }
 
+  /** STREAMING MICRO-BATCH COMMITS ON THE MULTI-WRITER LOG
+   * ([[graft.streaming.StreamingLake.applyBatchCas]] +
+   * [[graft.lake.TxLog]] — q327's exactly-once stream sink upgraded
+   * from the single-writer manifest to the CAS commit log, so a
+   * MAINTENANCE writer may race the stream and neither loses): the
+   * events table streams in four micro-batches, each committed via the
+   * optimistic loop with its batchId as the commit txn; then a
+   * txn-less maintenance rewrite lands (the compaction that q327's
+   * design could not tolerate racing), a deliberately STALE commit is
+   * shown to conflict rather than clobber, and a replayed batch is
+   * shown to be skipped — even though the maintenance commit moved the
+   * version — because the txn high-water is the max over ALL commit
+   * records, not the last one. The oracle recomputes the view from the
+   * raw events, so the hash pins stream ≡ batch through every
+   * interleaving. Gates: one commit per micro-batch before
+   * maintenance, the maintenance rewrite preserved the view
+   * bit-identically, the stale commit conflicted, replay after
+   * maintenance was skipped, and lastTxn survived the txn-less
+   * commit. Scale shape: per batch O(|batch|+|view|) plus one
+   * hard-link; a conflicted writer redoes only the merge, never the
+   * batch scan (the batch aggregate is checkpointed once). */
+  val q338StreamCasCommits: Q = Q("q338_stream_cas_commits",
+    """WITH v AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:maintenance_preserves'),
+                            ('chk:one_commit_per_batch'),
+                            ('chk:replay_skipped'),
+                            ('chk:stale_commit_conflicts'),
+                            ('chk:txn_survives_maintenance')) t(chk))
+       SELECT * FROM (SELECT 'et:' || event_type AS tag, n, id_sum FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_stream_cas")
+    try {
+      import graft.lake.{CommitConflict, TxLog}
+      val nBatches = graft.streaming.StreamingLake
+        .runViewCommitsCas(s, d, root, nFiles = 4)
+      val preMaint = TxLog.current(root)
+      val viewBefore = TxLog.read(s, root).localCheckpoint()
+      // txn-less maintenance rewrite racing the (finished) stream epoch
+      TxLog.readModifyWrite(s, root)(base => base.get.repartition(1))
+      val viewAfter = TxLog.read(s, root)
+      val preserved = viewAfter.exceptAll(viewBefore).isEmpty &&
+        viewBefore.exceptAll(viewAfter).isEmpty
+      // a stale writer (expected = pre-maintenance version) must
+      // conflict, never clobber the maintenance commit
+      val conflicted =
+        try { TxLog.commit(viewBefore, root, expected = preMaint); false }
+        catch { case _: CommitConflict => true }
+      // replayed batch AFTER maintenance: still skipped, because the
+      // high-water is the max over all records, not the last commit's
+      import s.implicits._
+      val curNow = TxLog.current(root)
+      val replayed = graft.streaming.StreamingLake.applyBatchCas(root,
+        Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
+      val ets = TxLog.read(s, root)
+        .select(concat(lit("et:"), col("event_type")).as("tag"),
+          col("n"), col("id_sum"))
+      val chks = Seq(
+        ("chk:maintenance_preserves", preserved),
+        ("chk:one_commit_per_batch", preMaint.toLong == nBatches - 1),
+        ("chk:replay_skipped",
+          !replayed && TxLog.current(root) == curNow),
+        ("chk:stale_commit_conflicts", conflicted),
+        ("chk:txn_survives_maintenance",
+          TxLog.lastTxn(root) == nBatches - 1)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      ets.unionByName(chks).orderBy("tag").localCheckpoint()
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1772,5 +1848,6 @@ object LakeQueries {
     q324MergeReadback, q325IncrView, q326TimeTravelVacuum,
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
-    q335OptimisticCommits, q336DeletionVectors, q337MorUpsert)
+    q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
+    q338StreamCasCommits)
 }

@@ -37,28 +37,63 @@ object StreamingLake {
     * commit exactly once, and because the txn rides the pointer flip
     * there is no crash window where the view is committed but the
     * batch not marked. */
-  private[graft] def applyBatch(root: String, batch: DataFrame,
-                                batchId: Long): Unit = {
-    import graft.lake.Versions
-    if (batchId <= Versions.lastTxn(root)) return // redelivered epoch
-    val spark = batch.sparkSession
-    val agg = batch.groupBy("event_type")
+  private def aggOf(batch: DataFrame): DataFrame =
+    batch.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
-    val merged =
-      if (Versions.current(root) < 0) agg
-      else {
-        val cur = Versions.read(spark, root)
-          .select(col("event_type").as("c_et"), col("n").as("c_n"),
-            col("id_sum").as("c_sum"))
+
+  private def mergeInto(base: Option[DataFrame], agg: DataFrame): DataFrame =
+    base match {
+      case None => agg
+      case Some(curDf) =>
+        val cur = curDf.select(col("event_type").as("c_et"),
+          col("n").as("c_n"), col("id_sum").as("c_sum"))
         cur.join(agg, col("c_et") === col("event_type"), "full_outer")
           .select(coalesce(col("c_et"), col("event_type")).as("event_type"),
             (coalesce(col("c_n"), lit(0L)) + coalesce(col("n"), lit(0L)))
               .as("n"),
             (coalesce(col("c_sum"), lit(0L)) + coalesce(col("id_sum"), lit(0L)))
               .as("id_sum"))
-      }
+    }
+
+  private[graft] def applyBatch(root: String, batch: DataFrame,
+                                batchId: Long): Unit = {
+    import graft.lake.Versions
+    if (batchId <= Versions.lastTxn(root)) return // redelivered epoch
+    val spark = batch.sparkSession
+    val agg = aggOf(batch)
+    val merged = mergeInto(
+      if (Versions.current(root) < 0) None
+      else Some(Versions.read(spark, root)), agg)
     Versions.commit(merged, root, txn = batchId)
     ()
+  }
+
+  /** One micro-batch into a MULTI-WRITER [[graft.lake.TxLog]] table —
+    * the q327 recipe upgraded from the single-writer manifest flip to
+    * the CAS commit log, so a MAINTENANCE writer (compaction, manual
+    * fix-up) may race the stream and nobody loses: the skip test
+    * (`batchId <= lastTxn`, re-checked inside the loop in case another
+    * worker applied this very epoch) keeps redelivery idempotent, and
+    * a [[graft.lake.CommitConflict]] means some other commit won the
+    * version — rebase on the winner's state and retry. The batch
+    * aggregate is checkpointed once so retries never rescan the batch.
+    * Returns true if THIS call committed the batch. */
+  private[graft] def applyBatchCas(root: String, batch: DataFrame,
+                                   batchId: Long): Boolean = {
+    import graft.lake.{CommitConflict, TxLog}
+    if (batchId <= TxLog.lastTxn(root)) return false // redelivered epoch
+    val spark = batch.sparkSession
+    val agg = aggOf(batch).localCheckpoint()
+    while (true) {
+      if (batchId <= TxLog.lastTxn(root)) return false
+      val v = TxLog.current(root)
+      val base = if (v < 0) None else Some(TxLog.read(spark, root, v))
+      try {
+        TxLog.commit(mergeInto(base, agg), root, expected = v, txn = batchId)
+        return true
+      } catch { case _: CommitConflict => () } // rebase and retry
+    }
+    false // unreachable
   }
 
   /** Drive the events table through the stream in `nFiles` controlled
@@ -67,6 +102,35 @@ object StreamingLake {
     * into `root`. Returns the number of micro-batches processed; the
     * caller reads the final view back through [[graft.lake.Versions]].
     */
+  /** [[runViewCommits]] against a [[graft.lake.TxLog]] table via
+    * [[applyBatchCas]] — safe to run WHILE other writers commit to the
+    * same root. Returns micro-batches processed. */
+  def runViewCommitsCas(spark: SparkSession, dir: String, root: String,
+                        nFiles: Int = 4): Long = {
+    val stage = graft.io.Sources.scratchDir("graft_streamcas")
+    graft.io.Sources.table(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchCas(root, batch, batchId)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
+    batches.get()
+  }
+
   def runViewCommits(spark: SparkSession, dir: String, root: String,
                      nFiles: Int = 4): Long = {
     val stage = graft.io.Sources.scratchDir("graft_streamlake")

@@ -86,6 +86,42 @@ class TxLogSpec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("a live stream and a racing maintenance writer both commit; the final view equals batch truth") {
+    val root = graft.io.Sources.scratchDir("graft_txlog_stream")
+    try {
+      // the maintenance thread rewrites the CURRENT view repeatedly
+      // while the stream commits micro-batches — a genuine multi-writer
+      // interleaving; serializability means the final view must equal
+      // the one-shot batch truth no matter who won which version
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val maint = new Thread(() => {
+        try while (!stop.get()) {
+          if (TxLog.current(root) >= 0)
+            TxLog.readModifyWrite(spark, root, maxRetries = 500)(b =>
+              b.get.repartition(1))
+          Thread.sleep(50)
+        } catch { case t: Throwable => errs.add(t); () }
+      })
+      maint.start()
+      val nBatches =
+        try graft.streaming.StreamingLake.runViewCommitsCas(
+          spark, sf001, root, nFiles = 4)
+        finally { stop.set(true); maint.join() }
+      assert(errs.isEmpty, s"maintenance writer failed: ${errs.peek()}")
+      assert(nBatches == 4)
+      val truth = graft.io.Sources.table(spark, sf001, "events")
+        .filter(col("event_type").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      val got = TxLog.read(spark, root)
+      assert(got.exceptAll(truth).isEmpty && truth.exceptAll(got).isEmpty,
+        "final view diverged from batch truth under multi-writer race")
+      // every batch committed exactly once despite the interleaving
+      assert(TxLog.lastTxn(root) == nBatches - 1)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("txn high-water spans all commits; stale expected fails before writing data") {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_txlog_txn")
