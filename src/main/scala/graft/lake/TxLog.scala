@@ -47,29 +47,98 @@ object TxLog {
   private def recordFile(root: String, n: Int) =
     new java.io.File(logDir(root), f"$n%010d")
 
-  /** Highest committed version, or -1 for an empty table. Readers list
-    * the log directory, never the data directories. */
-  def current(root: String): Int = {
-    val fs = Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-    val ns = fs.filter(_.isFile).map(_.getName)
+  private def checkpointFile(root: String) =
+    new java.io.File(logDir(root), "_checkpoint")
+
+  /** The folded log prefix `(version, txn high-water)` a [[checkpoint]]
+    * recorded, or (-1, -1) if none. */
+  private def checkpointState(root: String): (Int, Long) = {
+    val f = checkpointFile(root)
+    if (!f.isFile) (-1, -1L)
+    else {
+      val t = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+        .split("\\s+")
+      (t(0).toInt, t(1).toLong)
+    }
+  }
+
+  private def listedRecords(root: String): Seq[Int] =
+    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getName)
       .filter(_.matches("\\d+")).map(_.toInt)
-    if (ns.isEmpty) -1 else ns.max
+
+  /** Highest committed version, or -1 for an empty table. Readers list
+    * the log directory, never the data directories; after a
+    * [[vacuum]], the checkpoint floor stands in for reclaimed
+    * records. */
+  def current(root: String): Int = {
+    val ns = listedRecords(root)
+    val ck = checkpointState(root)._1
+    if (ns.isEmpty) ck else math.max(ns.max, ck)
   }
 
   private def record(root: String, n: Int): (String, Long) = {
     val f = recordFile(root, n)
-    require(f.isFile, s"version $n under $root was never committed")
+    require(f.isFile,
+      s"version $n under $root is vacuumed or was never committed")
     val t = new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split("\\s+")
     (t(0), if (t.length > 1) t(1).toLong else -1L)
   }
 
   /** Writer-transaction high-water mark across all commits (the
-    * streaming idempotence handle, as in [[Versions.lastTxn]]). O(log
-    * length) record reads — a real log checkpoints this. */
+    * streaming idempotence handle, as in [[Versions.lastTxn]]): the
+    * max of the checkpointed fold and every record past it, so it is
+    * O(tail) after a [[checkpoint]] and survives [[vacuum]] of the
+    * folded prefix. */
   def lastTxn(root: String): Long = {
+    val (ckV, ckTxn) = checkpointState(root)
+    val tail = listedRecords(root).filter(_ > ckV)
+    (ckTxn +: tail.map(record(root, _)._2)).max
+  }
+
+  /** Fold the log prefix into `_checkpoint` — the role Delta's parquet
+    * checkpoint plays (public docs): `current`/`lastTxn` no longer
+    * need the records at or below the checkpointed version, which
+    * makes them O(tail) on long histories and lets [[vacuum]] reclaim
+    * the prefix records entirely. Written via temp + atomic rename
+    * (last checkpoint wins; it only ever moves forward). Returns the
+    * checkpointed version. */
+  def checkpoint(root: String): Int = {
     val cur = current(root)
-    if (cur < 0) -1L else (0 to cur).map(record(root, _)._2).max
+    require(cur >= 0, s"nothing to checkpoint under $root")
+    val hw = lastTxn(root)
+    val prev = checkpointState(root)._1
+    require(cur >= prev, s"checkpoint would regress $prev -> $cur")
+    val tmp = new java.io.File(logDir(root), s"_checkpoint.tmp$cur")
+    java.nio.file.Files.write(tmp.toPath, s"$cur $hw\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, checkpointFile(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cur
+  }
+
+  /** Retention for the multi-writer table: reclaim data directories
+    * AND log records of all versions below `keepFrom` (current always
+    * kept). Auto-[[checkpoint]]s first so the txn high-water and the
+    * version counter survive the reclaimed prefix. Reads of a
+    * vacuumed version fail loudly in [[read]]/[[record]]. Returns
+    * versions reclaimed. */
+  def vacuum(root: String, keepFrom: Int): Int = {
+    val cur = current(root)
+    if (cur < 0) return 0
+    checkpoint(root)
+    val floor = math.min(keepFrom, cur)
+    val victims = listedRecords(root).filter(_ < floor)
+    victims.foreach { v =>
+      val dataName = record(root, v)._1
+      // unlink the record FIRST: a crash mid-vacuum leaves a version
+      // that already reads as vacuumed, never one with missing data
+      recordFile(root, v).delete()
+      rmTree(new java.io.File(root, dataName))
+    }
+    victims.size
   }
 
   /** Read a version (default: current) by resolving its data directory

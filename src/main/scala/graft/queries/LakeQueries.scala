@@ -1840,6 +1840,85 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** COMMIT-LOG CHECKPOINT + RETENTION for the multi-writer table
+   * ([[graft.lake.TxLog.checkpoint]]/[[graft.lake.TxLog.vacuum]] — the
+   * role Delta's parquet checkpoint plays, public docs; closes the
+   * "real systems checkpoint the log" caveat q335 shipped with): a
+   * 12-commit history (mixed txn and txn-less commits) is
+   * checkpointed, then retention reclaims versions v0–v9 — data
+   * directories AND their log records — leaving `current` and the txn
+   * high-water intact because the checkpoint folded them, `lastTxn`
+   * O(tail) instead of O(history), tail time travel (v10/v11) alive,
+   * prefix time travel failing loudly, and new commits continuing on
+   * the vacuumed log. The oracle recomputes both retained states from
+   * the raw table. Gates: counter/high-water stability across the
+   * prefix reclaim, exactly ten versions reclaimed, bounded log (two
+   * records + checkpoint), old reads fail, commits continue. Scale
+   * shape: a checkpoint is one tiny fold file; vacuum unlinks the
+   * record BEFORE its data so a crash mid-vacuum leaves versions that
+   * already read as vacuumed, never missing-data reads. */
+  val q339TxlogCheckpoint: Q = Q("q339_txlog_checkpoint",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       v10 AS (SELECT k, cents FROM c WHERE k % 12 <> 11),
+       sigs AS (SELECT 'v10' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM v10
+                UNION ALL SELECT 'v11', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM c),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:commits_continue'),
+                            ('chk:current_stable'),
+                            ('chk:lasttxn_stable'),
+                            ('chk:log_bounded'),
+                            ('chk:old_read_fails'),
+                            ('chk:vacuumed_ten')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_txlog_ckpt")
+    try {
+      import graft.lake.TxLog
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      // 12 commits, each widening the slice (v_i = keys with k%12 <= i);
+      // txns only on commits 2/5/9 — the fold must carry them anyway
+      (0 to 11).foreach { i =>
+        val txn = if (Set(2, 5, 9)(i)) 100L + i else -1L
+        TxLog.commit(cust.filter(pmod(col("k"), lit(12)) <= i), root,
+          expected = i - 1, txn = txn)
+      }
+      TxLog.checkpoint(root)
+      val reclaimed = TxLog.vacuum(root, keepFrom = 10)
+      val stableAfterVacuum =
+        TxLog.current(root) == 11 && TxLog.lastTxn(root) == 109L
+      val oldFails =
+        try { TxLog.read(s, root, 5); false }
+        catch { case _: IllegalArgumentException => true }
+      def sig(v: Int, tag: String) = TxLog.read(s, root, v)
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      val rows = sig(10, "v10").unionByName(sig(11, "v11"))
+      val logFiles = Option(new java.io.File(root, "_commits")
+        .listFiles()).toSeq.flatten.map(_.getName).toSet
+      // a new commit rides the vacuumed log without missing a beat
+      TxLog.commit(TxLog.read(s, root), root, expected = 11)
+      import s.implicits._
+      val chks = Seq(
+        ("chk:commits_continue", TxLog.current(root) == 12),
+        ("chk:current_stable", stableAfterVacuum),
+        ("chk:lasttxn_stable", TxLog.lastTxn(root) == 109L),
+        ("chk:log_bounded",
+          logFiles == Set("0000000010", "0000000011", "_checkpoint")),
+        ("chk:old_read_fails", oldFails),
+        ("chk:vacuumed_ten", reclaimed == 10)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1849,5 +1928,5 @@ object LakeQueries {
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
-    q338StreamCasCommits)
+    q338StreamCasCommits, q339TxlogCheckpoint)
 }

@@ -122,6 +122,34 @@ class TxLogSpec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("checkpoint + vacuum: crash mid-vacuum leaves vacuumed-reading versions; checkpoint never regresses") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_txlog_ck")
+    try {
+      intercept[IllegalArgumentException](TxLog.checkpoint(root))
+      (0 to 4).foreach(i =>
+        TxLog.commit(Seq(i.toLong).toDF("n"), root, expected = i - 1,
+          txn = if (i == 2) 50L else -1L))
+      TxLog.checkpoint(root)
+      // crash mid-vacuum simulation: record 0 unlinked, data dir still
+      // there (vacuum deletes the record FIRST) — v0 must read as
+      // vacuumed, and the counter/high-water hold via the checkpoint
+      new java.io.File(root, "_commits/0000000000").delete()
+      intercept[IllegalArgumentException](TxLog.read(spark, root, 0))
+      assert(TxLog.current(root) == 4 && TxLog.lastTxn(root) == 50L)
+      // v0's stranded data dir is unnamed by any record now — exactly
+      // what vacuumOrphans reclaims (age guard bypassed for the test)
+      assert(TxLog.vacuumOrphans(root, graceMs = 0L) == 1)
+      // a resumed vacuum reclaims the remaining prefix (records 1, 2)
+      assert(TxLog.vacuum(root, keepFrom = 3) == 2)
+      assert(TxLog.read(spark, root, 3).as[Long].head() == 3L)
+      assert(TxLog.read(spark, root).as[Long].head() == 4L)
+      // commits continue after prefix reclaim
+      TxLog.commit(Seq(9L).toDF("n"), root, expected = 4)
+      assert(TxLog.current(root) == 5 && TxLog.lastTxn(root) == 50L)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("txn high-water spans all commits; stale expected fails before writing data") {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_txlog_txn")
