@@ -9,9 +9,14 @@ import graft.functions.{DoubleDotProduct, LangId, LongWordExtraUnits, Md5LongArr
  * Session extension (`--conf spark.sql.extensions=graft.GraftExtensions`)
  * exposing the engine's native expressions to SQL users. Kept minimal on
  * purpose: SURVEY.md §4 concluded no optimizer rules or planner
- * strategies are required — built-in Catalyst handles every rewrite this
- * workload needs — so the only injection point used is function
- * registration.
+ * strategies are REQUIRED — built-in Catalyst handles every rewrite this
+ * workload needs — so the only injection point used here is function
+ * registration. The one optimizer rule the library ships,
+ * [[graft.plans.ViewRewrite]] (materialized-view routing), is an OPT-IN
+ * capability registered per scope via `ViewRewrite.withRule` /
+ * `spark.experimental.extraOptimizations`, because it changes which
+ * table a query reads and must only apply where a view catalog is
+ * actively maintained.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =

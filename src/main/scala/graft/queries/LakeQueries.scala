@@ -1919,6 +1919,90 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** MATERIALIZED-VIEW REWRITE ([[graft.plans.ViewRewrite]] — an
+   * optimizer `Rule[LogicalPlan]` on the public
+   * `spark.experimental.extraOptimizations` extension point; the
+   * automatic MV-routing every warehouse exposes, and the missing
+   * consumer half of q325's incremental view maintenance): the
+   * per-event-type count/sum view is committed as a
+   * [[graft.lake.Versions]] table and its current version REGISTERED;
+   * a user aggregate over the BASE events table is then answered from
+   * the |groups|-row view — the optimized plan provably scans the view
+   * and not the fact table — while two control queries that the view
+   * CANNOT answer (a distinct count; a filtered base) are left
+   * untouched and still scan the base. The DuckDB oracle recomputes
+   * the answer from raw events, so the hash equality pins that the
+   * rewrite is semantics-preserving, not just plan-shaped. Gates:
+   * rewrite fired (view path in, base path out of the optimized
+   * plan), both negative controls unrewritten, and an operator ON TOP
+   * of the rewritten aggregate still resolves (ExprId stability). At
+   * 100 TB this is a fact-table scan replaced by an O(|groups|) read,
+   * refreshed O(|delta|) by the q325 loop. */
+  val q340MatviewRewrite: Q = Q("q340_matview_rewrite",
+    """WITH v AS (SELECT 'et:' || coalesce(event_type, '(null)') AS tag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum
+           FROM events GROUP BY event_type),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:composes_above'),
+                            ('chk:distinct_unrewritten'),
+                            ('chk:filter_unrewritten'),
+                            ('chk:rewrite_fired')) t(chk))
+       SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mv")
+    try {
+      import graft.lake.Versions
+      import graft.plans.{MatView, ViewRewrite}
+      val ev = table(s, d, "events").select("event_type", "event_id")
+      def userAgg() = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+      Versions.commit(userAgg(), root) // the maintained MV, version 0
+      val spec = MatView(
+        basePath = s"$d/events.parquet",
+        viewPath = s"$root/v${Versions.current(root)}",
+        keyCol = "event_type",
+        countCol = Some("n"),
+        sumCols = Map("event_id" -> "id_sum"))
+      val (rows, fired, ctrlDistinct, ctrlFilter, composes) =
+        ViewRewrite.withRule(s, spec) {
+          val q = userAgg()
+          val paths = ViewRewrite.scannedPaths(q)
+          val fired = paths.exists(_.contains(root)) &&
+            !paths.exists(_.contains("events.parquet"))
+          val out = q.select(
+            concat(lit("et:"),
+              coalesce(col("event_type"), lit("(null)"))).as("tag"),
+            col("n"), col("id_sum")).localCheckpoint()
+          // negative controls: shapes the view cannot answer must keep
+          // scanning the base
+          val d1 = ViewRewrite.scannedPaths(ev.groupBy("event_type")
+            .agg(countDistinct(col("event_id")).as("n")))
+          val d2 = ViewRewrite.scannedPaths(
+            ev.filter(col("event_id") % 2 === 0)
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum")))
+          // ExprId stability: an operator ABOVE the rewritten aggregate
+          // still resolves and computes
+          val composes = userAgg().filter(col("n") > 0).count() == out.count()
+          (out, fired, d1.exists(_.contains("events.parquet")),
+            d2.exists(_.contains("events.parquet")), composes)
+        }
+      import s.implicits._
+      val chks = Seq(
+        ("chk:composes_above", composes),
+        ("chk:distinct_unrewritten", ctrlDistinct),
+        ("chk:filter_unrewritten", ctrlFilter),
+        ("chk:rewrite_fired", fired)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -1928,5 +2012,5 @@ object LakeQueries {
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
-    q338StreamCasCommits, q339TxlogCheckpoint)
+    q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite)
 }
