@@ -1254,7 +1254,7 @@ object TextQueries {
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
     q318IvfAppend, q322IvfPqAppend, q323IndexDelete, q329IndexDrift,
-    q331PartialRetrain)
+    q331PartialRetrain, q341CdcIndexSync)
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -1872,5 +1872,139 @@ object TextQueries {
     Multimodal.phashCandidates(hashed, maxDist = 3)
       .select(col("i"), col("j"), col("ha"), col("hb"), col("dist"))
       .orderBy("i", "j")
+  }
+
+  /** CDC-DRIVEN ANN INDEX MAINTENANCE — the lake's change feed keeps
+   * the search index in sync (the production search-indexing-from-CDC
+   * pattern: a [[graft.lake.Versions]] corpus evolves, the q328-style
+   * storage diff between two versions derives inserted/updated/deleted
+   * rows, and those — NOT a corpus rescan — drive
+   * [[graft.sim.Ivf.deleteFromIndex]] tombstones (deleted+updated) and
+   * [[graft.sim.Ivf.appendToIndex]] routing (inserted+updated), so the
+   * index tracks the table with no retrain — tombstones and appends
+   * are O(|delta|); re-adding an UPDATED id additionally needs the
+   * pending tombstones folded first ([[graft.sim.Ivf.compactIndex]],
+   * one batched pass per CDC batch, or the re-add would be killed by
+   * its own delete — the Lucene delete-then-add ordering).
+   * Corpus evolution: v0 is the embeddings slice vec_id%5≠4; v1 deletes
+   * vec_id%7=0, updates vec_id%11=0 (embedding reversed — a direction
+   * change the index must re-route), and inserts the %5=4 rows. The
+   * oracle recomputes every action class and the final live set from
+   * the raw table's mod arithmetic. Gates: the index's live id set
+   * equals v1 EXACTLY (both anti-joins empty), the centroid table's
+   * physical files never changed (maintenance, not retrain), the
+   * tombstone table holds exactly |deleted|+|updated| ids, and probe
+   * recall@10 vs brute force on v1 holds a 0.6 floor through the sync
+   * (the q272 operating-curve bar at nProbe=8/16). Scale shape: diff is
+   * one keyed full-outer over two version read-backs; the index never
+   * sees the unchanged rows. */
+  lazy val q341CdcIndexSync: Q = Q("q341_cdc_index_sync",
+    """WITH e AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+       v0 AS (SELECT vec_id FROM e WHERE vec_id % 5 <> 4),
+       del AS (SELECT vec_id FROM v0 WHERE vec_id % 7 = 0),
+       upd AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0 AND vec_id % 11 = 0),
+       ins AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4),
+       v1 AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0
+              UNION ALL SELECT vec_id FROM ins),
+       sigs AS (SELECT 'act:deleted' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vec_id) AS BIGINT) AS id_sum FROM del
+                UNION ALL SELECT 'act:inserted', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM ins
+                UNION ALL SELECT 'act:updated', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM upd
+                UNION ALL SELECT 'live:index', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM v1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:live_set_equals_v1'),
+                            ('chk:no_retrain'),
+                            ('chk:recall_floor'),
+                            ('chk:tombstones_bounded')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    import graft.lake.Versions
+    import graft.sim.{Ivf, Similarity}
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val root = graft.io.Sources.scratchDir("graft_cdc_corpus")
+    val idx = graft.io.Sources.scratchDir("graft_cdc_idx")
+    try {
+      val v0 = emb.select("vec_id", "embedding")
+        .filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      Versions.commit(v0, root) // corpus v0
+      val v1 = v0.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11)) === 0,
+            reverse(col("embedding"))).otherwise(col("embedding"))
+            .as("embedding"))
+        .unionByName(emb.select("vec_id", "embedding")
+          .filter(pmod(col("vec_id"), lit(5)) === 4))
+      Versions.commit(v1, root) // corpus v1
+      Ivf.persistIndex(Versions.read(s, root, 0), idx, nClusters = 16)
+      def centroidFiles = Option(
+        new java.io.File(idx, "centroids").listFiles()).toSeq.flatten
+        .map(f => (f.getName, f.length)).toSet
+      val centroidsBefore = centroidFiles
+      // the change feed, derived from STORAGE alone (q328 shape, with
+      // the embedding array itself as the update detector)
+      val a = Versions.read(s, root, 0)
+        .select(col("vec_id").as("k"), col("embedding").as("oe"))
+      val b = Versions.read(s, root, 1)
+        .select(col("vec_id").as("k1"), col("embedding").as("ne"))
+      val cdf = a.join(b, col("k") === col("k1"), "full_outer")
+        .select(coalesce(col("k"), col("k1")).as("vec_id"),
+          when(col("k").isNull, "inserted")
+            .when(col("k1").isNull, "deleted")
+            .when(col("oe") =!= col("ne"), "updated")
+            .otherwise("unchanged").as("action"),
+          col("ne"))
+        .filter(col("action") =!= "unchanged").localCheckpoint()
+      // apply the feed: tombstone the dead ids (deleted AND updated —
+      // an update is delete-then-add), FOLD the tombstones so the
+      // re-added ids aren't killed by their own delete (the Lucene
+      // delete-then-add recipe; tombstones carry no sequence numbers,
+      // so the fold is one batched compaction per CDC batch, never per
+      // row), then route the new rows. No retrain anywhere.
+      Ivf.deleteFromIndex(cdf.filter(col("action").isin("deleted", "updated"))
+        .select("vec_id"), idx)
+      val tombs = s.read.parquet(s"$idx/tombstones").count()
+      Ivf.compactIndex(s, idx)
+      Ivf.appendToIndex(cdf.filter(col("action").isin("inserted", "updated"))
+        .select(col("vec_id"), col("ne").as("embedding")), idx)
+      // gates
+      val v1r = Versions.read(s, root, 1).localCheckpoint()
+      val live = Ivf.liveAssigned(s, idx).select("vec_id")
+      val liveEq =
+        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
+          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
+      val nDelUpd = cdf.filter(col("action").isin("deleted", "updated")).count()
+      val queries = v1r.filter(col("vec_id") < 40)
+      val got = Ivf.probeIndex(queries, idx, k = 10, nProbe = 8)
+        .select("qid", "nid")
+      val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
+        .select("qid", "nid")
+      val recallOk = {
+        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
+        hits.toDouble / truth.count() >= 0.6
+      }
+      val rows = cdf.groupBy(concat(lit("act:"), col("action")).as("tag"))
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        .unionByName(v1r.agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+          .select(lit("live:index").as("tag"), col("n"), col("id_sum")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:live_set_equals_v1", liveEq),
+        ("chk:no_retrain", centroidFiles == centroidsBefore),
+        ("chk:recall_floor", recallOk),
+        ("chk:tombstones_bounded", tombs == nDelUpd)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally {
+      graft.io.Sources.removeScratchDir(idx)
+      graft.io.Sources.removeScratchDir(root)
+    }
   }
 }
