@@ -252,20 +252,33 @@ object Versions {
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"version $v under $root (dir $dir) is vacuumed, incomplete, " +
         "or was never committed")
-    val df = spark.read.parquet(dir.getAbsolutePath)
-    overlay(root, v) match {
-      case None => df
-      case Some((kc, false)) =>
-        // deletion vector: "previous minus these keys"; resolve
-        // recursively down to the nearest full version
-        read(spark, root, v - 1).join(df, Seq(kc), "left_anti")
-      case Some((kc, true)) =>
-        // upsert overlay: previous rows whose key is NOT replaced,
-        // plus the overlay's own rows (replacements and inserts)
-        read(spark, root, v - 1)
-          .join(df.select(kc).distinct(), Seq(kc), "left_anti")
-          .unionByName(df)
+    // resolve the merge-on-read chain ITERATIVELY from the nearest full
+    // base up to v (no JVM recursion — a long-neglected chain must at
+    // worst build a deep PLAN, never overflow the stack; chain length
+    // is bounded in practice by the compaction cadence, and every
+    // overlay costs one anti-join on the key, so compact before chains
+    // grow past tens of overlays)
+    val base = fullBase(root, v)
+    def checked(i: Int): java.io.File = {
+      val d = versionDir(root, i)
+      require(new java.io.File(d, "_SUCCESS").isFile,
+        s"version $i under $root (chain member for read of $v) is " +
+          "vacuumed, incomplete, or was never committed")
+      d
     }
+    var acc = spark.read.parquet(checked(base).getAbsolutePath)
+    (base + 1 to v).foreach { i =>
+      val ov = spark.read.parquet(checked(i).getAbsolutePath)
+      acc = overlay(root, i) match {
+        case Some((kc, false)) => // deletion vector: previous minus keys
+          acc.join(ov, Seq(kc), "left_anti")
+        case Some((kc, true)) => // upsert: replace-by-key, then append
+          acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
+            .unionByName(ov)
+        case None => ov // unreachable: fullBase stops at a full version
+      }
+    }
+    acc
   }
 
   /** SNAPSHOT-ISOLATION handle: the version a multi-query pipeline

@@ -83,17 +83,23 @@ object StreamingLake {
     import graft.lake.{CommitConflict, TxLog}
     if (batchId <= TxLog.lastTxn(root)) return false // redelivered epoch
     val spark = batch.sparkSession
+    // checkpointed so retries never rescan the batch; explicitly
+    // unpersisted on exit — one leaked block per micro-batch is exactly
+    // the slow-creep class the round-10 listener-bus fix taught us to
+    // never leave to the GC on a long-running stream
     val agg = aggOf(batch).localCheckpoint()
-    while (true) {
-      if (batchId <= TxLog.lastTxn(root)) return false
-      val v = TxLog.current(root)
-      val base = if (v < 0) None else Some(TxLog.read(spark, root, v))
-      try {
-        TxLog.commit(mergeInto(base, agg), root, expected = v, txn = batchId)
-        return true
-      } catch { case _: CommitConflict => () } // rebase and retry
-    }
-    false // unreachable
+    try {
+      while (true) {
+        if (batchId <= TxLog.lastTxn(root)) return false
+        val v = TxLog.current(root)
+        val base = if (v < 0) None else Some(TxLog.read(spark, root, v))
+        try {
+          TxLog.commit(mergeInto(base, agg), root, expected = v, txn = batchId)
+          return true
+        } catch { case _: CommitConflict => () } // rebase and retry
+      }
+      false // unreachable
+    } finally { agg.unpersist(); () }
   }
 
   /** Drive the events table through the stream in `nFiles` controlled
