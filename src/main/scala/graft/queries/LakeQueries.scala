@@ -2003,6 +2003,120 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** MULTI-TABLE ATOMIC COMMITS ([[graft.lake.Catalog]] — the Iceberg
+   * REST-catalog multi-table transaction shape, public docs: a
+   * catalog-level manifest names a (table → version) snapshot and
+   * flips ONCE, so N tables become visible together or not at all).
+   * Fixture: double-entry bookkeeping — an accounts table and an
+   * append-only ledger that must always agree (sum of balances ≡ sum
+   * of ledger amounts). Three transactions commit through
+   * [[graft.lake.Catalog.commitAll]]; between txn1 and txn2 a CRASH is
+   * simulated mid-protocol (accounts' phase-1 table commit landed, the
+   * catalog flip did not) and the gates pin that catalog readers still
+   * see the OLD consistent pair — the torn combination (new accounts +
+   * old ledger) provably violates the invariant, which is exactly why
+   * the single-pointer protocol matters. An as-of snapshot taken at
+   * txn1 stays pinned across txn2 (cross-table repeatable read), and
+   * snapshot-derived retention ([[graft.lake.Catalog.vacuumTo]])
+   * reclaims history without touching anything the catalog names. The
+   * oracle recomputes both final tables from the raw customer table.
+   * Gates: the invariant holds at EVERY cataloged snapshot, the
+   * crashed phase-1 is invisible through the catalog, the torn pair
+   * would have broken the invariant, the as-of pair is consistent and
+   * stable, and reads survive vacuum. Scale shape: N pointer flips +
+   * one rename per transaction, O(1) in data size. */
+  val q342CatalogTxn: Q = Q("q342_catalog_txn",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       acc AS (SELECT k, cents + CASE WHEN k % 3 = 0 THEN 7 ELSE 0 END
+                        + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS bal
+               FROM c),
+       led AS (SELECT k, cents AS amount FROM c
+               UNION ALL SELECT k, CAST(7 AS BIGINT) FROM c WHERE k % 3 = 0
+               UNION ALL SELECT k, CAST(100 AS BIGINT) FROM c WHERE k % 10 = 0),
+       sigs AS (SELECT 'accounts' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(bal) AS BIGINT) AS cents_sum FROM acc
+                UNION ALL SELECT 'ledger', CAST(count(*) AS BIGINT),
+                  CAST(sum(amount) AS BIGINT) FROM led),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:asof_consistent'),
+                            ('chk:crash_invisible'),
+                            ('chk:invariant_all_snapshots'),
+                            ('chk:torn_would_break'),
+                            ('chk:vacuum_safe')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_catalog")
+    try {
+      import graft.lake.{Catalog, Versions}
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      def balSum(df: org.apache.spark.sql.DataFrame, c: String): Long =
+        df.agg(sum(c)).collect()(0).getLong(0)
+      def invariantHolds(asOf: Map[String, Int]): Boolean =
+        balSum(Catalog.read(s, root, "accounts", asOf), "bal") ==
+          balSum(Catalog.read(s, root, "ledger", asOf), "amount")
+      // txn0: open the books — accounts seeded, ledger mirrors them
+      Catalog.commitAll(root, Map(
+        "accounts" -> cust.select(col("k"), col("cents").as("bal")),
+        "ledger" -> cust.select(col("k"), col("cents").as("amount"))))
+      val snap0 = Catalog.snapshot(root)
+      // txn1: +7 on k%3=0, posted to BOTH tables atomically
+      val acc1 = Catalog.read(s, root, "accounts").select(col("k"),
+        (col("bal") + when(col("k") % 3 === 0, 7L).otherwise(0L)).as("bal"))
+      val led1 = Catalog.read(s, root, "ledger").unionByName(
+        cust.filter(col("k") % 3 === 0).select(col("k"), lit(7L).as("amount")))
+      Catalog.commitAll(root, Map("accounts" -> acc1, "ledger" -> led1))
+      val snap1 = Catalog.snapshot(root)
+      // CRASH between txn2's two phase-1 commits: accounts landed,
+      // ledger and the catalog flip never happened
+      val acc2 = Catalog.read(s, root, "accounts").select(col("k"),
+        (col("bal") + when(col("k") % 10 === 0, 100L).otherwise(0L)).as("bal"))
+      Versions.commit(acc2, s"$root/accounts") // phase-1 only
+      val crashInvisible = Catalog.snapshot(root) == snap1 &&
+        invariantHolds(Catalog.snapshot(root))
+      // the state the catalog just refused to show would be WRONG:
+      val tornBreaks = balSum(Versions.read(s, s"$root/accounts"), "bal") !=
+        balSum(Catalog.read(s, root, "ledger"), "amount")
+      // recovery: re-run txn2 through the protocol (rebased on the
+      // cataloged txn1 state — the crashed phase-1 version stays
+      // unreferenced and ages out)
+      val led2 = Catalog.read(s, root, "ledger").unionByName(
+        cust.filter(col("k") % 10 === 0)
+          .select(col("k"), lit(100L).as("amount")))
+      Catalog.commitAll(root, Map("accounts" -> acc2, "ledger" -> led2))
+      val snap2 = Catalog.snapshot(root)
+      // cross-table repeatable read: the snap1 pair is still internally
+      // consistent after txn2 committed, and still shows PRE-txn2 sums
+      val asofOk = invariantHolds(snap1) &&
+        balSum(Catalog.read(s, root, "accounts", snap1), "bal") !=
+          balSum(Catalog.read(s, root, "accounts", snap2), "bal")
+      val allSnapsOk = Seq(snap0, snap1, snap2).forall(invariantHolds)
+      // snapshot-derived retention: history goes, cataloged reads stay
+      val reclaimed = Catalog.vacuumTo(root)
+      val vacuumSafe = reclaimed > 0 && invariantHolds(Catalog.snapshot(root))
+      val rows = Catalog.read(s, root, "accounts")
+        .agg(count(lit(1)).as("n"), sum("bal").as("cents_sum"))
+        .select(lit("accounts").as("tag"), col("n"), col("cents_sum"))
+        .unionByName(Catalog.read(s, root, "ledger")
+          .agg(count(lit(1)).as("n"), sum("amount").as("cents_sum"))
+          .select(lit("ledger").as("tag"), col("n"), col("cents_sum")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:asof_consistent", asofOk),
+        ("chk:crash_invisible", crashInvisible),
+        ("chk:invariant_all_snapshots", allSnapsOk),
+        ("chk:torn_would_break", tornBreaks),
+        ("chk:vacuum_safe", vacuumSafe)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -2012,5 +2126,6 @@ object LakeQueries {
     q327StreamViewCommits, q328VersionDiff, q330CdfReplay,
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
-    q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite)
+    q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
+    q342CatalogTxn)
 }

@@ -329,6 +329,35 @@ class Round11Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("Catalog: refusal modes, snapshot isolation across tables, crashed phase-1 self-heals") {
+    import graft.lake.{Catalog, Versions}
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_cat_spec")
+    try {
+      intercept[IllegalArgumentException](Catalog.commitAll(root, Map.empty))
+      Catalog.commitAll(root, Map(
+        "a" -> Seq(1L, 2L).toDF("x"), "b" -> Seq(10L).toDF("x")))
+      // a table outside the snapshot fails loudly
+      intercept[IllegalArgumentException](Catalog.read(spark, root, "zzz"))
+      val snap0 = Catalog.snapshot(root)
+      // crashed phase-1: table 'a' commits, catalog never flips
+      Versions.commit(Seq(9L, 9L, 9L).toDF("x"), s"$root/a")
+      assert(Catalog.read(spark, root, "a").count() == 2) // old pair holds
+      // the next catalog commit stacks ABOVE the unreferenced version
+      Catalog.commitAll(root, Map("a" -> Seq(5L).toDF("x")))
+      assert(Catalog.read(spark, root, "a").as[Long].head() == 5L)
+      assert(Catalog.snapshot(root)("a") == 2) // v1 = crashed orphan, skipped
+      // a partial commitAll only bumps the NAMED tables; 'b' is carried
+      assert(Catalog.snapshot(root)("b") == snap0("b"))
+      assert(Catalog.read(spark, root, "b").as[Long].head() == 10L)
+      // snapshot-derived vacuum reclaims the crashed version too
+      assert(Catalog.vacuumTo(root) == 2) // a: v0 + crashed v1
+      assert(Catalog.read(spark, root, "a").as[Long].head() == 5L)
+      intercept[IllegalArgumentException](
+        Versions.read(spark, s"$root/a", 1))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("Versions.snapshot: pinned reads are repeatable while commits land; vacuum breaks the pin loudly") {
     import graft.lake.Versions
     import spark.implicits._
