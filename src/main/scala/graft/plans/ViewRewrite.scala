@@ -6,23 +6,29 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /**
  * A registered materialized view the optimizer may answer from:
  * `viewPath` holds the parquet result of
- * `SELECT keyCol, count(*) AS countCol, sum(x) AS sumCols(x), …
- *    FROM basePath GROUP BY keyCol`.
+ * `SELECT keyCols…, count(*) AS countCol, sum(x) AS sumCols(x), …
+ *    FROM basePath GROUP BY keyCols…`
+ * (the view's key columns carry the SAME names as the base columns).
  * The registration IS the freshness claim — whoever maintains the view
  * (e.g. the [[graft.lake.Versions]] incremental-view pipeline, q325)
  * registers the current version's physical directory and re-registers
- * after each refresh.
+ * after each refresh. `nonNullCols` is the registrant's claim that a
+ * base column holds no NULLs — required before `avg(x)` may be derived
+ * as `sum(x)/count(*)` (with nulls present the two denominators
+ * differ, so an unclaimed column never rewrites).
  */
 final case class MatView(
     basePath: String,
     viewPath: String,
-    keyCol: String,
+    keyCols: Seq[String],
     countCol: Option[String],
-    sumCols: Map[String, String])
+    sumCols: Map[String, String],
+    nonNullCols: Set[String] = Set.empty)
 
 /**
  * MATERIALIZED-VIEW REWRITE — an optimizer [[Rule]] that answers a
@@ -31,15 +37,32 @@ final case class MatView(
  * expose; public Spark extension point
  * `spark.experimental.extraOptimizations` / `injectOptimizerRule`).
  *
- * Matches exactly the shape the view precomputed — a single-key
- * [[Aggregate]] whose child scans the base parquet (optionally through
- * a pass-through attribute [[Project]]) and whose aggregate
- * expressions are the grouping key, `count(1)`, and `sum(col)` for
- * registered columns only; distinct aggregates, filters, expressions
- * over the key, or unregistered aggregate functions all disqualify the
- * plan and it is left untouched. The replacement projects the view's
- * columns UNDER THE ORIGINAL OUTPUT ExprIds, so any operators above
- * the aggregate keep resolving.
+ * Three derivable shapes (the standard MV-matching ladder):
+ *
+ *   - EXACT: the query groups by precisely the view's key columns and
+ *     asks for `count(*)` / `sum(col)` of registered columns — answered
+ *     by a straight projection of the view;
+ *   - ROLL-UP: the query groups by a strict SUBSET of the key columns
+ *     (including none at all — a global total) — answered by
+ *     re-aggregating the view over the coarser keys: `count(*)` becomes
+ *     `sum(view.count)`, `sum(col)` becomes `sum(view.sum)`, O(|view
+ *     groups|) instead of a base rescan;
+ *   - AVG: `avg(col)` derives as `sum(col)/count(*)` from the stored
+ *     columns, in both shapes — but only for columns the registration
+ *     claims non-null (else the denominators differ).
+ *
+ * Distinct aggregates, filtered aggregates, filters under the
+ *     aggregate, expressions over the key, grouping columns outside the
+ * view key, or unregistered aggregate functions all disqualify the
+ * plan and it is left untouched; so does any derived output whose data
+ * type would differ from the original's (e.g. re-summing a decimal sum
+ * widens the type — the guard bails instead of silently recasting).
+ * The base-table match requires the scanned relation to have exactly
+ * ONE root path, equal (after normalization) to the registered base —
+ * a sibling path like `events.parquet_v2`, or a multi-path scan that
+ * unions the base with other directories, must never be answered from
+ * the view. The replacement keeps the ORIGINAL output ExprIds, so any
+ * operators above the aggregate keep resolving.
  *
  * At 100 TB this is the difference between re-scanning the fact table
  * and reading a |groups|-row parquet: the rewrite fires after the main
@@ -51,10 +74,15 @@ final case class MatView(
 final case class ViewRewrite(spark: SparkSession, view: MatView)
     extends Rule[LogicalPlan] {
 
+  private def norm(p: String): String =
+    p.stripPrefix("file:").replaceAll("/+$", "")
+
   private def scansBase(plan: LogicalPlan): Boolean = plan match {
     case lr: LogicalRelation => lr.relation match {
-      case f: HadoopFsRelation =>
-        f.location.rootPaths.exists(_.toString.contains(view.basePath))
+      case f: HadoopFsRelation => f.location.rootPaths.toList match {
+        case one :: Nil => norm(one.toUri.getPath) == norm(view.basePath)
+        case _ => false // multi-root scans read MORE than the base
+      }
       case _ => false
     }
     case Project(projList, child) =>
@@ -62,19 +90,39 @@ final case class ViewRewrite(spark: SparkSession, view: MatView)
     case _ => false
   }
 
-  /** The view column answering one aggregate-output expression, or
-    * None if this expression disqualifies the rewrite. */
-  private def viewColumnFor(e: NamedExpression,
-                            key: AttributeReference): Option[String] = e match {
-    case a: AttributeReference if a.exprId == key.exprId => Some(view.keyCol)
-    case Alias(a: AttributeReference, _) if a.exprId == key.exprId =>
-      Some(view.keyCol)
+  /** What a single aggregate-output expression needs from the view. */
+  private sealed trait Derived
+  private case class KeyRef(name: String) extends Derived
+  private case object CountAll extends Derived
+  private case class SumOf(col: String) extends Derived
+  private case class AvgOf(col: String) extends Derived
+
+  /** Classify one output expression, or None if it disqualifies the
+    * rewrite. `keyIds` are the ExprIds of the grouping attributes. */
+  private def classify(e: NamedExpression,
+                       keyIds: Map[ExprId, String]): Option[Derived] = e match {
+    case a: AttributeReference if keyIds.contains(a.exprId) =>
+      Some(KeyRef(keyIds(a.exprId)))
+    case Alias(a: AttributeReference, _) if keyIds.contains(a.exprId) =>
+      Some(KeyRef(keyIds(a.exprId)))
     case Alias(ae: AggregateExpression, _)
         if !ae.isDistinct && ae.filter.isEmpty =>
       ae.aggregateFunction match {
-        case c: Count if c.children.forall(_.foldable) => view.countCol
+        // count over foldable NON-NULL children only: count(lit(null))
+        // is 0 per group, not the view's count(*)
+        case c: Count if c.children.forall(ch =>
+            ch.foldable && ch.eval(EmptyRow) != null) =>
+          view.countCol.map(_ => CountAll)
         case s: Sum => s.child match {
-          case a: AttributeReference => view.sumCols.get(a.name)
+          case a: AttributeReference if view.sumCols.contains(a.name) =>
+            Some(SumOf(a.name))
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference
+              if view.sumCols.contains(a.name) && view.countCol.isDefined &&
+                view.nonNullCols.contains(a.name) =>
+            Some(AvgOf(a.name))
           case _ => None
         }
         case _ => None
@@ -82,21 +130,65 @@ final case class ViewRewrite(spark: SparkSession, view: MatView)
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg @ Aggregate(Seq(key: AttributeReference), aggExprs, child, _)
-        if key.name == view.keyCol && scansBase(child) &&
-          aggExprs.forall(e => viewColumnFor(e, key).isDefined) =>
-      val viewPlan = spark.read.parquet(view.viewPath)
-        .queryExecution.analyzed
-      def viewAttr(name: String): Attribute =
-        viewPlan.output.find(_.name == name).getOrElse(
-          throw new IllegalStateException(
-            s"registered view ${view.viewPath} has no column $name"))
-      val projList = aggExprs.map { e =>
-        val src = viewAttr(viewColumnFor(e, key).get)
-        Alias(src, e.name)(exprId = e.exprId)
+  /** Attempt the rewrite; None leaves the plan untouched. */
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    // grouping must be bare attributes of view key columns, no repeats
+    val keyAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case a: AttributeReference if view.keyCols.contains(a.name) => a
+      case _ => return None
+    }
+    if (keyAttrs.map(_.name).distinct.size != keyAttrs.size) return None
+    val keyIds = keyAttrs.map(a => a.exprId -> a.name).toMap
+    val derived: Seq[(NamedExpression, Derived)] = agg.aggregateExpressions
+      .map(e => classify(e, keyIds) match {
+        case Some(d) => (e, d)
+        case None => return None
+      })
+
+    val viewPlan = spark.read.parquet(view.viewPath).queryExecution.analyzed
+    def viewAttr(name: String): Attribute =
+      viewPlan.output.find(_.name == name).getOrElse(
+        throw new IllegalStateException(
+          s"registered view ${view.viewPath} has no column $name"))
+    def cnt: Attribute = viewAttr(view.countCol.get)
+    def alias(src: Expression, e: NamedExpression): NamedExpression =
+      Alias(src, e.name)(exprId = e.exprId)
+
+    val newPlan: LogicalPlan =
+      if (keyAttrs.map(_.name).toSet == view.keyCols.toSet) {
+        // EXACT: straight projection of the view
+        Project(derived.map {
+          case (e, KeyRef(n)) => alias(viewAttr(n), e)
+          case (e, CountAll) => alias(cnt, e)
+          case (e, SumOf(c)) => alias(viewAttr(view.sumCols(c)), e)
+          case (e, AvgOf(c)) => alias(Divide(
+            Cast(viewAttr(view.sumCols(c)), DoubleType),
+            Cast(cnt, DoubleType)), e)
+        }, viewPlan)
+      } else {
+        // ROLL-UP: re-aggregate the view over the coarser keys
+        def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+        Aggregate(keyAttrs.map(a => viewAttr(a.name)), derived.map {
+          case (e, KeyRef(n)) => alias(viewAttr(n), e)
+          // count(*) of an empty global roll-up is 0, sum of none is
+          // NULL — coalesce restores count semantics
+          case (e, CountAll) =>
+            alias(Coalesce(Seq(sumOf(cnt), Literal(0L))), e)
+          case (e, SumOf(c)) => alias(sumOf(viewAttr(view.sumCols(c))), e)
+          case (e, AvgOf(c)) => alias(Divide(
+            Cast(sumOf(viewAttr(view.sumCols(c))), DoubleType),
+            Cast(sumOf(cnt), DoubleType)), e)
+        }, viewPlan)
       }
-      Project(projList, viewPlan)
+    // the derivation must be type-preserving: a re-summed decimal sum
+    // widens precision, a decimal avg is not a double — bail, never cast
+    if (newPlan.output.map(_.dataType) != agg.output.map(_.dataType)) None
+    else Some(newPlan)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg: Aggregate if scansBase(agg.child) =>
+      tryRewrite(agg).getOrElse(agg)
   }
 }
 
@@ -119,6 +211,17 @@ object ViewRewrite {
   def withRule[T](spark: SparkSession, view: MatView)(body: => T): T = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ ViewRewrite(spark, view)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
+  /** Register SEVERAL views; for each matching aggregate the FIRST
+    * view (in registration order) whose shape derives the answer wins —
+    * register the cheapest (coarsest sufficient) first. */
+  def withRules[T](spark: SparkSession, views: Seq[MatView])(body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev ++ views.map(ViewRewrite(spark, _))
     try body
     finally spark.experimental.extraOptimizations = prev
   }

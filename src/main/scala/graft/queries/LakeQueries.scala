@@ -1962,7 +1962,7 @@ object LakeQueries {
       val spec = MatView(
         basePath = s"$d/events.parquet",
         viewPath = s"$root/v${Versions.current(root)}",
-        keyCol = "event_type",
+        keyCols = Seq("event_type"),
         countCol = Some("n"),
         sumCols = Map("event_id" -> "id_sum"))
       val (rows, fired, ctrlDistinct, ctrlFilter, composes) =
@@ -1998,6 +1998,109 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"))
+      rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  /** MATERIALIZED-VIEW RE-AGGREGATION ([[graft.plans.ViewRewrite]]'s
+   * roll-up/derive ladder — the standard MV-matching extensions q340's
+   * exact-shape rewrite lacked, and the ones a dashboard hits first):
+   * the maintained view is keyed FINER than the query
+   * ((event_type, user_id) vs event_type), so the rule re-aggregates
+   * the |view groups| rows — count(*) becomes sum(view.count), sum
+   * becomes sum(view.sum) — instead of rescanning the fact table; a
+   * GLOBAL total (no grouping at all) rolls up the same way; and
+   * avg(x) derives as sum(x)/count(*) from the stored columns, which
+   * is only sound because the registration CLAIMS event_id non-null
+   * (with nulls the denominators differ — the unclaimed-column control
+   * pins the refusal). The DuckDB oracle recomputes every number from
+   * raw events with the avg spelled as the same two-double division,
+   * so the hash pins bit-exact derivation, not just plan shape. Gates:
+   * roll-up fired, global fired, two-key exact shape still fired, and
+   * three refusals (count(NULL), non-key grouping, avg of an unclaimed
+   * column) all still scan the base. At 100 TB: the view has
+   * |type × user| groups, the dashboard asks for |type| — the rewrite
+   * turns a fact rescan into an O(|view|) re-aggregation, and composes
+   * with q325's O(|delta|) refresh. */
+  val q343MatviewRollup: Q = Q("q343_matview_rollup",
+    """WITH e AS (SELECT coalesce(event_type, '(null)') AS et, user_id,
+              event_id FROM events),
+       by_t AS (SELECT 'et:' || et AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum,
+                  CAST(sum(event_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avg_id
+                FROM e GROUP BY et),
+       allr AS (SELECT 'all' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum,
+                  CAST(sum(event_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avg_id
+                FROM e),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS DOUBLE) AS avg_id
+               FROM (VALUES ('chk:avg_unclaimed_unrewritten'),
+                            ('chk:exact_two_key_fired'),
+                            ('chk:global_fired'),
+                            ('chk:nonkey_unrewritten'),
+                            ('chk:null_count_unrewritten'),
+                            ('chk:rollup_fired')) t(chk))
+       SELECT * FROM (SELECT * FROM by_t UNION ALL SELECT * FROM allr
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mv_rollup")
+    try {
+      import graft.lake.Versions
+      import graft.plans.{MatView, ViewRewrite}
+      val ev = table(s, d, "events")
+        .select("event_type", "user_id", "event_id")
+      // the maintained MV, keyed FINER than the dashboard asks
+      Versions.commit(ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum")), root)
+      val spec = MatView(
+        basePath = s"$d/events.parquet",
+        viewPath = s"$root/v${Versions.current(root)}",
+        keyCols = Seq("event_type", "user_id"),
+        countCol = Some("n"),
+        sumCols = Map("event_id" -> "id_sum"),
+        nonNullCols = Set("event_id"))
+      def fired(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val p = ViewRewrite.scannedPaths(df)
+        p.exists(_.contains(root)) && !p.exists(_.contains("events.parquet"))
+      }
+      def scansBase(df: org.apache.spark.sql.DataFrame): Boolean =
+        ViewRewrite.scannedPaths(df).exists(_.contains("events.parquet"))
+      val (rows, gates) = ViewRewrite.withRule(s, spec) {
+        val byType = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+            avg(col("event_id")).as("avg_id"))
+        val global = ev.agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"), avg(col("event_id")).as("avg_id"))
+        val out = byType.select(
+            concat(lit("et:"),
+              coalesce(col("event_type"), lit("(null)"))).as("tag"),
+            col("n"), col("id_sum"), col("avg_id"))
+          .unionByName(global.select(lit("all").as("tag"),
+            col("n"), col("id_sum"), col("avg_id")))
+          .localCheckpoint()
+        val gates = Seq(
+          ("chk:avg_unclaimed_unrewritten", scansBase(
+            table(s, d, "events").select("event_type", "value")
+              .groupBy("event_type").agg(avg(col("value")).as("a")))),
+          ("chk:exact_two_key_fired", fired(ev.groupBy("event_type", "user_id")
+            .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum")))),
+          ("chk:global_fired", fired(global)),
+          ("chk:nonkey_unrewritten", scansBase(
+            table(s, d, "events").select("props")
+              .groupBy("props").agg(count(lit(1)).as("n")))),
+          ("chk:null_count_unrewritten", scansBase(
+            ev.groupBy("event_type").agg(count(lit(null)).as("n")))),
+          ("chk:rollup_fired", fired(byType)))
+        (out, gates)
+      }
+      import s.implicits._
+      val chks = gates.toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0.0).as("avg_id"))
       rows.unionByName(chks).orderBy("tag")
         .localCheckpoint() // result must not reference the removed files
     } finally graft.io.Sources.removeScratchDir(root)
@@ -2127,5 +2230,5 @@ object LakeQueries {
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
-    q342CatalogTxn)
+    q342CatalogTxn, q343MatviewRollup)
 }

@@ -21,7 +21,7 @@ class ViewRewriteSpec extends AnyFunSuite with SparkSpec {
     try {
       userAgg.write.parquet(s"$root/view")
       body(MatView(basePath = s"$sf001/events.parquet",
-        viewPath = s"$root/view", keyCol = "event_type",
+        viewPath = s"$root/view", keyCols = Seq("event_type"),
         countCol = Some("n"), sumCols = Map("event_id" -> "id_sum")))
     } finally graft.io.Sources.removeScratchDir(root)
   }
@@ -65,12 +65,112 @@ class ViewRewriteSpec extends AnyFunSuite with SparkSpec {
         // here, so group by type and sum an expression)
         assert(scansBase(base.withColumn("e2", col("event_id") * 2)
           .groupBy("event_type").agg(sum("e2").as("s"))))
-        // avg: not a registered aggregate
+        // avg of a column NOT claimed non-null: sum/count(*) would be
+        // wrong in the presence of nulls, so it must not derive
         assert(scansBase(base.groupBy("event_type")
           .agg(avg(col("event_id")).as("a"))))
       }
       assert(spark.experimental.extraOptimizations == before,
         "withRule leaked its optimizer registration")
     }
+  }
+
+  test("path match is equality, not substring: a sibling path never answers from the view") {
+    import graft.plans.{MatView, ViewRewrite}
+    val root = graft.io.Sources.scratchDir("graft_mv_sibling")
+    try {
+      // `t` is the registered base; `t2` is a DIFFERENT table whose
+      // path merely starts with the base's (the old substring match
+      // would have silently answered t2's aggregate from t's view)
+      base.write.parquet(s"$root/t")
+      base.filter(col("event_id") % 2 === 0).write.parquet(s"$root/t2")
+      spark.read.parquet(s"$root/t")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .write.parquet(s"$root/view")
+      val mv = MatView(basePath = s"$root/t", viewPath = s"$root/view",
+        keyCols = Seq("event_type"), countCol = Some("n"),
+        sumCols = Map.empty)
+      ViewRewrite.withRule(spark, mv) {
+        val q2 = spark.read.parquet(s"$root/t2")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        assert(ViewRewrite.scannedPaths(q2).exists(_.endsWith("/t2")),
+          "sibling table's aggregate was answered from the view")
+        val q1 = spark.read.parquet(s"$root/t")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        assert(ViewRewrite.scannedPaths(q1).exists(_.endsWith("/view")),
+          "exact base path no longer rewrites")
+      }
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("count of a foldable NULL is not count(*): it must not rewrite") {
+    withMv { mv =>
+      graft.plans.ViewRewrite.withRule(spark, mv) {
+        // count(lit(null)) is 0 per group; the view's count(*) is not
+        val q = base.groupBy("event_type")
+          .agg(count(lit(null)).as("n"))
+        assert(graft.plans.ViewRewrite.scannedPaths(q)
+          .exists(_.contains("events.parquet")),
+          "count(NULL) was rewritten to the view's count(*)")
+      }
+    }
+  }
+
+  test("avg derives as sum/count for a column claimed non-null; result matches the base") {
+    withMv { mv0 =>
+      val mv = mv0.copy(nonNullCols = Set("event_id"))
+      val truth = base.groupBy("event_type")
+        .agg(avg(col("event_id")).as("a")).localCheckpoint()
+      graft.plans.ViewRewrite.withRule(spark, mv) {
+        val q = base.groupBy("event_type").agg(avg(col("event_id")).as("a"))
+        val paths = graft.plans.ViewRewrite.scannedPaths(q)
+        assert(paths.exists(_.contains(mv.viewPath)) &&
+          !paths.exists(_.contains("events.parquet")), s"no avg rewrite: $paths")
+        assert(q.exceptAll(truth).isEmpty && truth.exceptAll(q).isEmpty)
+      }
+    }
+  }
+
+  test("coarser grouping rolls up over the view; global total included") {
+    import graft.plans.{MatView, ViewRewrite}
+    val root = graft.io.Sources.scratchDir("graft_mv_rollup")
+    try {
+      val two = graft.io.Sources.table(spark, sf001, "events")
+        .select("event_type", "user_id", "event_id")
+      two.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        .write.parquet(s"$root/view")
+      val mv = MatView(basePath = s"$sf001/events.parquet",
+        viewPath = s"$root/view", keyCols = Seq("event_type", "user_id"),
+        countCol = Some("n"), sumCols = Map("event_id" -> "id_sum"),
+        nonNullCols = Set("event_id"))
+      val truthBy = two.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+          avg(col("event_id")).as("a")).localCheckpoint()
+      val truthAll = two.agg(count(lit(1)).as("n"),
+        sum("event_id").as("id_sum")).localCheckpoint()
+      ViewRewrite.withRule(spark, mv) {
+        val q = two.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+            avg(col("event_id")).as("a"))
+        val paths = ViewRewrite.scannedPaths(q)
+        assert(paths.exists(_.contains(mv.viewPath)) &&
+          !paths.exists(_.contains("events.parquet")),
+          s"no roll-up rewrite: $paths")
+        assert(q.exceptAll(truthBy).isEmpty && truthBy.exceptAll(q).isEmpty)
+        val g = two.agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        val gPaths = ViewRewrite.scannedPaths(g)
+        assert(gPaths.exists(_.contains(mv.viewPath)) &&
+          !gPaths.exists(_.contains("events.parquet")),
+          s"no global roll-up rewrite: $gPaths")
+        assert(g.exceptAll(truthAll).isEmpty && truthAll.exceptAll(g).isEmpty)
+        // grouping by a column OUTSIDE the view key must not rewrite
+        val bad = graft.io.Sources.table(spark, sf001, "events")
+          .groupBy("props").agg(count(lit(1)).as("n"))
+        assert(ViewRewrite.scannedPaths(bad)
+          .exists(_.contains("events.parquet")),
+          "non-key grouping was rewritten")
+      }
+    } finally graft.io.Sources.removeScratchDir(root)
   }
 }
