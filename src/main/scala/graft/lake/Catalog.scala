@@ -10,37 +10,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `(table → version)` snapshot and flips once for all of them).
  *
  * Layout: each member table is an ordinary [[Versions]] root under
- * `root/<table>`; the catalog manifest `root/_catalog` is one line —
- * `tableA=vA tableB=vB …` — staged and atomically renamed, exactly the
- * [[Versions]] pointer-flip discipline lifted one level.
+ * `root/<table>`; the catalog log `root/_catalog/<N>` holds one record
+ * per catalog version — a single line `tableA=vA tableB=vB …` — and
+ * the COMMIT POINT is put-if-absent creation of record `<N>` via
+ * `link(2)` (staged to a temp name, then hard-linked into place —
+ * link fails atomically with EEXIST where rename would silently
+ * replace), exactly the [[TxLog]] CAS one level up. Two concurrent
+ * multi-table transactions therefore CONFLICT LOUDLY
+ * ([[CommitConflict]]) instead of last-write-wins losing a snapshot;
+ * the loser re-reads the winner's snapshot and re-applies
+ * ([[transact]] is that rebase loop).
  *
  * The protocol ([[commitAll]]): commit every table's new version
  * FIRST (each is immutable and, crucially, NOT yet referenced by the
- * catalog), then flip the catalog pointer once. A crash anywhere
- * before the flip leaves the catalog on the OLD snapshot: the
- * already-committed new versions are merely unreferenced — readers
- * that go through the catalog ([[read]]) can never see them, so no
- * torn state (table A new + table B old) is observable. Unreferenced
- * versions are reclaimed later by [[vacuumTo]], which vacuums each
- * member table below its cataloged version — retention derives from
- * the snapshot, so it can never reclaim what the catalog still names.
+ * catalog), then link the catalog record once. A crash — or a lost
+ * CAS — anywhere before the link leaves the catalog on the OLD
+ * snapshot: the already-committed new versions are merely unreferenced
+ * — readers that go through the catalog ([[read]]) can never see them,
+ * so no torn state (table A new + table B old) is observable.
+ * Unreferenced versions age out once later commits raise each member's
+ * cataloged floor and [[vacuumTo]] runs — retention derives from the
+ * snapshot, so it can never reclaim what the catalog still names.
+ *
+ * Member-table contract: phase 1 commits through each member's OWN
+ * commit discipline ([[Versions]] here — single writer per member
+ * table, violations fail loudly in `reclaimOrphan`). The catalog CAS
+ * serializes the cross-table FLIP; transactions that race on the same
+ * member table additionally contend there, exactly as two Iceberg
+ * transactions updating one table contend on its metadata pointer.
  *
  * At 100 TB: N table commits (each a directory write + O(1) flip) plus
- * ONE catalog rename, regardless of data size. Single-writer at the
- * catalog level, like [[Versions]]; the [[TxLog]] CAS upgrade applies
- * the same way one level up.
+ * ONE tiny record link, regardless of data size. Old catalog records
+ * are kept — they are the cross-table time-travel history ([[read]]
+ * with an explicit snapshot) — and cost bytes each.
  */
 object Catalog {
 
-  private def manifest(root: String) = new java.io.File(root, "_catalog")
+  private def logDir(root: String) = new java.io.File(root, "_catalog")
 
-  /** The cataloged snapshot: table → version. Empty map for a fresh
-    * catalog. */
-  def snapshot(root: String): Map[String, Int] = {
-    val m = manifest(root)
-    if (!m.isFile) Map.empty
-    else new String(
-      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim
+  private def recordFile(root: String, n: Int) =
+    new java.io.File(logDir(root), f"$n%010d")
+
+  private def listed(root: String): Seq[Int] =
+    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getName)
+      .filter(_.matches("\\d+")).map(_.toInt)
+
+  /** Highest committed catalog version, or -1 for a fresh catalog. */
+  def catalogVersion(root: String): Int = {
+    val ns = listed(root)
+    if (ns.isEmpty) -1 else ns.max
+  }
+
+  /** The snapshot a specific catalog version recorded: table →
+    * member-table version. */
+  def snapshotAt(root: String, n: Int): Map[String, Int] = {
+    val f = recordFile(root, n)
+    require(f.isFile, s"catalog version $n under $root was never committed")
+    new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
       .split("\\s+").filter(_.nonEmpty)
       .map { tok =>
         val Array(t, v) = tok.split("=")
@@ -48,32 +75,94 @@ object Catalog {
       }.toMap
   }
 
-  /** Commit new contents for SEVERAL tables as one atomic unit: all
-    * become visible together, or none do. Returns the new snapshot. */
-  def commitAll(root: String, updates: Map[String, DataFrame]): Map[String, Int] = {
+  /** The current cataloged snapshot: table → version. Empty map for a
+    * fresh catalog. */
+  def snapshot(root: String): Map[String, Int] = {
+    val n = catalogVersion(root)
+    if (n < 0) Map.empty else snapshotAt(root, n)
+  }
+
+  /** Commit new contents for SEVERAL tables as one atomic unit AT
+    * catalog version `expected + 1`: all become visible together, or
+    * none do. Fails with [[CommitConflict]] if another transaction
+    * committed `expected + 1` first — before phase 1 when the catalog
+    * has already moved (cheap early exit), or at the put-if-absent
+    * link for a true photo-finish race; the loser's phase-1 member
+    * versions stay unreferenced by the catalog (readers never see
+    * them) and age out under later floors. Returns the new snapshot. */
+  def commitAll(root: String, updates: Map[String, DataFrame],
+                expected: Int): Map[String, Int] = {
     require(updates.nonEmpty, "empty multi-table commit")
-    val prev = snapshot(root)
+    updates.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
+      s"table name '$t' would corrupt the catalog record or escape " +
+        "the catalog root"))
+    val n = expected + 1
+    if (catalogVersion(root) != expected)
+      throw new CommitConflict(n,
+        s"expected catalog version $expected but $root is at " +
+          s"${catalogVersion(root)}")
+    val prev = if (expected < 0) Map.empty[String, Int]
+               else snapshotAt(root, expected)
     // phase 1: commit every table — new versions exist but are
-    // UNREFERENCED until the catalog flip, so a crash here is invisible
+    // UNREFERENCED until the catalog record lands, so a crash (or a
+    // lost CAS below) here is invisible through the catalog
     val next = prev ++ updates.toSeq.sortBy(_._1).map { case (t, df) =>
       t -> Versions.commit(df, s"$root/$t")
     }
-    // phase 2: ONE atomic pointer flip for the whole snapshot
+    // phase 2: ONE put-if-absent record for the whole snapshot
     val line = next.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }.mkString(" ") + "\n"
-    val tmp = new java.io.File(root, "_catalog.tmp")
+    logDir(root).mkdirs()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new java.io.File(logDir(root), s"_tmp-$n-$nonce")
     java.nio.file.Files.write(tmp.toPath, line.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, manifest(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    next
+    try {
+      // link(2) fails atomically with EEXIST if the record exists —
+      // rename would silently REPLACE, losing the winner's snapshot
+      java.nio.file.Files.createLink(recordFile(root, n).toPath, tmp.toPath)
+      tmp.delete()
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new CommitConflict(n,
+          s"catalog version $n under $root was committed by another " +
+            "transaction")
+    }
+  }
+
+  /** [[commitAll]] against the snapshot read at entry — still CAS'd,
+    * so a race conflicts loudly rather than losing a snapshot. */
+  def commitAll(root: String, updates: Map[String, DataFrame]): Map[String, Int] =
+    commitAll(root, updates, catalogVersion(root))
+
+  /** The optimistic multi-table transaction loop: read the current
+    * snapshot, build the updates FROM it (read member tables with
+    * [[read]]`(…, asOf = snap)` so the transaction is internally
+    * consistent), try to commit; on [[CommitConflict]] re-read the
+    * winner's snapshot and re-apply. Returns the committed snapshot. */
+  def transact(root: String, maxRetries: Int = 20)
+              (make: Map[String, Int] => Map[String, DataFrame]): Map[String, Int] = {
+    var attempt = 0
+    while (true) {
+      val expected = catalogVersion(root)
+      val snap = if (expected < 0) Map.empty[String, Int]
+                 else snapshotAt(root, expected)
+      try return commitAll(root, make(snap), expected)
+      catch {
+        case c: CommitConflict =>
+          attempt += 1
+          if (attempt > maxRetries) throw c
+      }
+    }
+    Map.empty // unreachable
   }
 
   /** Read a member table AT THE CATALOGED VERSION — the only read path
     * that sees mutually-consistent tables. Pass an explicit `asOf`
-    * snapshot (from [[snapshot]]) to pin a multi-query pipeline to one
-    * consistent cut across ALL tables, the cross-table form of
-    * [[Versions.snapshot]]. */
+    * snapshot (from [[snapshot]]/[[snapshotAt]]) to pin a multi-query
+    * pipeline to one consistent cut across ALL tables, the cross-table
+    * form of [[Versions.snapshot]]. */
   def read(spark: SparkSession, root: String, table: String,
            asOf: Map[String, Int] = null): DataFrame = {
     val snap = Option(asOf).getOrElse(snapshot(root))
@@ -85,9 +174,10 @@ object Catalog {
 
   /** Retention derived FROM the snapshot: vacuum every member table
     * below its cataloged version. Unreferenced newer versions (a
-    * crashed phase-1 commit) age out through each table's own orphan
-    * rule on its next commit; cataloged versions can never be
-    * reclaimed here by construction. Returns directories reclaimed. */
+    * crashed or CAS-lost phase-1 commit) age out through each table's
+    * own orphan rule on its next commit; cataloged versions can never
+    * be reclaimed here by construction. Returns directories
+    * reclaimed. */
   def vacuumTo(root: String): Int = {
     val snap = snapshot(root)
     snap.toSeq.sortBy(_._1).map { case (t, v) =>

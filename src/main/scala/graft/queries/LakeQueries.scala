@@ -2108,35 +2108,48 @@ object LakeQueries {
 
   /** MULTI-TABLE ATOMIC COMMITS ([[graft.lake.Catalog]] — the Iceberg
    * REST-catalog multi-table transaction shape, public docs: a
-   * catalog-level manifest names a (table → version) snapshot and
-   * flips ONCE, so N tables become visible together or not at all).
+   * catalog-level record names a (table → version) snapshot and lands
+   * ONCE, so N tables become visible together or not at all — with the
+   * commit point a put-if-absent `link(2)` of `_catalog/<N>`, the
+   * [[graft.lake.TxLog]] CAS lifted one level up, so concurrent
+   * multi-table transactions conflict LOUDLY and rebase instead of
+   * last-write-wins losing a snapshot).
    * Fixture: double-entry bookkeeping — an accounts table and an
    * append-only ledger that must always agree (sum of balances ≡ sum
    * of ledger amounts). Three transactions commit through
    * [[graft.lake.Catalog.commitAll]]; between txn1 and txn2 a CRASH is
    * simulated mid-protocol (accounts' phase-1 table commit landed, the
-   * catalog flip did not) and the gates pin that catalog readers still
-   * see the OLD consistent pair — the torn combination (new accounts +
-   * old ledger) provably violates the invariant, which is exactly why
-   * the single-pointer protocol matters. An as-of snapshot taken at
-   * txn1 stays pinned across txn2 (cross-table repeatable read), and
+   * catalog record did not) and the gates pin that catalog readers
+   * still see the OLD consistent pair — the torn combination (new
+   * accounts + old ledger) provably violates the invariant, which is
+   * exactly why the single-record protocol matters. Two CONFLICTING
+   * writers then prepare on the same snapshot: the loser's CAS fails
+   * loudly with the winner's snapshot intact, and its rebase through
+   * [[graft.lake.Catalog.transact]] lands both deltas (the oracle's
+   * final sums include both). An as-of snapshot taken at txn1 stays
+   * pinned across later commits (cross-table repeatable read), and
    * snapshot-derived retention ([[graft.lake.Catalog.vacuumTo]])
    * reclaims history without touching anything the catalog names. The
    * oracle recomputes both final tables from the raw customer table.
    * Gates: the invariant holds at EVERY cataloged snapshot, the
    * crashed phase-1 is invisible through the catalog, the torn pair
-   * would have broken the invariant, the as-of pair is consistent and
+   * would have broken the invariant, the conflict is loud with no lost
+   * snapshot, the rebase applies, the as-of pair is consistent and
    * stable, and reads survive vacuum. Scale shape: N pointer flips +
-   * one rename per transaction, O(1) in data size. */
+   * one tiny record link per transaction, O(1) in data size. */
   val q342CatalogTxn: Q = Q("q342_catalog_txn",
     """WITH c AS (SELECT c_custkey AS k,
               CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
        acc AS (SELECT k, cents + CASE WHEN k % 3 = 0 THEN 7 ELSE 0 END
-                        + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS bal
+                        + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END
+                        + CASE WHEN k % 9 = 0 THEN 11 ELSE 0 END
+                        + CASE WHEN k % 4 = 1 THEN 13 ELSE 0 END AS bal
                FROM c),
        led AS (SELECT k, cents AS amount FROM c
                UNION ALL SELECT k, CAST(7 AS BIGINT) FROM c WHERE k % 3 = 0
-               UNION ALL SELECT k, CAST(100 AS BIGINT) FROM c WHERE k % 10 = 0),
+               UNION ALL SELECT k, CAST(100 AS BIGINT) FROM c WHERE k % 10 = 0
+               UNION ALL SELECT k, CAST(11 AS BIGINT) FROM c WHERE k % 9 = 0
+               UNION ALL SELECT k, CAST(13 AS BIGINT) FROM c WHERE k % 4 = 1),
        sigs AS (SELECT 'accounts' AS tag, CAST(count(*) AS BIGINT) AS n,
                   CAST(sum(bal) AS BIGINT) AS cents_sum FROM acc
                 UNION ALL SELECT 'ledger', CAST(count(*) AS BIGINT),
@@ -2144,8 +2157,10 @@ object LakeQueries {
        chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
                  CAST(0 AS BIGINT) AS cents_sum
                FROM (VALUES ('chk:asof_consistent'),
+                            ('chk:conflict_loud'),
                             ('chk:crash_invisible'),
                             ('chk:invariant_all_snapshots'),
+                            ('chk:rebase_applied'),
                             ('chk:torn_would_break'),
                             ('chk:vacuum_safe')) t(chk))
        SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
@@ -2190,12 +2205,50 @@ object LakeQueries {
           .select(col("k"), lit(100L).as("amount")))
       Catalog.commitAll(root, Map("accounts" -> acc2, "ledger" -> led2))
       val snap2 = Catalog.snapshot(root)
+      // CONFLICTING multi-table writers, both prepared on snap2: A
+      // posts +11 on k%9=0, B posts +13 on k%4=1. A's CAS record wins;
+      // B's commit against the same expected version must fail LOUDLY
+      // with the winner's snapshot intact (the old rename-REPLACE flip
+      // silently last-write-wins here, losing A's snapshot), then B
+      // rebases through the transact loop and BOTH deltas land — the
+      // final sums the oracle recomputes include A's and B's postings.
+      val cv2 = Catalog.catalogVersion(root)
+      val accA = Catalog.read(s, root, "accounts").select(col("k"),
+        (col("bal") + when(col("k") % 9 === 0, 11L).otherwise(0L)).as("bal"))
+      val ledA = Catalog.read(s, root, "ledger").unionByName(
+        cust.filter(col("k") % 9 === 0)
+          .select(col("k"), lit(11L).as("amount")))
+      val accB = Catalog.read(s, root, "accounts").select(col("k"),
+        (col("bal") + when(col("k") % 4 === 1, 13L).otherwise(0L)).as("bal"))
+      val ledB = Catalog.read(s, root, "ledger").unionByName(
+        cust.filter(col("k") % 4 === 1)
+          .select(col("k"), lit(13L).as("amount")))
+      Catalog.commitAll(root, Map("accounts" -> accA, "ledger" -> ledA), cv2)
+      val snap3 = Catalog.snapshot(root)
+      val conflictLoud =
+        try {
+          Catalog.commitAll(root, Map("accounts" -> accB, "ledger" -> ledB),
+            cv2)
+          false // a silent win here is exactly the lost-snapshot bug
+        } catch { case _: graft.lake.CommitConflict =>
+          Catalog.snapshot(root) == snap3 && invariantHolds(snap3) }
+      val snap4 = Catalog.transact(root) { snap =>
+        Map(
+          "accounts" -> Catalog.read(s, root, "accounts", snap)
+            .select(col("k"), (col("bal") +
+              when(col("k") % 4 === 1, 13L).otherwise(0L)).as("bal")),
+          "ledger" -> Catalog.read(s, root, "ledger", snap).unionByName(
+            cust.filter(col("k") % 4 === 1)
+              .select(col("k"), lit(13L).as("amount"))))
+      }
+      val rebaseApplied = invariantHolds(snap4)
       // cross-table repeatable read: the snap1 pair is still internally
       // consistent after txn2 committed, and still shows PRE-txn2 sums
       val asofOk = invariantHolds(snap1) &&
         balSum(Catalog.read(s, root, "accounts", snap1), "bal") !=
           balSum(Catalog.read(s, root, "accounts", snap2), "bal")
-      val allSnapsOk = Seq(snap0, snap1, snap2).forall(invariantHolds)
+      val allSnapsOk =
+        Seq(snap0, snap1, snap2, snap3, snap4).forall(invariantHolds)
       // snapshot-derived retention: history goes, cataloged reads stay
       val reclaimed = Catalog.vacuumTo(root)
       val vacuumSafe = reclaimed > 0 && invariantHolds(Catalog.snapshot(root))
@@ -2208,8 +2261,10 @@ object LakeQueries {
       import s.implicits._
       val chks = Seq(
         ("chk:asof_consistent", asofOk),
+        ("chk:conflict_loud", conflictLoud),
         ("chk:crash_invisible", crashInvisible),
         ("chk:invariant_all_snapshots", allSnapsOk),
+        ("chk:rebase_applied", rebaseApplied),
         ("chk:torn_would_break", tornBreaks),
         ("chk:vacuum_safe", vacuumSafe)
       ).toDF("tag", "ok")
