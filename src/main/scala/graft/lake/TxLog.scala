@@ -47,20 +47,37 @@ object TxLog {
   private def recordFile(root: String, n: Int) =
     new java.io.File(logDir(root), f"$n%010d")
 
-  private def checkpointFile(root: String) =
-    new java.io.File(logDir(root), "_checkpoint")
+  private def checkpointFile(root: String, v: Int) =
+    new java.io.File(logDir(root), f"_checkpoint.$v%010d")
 
-  /** The folded log prefix `(version, txn high-water)` a [[checkpoint]]
-    * recorded, or (-1, -1) if none. */
+  private def listedCheckpoints(root: String): Seq[java.io.File] =
+    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isFile && f.getName.matches("_checkpoint\\.\\d+"))
+
+  /** The folded log prefix `(version, txn high-water)` the NEWEST
+    * [[checkpoint]] recorded, or (-1, -1) if none. Checkpoints are
+    * versioned put-if-absent files, so readers take the max — a
+    * concurrent checkpointer can only ever ADD a newer fold, never
+    * regress this. The newest file a listing saw can be reclaimed by
+    * an even-newer checkpoint's cleanup between the list and the read;
+    * re-list on that race. */
   private def checkpointState(root: String): (Int, Long) = {
-    val f = checkpointFile(root)
-    if (!f.isFile) (-1, -1L)
-    else {
-      val t = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-        .split("\\s+")
-      (t(0).toInt, t(1).toLong)
+    var attempt = 0
+    while (attempt < 5) {
+      val files = listedCheckpoints(root)
+      if (files.isEmpty) return (-1, -1L)
+      val f = files.maxBy(_.getName.stripPrefix("_checkpoint.").toInt)
+      try {
+        val t = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+          .split("\\s+")
+        return (t(0).toInt, t(1).toLong)
+      } catch {
+        case _: java.nio.file.NoSuchFileException => attempt += 1
+      }
     }
+    throw new IllegalStateException(
+      s"checkpoint listing under $root would not settle")
   }
 
   private def listedRecords(root: String): Seq[Int] =
@@ -87,35 +104,64 @@ object TxLog {
     (t(0), if (t.length > 1) t(1).toLong else -1L)
   }
 
+  /** [[record]], tolerating a record a concurrent [[vacuum]] unlinked
+    * between a listing and this read — a vacuumed record's txn is
+    * always folded into a newer checkpoint first. */
+  private def recordOpt(root: String, n: Int): Option[(String, Long)] =
+    try { if (recordFile(root, n).isFile) Some(record(root, n)) else None }
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   /** Writer-transaction high-water mark across all commits (the
     * streaming idempotence handle, as in [[Versions.lastTxn]]): the
     * max of the checkpointed fold and every record past it, so it is
     * O(tail) after a [[checkpoint]] and survives [[vacuum]] of the
-    * folded prefix. */
+    * folded prefix. A record a concurrent vacuum unlinks mid-scan is
+    * skipped — vacuum auto-checkpoints first, so the re-read
+    * checkpoint floor covers its txn. */
   def lastTxn(root: String): Long = {
     val (ckV, ckTxn) = checkpointState(root)
     val tail = listedRecords(root).filter(_ > ckV)
-    (ckTxn +: tail.map(record(root, _)._2)).max
+    val reads = tail.map(recordOpt(root, _))
+    val txns = reads.flatten.map(_._2)
+    if (reads.exists(_.isEmpty))
+      (checkpointState(root)._2 +: ckTxn +: txns).max
+    else (ckTxn +: txns).max
   }
 
-  /** Fold the log prefix into `_checkpoint` — the role Delta's parquet
-    * checkpoint plays (public docs): `current`/`lastTxn` no longer
-    * need the records at or below the checkpointed version, which
-    * makes them O(tail) on long histories and lets [[vacuum]] reclaim
-    * the prefix records entirely. Written via temp + atomic rename
-    * (last checkpoint wins; it only ever moves forward). Returns the
+  /** Fold the log prefix into a VERSIONED `_checkpoint.<N>` — the role
+    * Delta's parquet checkpoint plays (public docs): `current`/
+    * `lastTxn` no longer need the records at or below the checkpointed
+    * version, which makes them O(tail) on long histories and lets
+    * [[vacuum]] reclaim the prefix records entirely. The file is
+    * created put-if-absent via link(2), and readers take the highest
+    * number — so two concurrent checkpointers cannot regress the fold
+    * (the old single-file check-then-rename was exactly that TOCTOU:
+    * both read a stale prev, both passed the guard, last rename won).
+    * A lost link means another checkpointer folded the SAME version —
+    * success either way. Superseded checkpoint files are reclaimed
+    * here; readers re-list if the one they chose vanishes. Returns the
     * checkpointed version. */
   def checkpoint(root: String): Int = {
     val cur = current(root)
     require(cur >= 0, s"nothing to checkpoint under $root")
-    val hw = lastTxn(root)
-    val prev = checkpointState(root)._1
-    require(cur >= prev, s"checkpoint would regress $prev -> $cur")
-    val tmp = new java.io.File(logDir(root), s"_checkpoint.tmp$cur")
-    java.nio.file.Files.write(tmp.toPath, s"$cur $hw\n".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, checkpointFile(root).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val f = checkpointFile(root, cur)
+    if (!f.isFile) {
+      val hw = lastTxn(root)
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new java.io.File(logDir(root), s"_cktmp-$cur-$nonce")
+      java.nio.file.Files.write(tmp.toPath, s"$cur $hw\n".getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      tmp.delete()
+    }
+    // reclaim superseded folds (strictly below the newest on disk;
+    // `cur` is included defensively — a racing lister can miss a
+    // just-created entry, and ours is known to exist)
+    val newest = (cur +: listedCheckpoints(root)
+      .map(_.getName.stripPrefix("_checkpoint.").toInt)).max
+    listedCheckpoints(root)
+      .filter(_.getName.stripPrefix("_checkpoint.").toInt < newest)
+      .foreach(_.delete())
     cur
   }
 
@@ -131,14 +177,17 @@ object TxLog {
     checkpoint(root)
     val floor = math.min(keepFrom, cur)
     val victims = listedRecords(root).filter(_ < floor)
-    victims.foreach { v =>
-      val dataName = record(root, v)._1
-      // unlink the record FIRST: a crash mid-vacuum leaves a version
-      // that already reads as vacuumed, never one with missing data
-      recordFile(root, v).delete()
-      rmTree(new java.io.File(root, dataName))
+    victims.count { v =>
+      // a concurrent vacuum may have unlinked this record already —
+      // skip it rather than throw (recordOpt tolerates the race)
+      recordOpt(root, v).exists { case (dataName, _) =>
+        // unlink the record FIRST: a crash mid-vacuum leaves a version
+        // that already reads as vacuumed, never one with missing data
+        recordFile(root, v).delete()
+        rmTree(new java.io.File(root, dataName))
+        true
+      }
     }
-    victims.size
   }
 
   /** Read a version (default: current) by resolving its data directory

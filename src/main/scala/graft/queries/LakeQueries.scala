@@ -1908,7 +1908,8 @@ object LakeQueries {
         ("chk:current_stable", stableAfterVacuum),
         ("chk:lasttxn_stable", TxLog.lastTxn(root) == 109L),
         ("chk:log_bounded",
-          logFiles == Set("0000000010", "0000000011", "_checkpoint")),
+          logFiles == Set("0000000010", "0000000011",
+            "_checkpoint.0000000011")),
         ("chk:old_read_fails", oldFails),
         ("chk:vacuumed_ten", reclaimed == 10)
       ).toDF("tag", "ok")

@@ -75,11 +75,19 @@ object StreamingLake {
     * (`batchId <= lastTxn`, re-checked inside the loop in case another
     * worker applied this very epoch) keeps redelivery idempotent, and
     * a [[graft.lake.CommitConflict]] means some other commit won the
-    * version — rebase on the winner's state and retry. The batch
-    * aggregate is checkpointed once so retries never rescan the batch.
-    * Returns true if THIS call committed the batch. */
+    * version — rebase on the winner's state and retry, at most
+    * `maxRetries` times before the conflict SURFACES (mirroring
+    * [[graft.lake.TxLog.readModifyWrite]]'s bound): under a
+    * pathological conflict storm the stream must fail loudly inside
+    * foreachBatch, never wedge silently in an unbounded loop. A short
+    * linear backoff breaks phase-lock with a similarly-paced
+    * maintenance writer (two ~equal-cost loops can otherwise lose the
+    * same race dozens of times in a row). The batch aggregate is
+    * checkpointed once so retries never rescan the batch. Returns true
+    * if THIS call committed the batch. */
   private[graft] def applyBatchCas(root: String, batch: DataFrame,
-                                   batchId: Long): Boolean = {
+                                   batchId: Long,
+                                   maxRetries: Int = 100): Boolean = {
     import graft.lake.{CommitConflict, TxLog}
     if (batchId <= TxLog.lastTxn(root)) return false // redelivered epoch
     val spark = batch.sparkSession
@@ -88,19 +96,32 @@ object StreamingLake {
     // the slow-creep class the round-10 listener-bus fix taught us to
     // never leave to the GC on a long-running stream
     val agg = aggOf(batch).localCheckpoint()
+    var attempt = 0
     try {
       while (true) {
         if (batchId <= TxLog.lastTxn(root)) return false
         val v = TxLog.current(root)
         val base = if (v < 0) None else Some(TxLog.read(spark, root, v))
+        casInterleave()
         try {
           TxLog.commit(mergeInto(base, agg), root, expected = v, txn = batchId)
           return true
-        } catch { case _: CommitConflict => () } // rebase and retry
+        } catch {
+          case c: CommitConflict => // rebase and retry, boundedly
+            attempt += 1
+            if (attempt > maxRetries) throw c
+            Thread.sleep(math.min(10L * attempt, 200L)) // break phase-lock
+        }
       }
       false // unreachable
     } finally { agg.unpersist(); () }
   }
+
+  /** Test-only interleave point between the stream's state read and
+    * its commit attempt, so a spec can deterministically force the CAS
+    * to lose every round (the hook mirrors TxLog.commitImpl's precheck
+    * flag). A no-op in production. */
+  private[graft] var casInterleave: () => Unit = () => ()
 
   /** Drive the events table through the stream in `nFiles` controlled
     * micro-batches (staged files + maxFilesPerTrigger=1, the

@@ -72,6 +72,77 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("txlog checkpoint is a versioned CAS: concurrent folds cannot regress, superseded folds reclaimed") {
+    import spark.implicits._
+    import graft.lake.TxLog
+    val root = graft.io.Sources.scratchDir("graft_ckpt_cas")
+    try {
+      (0 to 4).foreach(i =>
+        TxLog.commit(Seq(i.toLong).toDF("n"), root, expected = i - 1,
+          txn = 100L + i))
+      assert(TxLog.checkpoint(root) == 4)
+      // same-version re-checkpoint rides the EEXIST path: success, and
+      // exactly one fold file on disk
+      assert(TxLog.checkpoint(root) == 4)
+      def folds = Option(new java.io.File(root, "_commits").listFiles())
+        .toSeq.flatten.map(_.getName).filter(_.startsWith("_checkpoint"))
+      assert(folds == Seq("_checkpoint.0000000004"), s"folds: $folds")
+      // a newer fold supersedes and reclaims the old one; the state
+      // can only move forward (no single-file rename to lose a race on)
+      TxLog.commit(Seq(5L).toDF("n"), root, expected = 4, txn = 200L)
+      assert(TxLog.checkpoint(root) == 5)
+      assert(folds == Seq("_checkpoint.0000000005"), s"folds: $folds")
+      assert(TxLog.vacuum(root, keepFrom = 5) == 5)
+      assert(TxLog.current(root) == 5 && TxLog.lastTxn(root) == 200L)
+      // concurrent checkpointers against a live committer: never throws,
+      // never regresses below the last fold each observed
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val committer = new Thread(() => {
+        try (6 to 15).foreach(i =>
+          TxLog.commit(Seq(i.toLong).toDF("n"), root, expected = i - 1))
+        catch { case t: Throwable => errs.add(t); () }
+      })
+      val folders = (1 to 2).map(_ => new Thread(() => {
+        try (1 to 8).foreach(_ => TxLog.checkpoint(root))
+        catch { case t: Throwable => errs.add(t); () }
+      }))
+      committer.start(); folders.foreach(_.start())
+      committer.join(); folders.foreach(_.join())
+      assert(errs.isEmpty, s"checkpoint race failed: ${errs.peek()}")
+      assert(TxLog.current(root) == 15 && TxLog.lastTxn(root) == 200L)
+      assert(TxLog.read(spark, root).as[Long].head() == 15L)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("a permanently-conflicted stream batch fails loudly instead of wedging") {
+    import spark.implicits._
+    import graft.lake.{CommitConflict, TxLog}
+    import graft.streaming.StreamingLake
+    val root = graft.io.Sources.scratchDir("graft_cas_storm")
+    try {
+      val batch = Seq(("click", 1L), ("view", 2L)).toDF("event_type", "event_id")
+      // a maintenance writer that wins EVERY race, via the interleave
+      // hook between the stream's state read and its commit attempt
+      // (schema-compatible with the view so the post-storm merge works)
+      StreamingLake.casInterleave = () =>
+        TxLog.commit(Seq(("maint", 0L, 0L)).toDF("event_type", "n", "id_sum"),
+          root, expected = TxLog.current(root))
+      try {
+        val c = intercept[CommitConflict](
+          StreamingLake.applyBatchCas(root, batch, batchId = 0L,
+            maxRetries = 3))
+        // either conflict variant (cheap precheck or lost link) is a
+        // correctly-surfaced storm
+        assert(c.getMessage.contains(root))
+      } finally StreamingLake.casInterleave = () => ()
+      // with the storm gone, the SAME batch applies cleanly
+      assert(StreamingLake.applyBatchCas(root, batch, batchId = 0L))
+      assert(TxLog.lastTxn(root) == 0L)
+      assert(!StreamingLake.applyBatchCas(root, batch, batchId = 0L),
+        "redelivered batch re-applied")
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("catalog rejects table names that would corrupt the record or escape the root") {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_catalog_names")
