@@ -1,0 +1,92 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * MERGE-ON-READ resolution shared by BOTH commit cores — the
+ * single-writer [[Versions]] manifest and the multi-writer [[TxLog]]
+ * CAS log (the round-11 verdict's "two parallel lakehouse stacks"
+ * finding: row-level-change features lived only on Versions, the
+ * concurrency story only on TxLog, and a table could not have both).
+ *
+ * The overlay marker lives INSIDE a version's data directory (`_dv` =
+ * deletion vector, `_mor` = upsert, each one line naming the key
+ * column), so it rides every core's existing crash rule unchanged: a
+ * directory whose pointer/record never landed is garbage regardless of
+ * marker, and the marker is written before the commit point by
+ * construction, so no committed version can be missing its own
+ * overlay classification. The cores stay responsible for WHAT a
+ * version's physical directory is ([[Versions]]: `v<N>` or a branch
+ * base; [[TxLog]]: the record-named `d<N>-<nonce>`) and how commits
+ * serialize; this object owns the read side — chain walking, the
+ * `_SUCCESS` gate on every member, and the overlay algebra — so every
+ * chain feature (O(|delta|) row-level change, vacuum-floor
+ * auto-lowering, compaction equivalence) composes with either
+ * concurrency story instead of forking per core.
+ */
+private[lake] object Mor {
+
+  /** `Some((keyCol, isUpsert))` for an overlay version directory,
+    * None for a full one. */
+  def overlayOf(dir: java.io.File): Option[(String, Boolean)] = {
+    val dv = new java.io.File(dir, "_dv")
+    val mor = new java.io.File(dir, "_mor")
+    def readKey(f: java.io.File) = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    if (dv.isFile) Some((readKey(dv), false))
+    else if (mor.isFile) Some((readKey(mor), true))
+    else None
+  }
+
+  /** Stamp a staged version directory as an overlay — called by the
+    * cores BEFORE their commit point lands. */
+  def writeMarker(dir: java.io.File, keyCol: String, upsert: Boolean): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(dir, if (upsert) "_mor" else "_dv").toPath,
+      (keyCol + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** Nearest FULL version at or below `v` — the base a merge-on-read
+    * chain resolves down to (and the floor [[Versions.vacuum]] /
+    * [[TxLog.vacuum]] auto-lower to, so retention can never orphan a
+    * readable version's chain). */
+  def fullBase(dirOf: Int => java.io.File, v: Int): Int = {
+    var i = v
+    while (i > 0 && overlayOf(dirOf(i)).isDefined) i -= 1
+    i
+  }
+
+  /** Resolve the merge-on-read chain ITERATIVELY from the nearest full
+    * base up to `v` (no JVM recursion — a long-neglected chain must at
+    * worst build a deep PLAN, never overflow the stack), with a
+    * `_SUCCESS` gate on EVERY chain member — a half-vacuumed member
+    * must fail loudly, never read back as silently-partial data. Each
+    * overlay costs one anti-join on its key, so compact before chains
+    * grow past tens of overlays. */
+  def resolveChain(spark: SparkSession, dirOf: Int => java.io.File,
+                   v: Int, desc: String): DataFrame = {
+    val base = fullBase(dirOf, v)
+    def checked(i: Int): java.io.File = {
+      val d = dirOf(i)
+      require(new java.io.File(d, "_SUCCESS").isFile,
+        s"version $i under $desc (chain member for read of $v) is " +
+          "vacuumed, incomplete, or was never committed")
+      d
+    }
+    var acc = spark.read.parquet(checked(base).getAbsolutePath)
+    (base + 1 to v).foreach { i =>
+      val d = checked(i)
+      val ov = spark.read.parquet(d.getAbsolutePath)
+      acc = overlayOf(d) match {
+        case Some((kc, false)) => // deletion vector: previous minus keys
+          acc.join(ov, Seq(kc), "left_anti")
+        case Some((kc, true)) => // upsert: replace-by-key, then append
+          acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
+            .unionByName(ov)
+        case None => ov // unreachable: fullBase stops at a full version
+      }
+    }
+    acc
+  }
+}

@@ -175,7 +175,13 @@ object TxLog {
     val cur = current(root)
     if (cur < 0) return 0
     checkpoint(root)
-    val floor = math.min(keepFrom, cur)
+    val want = math.min(keepFrom, cur)
+    if (!recordFile(root, want).isFile) return 0 // below an earlier floor
+    // merge-on-read safety (as in [[Versions.vacuum]]): an overlay
+    // version is only readable down to its nearest FULL base, so the
+    // retention floor auto-lowers to that base — vacuum can never
+    // orphan a retained version's chain
+    val floor = Mor.fullBase(versionDir(root, _), want)
     val victims = listedRecords(root).filter(_ < floor)
     victims.count { v =>
       // a concurrent vacuum may have unlinked this record already —
@@ -190,17 +196,62 @@ object TxLog {
     }
   }
 
+  /** The physical data directory of version `v`, resolved THROUGH the
+    * commit record — half-written or orphaned directories are
+    * unreachable by construction. */
+  private def versionDir(root: String, v: Int): java.io.File =
+    new java.io.File(root, record(root, v)._1)
+
   /** Read a version (default: current) by resolving its data directory
-    * THROUGH the commit record; half-written or orphaned directories
-    * are unreachable here by construction. */
+    * THROUGH the commit record, then resolving any merge-on-read chain
+    * ([[Mor]] — shared with [[Versions]]) down to the nearest full
+    * version, with a `_SUCCESS` gate on every chain member. */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val v = if (version >= 0) version else current(root)
     require(v >= 0, s"no committed version under $root")
-    val dir = new java.io.File(root, record(root, v)._1)
-    require(new java.io.File(dir, "_SUCCESS").isFile,
-      s"version $v under $root is vacuumed or incomplete")
-    spark.read.parquet(dir.getAbsolutePath)
+    Mor.resolveChain(spark, versionDir(root, _), v, root)
   }
+
+  /** DELETION-VECTOR commit on the MULTI-WRITER log (the
+    * [[Versions.commitDelete]] semantics on the CAS core — the
+    * composition the two-parallel-stacks split forbade): the new
+    * version's uniquely-named directory holds ONLY the distinct
+    * deleted keys plus the `_dv` marker, staged BEFORE the commit
+    * record links, so a lost CAS or crash leaves garbage no reader
+    * resolves. Reads resolve the chain via [[Mor]]; a conflict rebases
+    * exactly like a full commit (the vector itself rarely depends on
+    * the base, so retrying with the new expected version usually
+    * suffices). O(|keys|) written bytes + one record link. */
+  def commitDelete(keys: DataFrame, root: String, keyCol: String,
+                   expected: Int, txn: Long = -1L): Int = {
+    require(expected >= 0, s"cannot delete from empty table $root")
+    commitImpl(keys.select(keyCol).distinct(), root, expected, txn,
+      precheck = true, marker = Some((keyCol, false)))
+  }
+
+  /** MERGE-ON-READ UPSERT on the multi-writer log: commit `rows` as an
+    * overlay whose read is "previous minus the overlay's keys, plus
+    * the overlay's rows" — O(|delta|) written bytes + one record link,
+    * composing with [[commitDelete]] chains and collapsing via
+    * [[compact]]. `rows` must carry the full row schema. */
+  def commitUpsert(rows: DataFrame, root: String, keyCol: String,
+                   expected: Int, txn: Long = -1L): Int = {
+    require(expected >= 0,
+      s"cannot upsert into empty table $root — commit first")
+    commitImpl(rows, root, expected, txn,
+      precheck = true, marker = Some((keyCol, true)))
+  }
+
+  /** Collapse the current merge-on-read chain into one FULL version
+    * through the optimistic loop (the OPTIMIZE/compaction step): reads
+    * resolve the chain, the commit writes the resolved state, and a
+    * racing writer simply makes the loop re-resolve. Returns the new
+    * version. */
+  def compact(spark: SparkSession, root: String): Int =
+    readModifyWrite(spark, root) { base =>
+      base.getOrElse(throw new IllegalArgumentException(
+        s"nothing to compact under $root"))
+    }
 
   /** Commit `df` as version `expected + 1`, failing with
     * [[CommitConflict]] if any other writer got there first — before
@@ -210,13 +261,15 @@ object TxLog {
     * another writer wrote is ever touched. */
   def commit(df: DataFrame, root: String, expected: Int,
              txn: Long = -1L): Int =
-    commitImpl(df, root, expected, txn, precheck = true)
+    commitImpl(df, root, expected, txn, precheck = true, marker = None)
 
   /** `precheck = false` skips the cheap early version test so specs can
     * drive the photo-finish path (data written, then the link itself
-    * loses the race) deterministically. */
+    * loses the race) deterministically. `marker` stamps the staged
+    * directory as a merge-on-read overlay BEFORE the record links. */
   private[graft] def commitImpl(df: DataFrame, root: String, expected: Int,
-                                txn: Long, precheck: Boolean): Int = {
+                                txn: Long, precheck: Boolean,
+                                marker: Option[(String, Boolean)] = None): Int = {
     val n = expected + 1
     if (precheck && current(root) != expected)
       throw new CommitConflict(n,
@@ -226,6 +279,8 @@ object TxLog {
     df.write.mode("errorifexists").parquet(s"$root/$dataName")
     require(new java.io.File(root, s"$dataName/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/$dataName")
+    marker.foreach { case (kc, up) =>
+      Mor.writeMarker(new java.io.File(root, dataName), kc, up) }
     logDir(root).mkdirs()
     val tmp = new java.io.File(logDir(root), s"_tmp-$n-$nonce")
     java.nio.file.Files.write(tmp.toPath,

@@ -156,27 +156,17 @@ object Versions {
 
   /** Merge-on-read overlay marker of a version: `Some((keyCol,
     * isUpsert))` for a DV/upsert version, None for a full one. The
-    * marker lives INSIDE the version directory, so it rides every
-    * existing crash rule (an unflipped dir is orphan garbage whether
-    * or not the marker got written). */
-  private def overlay(root: String, v: Int): Option[(String, Boolean)] = {
-    val dir = versionDir(root, v)
-    val dv = new java.io.File(dir, "_dv")
-    val mor = new java.io.File(dir, "_mor")
-    def readKey(f: java.io.File) = new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-    if (dv.isFile) Some((readKey(dv), false))
-    else if (mor.isFile) Some((readKey(mor), true))
-    else None
-  }
-
-  private def dvKeyCol(root: String, v: Int): Option[String] =
-    overlay(root, v).collect { case (kc, false) => kc }
+    * marker lives INSIDE the version directory ([[Mor]] owns the
+    * convention, shared with [[TxLog]]), so it rides every existing
+    * crash rule (an unflipped dir is orphan garbage whether or not the
+    * marker got written). */
+  private def overlay(root: String, v: Int): Option[(String, Boolean)] =
+    Mor.overlayOf(versionDir(root, v))
 
   /** Nearest FULL version at or below `v` — the base a merge-on-read
     * chain resolves down to. */
   private def fullBase(root: String, v: Int): Int =
-    if (v <= 0 || overlay(root, v).isEmpty) v else fullBase(root, v - 1)
+    Mor.fullBase(versionDir(root, _), v)
 
   /** DELETION-VECTOR commit (merge-on-read delete — the Delta/Iceberg
     * deletion-vector rung, public docs): record WHICH rows die instead
@@ -200,9 +190,7 @@ object Versions {
       .write.mode("errorifexists").parquet(s"$root/v$n")
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
-    java.nio.file.Files.write(
-      new java.io.File(root, s"v$n/_dv").toPath,
-      (keyCol + "\n").getBytes("UTF-8"))
+    Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = false)
     flipPointer(root, n, txn)
     n
   }
@@ -224,9 +212,7 @@ object Versions {
     rows.write.mode("errorifexists").parquet(s"$root/v$n")
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
-    java.nio.file.Files.write(
-      new java.io.File(root, s"v$n/_mor").toPath,
-      (keyCol + "\n").getBytes("UTF-8"))
+    Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = true)
     flipPointer(root, n, txn)
     n
   }
@@ -252,33 +238,9 @@ object Versions {
     require(new java.io.File(dir, "_SUCCESS").isFile,
       s"version $v under $root (dir $dir) is vacuumed, incomplete, " +
         "or was never committed")
-    // resolve the merge-on-read chain ITERATIVELY from the nearest full
-    // base up to v (no JVM recursion — a long-neglected chain must at
-    // worst build a deep PLAN, never overflow the stack; chain length
-    // is bounded in practice by the compaction cadence, and every
-    // overlay costs one anti-join on the key, so compact before chains
-    // grow past tens of overlays)
-    val base = fullBase(root, v)
-    def checked(i: Int): java.io.File = {
-      val d = versionDir(root, i)
-      require(new java.io.File(d, "_SUCCESS").isFile,
-        s"version $i under $root (chain member for read of $v) is " +
-          "vacuumed, incomplete, or was never committed")
-      d
-    }
-    var acc = spark.read.parquet(checked(base).getAbsolutePath)
-    (base + 1 to v).foreach { i =>
-      val ov = spark.read.parquet(checked(i).getAbsolutePath)
-      acc = overlay(root, i) match {
-        case Some((kc, false)) => // deletion vector: previous minus keys
-          acc.join(ov, Seq(kc), "left_anti")
-        case Some((kc, true)) => // upsert: replace-by-key, then append
-          acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
-            .unionByName(ov)
-        case None => ov // unreachable: fullBase stops at a full version
-      }
-    }
-    acc
+    // merge-on-read chain resolution is the [[Mor]] core shared with
+    // the multi-writer TxLog — every chain member re-gated on _SUCCESS
+    Mor.resolveChain(spark, versionDir(root, _), v, root)
   }
 
   /** SNAPSHOT-ISOLATION handle: the version a multi-query pipeline

@@ -2276,6 +2276,124 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** MERGE-ON-READ ON THE MULTI-WRITER LOG ([[graft.lake.Mor]] — the
+   * round-11 verdict's "two parallel lakehouse stacks" unification:
+   * deletion vectors and upserts previously existed only on the
+   * single-writer [[graft.lake.Versions]] manifest, CAS commits only
+   * on [[graft.lake.TxLog]], so a table could not have both; the
+   * chain-resolution core is now shared and this query runs the
+   * q336/q337 row-level-change story on the CAS log). Fixture: v0
+   * commits the full customer cents table; TWO writers then prepare
+   * on v0 — a deletion-vector writer (k%7=0) and an upsert writer
+   * (+1000 on k%5=0). The DV wins v1; the upsert's CAS at the same
+   * expected version fails LOUDLY and rebases to v2 — so the final
+   * chain is base minus deletes, upsert re-adding its keys. Gates:
+   * the conflict surfaced and the rebase landed, both overlay
+   * directories physically hold O(|delta|) rows (footer counts of the
+   * record-named dirs — never a base rewrite), time travel to v0 is
+   * intact, vacuum's floor auto-lowers to the chain base (asking to
+   * keep only the chain head reclaims NOTHING), [[graft.lake
+   * .TxLog.compact]] collapses the chain to an equivalent full
+   * version, and a post-compaction vacuum reclaims the whole chain
+   * with old reads failing loudly. The oracle recomputes v1 and the
+   * final state from the raw mod arithmetic. At 100 TB: row-level
+   * change on a CONTENDED table = O(|delta|) written bytes + one
+   * record link, with conflicts rebasing instead of corrupting. */
+  val q344TxlogMor: Q = Q("q344_txlog_mor",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       v1 AS (SELECT k, cents FROM c WHERE k % 7 <> 0),
+       fin AS (SELECT k,
+                 CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
+               FROM c WHERE k % 7 <> 0 OR k % 5 = 0),
+       sigs AS (SELECT 'state:final' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS cents_sum FROM fin
+                UNION ALL SELECT 'state:v1', CAST(count(*) AS BIGINT),
+                  CAST(sum(cents) AS BIGINT) FROM v1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:compact_equiv'),
+                            ('chk:conflict_rebased'),
+                            ('chk:dv_physical_keys'),
+                            ('chk:time_travel'),
+                            ('chk:upsert_physical_delta'),
+                            ('chk:vacuum_floor'),
+                            ('chk:vacuumed_after_compact')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_txlog_mor")
+    try {
+      import graft.lake.{CommitConflict, TxLog}
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      val nBase = cust.count()
+      TxLog.commit(cust, root, expected = -1) // v0, full
+      // two writers prepared on v0
+      val delKeys = cust.filter(pmod(col("k"), lit(7)) === 0).select("k")
+      val upRows = cust.filter(pmod(col("k"), lit(5)) === 0)
+        .select(col("k"), (col("cents") + 1000L).as("cents"))
+      TxLog.commitDelete(delKeys, root, "k", expected = 0) // DV wins v1
+      val conflictRebased = {
+        val lost =
+          try { TxLog.commitUpsert(upRows, root, "k", expected = 0); false }
+          catch { case _: CommitConflict => true }
+        lost &&
+          TxLog.commitUpsert(upRows, root, "k",
+            expected = TxLog.current(root)) == 2
+      }
+      // physical O(|delta|) proofs: the overlay dirs hold keys/rows,
+      // never a base rewrite (record-named dirs are observable)
+      def dataDir(n: Int) = Option(new java.io.File(root).listFiles())
+        .toSeq.flatten
+        .find(f => f.isDirectory && f.getName.startsWith(s"d$n-")).get
+      val dvPhysical =
+        s.read.parquet(dataDir(1).getAbsolutePath).count() == delKeys.count()
+      val upPhysical =
+        s.read.parquet(dataDir(2).getAbsolutePath).count() == upRows.count()
+      val timeTravel = TxLog.read(s, root, 0).count() == nBase
+      def sig(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+          .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
+      val finDf = TxLog.read(s, root, 2)
+      val finCount = finDf.count() // before vacuum removes chain files
+      val sigRows = sig(finDf, "state:final")
+        .unionByName(sig(TxLog.read(s, root, 1), "state:v1"))
+        .localCheckpoint() // materialize before vacuum removes the chain
+      // retention floor auto-lowers to the chain base: keeping only the
+      // chain head must reclaim NOTHING (v0 is its base)
+      val vacuumFloor = TxLog.vacuum(root, keepFrom = 2) == 0 &&
+        TxLog.read(s, root, 0).count() == nBase
+      // compaction collapses the chain into an equivalent full version
+      val v3 = TxLog.compact(s, root)
+      val full = TxLog.read(s, root, v3)
+      val compactEquiv = v3 == 3 &&
+        full.exceptAll(finDf).isEmpty && finDf.exceptAll(full).isEmpty
+      // ... after which the whole chain is reclaimable, reads loud
+      val reclaimed = TxLog.vacuum(root, keepFrom = 3)
+      val oldLoud =
+        try { TxLog.read(s, root, 1); false }
+        catch { case _: IllegalArgumentException => true }
+      val vacuumedAfter = reclaimed == 3 && oldLoud &&
+        TxLog.read(s, root).count() == finCount
+      import s.implicits._
+      val chks = Seq(
+        ("chk:compact_equiv", compactEquiv),
+        ("chk:conflict_rebased", conflictRebased),
+        ("chk:dv_physical_keys", dvPhysical),
+        ("chk:time_travel", timeTravel),
+        ("chk:upsert_physical_delta", upPhysical),
+        ("chk:vacuum_floor", vacuumFloor),
+        ("chk:vacuumed_after_compact", vacuumedAfter)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      val out = sigRows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+      sigRows.unpersist() // drop the intermediate's blocks, keep out's
+      out
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -2286,5 +2404,5 @@ object LakeQueries {
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
-    q342CatalogTxn, q343MatviewRollup)
+    q342CatalogTxn, q343MatviewRollup, q344TxlogMor)
 }

@@ -143,6 +143,60 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("deletion vectors and upserts compose on the multi-writer log under thread contention") {
+    import spark.implicits._
+    import graft.lake.TxLog
+    val root = graft.io.Sources.scratchDir("graft_txlog_mor_race")
+    try {
+      val base = (0L until 900L).map(k => (k, k * 10L)).toDF("k", "v")
+      TxLog.commit(base, root, expected = -1)
+      // three writers on DISJOINT key classes (so the serialization
+      // order cannot change the final state), all racing the CAS
+      def retryMor(op: Int => Int): Unit = {
+        var done = false
+        var attempts = 0
+        while (!done) {
+          try { op(TxLog.current(root)); done = true }
+          catch { case _: graft.lake.CommitConflict =>
+            attempts += 1
+            assert(attempts < 200, "MoR writer starved") }
+        }
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ths = Seq(
+        new Thread(() => {
+          try retryMor(e => TxLog.commitDelete(
+            base.filter(col("k") % 9 === 0).select("k"), root, "k", e))
+          catch { case t: Throwable => errs.add(t); () }
+        }),
+        new Thread(() => {
+          try retryMor(e => TxLog.commitUpsert(
+            base.filter(col("k") % 9 === 1)
+              .select(col("k"), (col("v") + 5L).as("v")), root, "k", e))
+          catch { case t: Throwable => errs.add(t); () }
+        }),
+        new Thread(() => {
+          try retryMor(e => TxLog.commitUpsert(
+            base.filter(col("k") % 9 === 2)
+              .select(col("k"), (col("v") + 7L).as("v")), root, "k", e))
+          catch { case t: Throwable => errs.add(t); () }
+        }))
+      ths.foreach(_.start()); ths.foreach(_.join())
+      assert(errs.isEmpty, s"MoR writer failed: ${errs.peek()}")
+      assert(TxLog.current(root) == 3, "a commit was lost or doubled")
+      val want = (0L until 900L).filter(_ % 9 != 0).map { k =>
+        (k, k * 10L + (if (k % 9 == 1) 5L else if (k % 9 == 2) 7L else 0L))
+      }.toDF("k", "v")
+      val got = TxLog.read(spark, root)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "final chain state diverged under contention")
+      // the chain collapses and the compacted state is identical
+      val v = TxLog.compact(spark, root)
+      val full = TxLog.read(spark, root, v)
+      assert(full.exceptAll(want).isEmpty && want.exceptAll(full).isEmpty)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("catalog rejects table names that would corrupt the record or escape the root") {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_catalog_names")
