@@ -246,14 +246,66 @@ object Ivf {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
-  /** Complete (or discard) a [[compactIndex]] swap interrupted by a
-   * crash. The swap is rename-only (`assigned` → `assigned_old`, then
-   * `assigned_compacting` → `assigned`), so directories are always
-   * either fully present or fully absent — no partially-deleted
-   * ambiguity — and the `_SUCCESS` marker Spark writes with the
-   * compacted table disambiguates complete from garbage. Every state
-   * maps to exactly one action:
+  /** Steps 3–6 of the [[partialRetrain]] swap — assigned pair first,
+   * then the centroid pair — RESUMABLE from any crash point once both
+   * staged tables are complete (or already partially swapped in). Each
+   * pair is two atomic renames; every intermediate state re-enters
+   * here and completes, because each rename is conditioned on what is
+   * still on disk, never on where the last run died. `dropTombstones`
+   * is true only on the live writer path: recovery keeps them
+   * ([[deleteFromIndex]] may have appended NEW ids post-crash; folded
+   * ones re-apply as no-ops). */
+  private def finishRetrainSwap(dir: String, dropTombstones: Boolean): Unit = {
+    val a = new java.io.File(s"$dir/assigned")
+    val old = new java.io.File(s"$dir/assigned_old")
+    val ret = new java.io.File(s"$dir/assigned_retraining")
+    if (ret.isDirectory) {
+      if (a.isDirectory) {
+        rmTree(old) // defensive: free the rename target
+        require(a.renameTo(old), s"retrain swap failed for $dir")
+      }
+      require(ret.renameTo(a), s"retrain swap failed for $dir")
+    }
+    rmTree(old)
+    if (dropTombstones) rmTree(new java.io.File(s"$dir/tombstones"))
+    val c = new java.io.File(s"$dir/centroids")
+    val cOld = new java.io.File(s"$dir/centroids_old")
+    val cNew = new java.io.File(s"$dir/centroids_new")
+    if (cNew.isDirectory) {
+      if (c.isDirectory) {
+        rmTree(cOld) // defensive: free the rename target
+        require(c.renameTo(cOld), s"retrain centroid swap failed for $dir")
+      }
+      require(cNew.renameTo(c), s"retrain centroid swap failed for $dir")
+    }
+    rmTree(cOld)
+  }
+
+  /** Complete (or discard) a [[compactIndex]] or [[partialRetrain]]
+   * swap interrupted by a crash. Swaps are rename-only, so directories
+   * are always either fully present or fully absent — no
+   * partially-deleted ambiguity — and the `_SUCCESS` marker Spark
+   * writes with each staged table disambiguates complete from garbage.
+   * Every state maps to exactly one action:
    *
+   *   - RETRAIN pair (`assigned_retraining` + `centroids_new` — the
+   *     two staged tables are one logical transaction, distinguishable
+   *     from a compaction by the staging name): roll FORWARD
+   *     ([[finishRetrainSwap]]) only when BOTH are complete; if
+   *     staging never finished, discard both — the live
+   *     assigned/centroids pair is untouched, because the renames only
+   *     start after both `_SUCCESS` markers exist. `centroids_new`
+   *     complete WITHOUT `assigned_retraining` means the assigned swap
+   *     already finished (the staging dir is renamed, never deleted) —
+   *     finish the centroid swap, including the previously-unrecovered
+   *     window BETWEEN the two centroid renames (no `centroids` at the
+   *     canonical path, complete `centroids_old` and `centroids_new`
+   *     both on disk): the new table renames in and probes heal,
+   *     instead of every probe failing loudly until a hand-restore;
+   *   - centroid-pair leftovers without `centroids_new`: a missing
+   *     `centroids` beside `centroids_old` restores the old table
+   *     (defensive); a lingering `centroids_old` beside `centroids` is
+   *     cleanup debt, reclaimed;
    *   - `assigned_compacting/_SUCCESS` present → the compacted table is
    *     COMPLETE → always swap it in (when `assigned` is also present —
    *     the pre-rename crash — this merely saves redoing the
@@ -271,6 +323,34 @@ object Ivf {
    * anti-join matches nothing), so keeping them is always correct; the
    * next completed [[compactIndex]] run folds and drops the lot. */
   private[sim] def recoverSwap(dir: String): Unit = {
+    def complete(f: java.io.File) = new java.io.File(f, "_SUCCESS").isFile
+    // --- retrain transaction: the staged PAIR rolls forward or back ---
+    val ret = new java.io.File(s"$dir/assigned_retraining")
+    val cNew = new java.io.File(s"$dir/centroids_new")
+    if (ret.isDirectory) {
+      if (complete(ret) && cNew.isDirectory && complete(cNew))
+        finishRetrainSwap(dir, dropTombstones = false)
+      else { rmTree(ret); rmTree(cNew) } // staging died: roll back
+    } else if (cNew.isDirectory) {
+      if (complete(cNew)) finishRetrainSwap(dir, dropTombstones = false)
+      else {
+        // markerless cNew with the assigned swap done is unreachable
+        // under the protocol (both markers precede any rename);
+        // defensively keep whichever centroid table is complete
+        val c = new java.io.File(s"$dir/centroids")
+        val cOld = new java.io.File(s"$dir/centroids_old")
+        if (!c.isDirectory && cOld.isDirectory)
+          require(cOld.renameTo(c), s"centroid recovery failed for $dir")
+        rmTree(cNew)
+      }
+    } else {
+      val c = new java.io.File(s"$dir/centroids")
+      val cOld = new java.io.File(s"$dir/centroids_old")
+      if (!c.isDirectory && cOld.isDirectory)
+        require(cOld.renameTo(c), s"centroid recovery failed for $dir")
+      else if (c.isDirectory && cOld.isDirectory) rmTree(cOld)
+    }
+    // --- compaction swap ---
     val assigned = new java.io.File(s"$dir/assigned")
     val compacting = new java.io.File(s"$dir/assigned_compacting")
     val old = new java.io.File(s"$dir/assigned_old")
@@ -342,13 +422,16 @@ object Ivf {
    * one map-side pass over the flagged rows' STORED unit vectors (no
    * corpus re-read, no re-normalization). New cluster ids reuse the
    * flagged ids first, then extend past the current max, so untouched
-   * ids never move. The assignment rewrite goes through the same
-   * rename-based crash-safe swap as [[compactIndex]] (it also folds any
-   * pending tombstones, being a rewrite anyway); the centroid table
-   * swaps second, so a crash between the two leaves orphaned cluster
-   * ids — probes then fail loudly or lose recall on the flagged region
-   * only, never return wrong rows (candidates are exact-re-ranked). A
-   * production deployment roots both tables behind one
+   * ids never move. The assignment AND centroid rewrites are ONE
+   * staged transaction: both new tables land complete (`assigned_
+   * retraining` + `centroids_new`, each `_SUCCESS`-gated) BEFORE any
+   * rename, and [[recoverSwap]] at writer entry rolls the pair forward
+   * from every crash state — including the window between the two
+   * centroid renames, which previously stranded the index with no
+   * `centroids` at the canonical path — or discards both stubs if
+   * staging died, leaving the live pair untouched. (It also folds any
+   * pending tombstones, being a rewrite anyway.) A production
+   * deployment roots both tables behind one
    * [[graft.lake.Versions]]-style manifest flip. At 100 TB the cost is
    * O(rows of the flagged cells) for the reassignment and a full-table
    * rewrite only because this layout stores `assigned` unpartitioned —
@@ -391,13 +474,14 @@ object Ivf {
         get(typedLit(usedIds), // 0-based lookup by a COLUMN index
           element_at(nearestK(col("cu"), newCenters, 1), 1)))
       .select(col(idCol), col("cluster"), col("cu"))
+    // stage BOTH tables complete before any rename — the staged pair
+    // is the retrain transaction recoverSwap rolls forward or back
     assigned.filter(!col("cluster").isin(cells: _*))
       .select(col(idCol), col("cluster"), col("cu"))
       .unionByName(reassigned)
-      .write.parquet(s"$dir/assigned_compacting")
-    require(new java.io.File(s"$dir/assigned_compacting/_SUCCESS").isFile,
+      .write.parquet(s"$dir/assigned_retraining")
+    require(new java.io.File(s"$dir/assigned_retraining/_SUCCESS").isFile,
       s"retrain wrote no _SUCCESS marker under $dir")
-    // stage the new centroid table BEFORE swapping anything
     val rows = (kept ++ usedIds.zip(newCenters))
       .map { case (id, v) => Row(id, v.toSeq) }
     val schema = StructType(Seq(
@@ -406,21 +490,10 @@ object Ivf {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), schema)
       .write.parquet(s"$dir/centroids_new")
-    // swap assigned (crash-recoverable rename protocol), then centroids
-    val aDir = new java.io.File(s"$dir/assigned")
-    val oldDir = new java.io.File(s"$dir/assigned_old")
-    require(aDir.renameTo(oldDir), s"retrain swap failed for $dir")
-    require(new java.io.File(s"$dir/assigned_compacting").renameTo(aDir),
-      s"retrain swap failed for $dir")
-    rmTree(oldDir)
-    rmTree(new java.io.File(s"$dir/tombstones")) // folded by the rewrite
-    val cDir = new java.io.File(s"$dir/centroids")
-    val cOld = new java.io.File(s"$dir/centroids_old")
-    rmTree(cOld)
-    require(cDir.renameTo(cOld) &&
-      new java.io.File(s"$dir/centroids_new").renameTo(cDir),
-      s"retrain centroid swap failed for $dir")
-    rmTree(cOld)
+    require(new java.io.File(s"$dir/centroids_new/_SUCCESS").isFile,
+      s"retrain wrote no _SUCCESS marker under $dir/centroids_new")
+    // swap assigned, then centroids — resumable from every crash point
+    finishRetrainSwap(dir, dropTombstones = true) // folded by the rewrite
     (nHot, usedIds)
   }
 
