@@ -1245,8 +1245,8 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_delta"), lit(0L).as("key_xor"))
-      acts.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(acts.unionByName(chks).orderBy("tag"),
+        cdf, net, trans, revs) // result outlives the removed files
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -1493,9 +1493,9 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      total.unionByName(buckets).unionByName(top).unionByName(cur)
-        .unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(total.unionByName(buckets).unionByName(top)
+        .unionByName(cur).unionByName(chks).orderBy("tag"),
+        early) // result outlives the removed files
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -1666,8 +1666,8 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows, v2Resolved) // result outlives the removed files
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -1756,8 +1756,8 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows, v2Resolved) // result outlives the removed files
     } finally {
       graft.io.Sources.removeScratchDir(br)
       graft.io.Sources.removeScratchDir(root)
@@ -1836,7 +1836,7 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"))
-      ets.unionByName(chks).orderBy("tag").localCheckpoint()
+      Q.sealResult(ets.unionByName(chks).orderBy("tag"), viewBefore)
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -1999,8 +1999,8 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows) // result outlives the removed files
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -2102,8 +2102,8 @@ object LakeQueries {
       val chks = gates.toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"), lit(0.0).as("avg_id"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows) // result outlives the removed files
     } finally graft.io.Sources.removeScratchDir(root)
   }
 

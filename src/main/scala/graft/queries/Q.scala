@@ -18,4 +18,18 @@ object Q {
     Q(name, fn, Some(sql))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** localCheckpoint the RESULT (so it outlives the query's scratch
+    * files), then unpersist the listed INTERMEDIATE checkpoints — a
+    * lifecycle query that checkpoints mid-fixture frames and leaves
+    * them to the ContextCleaner leaks blocks across a several-hundred-
+    * query marathon (the slow-creep class the round-10/11 work
+    * flagged). Call this as the query's last expression. */
+  def sealResult(out: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val r = out.localCheckpoint()
+    intermediates.foreach { df =>
+      try { df.unpersist(); () } catch { case _: Throwable => () }
+    }
+    r
+  }
 }

@@ -1254,7 +1254,153 @@ object TextQueries {
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
     q318IvfAppend, q322IvfPqAppend, q323IndexDelete, q329IndexDrift,
-    q331PartialRetrain, q341CdcIndexSync)
+    q331PartialRetrain, q341CdcIndexSync, q345SeqIndexSync)
+
+  /** SEQUENCE-NUMBERED CDC→INDEX SYNC (q341's missing-seqno residue
+   * closed — the Lucene/Elasticsearch per-record seqno semantics): the
+   * q341 pipeline needed its tombstones COMPACTED before re-adding
+   * updated ids, because an unsequenced tombstone kills any row with
+   * its id regardless of age — maintenance serialized on a fold. Here
+   * every assignment row and every tombstone carries a monotone `seq`
+   * (the corpus commit version), a tombstone at seq S kills only rows
+   * with seq < S, and the whole change batch lands in ONE pass with NO
+   * compaction — deliberately applied in the ADVERSE order (re-adds
+   * first, tombstones after), which under q341's semantics would kill
+   * every updated id. Gates: the live set equals the new corpus
+   * exactly with the tombstone table still unfolded (one pass, no
+   * compact), the same sync applied in the OPPOSITE order on a second
+   * index yields the identical live set (resolution by sequence, not
+   * arrival), a STALE re-add (seq 0 replay of a deleted id, arriving
+   * after its seq-1 tombstone) stays dead, centroids never change
+   * (maintenance, not retrain), and probe recall@10 vs brute force on
+   * the new corpus holds the 0.6 floor. The oracle recomputes every
+   * action class and the live set from the raw mod arithmetic. Scale
+   * shape: the seq test rides the existing id-keyed hash anti-join as
+   * a residual predicate — O(|delta|) maintenance, order-free, no
+   * fold barrier between CDC batches. */
+  lazy val q345SeqIndexSync: Q = Q("q345_seq_index_sync",
+    """WITH e AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+       v0 AS (SELECT vec_id FROM e WHERE vec_id % 5 <> 4),
+       del AS (SELECT vec_id FROM v0 WHERE vec_id % 7 = 0),
+       upd AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0 AND vec_id % 11 = 0),
+       ins AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4),
+       v1 AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0
+              UNION ALL SELECT vec_id FROM ins),
+       sigs AS (SELECT 'act:deleted' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vec_id) AS BIGINT) AS id_sum FROM del
+                UNION ALL SELECT 'act:inserted', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM ins
+                UNION ALL SELECT 'act:updated', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM upd
+                UNION ALL SELECT 'live:index', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM v1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:live_set_equals_v1'),
+                            ('chk:no_retrain'),
+                            ('chk:one_pass_no_compact'),
+                            ('chk:order_free'),
+                            ('chk:recall_floor'),
+                            ('chk:stale_readd_dead')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    import graft.sim.{Ivf, Similarity}
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val idx = graft.io.Sources.scratchDir("graft_seq_idx")
+    val idx2 = graft.io.Sources.scratchDir("graft_seq_idx2")
+    try {
+      val seq = Some("seq")
+      val v0 = emb.select("vec_id", "embedding")
+        .filter(pmod(col("vec_id"), lit(5)) =!= 4)
+        .withColumn("seq", lit(0L))
+      // the CDC batch at corpus seq 1
+      val del = v0.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), lit(1L).as("seq"))
+      val upd = v0.filter(pmod(col("vec_id"), lit(7)) =!= 0 &&
+          pmod(col("vec_id"), lit(11)) === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit(1L).as("seq"))
+      val ins = emb.select("vec_id", "embedding")
+        .filter(pmod(col("vec_id"), lit(5)) === 4)
+        .withColumn("seq", lit(1L))
+      val tombIds = del.unionByName(upd.select("vec_id", "seq"))
+      val readds = upd.unionByName(ins)
+      Ivf.persistIndex(v0, idx, nClusters = 16, seqCol = seq)
+      def centroidFiles(p: String) = Option(
+        new java.io.File(p, "centroids").listFiles()).toSeq.flatten
+        .map(f => (f.getName, f.length)).toSet
+      val centroidsBefore = centroidFiles(idx)
+      // ONE pass, ADVERSE order: re-adds FIRST, tombstones after —
+      // unsequenced tombstones would kill every updated id here
+      Ivf.appendToIndex(readds, idx, seqCol = seq)
+      Ivf.deleteFromIndex(tombIds, idx, seqCol = seq)
+      // a stale replay (seq 0) of a deleted id, arriving AFTER its
+      // tombstone: sequence beats arrival time, it must stay dead
+      val stale = v0.filter(pmod(col("vec_id"), lit(7)) === 0)
+      Ivf.appendToIndex(stale, idx, seqCol = seq)
+      // the second index applies the SAME batch in the opposite order
+      Ivf.persistIndex(v0, idx2, nClusters = 16, seqCol = seq)
+      Ivf.deleteFromIndex(tombIds, idx2, seqCol = seq)
+      Ivf.appendToIndex(readds, idx2, seqCol = seq)
+      // gates
+      val v1r = v0.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11)) === 0,
+            reverse(col("embedding"))).otherwise(col("embedding"))
+            .as("embedding"))
+        .unionByName(emb.select("vec_id", "embedding")
+          .filter(pmod(col("vec_id"), lit(5)) === 4))
+        .localCheckpoint()
+      val live = Ivf.liveAssigned(s, idx).select("vec_id").localCheckpoint()
+      val liveEq =
+        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
+          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
+      val nTombs = s.read.parquet(s"$idx/tombstones").count()
+      val onePass = nTombs == tombIds.count() // still unfolded: no compact
+      val live2 = Ivf.liveAssigned(s, idx2).select("vec_id")
+      val orderFree = live.exceptAll(live2).isEmpty &&
+        live2.exceptAll(live).isEmpty
+      val staleDead =
+        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi")
+          .count() == 0
+      val queries = v1r.filter(col("vec_id") < 40)
+      val got = Ivf.probeIndex(queries, idx, k = 10, nProbe = 8)
+        .select("qid", "nid")
+      val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
+        .select("qid", "nid")
+      val recallOk = {
+        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
+        hits.toDouble / truth.count() >= 0.6
+      }
+      val rows = del.select(lit("act:deleted").as("tag"), col("vec_id"))
+        .groupBy("tag").agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        .unionByName(ins.groupBy(lit("act:inserted").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+        .unionByName(upd.groupBy(lit("act:updated").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+        .unionByName(v1r.groupBy(lit("live:index").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:live_set_equals_v1", liveEq),
+        ("chk:no_retrain", centroidFiles(idx) == centroidsBefore),
+        ("chk:one_pass_no_compact", onePass),
+        ("chk:order_free", orderFree),
+        ("chk:recall_floor", recallOk),
+        ("chk:stale_readd_dead", staleDead)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      val out = rows.unionByName(chks).orderBy("tag")
+        .localCheckpoint() // result must not reference the removed files
+      Seq(v1r, live, emb).foreach(_.unpersist()) // intermediates only
+      out
+    } finally {
+      graft.io.Sources.removeScratchDir(idx)
+      graft.io.Sources.removeScratchDir(idx2)
+    }
+  }
 
   /** IVF OPERATING CURVE: recall@5 vs brute force at nProbe ∈
    * {1, 2, 4, 8} against the persisted index — the tuning sweep that
@@ -2000,8 +2146,8 @@ object TextQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        emb, cdf, v1r) // result outlives the removed files
     } finally {
       graft.io.Sources.removeScratchDir(idx)
       graft.io.Sources.removeScratchDir(root)

@@ -165,10 +165,12 @@ object Ivf {
    * reads only the index. */
   def persistIndex(corpus: DataFrame, dir: String, nClusters: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   trainSample: Long = 65536L): Unit = {
+                   trainSample: Long = 65536L,
+                   seqCol: Option[String] = None): Unit = {
     val index = buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
     Similarity.withUnitVec(index.assigned, vecCol, "cu")
-      .select(col(idCol), col("cluster"), col("cu"))
+      .select((Seq(col(idCol), col("cluster"), col("cu")) ++
+        seqCol.map(col)): _*)
       .write.mode("overwrite").parquet(s"$dir/assigned")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
   }
@@ -187,14 +189,16 @@ object Ivf {
    * from a top-k that ranks by the global order), which q318 gates. */
   def appendToIndex(delta: DataFrame, dir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    seqCol: Option[String] = None): Unit = {
     val spark = delta.sparkSession
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect() // bounded: nClusters rows
       .map(_.getSeq[Double](1).toArray)
     Similarity.withUnitVec(delta, vecCol, "cu")
       .withColumn("cluster", element_at(nearestK(col("cu"), centers, 1), 1))
-      .select(col(idCol), col("cluster"), col("cu"))
+      .select((Seq(col(idCol), col("cluster"), col("cu")) ++
+        seqCol.map(col)): _*)
       .write.mode("append").parquet(s"$dir/assigned")
   }
 
@@ -208,9 +212,19 @@ object Ivf {
    * IVF-PQ layouts — both persist `assigned` and probe through
    * [[liveAssigned]]. */
   def deleteFromIndex(ids: DataFrame, dir: String,
-                      idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol)).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+                      idCol: String = "vec_id",
+                      seqCol: Option[String] = None): Unit =
+    (seqCol match {
+      case None => ids.select(col(idCol)).distinct()
+      // SEQUENCE-NUMBERED tombstone (the Lucene/Elasticsearch seqno
+      // semantics): "delete `id` as of seq S" kills only assignment
+      // rows with seq < S, so a concurrent re-add AT-or-after S
+      // survives with NO compact-first ordering — delete and re-add of
+      // one id resolve by sequence, not by arrival order. An index is
+      // sequenced or not from its build ([[persistIndex]]'s seqCol);
+      // the two tombstone shapes never mix in one directory.
+      case Some(sc) => ids.groupBy(col(idCol)).agg(max(col(sc)).as(sc))
+    }).write.mode("append").parquet(s"$dir/tombstones")
 
   /** The assignment table with tombstones applied — the ONLY way probes
    * read it, and STRICTLY READ-ONLY (a reader that deletes — the old
@@ -238,8 +252,25 @@ object Ivf {
       else s"$dir/assigned" // fail in the read with the canonical path
     val assigned = spark.read.parquet(src)
     if (!new java.io.File(s"$dir/tombstones").isDirectory) assigned
-    else assigned.join(
-      spark.read.parquet(s"$dir/tombstones"), Seq(idCol), "left_anti")
+    else {
+      val tombs = spark.read.parquet(s"$dir/tombstones")
+      tombs.columns.filterNot(_ == idCol).headOption match {
+        case None => assigned.join(tombs, Seq(idCol), "left_anti")
+        case Some(sc) => // sequenced index: a tombstone kills only
+          // OLDER assignment rows (seq < the id's max tombstone seq) —
+          // still a hash anti-join keyed on the id, the seq test is a
+          // residual predicate, so the scale shape is unchanged
+          require(assigned.columns.contains(sc),
+            s"tombstones under $dir carry seq column '$sc' but the " +
+              "assignment table does not — sequenced and unsequenced " +
+              "maintenance cannot mix on one index")
+          val t = tombs.groupBy(col(idCol).as("_tid"))
+            .agg(max(col(sc)).as("_tseq"))
+          assigned.join(t,
+            col(idCol) === col("_tid") && col(sc) < col("_tseq"),
+            "left_anti")
+      }
+    }
   }
 
   private def rmTree(f: java.io.File): Unit = {
