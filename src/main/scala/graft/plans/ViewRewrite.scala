@@ -74,10 +74,50 @@ final case class MatView(
 final case class ViewRewrite(spark: SparkSession, view: MatView)
     extends Rule[LogicalPlan] {
 
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg: Aggregate =>
+      ViewRewrite.derive(spark, view, agg).getOrElse(agg)
+  }
+}
+
+/**
+ * MV AUTO-SELECTION (the Calcite-style matching step): register
+ * SEVERAL maintained views; for each matching aggregate the rule
+ * collects every view whose shape can derive the answer and picks the
+ * CHEAPEST — bytes on disk of the view directory, a pure filesystem-
+ * metadata cost, no data read at plan time. Capability first, cost
+ * second: a view that cannot derive the query (missing sum column,
+ * finer key not a superset, type mismatch) is never a candidate no
+ * matter how small; among candidates, an exact coarse view beats
+ * rolling up a fine one precisely because it is smaller. At 100 TB a
+ * dashboard family typically maintains a handful of views per fact
+ * table; this picks per-query without the user naming one.
+ */
+final case class MultiViewRewrite(spark: SparkSession, views: Seq[MatView])
+    extends Rule[LogicalPlan] {
+
+  private def sizeOf(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case agg: Aggregate =>
+      val candidates = views.flatMap(v =>
+        ViewRewrite.derive(spark, v, agg).map(p => (sizeOf(v.viewPath), p)))
+      if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
+  }
+}
+
+private final class ViewMatcher(spark: SparkSession, view: MatView) {
+
   private def norm(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
-  private def scansBase(plan: LogicalPlan): Boolean = plan match {
+  def scansBase(plan: LogicalPlan): Boolean = plan match {
     case lr: LogicalRelation => lr.relation match {
       case f: HadoopFsRelation => f.location.rootPaths.toList match {
         case one :: Nil => norm(one.toUri.getPath) == norm(view.basePath)
@@ -131,7 +171,7 @@ final case class ViewRewrite(spark: SparkSession, view: MatView)
   }
 
   /** Attempt the rewrite; None leaves the plan untouched. */
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     // grouping must be bare attributes of view key columns, no repeats
     val keyAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
       case a: AttributeReference if view.keyCols.contains(a.name) => a
@@ -185,14 +225,18 @@ final case class ViewRewrite(spark: SparkSession, view: MatView)
     if (newPlan.output.map(_.dataType) != agg.output.map(_.dataType)) None
     else Some(newPlan)
   }
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg: Aggregate if scansBase(agg.child) =>
-      tryRewrite(agg).getOrElse(agg)
-  }
 }
 
 object ViewRewrite {
+  /** The derivation shared by the single- and multi-view rules: the
+    * view-answered plan for `agg`, or None when `view` cannot answer
+    * it (wrong base, underivable shape, or type mismatch). */
+  private[plans] def derive(spark: SparkSession, view: MatView,
+                            agg: Aggregate): Option[LogicalPlan] = {
+    val m = new ViewMatcher(spark, view)
+    if (m.scansBase(agg.child)) m.tryRewrite(agg) else None
+  }
+
   /** Root paths of every file relation in the OPTIMIZED plan — the
     * structural "which table does this query actually scan" probe
     * (the logical plan's toString elides paths). */
@@ -215,13 +259,13 @@ object ViewRewrite {
     finally spark.experimental.extraOptimizations = prev
   }
 
-  /** Register SEVERAL views; for each matching aggregate the FIRST
-    * view (in registration order) whose shape derives the answer wins —
-    * register the cheapest (coarsest sufficient) first. */
-  def withRules[T](spark: SparkSession, views: Seq[MatView])(body: => T): T = {
+  /** Register SEVERAL views through ONE [[MultiViewRewrite]] rule —
+    * for each matching aggregate, the cheapest capable view answers
+    * (bytes-on-disk cost, capability first). */
+  def withViews[T](spark: SparkSession, views: Seq[MatView])(body: => T): T = {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
-      prev ++ views.map(ViewRewrite(spark, _))
+      prev :+ MultiViewRewrite(spark, views)
     try body
     finally spark.experimental.extraOptimizations = prev
   }

@@ -2394,6 +2394,98 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** MV AUTO-SELECTION ([[graft.plans.MultiViewRewrite]] — the
+   * Calcite-style matching step on top of q340/q343's single-view
+   * rewrite): TWO views are maintained over events — a COARSE
+   * count-only view keyed by event_type and a FINE count+sum view
+   * keyed by (event_type, user_id) — registered through ONE rule that,
+   * per aggregate, collects every view whose shape can derive the
+   * answer and picks the cheapest by bytes-on-disk (filesystem
+   * metadata, nothing read at plan time). Capability first, cost
+   * second: a count-by-type query is answered from the COARSE view
+   * (both are capable; coarse is smaller), a count+sum query falls
+   * back to the FINE view (coarse lacks the sum column, so it is never
+   * a candidate no matter how small), the two-key exact shape uses the
+   * fine view, and a global count rolls up the coarse one. The oracle
+   * recomputes the data rows from raw events; plan gates pin each
+   * choice AND that no chosen plan ever rescans the base. At 100 TB a
+   * dashboard family maintains a handful of views per fact table; this
+   * picks per-query without the user naming one. */
+  val q346MatviewSelect: Q = Q("q346_matview_select",
+    """WITH e AS (SELECT coalesce(event_type, '(null)') AS et, user_id,
+              event_id FROM events),
+       by_t AS (SELECT 'et:' || et AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum
+                FROM e GROUP BY et),
+       allr AS (SELECT 'all' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(0 AS BIGINT) AS id_sum FROM e),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:base_never_scanned'),
+                            ('chk:coarse_for_count'),
+                            ('chk:coarse_for_global'),
+                            ('chk:fine_exact_two_key'),
+                            ('chk:fine_for_sum')) t(chk))
+       SELECT * FROM (SELECT * FROM by_t UNION ALL SELECT * FROM allr
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mv_select")
+    try {
+      import graft.plans.{MatView, ViewRewrite}
+      val ev = table(s, d, "events")
+        .select("event_type", "user_id", "event_id")
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .write.parquet(s"$root/coarse")
+      ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        .write.parquet(s"$root/fine")
+      val coarse = MatView(basePath = s"$d/events.parquet",
+        viewPath = s"$root/coarse", keyCols = Seq("event_type"),
+        countCol = Some("n"), sumCols = Map.empty)
+      val fine = MatView(basePath = s"$d/events.parquet",
+        viewPath = s"$root/fine", keyCols = Seq("event_type", "user_id"),
+        countCol = Some("n"), sumCols = Map("event_id" -> "id_sum"))
+      def pathsOf(df: org.apache.spark.sql.DataFrame) =
+        ViewRewrite.scannedPaths(df)
+      def chose(df: org.apache.spark.sql.DataFrame, view: String) = {
+        val p = pathsOf(df)
+        p.exists(_.endsWith(s"/$view")) &&
+          !p.exists(_.endsWith(if (view == "fine") "/coarse" else "/fine"))
+      }
+      val (rows, gates) = ViewRewrite.withViews(s, Seq(coarse, fine)) {
+        val qCount = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val qSum = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        val qTwoKey = ev.groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n"))
+        val qGlobal = ev.agg(count(lit(1)).as("n"))
+        val out = qSum.select(
+            concat(lit("et:"),
+              coalesce(col("event_type"), lit("(null)"))).as("tag"),
+            col("n"), col("id_sum"))
+          .unionByName(qGlobal.select(lit("all").as("tag"), col("n"),
+            lit(0L).as("id_sum")))
+          .localCheckpoint()
+        val gates = Seq(
+          ("chk:base_never_scanned",
+            Seq(qCount, qSum, qTwoKey, qGlobal).forall(q =>
+              !pathsOf(q).exists(_.contains("events.parquet")))),
+          ("chk:coarse_for_count", chose(qCount, "coarse")),
+          ("chk:coarse_for_global", chose(qGlobal, "coarse")),
+          ("chk:fine_exact_two_key", chose(qTwoKey, "fine")),
+          ("chk:fine_for_sum", chose(qSum, "fine")))
+        (out, gates)
+      }
+      import s.implicits._
+      val chks = gates.toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows) // result outlives the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -2404,5 +2496,5 @@ object LakeQueries {
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
-    q342CatalogTxn, q343MatviewRollup, q344TxlogMor)
+    q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect)
 }

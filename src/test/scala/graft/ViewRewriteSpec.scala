@@ -131,6 +131,45 @@ class ViewRewriteSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-view selection: capability first, then bytes-on-disk cost") {
+    import graft.plans.{MatView, ViewRewrite}
+    val root = graft.io.Sources.scratchDir("graft_mv_select_spec")
+    try {
+      val two = graft.io.Sources.table(spark, sf001, "events")
+        .select("event_type", "user_id", "event_id")
+      two.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .write.parquet(s"$root/coarse")
+      two.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        .write.parquet(s"$root/fine")
+      val coarse = MatView(s"$sf001/events.parquet", s"$root/coarse",
+        Seq("event_type"), Some("n"), Map.empty)
+      val fine = MatView(s"$sf001/events.parquet", s"$root/fine",
+        Seq("event_type", "user_id"), Some("n"),
+        Map("event_id" -> "id_sum"))
+      ViewRewrite.withViews(spark, Seq(coarse, fine)) {
+        // both capable -> the smaller (coarse) view answers, and the
+        // registration ORDER does not decide (fine listed second)
+        val qc = two.groupBy("event_type").agg(count(lit(1)).as("n"))
+        assert(ViewRewrite.scannedPaths(qc).exists(_.endsWith("/coarse")))
+        // only the fine view has the sum column -> capability overrides
+        // cost and the larger view answers
+        val qs = two.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        assert(ViewRewrite.scannedPaths(qs).exists(_.endsWith("/fine")))
+        // neither is capable -> the base scan stands
+        val qd = two.groupBy("event_type")
+          .agg(countDistinct(col("event_id")).as("n"))
+        assert(ViewRewrite.scannedPaths(qd)
+          .exists(_.contains("events.parquet")))
+        // results still correct through the chosen views
+        val truth = graft.io.Sources.table(spark, sf001, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n")).localCheckpoint()
+        assert(qc.exceptAll(truth).isEmpty && truth.exceptAll(qc).isEmpty)
+      }
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("coarser grouping rolls up over the view; global total included") {
     import graft.plans.{MatView, ViewRewrite}
     val root = graft.io.Sources.scratchDir("graft_mv_rollup")
