@@ -184,4 +184,27 @@ object Catalog {
       Versions.vacuum(s"$root/$t", keepFrom = v)
     }.sum
   }
+
+  /** AGE-BASED retention across the whole catalog: first prune catalog
+    * RECORDS older than `maxAgeMs` (never the newest — the current
+    * snapshot always stays addressable), then reclaim member-table
+    * versions older than the window EXCEPT any version a RETAINED
+    * record still names ([[Versions.vacuumAged]]'s `keep` set) — so
+    * cataloged history, however old, stays readable by construction,
+    * and an as-of pipeline pinned to a retained snapshot can never
+    * lose a table out from under it. Returns member directories
+    * reclaimed. */
+  def vacuumAged(root: String, maxAgeMs: Long): Int = {
+    val cur = catalogVersion(root)
+    if (cur < 0) return 0
+    val now = System.currentTimeMillis()
+    listed(root).filter(n => n < cur &&
+        now - recordFile(root, n).lastModified() >= maxAgeMs)
+      .foreach(n => recordFile(root, n).delete())
+    val retained = listed(root).map(snapshotAt(root, _))
+    retained.flatMap(_.keys).distinct.sorted.map { t =>
+      val keep = retained.flatMap(_.get(t)).toSet
+      Versions.vacuumAged(s"$root/$t", maxAgeMs, keep)
+    }.sum
+  }
 }

@@ -334,6 +334,40 @@ object Versions {
     * retention/readability trade every lakehouse exposes. The manifest
     * (and with it [[lastTxn]]) is never touched: vacuuming history
     * cannot break a streaming writer's replay-skip test. */
+  /** AGE-BASED retention (the "older than N days" rung — the retention
+    * window public lakehouse VACUUMs expose, orthogonal to the
+    * version-floor rule of [[vacuum]]): reclaim version directories
+    * whose NEWEST file mtime is older than `maxAgeMs`, except (a) the
+    * current version, (b) anything in `keep` (e.g. versions a catalog
+    * snapshot still names — [[Catalog.vacuumAged]] passes these), and
+    * (c) any member of a RETAINED version's merge-on-read chain: age
+    * cutoffs can leave HOLES, and a hole under a retained overlay
+    * would break its chain, so chains are protected as units rather
+    * than per-directory. Victims lose `_SUCCESS` first, as in
+    * [[vacuum]]. Returns directories reclaimed. */
+  def vacuumAged(root: String, maxAgeMs: Long,
+                 keep: Set[Int] = Set.empty): Int = {
+    val cur = current(root)
+    if (cur < 0) return 0
+    val now = System.currentTimeMillis()
+    val versions = Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.stripPrefix("v").toInt).sorted
+    val aged = versions.filter(v => v < cur && !keep(v) &&
+      now - newestMtime(new java.io.File(root, s"v$v")) >= maxAgeMs).toSet
+    // protect the FULL chain of every survivor (current, kept, or
+    // simply young): a retained overlay must keep its base readable
+    val protectChains = versions.filterNot(aged)
+      .flatMap(v => fullBase(root, v) to v).toSet
+    val victims = versions.filter(v => aged(v) && !protectChains(v))
+    victims.foreach { v =>
+      val d = new java.io.File(root, s"v$v")
+      new java.io.File(d, "_SUCCESS").delete() // invalidate before delete
+      rmTree(d)
+    }
+    victims.size
+  }
+
   def vacuum(root: String, keepFrom: Int): Int = {
     val cur = current(root)
     // merge-on-read safety: a DV version is only readable down to its

@@ -2486,6 +2486,130 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** AGE-BASED RETENTION WITH CATALOGED-SNAPSHOT SAFETY
+   * ([[graft.lake.Versions.vacuumAged]] / [[graft.lake.Catalog
+   * .vacuumAged]] — the "older than N days" retention window public
+   * lakehouse VACUUMs expose, orthogonal to the version-floor rule,
+   * with the two safety properties that make it usable: nothing a
+   * RETAINED catalog record names is ever reclaimed however old, and
+   * a merge-on-read chain is protected AS A UNIT, because an age
+   * cutoff can leave holes and a hole under a retained overlay breaks
+   * its chain). Fixture A: the double-entry catalog runs three
+   * transactions; old catalog records and old member versions are
+   * artificially aged (mtime rewind), INCLUDING the currently-
+   * cataloged accounts version — the vacuum prunes the aged records
+   * and reclaims exactly the four aged uncataloged versions, while
+   * the aged-but-cataloged version survives and the invariant still
+   * holds. Fixture B: a table whose current version is a deletion
+   * vector over an AGED base — the base is a chain member of the
+   * retained head, so it survives and the chain still resolves. The
+   * oracle recomputes the final pair; gates pin each reclaim count,
+   * the survival of cataloged/chained versions, loud old reads, and
+   * record pruning. At 100 TB this is the retention job that runs
+   * nightly: age decides candidates, the catalog and the chains
+   * decide vetoes. */
+  val q347AgedRetention: Q = Q("q347_aged_retention",
+    """WITH c AS (SELECT c_custkey AS k,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       acc AS (SELECT k, cents + CASE WHEN k % 3 = 0 THEN 7 ELSE 0 END
+                        + CASE WHEN k % 10 = 0 THEN 100 ELSE 0 END AS bal
+               FROM c),
+       led AS (SELECT k, cents AS amount FROM c
+               UNION ALL SELECT k, CAST(7 AS BIGINT) FROM c WHERE k % 3 = 0
+               UNION ALL SELECT k, CAST(100 AS BIGINT) FROM c WHERE k % 10 = 0),
+       sigs AS (SELECT 'accounts' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(bal) AS BIGINT) AS cents_sum FROM acc
+                UNION ALL SELECT 'ledger', CAST(count(*) AS BIGINT),
+                  CAST(sum(amount) AS BIGINT) FROM led),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:aged_reclaimed'),
+                            ('chk:cataloged_survives'),
+                            ('chk:chain_protected'),
+                            ('chk:old_read_loud'),
+                            ('chk:records_pruned')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val cat = graft.io.Sources.scratchDir("graft_aged_cat")
+    val chain = graft.io.Sources.scratchDir("graft_aged_chain")
+    try {
+      import graft.lake.{Catalog, Versions}
+      val hourMs = 60L * 60L * 1000L
+      def ageTree(f: java.io.File): Unit = {
+        f.setLastModified(System.currentTimeMillis() - 2 * hourMs)
+        Option(f.listFiles()).toSeq.flatten.foreach(ageTree)
+      }
+      val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      // fixture A: three catalog transactions
+      Catalog.commitAll(cat, Map(
+        "accounts" -> cust.select(col("k"), col("cents").as("bal")),
+        "ledger" -> cust.select(col("k"), col("cents").as("amount"))))
+      Catalog.commitAll(cat, Map(
+        "accounts" -> Catalog.read(s, cat, "accounts").select(col("k"),
+          (col("bal") + when(col("k") % 3 === 0, 7L).otherwise(0L))
+            .as("bal")),
+        "ledger" -> Catalog.read(s, cat, "ledger").unionByName(
+          cust.filter(col("k") % 3 === 0)
+            .select(col("k"), lit(7L).as("amount")))))
+      Catalog.commitAll(cat, Map(
+        "accounts" -> Catalog.read(s, cat, "accounts").select(col("k"),
+          (col("bal") + when(col("k") % 10 === 0, 100L).otherwise(0L))
+            .as("bal")),
+        "ledger" -> Catalog.read(s, cat, "ledger").unionByName(
+          cust.filter(col("k") % 10 === 0)
+            .select(col("k"), lit(100L).as("amount")))))
+      // age: old records, old member versions, AND the currently-
+      // cataloged accounts version (v2) — cataloged must beat aged
+      Seq(s"$cat/_catalog/0000000000", s"$cat/_catalog/0000000001",
+        s"$cat/accounts/v0", s"$cat/accounts/v1", s"$cat/accounts/v2",
+        s"$cat/ledger/v0", s"$cat/ledger/v1")
+        .foreach(p => ageTree(new java.io.File(p)))
+      val reclaimed = Catalog.vacuumAged(cat, maxAgeMs = hourMs)
+      val recordsPruned = Catalog.catalogVersion(cat) == 2 &&
+        (try { Catalog.snapshotAt(cat, 0); false }
+         catch { case _: IllegalArgumentException => true })
+      def balSum(df: org.apache.spark.sql.DataFrame, c: String): Long =
+        df.agg(sum(c)).collect()(0).getLong(0)
+      val catalogedSurvives =
+        balSum(Catalog.read(s, cat, "accounts"), "bal") ==
+          balSum(Catalog.read(s, cat, "ledger"), "amount")
+      val oldLoud =
+        try { Versions.read(s, s"$cat/accounts", 0); false }
+        catch { case _: IllegalArgumentException => true }
+      // fixture B: a retained DV head over an AGED base — the chain
+      // veto must keep the base despite its age
+      Versions.commit(cust, chain)
+      Versions.commitDelete(
+        cust.filter(col("k") % 4 === 0).select("k"), chain, "k")
+      ageTree(new java.io.File(s"$chain/v0"))
+      val chainReclaim = Versions.vacuumAged(chain, maxAgeMs = hourMs)
+      val chainProtected = chainReclaim == 0 &&
+        Versions.read(s, chain).count() ==
+          cust.filter(col("k") % 4 =!= 0).count()
+      val rows = Catalog.read(s, cat, "accounts")
+        .agg(count(lit(1)).as("n"), sum("bal").as("cents_sum"))
+        .select(lit("accounts").as("tag"), col("n"), col("cents_sum"))
+        .unionByName(Catalog.read(s, cat, "ledger")
+          .agg(count(lit(1)).as("n"), sum("amount").as("cents_sum"))
+          .select(lit("ledger").as("tag"), col("n"), col("cents_sum")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:aged_reclaimed", reclaimed == 4),
+        ("chk:cataloged_survives", catalogedSurvives),
+        ("chk:chain_protected", chainProtected),
+        ("chk:old_read_loud", oldLoud),
+        ("chk:records_pruned", recordsPruned)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
+    } finally {
+      graft.io.Sources.removeScratchDir(cat)
+      graft.io.Sources.removeScratchDir(chain)
+    }
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -2496,5 +2620,6 @@ object LakeQueries {
     q332SchemaEvolution, q333BranchClone, q334SnapshotIsolation,
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
-    q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect)
+    q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect,
+    q347AgedRetention)
 }
