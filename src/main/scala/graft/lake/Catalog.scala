@@ -42,25 +42,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * At 100 TB: N table commits (each a directory write + O(1) flip) plus
  * ONE tiny record link, regardless of data size. Old catalog records
  * are kept — they are the cross-table time-travel history ([[read]]
- * with an explicit snapshot) — and cost bytes each.
+ * with an explicit snapshot) — and cost bytes each, until [[vacuumTo]]
+ * collapses history to the current snapshot or [[vacuumAged]] prunes
+ * it by age (both prune records together with their data, so a
+ * listable record always has a readable snapshot).
  */
 object Catalog {
 
   private def logDir(root: String) = new java.io.File(root, "_catalog")
 
   private def recordFile(root: String, n: Int) =
-    new java.io.File(logDir(root), f"$n%010d")
+    CasLog.recordFile(logDir(root), n)
 
-  private def listed(root: String): Seq[Int] =
-    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile).map(_.getName)
-      .filter(_.matches("\\d+")).map(_.toInt)
+  private def listed(root: String): Seq[Int] = CasLog.listed(logDir(root))
 
   /** Highest committed catalog version, or -1 for a fresh catalog. */
-  def catalogVersion(root: String): Int = {
-    val ns = listed(root)
-    if (ns.isEmpty) -1 else ns.max
-  }
+  def catalogVersion(root: String): Int = CasLog.maxRecord(logDir(root))
 
   /** The snapshot a specific catalog version recorded: table →
     * member-table version. */
@@ -93,7 +90,8 @@ object Catalog {
   def commitAll(root: String, updates: Map[String, DataFrame],
                 expected: Int): Map[String, Int] = {
     require(updates.nonEmpty, "empty multi-table commit")
-    updates.keys.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
+    updates.keys.foreach(t => require(
+      t.matches("[A-Za-z0-9_.-]+") && t != "." && t != "..",
       s"table name '$t' would corrupt the catalog record or escape " +
         "the catalog root"))
     val n = expected + 1
@@ -110,25 +108,15 @@ object Catalog {
       t -> Versions.commit(df, s"$root/$t")
     }
     // phase 2: ONE put-if-absent record for the whole snapshot
+    // ([[CasLog]] — link(2) fails atomically with EEXIST if the record
+    // exists; rename would silently REPLACE, losing the winner's
+    // snapshot)
     val line = next.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }.mkString(" ") + "\n"
-    logDir(root).mkdirs()
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = new java.io.File(logDir(root), s"_tmp-$n-$nonce")
-    java.nio.file.Files.write(tmp.toPath, line.getBytes("UTF-8"))
-    try {
-      // link(2) fails atomically with EEXIST if the record exists —
-      // rename would silently REPLACE, losing the winner's snapshot
-      java.nio.file.Files.createLink(recordFile(root, n).toPath, tmp.toPath)
-      tmp.delete()
-      next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        throw new CommitConflict(n,
-          s"catalog version $n under $root was committed by another " +
-            "transaction")
-    }
+    if (CasLog.putIfAbsent(logDir(root), n, line)) next
+    else throw new CommitConflict(n,
+      s"catalog version $n under $root was committed by another " +
+        "transaction")
   }
 
   /** [[commitAll]] against the snapshot read at entry — still CAS'd,
@@ -172,15 +160,24 @@ object Catalog {
     Versions.read(spark, s"$root/$table", v)
   }
 
-  /** Retention derived FROM the snapshot: vacuum every member table
-    * below its cataloged version. Unreferenced newer versions (a
-    * crashed or CAS-lost phase-1 commit) age out through each table's
-    * own orphan rule on its next commit; cataloged versions can never
-    * be reclaimed here by construction. Returns directories
-    * reclaimed. */
+  /** Retention derived FROM the snapshot: collapse the cross-table
+    * history to the CURRENT snapshot. Superseded catalog records are
+    * pruned FIRST, then every member table is vacuumed below its
+    * cataloged version — so "the record exists" stays equivalent to
+    * "its snapshot is readable" (vacuuming data under a record that
+    * remained listable would strand as-of readers at the `_SUCCESS`
+    * gate with a snapshot map that still resolves). Reads of a pruned
+    * snapshot fail loudly in [[snapshotAt]]. Unreferenced newer
+    * versions (a crashed or CAS-lost phase-1 commit) age out through
+    * each table's own orphan rule on its next commit; the current
+    * snapshot's versions can never be reclaimed here by construction.
+    * For age-windowed retention that KEEPS readable history, use
+    * [[vacuumAged]]. Returns member directories reclaimed. */
   def vacuumTo(root: String): Int = {
-    val snap = snapshot(root)
-    snap.toSeq.sortBy(_._1).map { case (t, v) =>
+    val cur = catalogVersion(root)
+    if (cur < 0) return 0
+    listed(root).filter(_ < cur).foreach(n => recordFile(root, n).delete())
+    snapshotAt(root, cur).toSeq.sortBy(_._1).map { case (t, v) =>
       Versions.vacuum(s"$root/$t", keepFrom = v)
     }.sum
   }

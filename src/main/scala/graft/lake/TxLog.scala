@@ -45,7 +45,7 @@ object TxLog {
   private def logDir(root: String) = new java.io.File(root, "_commits")
 
   private def recordFile(root: String, n: Int) =
-    new java.io.File(logDir(root), f"$n%010d")
+    CasLog.recordFile(logDir(root), n)
 
   private def checkpointFile(root: String, v: Int) =
     new java.io.File(logDir(root), f"_checkpoint.$v%010d")
@@ -81,9 +81,7 @@ object TxLog {
   }
 
   private def listedRecords(root: String): Seq[Int] =
-    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(_.isFile).map(_.getName)
-      .filter(_.matches("\\d+")).map(_.toInt)
+    CasLog.listed(logDir(root))
 
   /** Highest committed version, or -1 for an empty table. Readers list
     * the log directory, never the data directories; after a
@@ -146,13 +144,10 @@ object TxLog {
     require(cur >= 0, s"nothing to checkpoint under $root")
     val f = checkpointFile(root, cur)
     if (!f.isFile) {
-      val hw = lastTxn(root)
-      val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = new java.io.File(logDir(root), s"_cktmp-$cur-$nonce")
-      java.nio.file.Files.write(tmp.toPath, s"$cur $hw\n".getBytes("UTF-8"))
-      try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      tmp.delete()
+      // a lost CAS means another checkpointer folded the SAME version —
+      // success either way (CasLog always reclaims the staged temp)
+      CasLog.putIfAbsentAt(f, s"$cur ${lastTxn(root)}\n")
+      ()
     }
     // reclaim superseded folds (strictly below the newest on disk;
     // `cur` is included defensively — a racing lister can miss a
@@ -188,10 +183,12 @@ object TxLog {
       // skip it rather than throw (recordOpt tolerates the race)
       recordOpt(root, v).exists { case (dataName, _) =>
         // unlink the record FIRST: a crash mid-vacuum leaves a version
-        // that already reads as vacuumed, never one with missing data
-        recordFile(root, v).delete()
-        rmTree(new java.io.File(root, dataName))
-        true
+        // that already reads as vacuumed, never one with missing data.
+        // Only the caller whose unlink succeeded counts (and reclaims)
+        // the victim, so racing vacuums' counts partition correctly.
+        val won = recordFile(root, v).delete()
+        if (won) rmTree(new java.io.File(root, dataName))
+        won
       }
     }
   }
@@ -281,26 +278,16 @@ object TxLog {
       s"commit wrote no _SUCCESS marker under $root/$dataName")
     marker.foreach { case (kc, up) =>
       Mor.writeMarker(new java.io.File(root, dataName), kc, up) }
-    logDir(root).mkdirs()
-    val tmp = new java.io.File(logDir(root), s"_tmp-$n-$nonce")
-    java.nio.file.Files.write(tmp.toPath,
-      (if (txn >= 0) s"$dataName $txn\n" else s"$dataName\n")
-        .getBytes("UTF-8"))
-    try {
-      // put-if-absent commit point: link(2) fails with EEXIST if the
-      // record exists, and the record appears fully formed or not at
-      // all. (POSIX rename(2) — Files.move ATOMIC_MOVE — silently
-      // REPLACES an existing target, so it cannot be the CAS.)
-      java.nio.file.Files.createLink(
-        recordFile(root, n).toPath, tmp.toPath)
-      tmp.delete()
-      n
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete()
-        rmTree(new java.io.File(root, dataName))
-        throw new CommitConflict(n,
-          s"version $n under $root was committed by another writer")
+    // put-if-absent commit point ([[CasLog]]): link(2) fails with
+    // EEXIST if the record exists, and the record appears fully formed
+    // or not at all. (POSIX rename(2) — Files.move ATOMIC_MOVE —
+    // silently REPLACES an existing target, so it cannot be the CAS.)
+    if (CasLog.putIfAbsent(logDir(root), n,
+        if (txn >= 0) s"$dataName $txn\n" else s"$dataName\n")) n
+    else {
+      rmTree(new java.io.File(root, dataName))
+      throw new CommitConflict(n,
+        s"version $n under $root was committed by another writer")
     }
   }
 

@@ -96,18 +96,11 @@ final case class ViewRewrite(spark: SparkSession, view: MatView)
 final case class MultiViewRewrite(spark: SparkSession, views: Seq[MatView])
     extends Rule[LogicalPlan] {
 
-  private def sizeOf(path: String): Long = {
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.map(walk).sum
-      else f.length()
-    walk(new java.io.File(path))
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case agg: Aggregate =>
       val candidates = views.flatMap(v =>
-        ViewRewrite.derive(spark, v, agg).map(p => (sizeOf(v.viewPath), p)))
+        ViewRewrite.derive(spark, v, agg)
+          .map(p => (ViewRewrite.sizeOf(v.viewPath), p)))
       if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
   }
 }
@@ -185,7 +178,8 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
         case None => return None
       })
 
-    val viewPlan = spark.read.parquet(view.viewPath).queryExecution.analyzed
+    val viewPlan =
+      ViewRewrite.viewDf(spark, view.viewPath).queryExecution.analyzed
     def viewAttr(name: String): Attribute =
       viewPlan.output.find(_.name == name).getOrElse(
         throw new IllegalStateException(
@@ -235,6 +229,40 @@ object ViewRewrite {
                             agg: Aggregate): Option[LogicalPlan] = {
     val m = new ViewMatcher(spark, view)
     if (m.scansBase(agg.child)) m.tryRewrite(agg) else None
+  }
+
+  // Plan-time caches keyed by the view's physical directory: schema
+  // inference (parquet footer reads) and the bytes-on-disk cost would
+  // otherwise re-run for every candidate view, on every matching
+  // Aggregate, on every optimizer fixpoint iteration. A version
+  // directory is immutable, so staleness is impossible — refreshing a
+  // view re-registers a NEW path. Each rewrite still builds a FRESH
+  // relation (fresh ExprIds) from the cached schema, so two rewrites
+  // inside one query can never collide on attribute ids.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private val sizeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.Long]()
+
+  private def capped[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])
+  : java.util.concurrent.ConcurrentHashMap[K, V] = {
+    if (m.size > 1024) m.clear() // scratch-path churn bound, not an LRU
+    m
+  }
+
+  private[plans] def viewDf(spark: SparkSession,
+                            path: String): org.apache.spark.sql.DataFrame = {
+    val sch = capped(schemaCache).computeIfAbsent(path,
+      (p: String) => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  private[plans] def sizeOf(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else f.length()
+    capped(sizeCache).computeIfAbsent(path, (p: String) =>
+      java.lang.Long.valueOf(walk(new java.io.File(p))))
   }
 
   /** Root paths of every file relation in the OPTIMIZED plan — the

@@ -28,7 +28,8 @@ object Q {
   def sealResult(out: DataFrame, intermediates: DataFrame*): DataFrame = {
     val r = out.localCheckpoint()
     intermediates.foreach { df =>
-      try { df.unpersist(); () } catch { case _: Throwable => () }
+      try { df.unpersist(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     r
   }

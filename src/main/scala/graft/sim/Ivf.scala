@@ -195,11 +195,23 @@ object Ivf {
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect() // bounded: nClusters rows
       .map(_.getSeq[Double](1).toArray)
-    Similarity.withUnitVec(delta, vecCol, "cu")
+    val out = Similarity.withUnitVec(delta, vecCol, "cu")
       .withColumn("cluster", element_at(nearestK(col("cu"), centers, 1), 1))
       .select((Seq(col(idCol), col("cluster"), col("cu")) ++
         seqCol.map(col)): _*)
-      .write.mode("append").parquet(s"$dir/assigned")
+    // a sequenced and an unsequenced append must not mix in one
+    // directory: parquet appends with differing schemas read back with
+    // whichever footer the scan samples first — the seq column could
+    // silently vanish. Fail HERE, not at some later probe.
+    val aDir = new java.io.File(s"$dir/assigned")
+    if (aDir.isDirectory) {
+      val existing = spark.read.parquet(aDir.getAbsolutePath).columns.toSet
+      require(existing == out.columns.toSet,
+        s"append schema ${out.columns.toSet} does not match the " +
+          s"index's $existing under $dir — pass the same seqCol the " +
+          "index was built with")
+    }
+    out.write.mode("append").parquet(s"$dir/assigned")
   }
 
   /** Index MAINTENANCE, deletion side: TOMBSTONES. Ids append to a
@@ -213,7 +225,18 @@ object Ivf {
    * [[liveAssigned]]. */
   def deleteFromIndex(ids: DataFrame, dir: String,
                       idCol: String = "vec_id",
-                      seqCol: Option[String] = None): Unit =
+                      seqCol: Option[String] = None): Unit = {
+    // an unsequenced tombstone on a sequenced index (or vice versa)
+    // must fail at WRITE time, not at some later probe's require
+    val aDir = new java.io.File(s"$dir/assigned")
+    if (aDir.isDirectory) {
+      val extras = ids.sparkSession.read.parquet(aDir.getAbsolutePath)
+        .columns.filterNot(Set(idCol, "cluster", "cu")).toSet
+      require(extras == seqCol.toSet,
+        s"index under $dir carries seq columns $extras but this delete " +
+          s"passes ${seqCol.toSet} — sequenced and unsequenced " +
+          "maintenance cannot mix")
+    }
     (seqCol match {
       case None => ids.select(col(idCol)).distinct()
       // SEQUENCE-NUMBERED tombstone (the Lucene/Elasticsearch seqno
@@ -225,6 +248,8 @@ object Ivf {
       // the two tombstone shapes never mix in one directory.
       case Some(sc) => ids.groupBy(col(idCol)).agg(max(col(sc)).as(sc))
     }).write.mode("append").parquet(s"$dir/tombstones")
+    ()
+  }
 
   /** The assignment table with tombstones applied — the ONLY way probes
    * read it, and STRICTLY READ-ONLY (a reader that deletes — the old
@@ -501,14 +526,18 @@ object Ivf {
         .limit(kNew).collect().map(_.getSeq[Double](0).toArray)
     val newCenters = kmeansFit(train, kNew)
     val usedIds = newIds.take(newCenters.length)
+    // preserve the assignment table's FULL column set (a sequenced
+    // index carries a seq column beyond (id, cluster, cu) — dropping
+    // it here would brick every later sequenced tombstone read)
+    val outCols = assigned.columns.toSeq.map(col)
     val reassigned = hot.withColumn("cluster",
         get(typedLit(usedIds), // 0-based lookup by a COLUMN index
           element_at(nearestK(col("cu"), newCenters, 1), 1)))
-      .select(col(idCol), col("cluster"), col("cu"))
+      .select(outCols: _*)
     // stage BOTH tables complete before any rename — the staged pair
     // is the retrain transaction recoverSwap rolls forward or back
     assigned.filter(!col("cluster").isin(cells: _*))
-      .select(col(idCol), col("cluster"), col("cu"))
+      .select(outCols: _*)
       .unionByName(reassigned)
       .write.parquet(s"$dir/assigned_retraining")
     require(new java.io.File(s"$dir/assigned_retraining/_SUCCESS").isFile,

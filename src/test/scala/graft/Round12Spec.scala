@@ -289,11 +289,61 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_catalog_names")
     try {
-      Seq("a=b", "a b", "a/b", "../up", "").foreach { bad =>
+      Seq("a=b", "a b", "a/b", "../up", "", ".", "..").foreach { bad =>
         intercept[IllegalArgumentException](
           Catalog.commitAll(root, Map(bad -> Seq(1L).toDF("n"))))
       }
       assert(Catalog.catalogVersion(root) == -1, "a rejected name committed")
     } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("vacuumTo prunes superseded records WITH their data: a listable record always reads") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_catalog_vacto")
+    try {
+      Catalog.commitAll(root, Map("t" -> Seq(1L).toDF("n")))
+      Catalog.commitAll(root, Map("t" -> Seq(2L).toDF("n")))
+      Catalog.commitAll(root, Map("t" -> Seq(3L).toDF("n")))
+      assert(Catalog.vacuumTo(root) == 2) // t: v0, v1
+      // superseded records are gone TOGETHER with their data — an
+      // as-of reader can no longer resolve a snapshot whose data was
+      // reclaimed out from under it
+      intercept[IllegalArgumentException](Catalog.snapshotAt(root, 0))
+      assert(Catalog.catalogVersion(root) == 2)
+      assert(Catalog.read(spark, root, "t").as[Long].head() == 3L)
+      // every record still listed has readable data
+      Catalog.snapshotAt(root, 2).foreach { case (t, v) =>
+        assert(graft.lake.Versions.read(spark, s"$root/$t", v).count() == 1)
+      }
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  test("sequenced index: mixed-mode maintenance fails at write time; retrain preserves seq") {
+    import graft.sim.Ivf
+    val dir = graft.io.Sources.scratchDir("graft_seq_guard")
+    try {
+      val emb = graft.io.Sources.table(spark, sf001, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("seq", lit(0L))
+      Ivf.persistIndex(emb, dir, nClusters = 8, seqCol = Some("seq"))
+      // a seq-less append or an unsequenced delete must fail HERE, not
+      // corrupt the directory for some later probe to trip over
+      intercept[IllegalArgumentException](
+        Ivf.appendToIndex(emb.limit(5), dir))
+      intercept[IllegalArgumentException](
+        Ivf.deleteFromIndex(emb.limit(5).select("vec_id"), dir))
+      // retrain keeps the seq column, so sequenced maintenance still
+      // works on the swapped-in table (the drop-the-column bug bricked
+      // the index right after any retrain)
+      Ivf.partialRetrain(spark, dir, cells = Seq(0, 1), kNew = 2)
+      val dead = emb.filter(pmod(col("vec_id"), lit(9)) === 2)
+        .select(col("vec_id"), lit(1L).as("seq"))
+      Ivf.deleteFromIndex(dead, dir, seqCol = Some("seq"))
+      val live = Ivf.liveAssigned(spark, dir)
+      assert(live.columns.contains("seq"), "retrain dropped the seq column")
+      assert(live.join(dead.select("vec_id"), Seq("vec_id"), "left_semi")
+        .count() == 0, "sequenced tombstone did not apply after retrain")
+      assert(live.count() == emb.count() - dead.count())
+    } finally graft.io.Sources.removeScratchDir(dir)
   }
 }
