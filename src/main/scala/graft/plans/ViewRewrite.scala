@@ -49,7 +49,13 @@ final case class MatView(
  *     groups|) instead of a base rescan;
  *   - AVG: `avg(col)` derives as `sum(col)/count(*)` from the stored
  *     columns, in both shapes — but only for columns the registration
- *     claims non-null (else the denominators differ).
+ *     claims non-null (else the denominators differ);
+ *   - KEY FILTERS: a deterministic, subquery-free predicate over key
+ *     columns between the aggregate and the scan (`WHERE key-pred
+ *     GROUP BY keys…`) commutes with the grouping, so it is REPLAYED
+ *     against the view (rebased onto the view's columns) in all of the
+ *     above shapes; a predicate touching any non-key column still
+ *     disqualifies the plan.
  *
  * Distinct aggregates, filtered aggregates, filters under the
  *     aggregate, expressions over the key, grouping columns outside the
@@ -110,17 +116,33 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
   private def norm(p: String): String =
     p.stripPrefix("file:").replaceAll("/+$", "")
 
-  def scansBase(plan: LogicalPlan): Boolean = plan match {
+  /** `Some(filter conjuncts)` when `plan` is a scan of the registered
+    * base, reached through attribute-only Projects and Filters whose
+    * predicates the view can replay — i.e. deterministic,
+    * subquery-free, and referencing ONLY key columns (a key-column
+    * predicate commutes with grouping by keys: filtering base rows on
+    * keys ≡ filtering view groups on the same keys, so `WHERE
+    * key-pred GROUP BY keys` is answerable from the view with the
+    * predicate rebased onto it). `Some(Nil)` is the bare-scan case;
+    * None disqualifies the rewrite. */
+  def baseScanFilters(plan: LogicalPlan): Option[Seq[Expression]] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case f: HadoopFsRelation => f.location.rootPaths.toList match {
-        case one :: Nil => norm(one.toUri.getPath) == norm(view.basePath)
-        case _ => false // multi-root scans read MORE than the base
+        case one :: Nil
+            if norm(one.toUri.getPath) == norm(view.basePath) => Some(Nil)
+        case _ => None // multi-root scans read MORE than the base
       }
-      case _ => false
+      case _ => None
     }
-    case Project(projList, child) =>
-      projList.forall(_.isInstanceOf[AttributeReference]) && scansBase(child)
-    case _ => false
+    case Project(projList, child)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      baseScanFilters(child)
+    case Filter(cond, child)
+        if cond.deterministic &&
+          !cond.exists(_.isInstanceOf[PlanExpression[_]]) &&
+          cond.references.forall(a => view.keyCols.contains(a.name)) =>
+      baseScanFilters(child).map(cond +: _)
+    case _ => None
   }
 
   /** What a single aggregate-output expression needs from the view. */
@@ -163,8 +185,12 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
     case _ => None
   }
 
-  /** Attempt the rewrite; None leaves the plan untouched. */
-  def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+  /** Attempt the rewrite; None leaves the plan untouched.
+    * `keyFilters` are base-side key-column predicates collected by
+    * [[baseScanFilters]], replayed against the view below the
+    * projection/re-aggregation. */
+  def tryRewrite(agg: Aggregate,
+                 keyFilters: Seq[Expression] = Nil): Option[LogicalPlan] = {
     // grouping must be bare attributes of view key columns, no repeats
     val keyAttrs: Seq[AttributeReference] = agg.groupingExpressions.map {
       case a: AttributeReference if view.keyCols.contains(a.name) => a
@@ -188,6 +214,14 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
     def alias(src: Expression, e: NamedExpression): NamedExpression =
       Alias(src, e.name)(exprId = e.exprId)
 
+    // replay the base-side key predicates against the view: rebase
+    // each attribute onto the view's column of the same name
+    val filtered: LogicalPlan =
+      if (keyFilters.isEmpty) viewPlan
+      else Filter(keyFilters.map(_.transform {
+        case a: AttributeReference => viewAttr(a.name)
+      }).reduce(And), viewPlan)
+
     val newPlan: LogicalPlan =
       if (keyAttrs.map(_.name).toSet == view.keyCols.toSet) {
         // EXACT: straight projection of the view
@@ -198,7 +232,7 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
           case (e, AvgOf(c)) => alias(Divide(
             Cast(viewAttr(view.sumCols(c)), DoubleType),
             Cast(cnt, DoubleType)), e)
-        }, viewPlan)
+        }, filtered)
       } else {
         // ROLL-UP: re-aggregate the view over the coarser keys
         def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
@@ -212,7 +246,7 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
           case (e, AvgOf(c)) => alias(Divide(
             Cast(sumOf(viewAttr(view.sumCols(c))), DoubleType),
             Cast(sumOf(cnt), DoubleType)), e)
-        }, viewPlan)
+        }, filtered)
       }
     // the derivation must be type-preserving: a re-summed decimal sum
     // widens precision, a decimal avg is not a double — bail, never cast
@@ -228,7 +262,7 @@ object ViewRewrite {
   private[plans] def derive(spark: SparkSession, view: MatView,
                             agg: Aggregate): Option[LogicalPlan] = {
     val m = new ViewMatcher(spark, view)
-    if (m.scansBase(agg.child)) m.tryRewrite(agg) else None
+    m.baseScanFilters(agg.child).flatMap(fs => m.tryRewrite(agg, fs))
   }
 
   // Plan-time caches keyed by the view's physical directory: schema

@@ -2610,6 +2610,101 @@ object LakeQueries {
     }
   }
 
+  /** FILTERED MV REWRITE ([[graft.plans.ViewRewrite]]'s key-predicate
+   * replay — the shape a real dashboard hits before any other:
+   * `WHERE key-pred GROUP BY keys…`): a deterministic predicate over
+   * KEY columns between the aggregate and the scan commutes with the
+   * grouping (filtering base rows on keys ≡ filtering view groups on
+   * the same keys), so the rule rebases it onto the view and answers
+   * from |matching groups| rows — composing with the exact, roll-up,
+   * global, and avg shapes. A predicate touching any NON-key column
+   * still disqualifies the plan (the view cannot replay it), which
+   * the negative control pins. Queries: an IN-filtered roll-up with
+   * derived avg, a range-filtered global total, and an equality-
+   * filtered exact two-key shape — all provably answered from the
+   * view (plan gates), all recomputed from raw events by the oracle
+   * so the replayed predicate is hash-checked, not just plan-shaped.
+   * At 100 TB the filtered dashboard query reads the view's matching
+   * groups instead of rescanning the fact table's matching rows. */
+  val q348MatviewFilter: Q = Q("q348_matview_filter",
+    """WITH e AS (SELECT coalesce(event_type, '(null)') AS et, user_id,
+              event_id FROM events),
+       filt AS (SELECT 'et:' || et AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum,
+                  CAST(sum(event_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS avg_id
+                FROM e WHERE et IN ('click', 'view') GROUP BY et),
+       rng AS (SELECT 'users_lt_50' AS tag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(event_id) AS BIGINT) AS id_sum,
+                 CAST(0 AS DOUBLE) AS avg_id
+               FROM e WHERE user_id < 50),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS DOUBLE) AS avg_id
+               FROM (VALUES ('chk:exact_filtered_fired'),
+                            ('chk:global_filtered_fired'),
+                            ('chk:nonkey_filter_unrewritten'),
+                            ('chk:rollup_filtered_fired')) t(chk))
+       SELECT * FROM (SELECT * FROM filt UNION ALL SELECT * FROM rng
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mv_filter")
+    try {
+      import graft.lake.Versions
+      import graft.plans.{MatView, ViewRewrite}
+      val ev = table(s, d, "events")
+        .select("event_type", "user_id", "event_id")
+      Versions.commit(ev.groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum")), root)
+      val spec = MatView(
+        basePath = s"$d/events.parquet",
+        viewPath = s"$root/v${Versions.current(root)}",
+        keyCols = Seq("event_type", "user_id"),
+        countCol = Some("n"),
+        sumCols = Map("event_id" -> "id_sum"),
+        nonNullCols = Set("event_id"))
+      def fired(df: org.apache.spark.sql.DataFrame): Boolean = {
+        val p = ViewRewrite.scannedPaths(df)
+        p.exists(_.contains(root)) && !p.exists(_.contains("events.parquet"))
+      }
+      val (rows, gates) = ViewRewrite.withRule(s, spec) {
+        // IN-filter on one key, roll-up to it, with derived avg
+        val byType = ev.filter(col("event_type").isin("click", "view"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+            avg(col("event_id")).as("avg_id"))
+        // range filter on the OTHER key, global total
+        val rng = ev.filter(col("user_id") < 50)
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        // equality filter, exact two-key shape
+        val exact = ev.filter(col("event_type") === "click")
+          .groupBy("event_type", "user_id")
+          .agg(count(lit(1)).as("n"))
+        val out = byType.select(
+            concat(lit("et:"),
+              coalesce(col("event_type"), lit("(null)"))).as("tag"),
+            col("n"), col("id_sum"), col("avg_id"))
+          .unionByName(rng.select(lit("users_lt_50").as("tag"),
+            col("n"), col("id_sum"), lit(0.0).as("avg_id")))
+          .localCheckpoint()
+        val gates = Seq(
+          ("chk:exact_filtered_fired", fired(exact)),
+          ("chk:global_filtered_fired", fired(rng)),
+          ("chk:nonkey_filter_unrewritten", ViewRewrite.scannedPaths(
+            ev.filter(col("event_id") % 2 === 0).groupBy("event_type")
+              .agg(count(lit(1)).as("n")))
+            .exists(_.contains("events.parquet"))),
+          ("chk:rollup_filtered_fired", fired(byType)))
+        (out, gates)
+      }
+      import s.implicits._
+      val chks = gates.toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0.0).as("avg_id"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        rows) // result outlives the removed files
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -2621,5 +2716,5 @@ object LakeQueries {
     q335OptimisticCommits, q336DeletionVectors, q337MorUpsert,
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
     q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect,
-    q347AgedRetention)
+    q347AgedRetention, q348MatviewFilter)
 }
