@@ -172,7 +172,24 @@ object Ivf {
       .select((Seq(col(idCol), col("cluster"), col("cu")) ++
         seqCol.map(col)): _*)
       .write.mode("overwrite").parquet(s"$dir/assigned")
+    // the index's delete mode is DECLARED at build time (`_seqcol`
+    // names the per-record version column) so later maintenance can be
+    // validated against it instead of inferred from schemas
+    val marker = new java.io.File(s"$dir/_seqcol")
+    seqCol match {
+      case Some(sc) => java.nio.file.Files.write(marker.toPath,
+        (sc + "\n").getBytes("UTF-8"))
+      case None => marker.delete()
+    }
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The seq column the index was built with, or None. */
+  private def seqColOf(dir: String): Option[String] = {
+    val m = new java.io.File(s"$dir/_seqcol")
+    if (!m.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim)
   }
 
   /** Index MAINTENANCE: route a new vector batch into an EXISTING
@@ -226,17 +243,16 @@ object Ivf {
   def deleteFromIndex(ids: DataFrame, dir: String,
                       idCol: String = "vec_id",
                       seqCol: Option[String] = None): Unit = {
-    // an unsequenced tombstone on a sequenced index (or vice versa)
-    // must fail at WRITE time, not at some later probe's require
-    val aDir = new java.io.File(s"$dir/assigned")
-    if (aDir.isDirectory) {
-      val extras = ids.sparkSession.read.parquet(aDir.getAbsolutePath)
-        .columns.filterNot(Set(idCol, "cluster", "cu")).toSet
-      require(extras == seqCol.toSet,
-        s"index under $dir carries seq columns $extras but this delete " +
-          s"passes ${seqCol.toSet} — sequenced and unsequenced " +
-          "maintenance cannot mix")
-    }
+    // the delete mode must match the one the index DECLARED at build
+    // time (`_seqcol` marker) — a mismatch fails at WRITE time, not at
+    // some later probe's require. Extra NON-seq assignment columns
+    // (e.g. the IVF-PQ layout's codes) are payload and stay legal; a
+    // marker-less index (plain or PQ build) only takes unsequenced
+    // deletes.
+    require(seqColOf(dir) == seqCol,
+      s"index under $dir was built with seqCol=${seqColOf(dir)} but " +
+        s"this delete passes $seqCol — sequenced and unsequenced " +
+        "maintenance cannot mix")
     (seqCol match {
       case None => ids.select(col(idCol)).distinct()
       // SEQUENCE-NUMBERED tombstone (the Lucene/Elasticsearch seqno
