@@ -2570,7 +2570,7 @@ object LakeQueries {
         (try { Catalog.snapshotAt(cat, 0); false }
          catch { case _: IllegalArgumentException => true })
       def balSum(df: org.apache.spark.sql.DataFrame, c: String): Long =
-        df.agg(sum(c)).collect()(0).getLong(0)
+        df.agg(sum(c)).collect()(0).getLong(0) // bounded: one agg row
       val catalogedSurvives =
         balSum(Catalog.read(s, cat, "accounts"), "bal") ==
           balSum(Catalog.read(s, cat, "ledger"), "amount")
