@@ -285,6 +285,71 @@ class Round12Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(dir)
   }
 
+  test("differential: a mixed DV/upsert/compact history reads identically on BOTH commit cores") {
+    import spark.implicits._
+    import graft.lake.{TxLog, Versions}
+    // the unification's strongest pin: the SAME 12-step history of
+    // upserts, deletion vectors, and compactions applied to a
+    // Versions root, a TxLog root, and an in-memory model — after
+    // every step all three agree exactly, including through the
+    // overlay chains BEFORE any compaction collapses them
+    val vRoot = graft.io.Sources.scratchDir("graft_diff_versions")
+    val tRoot = graft.io.Sources.scratchDir("graft_diff_txlog")
+    try {
+      var model: Map[Long, Long] = (0L until 200L).map(k => k -> k).toMap
+      Versions.commit(model.toSeq.toDF("k", "v"), vRoot)
+      TxLog.commit(model.toSeq.toDF("k", "v"), tRoot, expected = -1)
+      def check(step: Int): Unit = {
+        val want = model.toSeq.toDF("k", "v")
+        Seq(("Versions", Versions.read(spark, vRoot)),
+            ("TxLog", TxLog.read(spark, tRoot))).foreach { case (core, got) =>
+          assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+            s"$core diverged from the model after step $step")
+        }
+      }
+      (1 to 12).foreach { i =>
+        i % 4 match {
+          case 1 => // upsert: replace some keys, insert some new ones
+            val rows = (0L until 200L).filter(_ % (i + 2) == 0)
+              .map(k => (k, k * 100L + i)) ++
+              Seq((1000L + i, i.toLong)) // a brand-new key each time
+            model = model ++ rows
+            Versions.commitUpsert(rows.toDF("k", "v"), vRoot, "k")
+            TxLog.commitUpsert(rows.toDF("k", "v"), tRoot, "k",
+              expected = TxLog.current(tRoot))
+            ()
+          case 2 => // deletion vector (some keys may already be gone:
+            // deleting an absent key must be a no-op on all three)
+            val dead = (0L until 220L).filter(_ % (i + 3) == 1)
+            model = model -- dead
+            Versions.commitDelete(dead.toDF("k"), vRoot, "k")
+            TxLog.commitDelete(dead.toDF("k"), tRoot, "k",
+              expected = TxLog.current(tRoot))
+            ()
+          case 3 => // another upsert so chains stack DV-on-upsert
+            val rows = (0L until 200L).filter(_ % (i + 1) == 2)
+              .map(k => (k, k * 10L - i))
+            model = model ++ rows
+            Versions.commitUpsert(rows.toDF("k", "v"), vRoot, "k")
+            TxLog.commitUpsert(rows.toDF("k", "v"), tRoot, "k",
+              expected = TxLog.current(tRoot))
+            ()
+          case 0 => // collapse the chain; history must read the same after
+            Versions.compactDeletes(spark, vRoot)
+            TxLog.compact(spark, tRoot)
+            ()
+        }
+        check(i)
+      }
+      // both cores hold the same version COUNT too: one commit per
+      // step on top of the v0 seed
+      assert(Versions.current(vRoot) == 12 && TxLog.current(tRoot) == 12)
+    } finally {
+      graft.io.Sources.removeScratchDir(vRoot)
+      graft.io.Sources.removeScratchDir(tRoot)
+    }
+  }
+
   test("catalog rejects table names that would corrupt the record or escape the root") {
     import spark.implicits._
     val root = graft.io.Sources.scratchDir("graft_catalog_names")
