@@ -3,51 +3,98 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * MULTI-TABLE ATOMIC COMMITS — a catalog-level meta-log over
- * [[Versions]] tables (the Iceberg REST-catalog multi-table
- * transaction shape, public docs: single-table commits cannot keep two
- * tables mutually consistent, so the catalog's OWN pointer names a
- * `(table → version)` snapshot and flips once for all of them).
+ * MULTI-TABLE ATOMIC COMMITS — a catalog-level meta-log over member
+ * tables committed through EITHER core: the single-writer [[Versions]]
+ * manifest or the multi-writer [[TxLog]] CAS log (the Iceberg
+ * REST-catalog multi-table transaction shape, public docs: single-table
+ * commits cannot keep two tables mutually consistent, so the catalog's
+ * OWN pointer names a `(table → version)` snapshot and flips once for
+ * all of them).
  *
- * Layout: each member table is an ordinary [[Versions]] root under
- * `root/<table>`; the catalog log `root/_catalog/<N>` holds one record
- * per catalog version — a single line `tableA=vA tableB=vB …` — and
- * the COMMIT POINT is put-if-absent creation of record `<N>` via
- * `link(2)` (staged to a temp name, then hard-linked into place —
- * link fails atomically with EEXIST where rename would silently
- * replace), exactly the [[TxLog]] CAS one level up. Two concurrent
- * multi-table transactions therefore CONFLICT LOUDLY
- * ([[CommitConflict]]) instead of last-write-wins losing a snapshot;
- * the loser re-reads the winner's snapshot and re-applies
- * ([[transact]] is that rebase loop).
+ * Layout: each member table lives under `root/<table>` with its own
+ * core's on-disk layout (`_current` manifest → Versions, `_commits`
+ * log → TxLog; the directory shape IS the core declaration, chosen by
+ * the [[Put]] that creates the member). The catalog log
+ * `root/_catalog/<N>` holds one record per catalog version — a single
+ * line `tableA=vA tableB=vB … #ts=<millis>` — and the COMMIT POINT is
+ * put-if-absent creation of record `<N>` via `link(2)` (staged to a
+ * temp name, then hard-linked into place — link fails atomically with
+ * EEXIST where rename would silently replace), exactly the [[TxLog]]
+ * CAS one level up. Two concurrent multi-table transactions therefore
+ * CONFLICT LOUDLY ([[CommitConflict]]) instead of last-write-wins
+ * losing a snapshot; the loser re-reads the winner's snapshot and
+ * re-applies ([[transact]]/[[transactUpdates]] is that rebase loop).
  *
- * The protocol ([[commitAll]]): commit every table's new version
- * FIRST (each is immutable and, crucially, NOT yet referenced by the
- * catalog), then link the catalog record once. A crash — or a lost
- * CAS — anywhere before the link leaves the catalog on the OLD
- * snapshot: the already-committed new versions are merely unreferenced
- * — readers that go through the catalog ([[read]]) can never see them,
- * so no torn state (table A new + table B old) is observable.
- * Unreferenced versions age out once later commits raise each member's
- * cataloged floor and [[vacuumTo]] runs — retention derives from the
- * snapshot, so it can never reclaim what the catalog still names.
+ * The protocol ([[commitUpdates]]): commit every member's new version
+ * FIRST (phase 1, each through its member's OWN commit discipline),
+ * then link the catalog record once (phase 2). A lost CAS — or a
+ * failed sibling member mid-phase-1 — ROLLS BACK the member versions
+ * this transaction already made (best-effort; a rollback that itself
+ * fails leaves crash-equivalent garbage, see below), so the member
+ * logs stay 1:1 with cataloged history. That 1:1 contiguity is a
+ * CORRECTNESS requirement for merge-on-read members: overlay chains
+ * resolve POSITIONALLY ([[Mor.resolveChain]]), so an abandoned
+ * uncataloged version sitting under a later cataloged overlay would
+ * silently poison its read. Hence the member disciplines:
  *
- * Member-table contract: phase 1 commits through each member's OWN
- * commit discipline ([[Versions]] here — single writer per member
- * table, violations fail loudly in `reclaimOrphan`). The catalog CAS
- * serializes the cross-table FLIP; transactions that race on the same
- * member table additionally contend there, exactly as two Iceberg
- * transactions updating one table contend on its metadata pointer.
+ *   - [[Put]] (full contents) is self-contained and commits at the
+ *     member's PHYSICAL head, whatever it is — full versions cap
+ *     chains, so crash garbage below them is harmless;
+ *   - [[DeleteKeys]]/[[UpsertRows]] (overlays) commit at exactly
+ *     `cataloged version + 1`: on a TxLog member the CAS enforces it
+ *     (a conflict rebases through the transact loop); on a Versions
+ *     member a contiguity check fails loudly. If a CRASHED transaction
+ *     (no rollback ran) left garbage at that slot, overlay commits
+ *     stay loud until [[repairMember]] caps the garbage with a full
+ *     cataloged-content version.
  *
- * At 100 TB: N table commits (each a directory write + O(1) flip) plus
- * ONE tiny record link, regardless of data size. Old catalog records
- * are kept — they are the cross-table time-travel history ([[read]]
- * with an explicit snapshot) — and cost bytes each, until [[vacuumTo]]
- * collapses history to the current snapshot or [[vacuumAged]] prunes
- * it by age (both prune records together with their data, so a
- * listable record always has a readable snapshot).
+ * A crash anywhere before the record link leaves the catalog on the
+ * OLD snapshot: readers that go through the catalog ([[read]]) can
+ * never see phase-1 versions no record names, so no torn state
+ * (table A new + table B old) is observable.
+ *
+ * Concurrency contract per member core: TxLog members fully serialize
+ * same-member transactions through their own CAS (the loser's
+ * phase-1 conflict rebases). Versions members keep the single-writer
+ * contract — [[transact]] only serializes transactions whose Versions
+ * members are DISJOINT; two transactions racing phase 1 on one
+ * Versions member race its manifest exactly as two raw
+ * [[Versions.commit]] calls would. Put contended tables on the TxLog
+ * core; that composition is the point of the shared [[Mor]] layer.
+ *
+ * At 100 TB: N member commits (each O(|delta|) or O(data) by update
+ * kind, plus an O(1) flip/link) plus ONE tiny catalog record link,
+ * regardless of data size. Old catalog records are kept — they are the
+ * cross-table time-travel history ([[read]] with an explicit
+ * snapshot) — until [[vacuumTo]] collapses history to the current
+ * snapshot or [[vacuumAged]] prunes it by the commit stamp carried IN
+ * each record line (never inode mtimes, which an object-store
+ * copy/restore resets).
  */
 object Catalog {
+
+  /** Which commit core a member table runs on. Declared by the [[Put]]
+    * that CREATES the member; detected from the on-disk layout ever
+    * after (the layout is the declaration — no side register to drift
+    * out of sync). */
+  sealed trait Core
+  case object VersionsCore extends Core
+  case object TxLogCore extends Core
+
+  /** One member table's change inside a catalog transaction. */
+  sealed trait MemberUpdate
+  /** Full new contents. Creates the member (on `core`) when it does
+    * not exist yet; `core` is ignored for an existing member — the
+    * on-disk layout wins. */
+  final case class Put(df: DataFrame, core: Core = VersionsCore)
+    extends MemberUpdate
+  /** Merge-on-read deletion vector: O(|keys|) written bytes. */
+  final case class DeleteKeys(keys: DataFrame, keyCol: String)
+    extends MemberUpdate
+  /** Merge-on-read upsert overlay: O(|rows|) written bytes; the batch
+    * must be key-unique ([[Mor.requireKeyUnique]]). */
+  final case class UpsertRows(rows: DataFrame, keyCol: String)
+    extends MemberUpdate
 
   private def logDir(root: String) = new java.io.File(root, "_catalog")
 
@@ -59,17 +106,49 @@ object Catalog {
   /** Highest committed catalog version, or -1 for a fresh catalog. */
   def catalogVersion(root: String): Int = CasLog.maxRecord(logDir(root))
 
-  /** The snapshot a specific catalog version recorded: table →
-    * member-table version. */
-  def snapshotAt(root: String, n: Int): Map[String, Int] = {
+  /** The member core of `table`, read off its on-disk layout; None for
+    * a member that does not exist yet. */
+  def coreOf(root: String, table: String): Option[Core] = {
+    val dir = new java.io.File(root, table)
+    if (new java.io.File(dir, "_commits").isDirectory) Some(TxLogCore)
+    else if (new java.io.File(dir, "_current").isFile) Some(VersionsCore)
+    else None
+  }
+
+  private def recordLine(root: String, n: Int): String = {
     val f = recordFile(root, n)
     require(f.isFile, s"catalog version $n under $root was never committed")
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-      .split("\\s+").filter(_.nonEmpty)
+  }
+
+  /** The snapshot a specific catalog version recorded: table →
+    * member-table version. `#`-prefixed tokens are record metadata
+    * (the commit stamp), not snapshot entries — `#` cannot appear in a
+    * validated table name. */
+  def snapshotAt(root: String, n: Int): Map[String, Int] =
+    recordLine(root, n)
+      .split("\\s+").filter(t => t.nonEmpty && !t.startsWith("#"))
       .map { tok =>
         val Array(t, v) = tok.split("=")
         t -> v.toInt
       }.toMap
+
+  /** The commit timestamp recorded IN the record line (`#ts=` token),
+    * or None for a record an older writer wrote. Age-based retention
+    * reads this, never the inode mtime. */
+  private def recordTs(root: String, n: Int): Option[Long] =
+    recordLine(root, n).split("\\s+")
+      .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
+
+  /** Test/migration hook: overwrite record `n`'s commit stamp (the
+    * supported aging channel for fixtures — retention ignores inode
+    * mtimes by design). */
+  private[graft] def restamp(root: String, n: Int, ts: Long): Unit = {
+    val kept = recordLine(root, n).split("\\s+")
+      .filter(t => t.nonEmpty && !t.startsWith("#ts="))
+    java.nio.file.Files.write(recordFile(root, n).toPath,
+      (kept :+ s"#ts=$ts").mkString(" ").concat("\n").getBytes("UTF-8"))
+    ()
   }
 
   /** The current cataloged snapshot: table → version. Empty map for a
@@ -79,16 +158,82 @@ object Catalog {
     if (n < 0) Map.empty else snapshotAt(root, n)
   }
 
-  /** Commit new contents for SEVERAL tables as one atomic unit AT
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Phase 1 for one member: commit through the member's own core
+    * discipline and return the new member version. */
+  private def phase1(root: String, t: String, up: MemberUpdate,
+                     catalogedV: Option[Int]): Int = {
+    val memberRoot = s"$root/$t"
+    val core = coreOf(root, t).getOrElse(up match {
+      case Put(_, declared) => declared
+      case _ => throw new IllegalArgumentException(
+        s"member $t does not exist under $root — a catalog transaction " +
+          "must Put full contents before overlay updates")
+    })
+    def requireContiguous(physical: Int): Unit = {
+      val want = catalogedV.getOrElse(-1)
+      if (physical != want) throw new IllegalStateException(
+        s"member $t is physically at version $physical but the catalog " +
+          s"names $want — uncataloged garbage from a crashed transaction " +
+          "(or an out-of-band writer) sits at the overlay's slot; an " +
+          "overlay committed on top would resolve THROUGH it. Run " +
+          "Catalog.repairMember to cap the garbage with a full version.")
+    }
+    (core, up) match {
+      case (VersionsCore, Put(df, _)) =>
+        // full contents are self-contained: commit at the physical
+        // head, wherever crash garbage left it (full versions cap
+        // chains, so the garbage below is unreachable)
+        Versions.commit(df, memberRoot)
+      case (VersionsCore, DeleteKeys(keys, kc)) =>
+        requireContiguous(Versions.current(memberRoot))
+        Versions.commitDelete(keys, memberRoot, kc, autoCompactAt = 0)
+      case (VersionsCore, UpsertRows(rows, kc)) =>
+        requireContiguous(Versions.current(memberRoot))
+        Versions.commitUpsert(rows, memberRoot, kc, autoCompactAt = 0)
+      case (TxLogCore, Put(df, _)) =>
+        // blind CAS retry at the physical head: a racing transaction's
+        // member commit just bumps the number; the CATALOG CAS still
+        // arbitrates whose snapshot wins
+        var attempt = 0
+        while (true) {
+          try return TxLog.commit(df, memberRoot,
+            expected = TxLog.current(memberRoot))
+          catch {
+            case c: CommitConflict =>
+              attempt += 1
+              if (attempt > 20) throw c
+          }
+        }
+        -1 // unreachable
+      case (TxLogCore, DeleteKeys(keys, kc)) =>
+        // expected = the CATALOGED version: the member CAS enforces
+        // chain contiguity, and a conflict (stale snapshot OR crashed
+        // garbage) surfaces as CommitConflict for the transact loop
+        TxLog.commitDelete(keys, memberRoot, kc,
+          expected = catalogedV.getOrElse(-1), autoCompactAt = 0)
+      case (TxLogCore, UpsertRows(rows, kc)) =>
+        TxLog.commitUpsert(rows, memberRoot, kc,
+          expected = catalogedV.getOrElse(-1), autoCompactAt = 0)
+    }
+  }
+
+  /** Commit updates to SEVERAL member tables as one atomic unit AT
     * catalog version `expected + 1`: all become visible together, or
-    * none do. Fails with [[CommitConflict]] if another transaction
-    * committed `expected + 1` first — before phase 1 when the catalog
-    * has already moved (cheap early exit), or at the put-if-absent
-    * link for a true photo-finish race; the loser's phase-1 member
-    * versions stay unreferenced by the catalog (readers never see
-    * them) and age out under later floors. Returns the new snapshot. */
-  def commitAll(root: String, updates: Map[String, DataFrame],
-                expected: Int): Map[String, Int] = {
+    * none do. Fails with [[CommitConflict]] if another transaction got
+    * there first — at the catalog precheck, at a TxLog member's own
+    * CAS, or at the catalog's put-if-absent link for a true
+    * photo-finish race. On ANY failure after phase 1 started, the
+    * member versions THIS call already committed are rolled back
+    * (reverse order, best-effort — a rollback failure is attached as a
+    * suppressed exception and the leftovers are crash-equivalent
+    * garbage with a loud [[repairMember]] path), so member logs stay
+    * 1:1 with cataloged history. Returns the new snapshot. */
+  def commitUpdates(root: String, updates: Map[String, MemberUpdate],
+                    expected: Int): Map[String, Int] = {
     require(updates.nonEmpty, "empty multi-table commit")
     updates.keys.foreach(t => require(
       t.matches("[A-Za-z0-9_.-]+") && t != "." && t != "..",
@@ -101,107 +246,185 @@ object Catalog {
           s"${catalogVersion(root)}")
     val prev = if (expected < 0) Map.empty[String, Int]
                else snapshotAt(root, expected)
-    // phase 1: commit every table — new versions exist but are
-    // UNREFERENCED until the catalog record lands, so a crash (or a
-    // lost CAS below) here is invisible through the catalog
-    val next = prev ++ updates.toSeq.sortBy(_._1).map { case (t, df) =>
-      t -> Versions.commit(df, s"$root/$t")
+    // phase 1: commit every member — new versions exist but are
+    // UNREFERENCED until the catalog record lands; every version this
+    // call makes is tracked for rollback
+    val made = scala.collection.mutable.ListBuffer[(String, Core, Int, Boolean)]()
+    def rollback(cause: Throwable): Unit = made.reverse.foreach {
+      case (t, core, v, fresh) =>
+        val memberRoot = s"$root/$t"
+        try {
+          if (fresh) rmTree(new java.io.File(memberRoot))
+          else core match {
+            case TxLogCore => TxLog.rollback(memberRoot, v)
+            case VersionsCore => Versions.rollbackTo(memberRoot, v - 1, v)
+          }
+        } catch {
+          // surfacing the ORIGINAL failure matters more; un-rolled
+          // versions are crash-equivalent garbage (repairMember path)
+          case scala.util.control.NonFatal(e) => cause.addSuppressed(e)
+        }
+    }
+    val next = prev ++ updates.toSeq.sortBy(_._1).map { case (t, up) =>
+      val fresh = coreOf(root, t).isEmpty
+      try {
+        val v = phase1(root, t, up, prev.get(t))
+        made += ((t, coreOf(root, t).getOrElse(
+          throw new IllegalStateException(
+            s"member $t has no detectable core after its own commit")),
+          v, fresh))
+        t -> v
+      } catch { case e: Throwable => rollback(e); throw e }
     }
     // phase 2: ONE put-if-absent record for the whole snapshot
     // ([[CasLog]] — link(2) fails atomically with EEXIST if the record
     // exists; rename would silently REPLACE, losing the winner's
-    // snapshot)
+    // snapshot). The commit stamp rides the record content.
     val line = next.toSeq.sortBy(_._1)
-      .map { case (t, v) => s"$t=$v" }.mkString(" ") + "\n"
+      .map { case (t, v) => s"$t=$v" }
+      .mkString(" ") + s" #ts=${System.currentTimeMillis()}\n"
     if (CasLog.putIfAbsent(logDir(root), n, line)) next
-    else throw new CommitConflict(n,
-      s"catalog version $n under $root was committed by another " +
-        "transaction")
+    else {
+      val c = new CommitConflict(n,
+        s"catalog version $n under $root was committed by another " +
+          "transaction")
+      rollback(c)
+      throw c
+    }
   }
+
+  /** Commit new FULL contents for several tables — the [[Put]]-only
+    * convenience shape of [[commitUpdates]]. */
+  def commitAll(root: String, updates: Map[String, DataFrame],
+                expected: Int): Map[String, Int] =
+    commitUpdates(root,
+      updates.map { case (t, df) => t -> (Put(df): MemberUpdate) }, expected)
 
   /** [[commitAll]] against the snapshot read at entry — still CAS'd,
     * so a race conflicts loudly rather than losing a snapshot. */
   def commitAll(root: String, updates: Map[String, DataFrame]): Map[String, Int] =
     commitAll(root, updates, catalogVersion(root))
 
-  /** The optimistic multi-table transaction loop: read the current
-    * snapshot, build the updates FROM it (read member tables with
-    * [[read]]`(…, asOf = snap)` so the transaction is internally
-    * consistent), try to commit; on [[CommitConflict]] re-read the
-    * winner's snapshot and re-apply. Returns the committed snapshot. */
-  def transact(root: String, maxRetries: Int = 20)
-              (make: Map[String, Int] => Map[String, DataFrame]): Map[String, Int] = {
+  /** [[commitUpdates]] against the snapshot read at entry. */
+  def commitUpdates(root: String,
+                    updates: Map[String, MemberUpdate]): Map[String, Int] =
+    commitUpdates(root, updates, catalogVersion(root))
+
+  /** The optimistic multi-table transaction loop over typed member
+    * updates: read the current snapshot, build the updates FROM it
+    * (read member tables with [[read]]`(…, asOf = snap)` so the
+    * transaction is internally consistent), try to commit; on
+    * [[CommitConflict]] — from the catalog CAS or from a TxLog
+    * member's own CAS — re-read the winner's snapshot and re-apply,
+    * with a small linear backoff to break conflict phase-lock.
+    * Returns the committed snapshot. */
+  def transactUpdates(root: String, maxRetries: Int = 20)
+                     (make: Map[String, Int] => Map[String, MemberUpdate]): Map[String, Int] = {
     var attempt = 0
     while (true) {
       val expected = catalogVersion(root)
       val snap = if (expected < 0) Map.empty[String, Int]
                  else snapshotAt(root, expected)
-      try return commitAll(root, make(snap), expected)
+      try return commitUpdates(root, make(snap), expected)
       catch {
         case c: CommitConflict =>
           attempt += 1
           if (attempt > maxRetries) throw c
+          Thread.sleep(math.min(attempt, 10) * 5L)
       }
     }
     Map.empty // unreachable
   }
 
+  /** The [[Put]]-only transaction loop (the original API shape). */
+  def transact(root: String, maxRetries: Int = 20)
+              (make: Map[String, Int] => Map[String, DataFrame]): Map[String, Int] =
+    transactUpdates(root, maxRetries)(snap =>
+      make(snap).map { case (t, df) => t -> (Put(df): MemberUpdate) })
+
+  /** Repair a member whose physical head ran past its cataloged
+    * version — a CRASHED transaction's un-rolled-back garbage (or an
+    * out-of-band writer) — by committing the CATALOGED contents as a
+    * fresh FULL version through a normal catalog transaction: the full
+    * version caps the garbage (overlay chains can never reach through
+    * it), contiguity is restored at the new head, and the snapshot's
+    * CONTENT is unchanged. The garbage versions stay unreferenced and
+    * age out under later retention floors. */
+  def repairMember(spark: SparkSession, root: String,
+                   table: String): Map[String, Int] =
+    transactUpdates(root) { snap =>
+      Map(table -> Put(read(spark, root, table, snap)))
+    }
+
   /** Read a member table AT THE CATALOGED VERSION — the only read path
-    * that sees mutually-consistent tables. Pass an explicit `asOf`
-    * snapshot (from [[snapshot]]/[[snapshotAt]]) to pin a multi-query
-    * pipeline to one consistent cut across ALL tables, the cross-table
-    * form of [[Versions.snapshot]]. */
+    * that sees mutually-consistent tables — through the member's own
+    * core. Pass an explicit `asOf` snapshot (from
+    * [[snapshot]]/[[snapshotAt]]) to pin a multi-query pipeline to one
+    * consistent cut across ALL tables, the cross-table form of
+    * [[Versions.snapshot]]. */
   def read(spark: SparkSession, root: String, table: String,
            asOf: Map[String, Int] = null): DataFrame = {
     val snap = Option(asOf).getOrElse(snapshot(root))
     val v = snap.getOrElse(table,
       throw new IllegalArgumentException(
         s"table $table is not in the catalog snapshot under $root"))
-    Versions.read(spark, s"$root/$table", v)
+    coreOf(root, table) match {
+      case Some(TxLogCore) => TxLog.read(spark, s"$root/$table", v)
+      case _ => Versions.read(spark, s"$root/$table", v)
+    }
   }
 
   /** Retention derived FROM the snapshot: collapse the cross-table
     * history to the CURRENT snapshot. Superseded catalog records are
     * pruned FIRST, then every member table is vacuumed below its
-    * cataloged version — so "the record exists" stays equivalent to
-    * "its snapshot is readable" (vacuuming data under a record that
-    * remained listable would strand as-of readers at the `_SUCCESS`
-    * gate with a snapshot map that still resolves). Reads of a pruned
-    * snapshot fail loudly in [[snapshotAt]]. Unreferenced newer
-    * versions (a crashed or CAS-lost phase-1 commit) age out through
-    * each table's own orphan rule on its next commit; the current
-    * snapshot's versions can never be reclaimed here by construction.
-    * For age-windowed retention that KEEPS readable history, use
-    * [[vacuumAged]]. Returns member directories reclaimed. */
+    * cataloged version THROUGH ITS OWN CORE — so "the record exists"
+    * stays equivalent to "its snapshot is readable" (vacuuming data
+    * under a record that remained listable would strand as-of readers
+    * at the `_SUCCESS` gate with a snapshot map that still resolves).
+    * Reads of a pruned snapshot fail loudly in [[snapshotAt]].
+    * Unreferenced newer versions (a crashed transaction's un-rolled
+    * garbage) age out through each table's own orphan rule or a
+    * [[repairMember]]+vacuum cycle; the current snapshot's versions
+    * can never be reclaimed here by construction. For age-windowed
+    * retention that KEEPS readable history, use [[vacuumAged]].
+    * Returns member directories reclaimed. */
   def vacuumTo(root: String): Int = {
     val cur = catalogVersion(root)
     if (cur < 0) return 0
     listed(root).filter(_ < cur).foreach(n => recordFile(root, n).delete())
     snapshotAt(root, cur).toSeq.sortBy(_._1).map { case (t, v) =>
-      Versions.vacuum(s"$root/$t", keepFrom = v)
+      coreOf(root, t) match {
+        case Some(TxLogCore) => TxLog.vacuum(s"$root/$t", keepFrom = v)
+        case _ => Versions.vacuum(s"$root/$t", keepFrom = v)
+      }
     }.sum
   }
 
   /** AGE-BASED retention across the whole catalog: first prune catalog
-    * RECORDS older than `maxAgeMs` (never the newest — the current
-    * snapshot always stays addressable), then reclaim member-table
-    * versions older than the window EXCEPT any version a RETAINED
-    * record still names ([[Versions.vacuumAged]]'s `keep` set) — so
-    * cataloged history, however old, stays readable by construction,
-    * and an as-of pipeline pinned to a retained snapshot can never
-    * lose a table out from under it. Returns member directories
-    * reclaimed. */
+    * RECORDS whose commit stamp (carried in the record line — never
+    * the inode mtime, which an object-store copy/restore resets) is
+    * older than `maxAgeMs` (never the newest — the current snapshot
+    * always stays addressable), then reclaim member-table versions
+    * older than the window EXCEPT any version a RETAINED record still
+    * names (each core's `vacuumAged` `keep` set) — so cataloged
+    * history, however old, stays readable by construction, and an
+    * as-of pipeline pinned to a retained snapshot can never lose a
+    * table out from under it. Returns member directories reclaimed. */
   def vacuumAged(root: String, maxAgeMs: Long): Int = {
     val cur = catalogVersion(root)
     if (cur < 0) return 0
     val now = System.currentTimeMillis()
-    listed(root).filter(n => n < cur &&
-        now - recordFile(root, n).lastModified() >= maxAgeMs)
+    def ageMs(n: Int): Long = now - recordTs(root, n).getOrElse(
+      recordFile(root, n).lastModified()) // pre-stamp records only
+    listed(root).filter(n => n < cur && ageMs(n) >= maxAgeMs)
       .foreach(n => recordFile(root, n).delete())
     val retained = listed(root).map(snapshotAt(root, _))
     retained.flatMap(_.keys).distinct.sorted.map { t =>
       val keep = retained.flatMap(_.get(t)).toSet
-      Versions.vacuumAged(s"$root/$t", maxAgeMs, keep)
+      coreOf(root, t) match {
+        case Some(TxLogCore) => TxLog.vacuumAged(s"$root/$t", maxAgeMs, keep)
+        case _ => Versions.vacuumAged(s"$root/$t", maxAgeMs, keep)
+      }
     }.sum
   }
 }

@@ -57,6 +57,32 @@ private[lake] object Mor {
     i
   }
 
+  /** Overlay-chain depth of version `v`: how many overlay anti-joins a
+    * read of `v` must resolve (0 for a full version). The commit-time
+    * auto-compaction policy in both cores keys off this. */
+  def chainDepth(dirOf: Int => java.io.File, v: Int): Int =
+    v - fullBase(dirOf, v)
+
+  /** Loud key-uniqueness contract for upsert overlays: a batch carrying
+    * two rows for one key is ambiguous — [[resolveChain]] would union
+    * BOTH rows in, and "last write wins within a batch" is undefined
+    * without a sequence column — so key-duplicate batches are rejected
+    * at commit (one O(|delta|) aggregation pass), never resolved
+    * silently. Dedup upstream (e.g. `groupBy(key).agg(max_by(...))`)
+    * before committing. */
+  def requireKeyUnique(rows: DataFrame, keyCol: String, desc: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    // one partial-agg pass over the delta; limit(1) stops at the first
+    // offending key (bounded collect: at most one row)
+    val dup = rows.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch for $desc carries ${dup.head.getLong(1)} rows for " +
+        s"$keyCol=${dup.head.get(0)} — within-batch last-write-wins is " +
+        "undefined without a sequence column, so key-duplicate batches " +
+        "are rejected; dedup before committing")
+  }
+
   /** Resolve the merge-on-read chain ITERATIVELY from the nearest full
     * base up to `v` (no JVM recursion — a long-neglected chain must at
     * worst build a deep PLAN, never overflow the stack), with a

@@ -58,26 +58,33 @@ object TxLog {
     * [[checkpoint]] recorded, or (-1, -1) if none. Checkpoints are
     * versioned put-if-absent files, so readers take the max — a
     * concurrent checkpointer can only ever ADD a newer fold, never
-    * regress this. The newest file a listing saw can be reclaimed by
-    * an even-newer checkpoint's cleanup between the list and the read;
-    * re-list on that race. */
+    * regress this. Any file a listing saw can be reclaimed by an
+    * even-newer checkpoint's cleanup between the list and the read, so
+    * the read walks the listing NEWEST-FIRST and takes the first file
+    * that still exists — an older fold is always a valid (merely
+    * lower) floor, since every caller maxes it with the live records.
+    * Only when EVERY listed file vanished does it re-list (a vanished
+    * file implies a newer one was created); this is on every read path
+    * (current/lastTxn/commit precheck), so it must never spuriously
+    * fail a healthy reader under sustained checkpoint churn. */
   private def checkpointState(root: String): (Int, Long) = {
-    var attempt = 0
-    while (attempt < 5) {
+    while (true) {
       val files = listedCheckpoints(root)
       if (files.isEmpty) return (-1, -1L)
-      val f = files.maxBy(_.getName.stripPrefix("_checkpoint.").toInt)
-      try {
-        val t = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-          .split("\\s+")
-        return (t(0).toInt, t(1).toLong)
-      } catch {
-        case _: java.nio.file.NoSuchFileException => attempt += 1
-      }
+      files.sortBy(-_.getName.stripPrefix("_checkpoint.").toInt)
+        .foreach { f =>
+          try {
+            val t = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+              .split("\\s+")
+            return (t(0).toInt, t(1).toLong)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => // superseded; older
+          }
+        }
+      // the whole listing vanished → a newer fold exists; re-list
     }
-    throw new IllegalStateException(
-      s"checkpoint listing under $root would not settle")
+    (-1, -1L) // unreachable
   }
 
   private def listedRecords(root: String): Seq[Int] =
@@ -100,6 +107,19 @@ object TxLog {
     val t = new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split("\\s+")
     (t(0), if (t.length > 1) t(1).toLong else -1L)
+  }
+
+  /** The commit timestamp RECORDED IN the record line (third token),
+    * or None for a record an older writer wrote. Age-based retention
+    * reads THIS, never the inode mtime: an object-store copy/restore
+    * resets mtimes, making fresh data look aged (or stale data look
+    * fresh) — the commit time belongs in the record content. */
+  private def recordTs(root: String, n: Int): Option[Long] = {
+    val f = recordFile(root, n)
+    if (!f.isFile) return None
+    val t = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.split("\\s+")
+    if (t.length > 2) Some(t(2).toLong) else None
   }
 
   /** [[record]], tolerating a record a concurrent [[vacuum]] unlinked
@@ -193,6 +213,43 @@ object TxLog {
     }
   }
 
+  /** AGE-BASED retention on the multi-writer log ([[Versions.vacuumAged]]'s
+    * semantics on the CAS core): reclaim versions whose COMMIT STAMP —
+    * the timestamp recorded in the commit record's own line, never the
+    * inode mtime, which an object-store copy/restore resets — is older
+    * than `maxAgeMs`, except (a) the current version, (b) anything in
+    * `keep` (versions a catalog snapshot still names), and (c) any
+    * member of a RETAINED version's merge-on-read chain (age cutoffs
+    * can leave holes; a hole under a retained overlay would break its
+    * chain). Pre-stamp records fall back to the record file's mtime.
+    * Auto-[[checkpoint]]s first so the txn high-water survives the
+    * reclaimed prefix. Returns versions reclaimed. */
+  def vacuumAged(root: String, maxAgeMs: Long,
+                 keep: Set[Int] = Set.empty): Int = {
+    val cur = current(root)
+    if (cur < 0) return 0
+    checkpoint(root)
+    val now = System.currentTimeMillis()
+    val versions = listedRecords(root).sorted
+    def ageMs(v: Int): Long = now - recordTs(root, v).getOrElse(
+      recordFile(root, v).lastModified()) // pre-stamp records only
+    val aged = versions.filter(v =>
+      v < cur && !keep(v) && ageMs(v) >= maxAgeMs).toSet
+    // protect the FULL chain of every survivor (current, kept, or
+    // simply young): a retained overlay must keep its base readable
+    val protectChains = versions.filterNot(aged)
+      .flatMap(v => Mor.fullBase(versionDir(root, _), v) to v).toSet
+    versions.filter(v => aged(v) && !protectChains(v)).count { v =>
+      recordOpt(root, v).exists { case (dataName, _) =>
+        // unlink the record FIRST (reads fail loudly, never partial);
+        // only the caller whose unlink succeeded reclaims the data
+        val won = recordFile(root, v).delete()
+        if (won) rmTree(new java.io.File(root, dataName))
+        won
+      }
+    }
+  }
+
   /** The physical data directory of version `v`, resolved THROUGH the
     * commit record — half-written or orphaned directories are
     * unreachable by construction. */
@@ -220,10 +277,13 @@ object TxLog {
     * the base, so retrying with the new expected version usually
     * suffices). O(|keys|) written bytes + one record link. */
   def commitDelete(keys: DataFrame, root: String, keyCol: String,
-                   expected: Int, txn: Long = -1L): Int = {
+                   expected: Int, txn: Long = -1L,
+                   autoCompactAt: Int = Versions.autoCompactDepth): Int = {
     require(expected >= 0, s"cannot delete from empty table $root")
-    commitImpl(keys.select(keyCol).distinct(), root, expected, txn,
+    val n = commitImpl(keys.select(keyCol).distinct(), root, expected, txn,
       precheck = true, marker = Some((keyCol, false)))
+    maybeAutoCompact(keys.sparkSession, root, n, autoCompactAt)
+    n
   }
 
   /** MERGE-ON-READ UPSERT on the multi-writer log: commit `rows` as an
@@ -232,12 +292,42 @@ object TxLog {
     * composing with [[commitDelete]] chains and collapsing via
     * [[compact]]. `rows` must carry the full row schema. */
   def commitUpsert(rows: DataFrame, root: String, keyCol: String,
-                   expected: Int, txn: Long = -1L): Int = {
+                   expected: Int, txn: Long = -1L,
+                   autoCompactAt: Int = Versions.autoCompactDepth): Int = {
     require(expected >= 0,
       s"cannot upsert into empty table $root — commit first")
-    commitImpl(rows, root, expected, txn,
+    Mor.requireKeyUnique(rows, keyCol, root) // loud: no both-rows-survive
+    val n = commitImpl(rows, root, expected, txn,
       precheck = true, marker = Some((keyCol, true)))
+    maybeAutoCompact(rows.sparkSession, root, n, autoCompactAt)
+    n
   }
+
+  /** Commit-time auto-compaction (the [[Versions.autoCompactDepth]]
+    * policy on the CAS core): when THIS writer's overlay pushed the
+    * chain past the threshold, fold it through the optimistic
+    * [[compact]] loop — a racing writer merely makes the loop
+    * re-resolve. `<= 0` disables (the [[Catalog]] passes 0: a member's
+    * auto-compact would create a version no catalog record names). */
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+                               v: Int, threshold: Int): Unit = {
+    if (threshold > 0 && chainDepth(root, v) > threshold) {
+      compact(spark, root)
+      ()
+    }
+  }
+
+  /** Overlay-chain depth of version `v` (default: current) — how many
+    * anti-join overlays a read must resolve; 0 for a full version. */
+  def chainDepth(root: String, v: Int = -1): Int = {
+    val at = if (v >= 0) v else current(root)
+    if (at < 0) 0 else Mor.chainDepth(versionDir(root, _), at)
+  }
+
+  /** Maintenance entry: collapse the current chain iff deeper than
+    * `threshold`. Returns the new full version, or -1 if shallow. */
+  def compactIfDeeper(spark: SparkSession, root: String, threshold: Int): Int =
+    if (chainDepth(root) > threshold) compact(spark, root) else -1
 
   /** Collapse the current merge-on-read chain into one FULL version
     * through the optimistic loop (the OPTIMIZE/compaction step): reads
@@ -282,13 +372,43 @@ object TxLog {
     // EEXIST if the record exists, and the record appears fully formed
     // or not at all. (POSIX rename(2) — Files.move ATOMIC_MOVE —
     // silently REPLACES an existing target, so it cannot be the CAS.)
+    // The line is `dataName txn commitTs` — the stamp rides the record
+    // CONTENT so age-based retention never trusts inode mtimes (-1
+    // placeholder keeps the txn token positional for old parsers).
     if (CasLog.putIfAbsent(logDir(root), n,
-        if (txn >= 0) s"$dataName $txn\n" else s"$dataName\n")) n
+        s"$dataName $txn ${System.currentTimeMillis()}\n")) n
     else {
       rmTree(new java.io.File(root, dataName))
       throw new CommitConflict(n,
         s"version $n under $root was committed by another writer")
     }
+  }
+
+  /** Roll back version `v` — a commit THIS CALLER made and no catalog
+    * record ever named ([[Catalog]] phase-1 rollback after a lost
+    * catalog CAS or a failed sibling member). The record unlinks first
+    * (reads fail loudly, never partial), then the data dir dies. Safe
+    * because the CAS guarantees record `v` is the caller's own: records
+    * are immutable and exactly one writer ever creates each number. A
+    * full version later committed ON TOP (a blind Put at the physical
+    * head) survives — the resulting hole reads as vacuumed, and
+    * overlay chains can never span it (overlays require contiguity
+    * with the cataloged head, and full versions cap chains). */
+  private[lake] def rollback(root: String, v: Int): Unit = {
+    recordOpt(root, v).foreach { case (dataName, _) =>
+      recordFile(root, v).delete()
+      rmTree(new java.io.File(root, dataName))
+    }
+  }
+
+  /** Test/migration hook: overwrite version `v`'s stamped commit time
+    * (the third record-line token) — fixtures age versions through the
+    * SUPPORTED channel, not inode mtimes, which retention ignores. */
+  private[graft] def restamp(root: String, v: Int, ts: Long): Unit = {
+    val (dataName, txn) = record(root, v)
+    java.nio.file.Files.write(recordFile(root, v).toPath,
+      s"$dataName $txn $ts\n".getBytes("UTF-8"))
+    ()
   }
 
   /** The optimistic-transaction loop: read the current state, apply

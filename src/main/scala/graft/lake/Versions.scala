@@ -121,6 +121,7 @@ object Versions {
     // committer was configured not to write it
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
+    writeStamp(root, n)
     flipPointer(root, n, txn)
     n
   }
@@ -141,6 +142,27 @@ object Versions {
 
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Stamp the COMMIT TIME into the version directory's own content
+    * (`_ts`, millis) — age-based retention reads this, never the inode
+    * mtime: an object-store copy/restore resets mtimes, making fresh
+    * data look aged (or stale data look fresh). Written before the
+    * pointer flip, so it rides the same crash rule as the data. */
+  private def writeStamp(root: String, n: Int): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(root, s"v$n/_ts").toPath,
+      (System.currentTimeMillis().toString + "\n").getBytes("UTF-8"))
+    ()
+  }
+
+  /** The stamped commit time of version `v`, or None for a version an
+    * older writer committed (falls back to mtime in [[vacuumAged]]). */
+  private def stampOf(root: String, v: Int): Option[Long] = {
+    val f = new java.io.File(versionDir(root, v), "_ts")
+    if (!f.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong)
   }
 
   private def flipPointer(root: String, n: Int, txn: Long): Unit = {
@@ -181,7 +203,7 @@ object Versions {
     * version; [[vacuum]] auto-lowers its floor to the retained chain's
     * base so it can never orphan a readable version's chain. */
   def commitDelete(keys: DataFrame, root: String, keyCol: String,
-                   txn: Long = -1L): Int = {
+                   txn: Long = -1L, autoCompactAt: Int = autoCompactDepth): Int = {
     val cur = current(root)
     require(cur >= 0, s"cannot delete from empty table $root")
     val n = cur + 1
@@ -191,7 +213,9 @@ object Versions {
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
     Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = false)
+    writeStamp(root, n)
     flipPointer(root, n, txn)
+    maybeAutoCompact(keys.sparkSession, root, n, autoCompactAt)
     n
   }
 
@@ -204,18 +228,51 @@ object Versions {
     * with [[commitDelete]] freely and collapse via [[compactDeletes]].
     */
   def commitUpsert(rows: DataFrame, root: String, keyCol: String,
-                   txn: Long = -1L): Int = {
+                   txn: Long = -1L, autoCompactAt: Int = autoCompactDepth): Int = {
     val cur = current(root)
     require(cur >= 0, s"cannot upsert into empty table $root — commit first")
+    Mor.requireKeyUnique(rows, keyCol, root) // loud: no silent both-rows-survive
     val n = cur + 1
     reclaimOrphan(root, n)
     rows.write.mode("errorifexists").parquet(s"$root/v$n")
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
     Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = true)
+    writeStamp(root, n)
     flipPointer(root, n, txn)
+    maybeAutoCompact(rows.sparkSession, root, n, autoCompactAt)
     n
   }
+
+  /** Default chain-depth threshold past which an overlay commit
+    * auto-compacts ([[compactDeletes]]): each overlay costs one
+    * anti-join at read time, so an unattended writer looping overlay
+    * commits must not grow an unbounded plan. High enough that a
+    * deliberate chain-shape fixture never trips it; `<= 0` disables
+    * (the [[Catalog]] passes 0 — a member's auto-compact would create
+    * a version the catalog record does not name). */
+  val autoCompactDepth: Int = 64
+
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+                               v: Int, threshold: Int): Unit = {
+    if (threshold > 0 && chainDepth(root, v) > threshold) {
+      compactDeletes(spark, root)
+      ()
+    }
+  }
+
+  /** Overlay-chain depth of version `v` (default: current) — how many
+    * anti-join overlays a read must resolve; 0 for a full version. */
+  def chainDepth(root: String, v: Int = -1): Int = {
+    val at = if (v >= 0) v else current(root)
+    if (at < 0) 0 else Mor.chainDepth(versionDir(root, _), at)
+  }
+
+  /** Maintenance entry: collapse the current merge-on-read chain iff it
+    * is deeper than `threshold` overlays. Returns the new full version,
+    * or -1 when the chain was already shallow enough. */
+  def compactIfDeeper(spark: SparkSession, root: String, threshold: Int): Int =
+    if (chainDepth(root) > threshold) compactDeletes(spark, root) else -1
 
   /** Collapse the current merge-on-read chain into one FULL version
     * (the OPTIMIZE/compaction step): commit the resolved current state,
@@ -224,6 +281,40 @@ object Versions {
     * already full. */
   def compactDeletes(spark: SparkSession, root: String): Int =
     commit(read(spark, root), root)
+
+  /** Roll the table BACK to version `keep`, removing `made` — the
+    * version the CALLER ITSELF just committed (`made` must be current,
+    * and `keep` the version directly below it). This is the
+    * [[Catalog]] phase-1 rollback: a multi-table transaction that lost
+    * the catalog CAS removes its own member versions so the member log
+    * stays 1:1 with cataloged history (an abandoned OVERLAY version
+    * would poison the positional chain under the next transaction's
+    * overlay). Single-writer-per-member contract, like every Versions
+    * write. The pointer rewinds FIRST (readers move off the victim
+    * before its files die); the txn high-water is carried, never
+    * regressed. */
+  private[lake] def rollbackTo(root: String, keep: Int, made: Int): Unit = {
+    require(keep >= 0 && made == keep + 1,
+      s"rollbackTo only unwinds the one version this caller made " +
+        s"(keep=$keep, made=$made under $root)")
+    require(current(root) == made,
+      s"refusing rollback: $root moved to ${current(root)} past $made — " +
+        "another writer committed on top (single-writer contract violated)")
+    flipPointer(root, keep, -1L) // -1 carries the txn high-water forward
+    val d = new java.io.File(root, s"v$made")
+    new java.io.File(d, "_SUCCESS").delete() // invalidate before delete
+    rmTree(d)
+  }
+
+  /** Test/migration hook: overwrite version `v`'s stamped commit time
+    * (fixtures age versions through the SUPPORTED aging channel — the
+    * stamp — rather than inode mtimes, which retention ignores). */
+  private[graft] def restamp(root: String, v: Int, ts: Long): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(versionDir(root, v), "_ts").toPath,
+      (ts.toString + "\n").getBytes("UTF-8"))
+    ()
+  }
 
   /** Read a version (default: current). Reading a vacuumed,
     * never-committed, or HALF-VACUUMED version fails loudly (no files ≠
@@ -325,26 +416,21 @@ object Versions {
       org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
   }
 
-  /** Retention: remove all versions BELOW `keepFrom` (the current
-    * version is always kept regardless). Returns the number of version
-    * directories reclaimed. Each victim's `_SUCCESS` marker is deleted
-    * FIRST, so a crash mid-delete leaves a directory [[read]] rejects
-    * rather than one that reads back partial data. Time travel to a
-    * vacuumed version fails loudly in [[read]] — the
-    * retention/readability trade every lakehouse exposes. The manifest
-    * (and with it [[lastTxn]]) is never touched: vacuuming history
-    * cannot break a streaming writer's replay-skip test. */
   /** AGE-BASED retention (the "older than N days" rung — the retention
     * window public lakehouse VACUUMs expose, orthogonal to the
     * version-floor rule of [[vacuum]]): reclaim version directories
-    * whose NEWEST file mtime is older than `maxAgeMs`, except (a) the
-    * current version, (b) anything in `keep` (e.g. versions a catalog
-    * snapshot still names — [[Catalog.vacuumAged]] passes these), and
-    * (c) any member of a RETAINED version's merge-on-read chain: age
-    * cutoffs can leave HOLES, and a hole under a retained overlay
-    * would break its chain, so chains are protected as units rather
-    * than per-directory. Victims lose `_SUCCESS` first, as in
-    * [[vacuum]]. Returns directories reclaimed. */
+    * whose STAMPED COMMIT TIME (`_ts`, written by every commit — never
+    * the inode mtime, which an object-store copy/restore resets,
+    * making fresh data look aged or stale data look fresh; only
+    * pre-stamp versions fall back to the newest-file mtime) is older
+    * than `maxAgeMs`, except (a) the current version, (b) anything in
+    * `keep` (e.g. versions a catalog snapshot still names —
+    * [[Catalog.vacuumAged]] passes these), and (c) any member of a
+    * RETAINED version's merge-on-read chain: age cutoffs can leave
+    * HOLES, and a hole under a retained overlay would break its chain,
+    * so chains are protected as units rather than per-directory.
+    * Victims lose `_SUCCESS` first, as in [[vacuum]]. Returns
+    * directories reclaimed. */
   def vacuumAged(root: String, maxAgeMs: Long,
                  keep: Set[Int] = Set.empty): Int = {
     val cur = current(root)
@@ -353,8 +439,10 @@ object Versions {
     val versions = Option(new java.io.File(root).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
       .map(_.getName.stripPrefix("v").toInt).sorted
-    val aged = versions.filter(v => v < cur && !keep(v) &&
-      now - newestMtime(new java.io.File(root, s"v$v")) >= maxAgeMs).toSet
+    def ageMs(v: Int): Long = now - stampOf(root, v).getOrElse(
+      newestMtime(new java.io.File(root, s"v$v"))) // pre-stamp versions
+    val aged = versions.filter(v =>
+      v < cur && !keep(v) && ageMs(v) >= maxAgeMs).toSet
     // protect the FULL chain of every survivor (current, kept, or
     // simply young): a retained overlay must keep its base readable
     val protectChains = versions.filterNot(aged)
@@ -368,6 +456,15 @@ object Versions {
     victims.size
   }
 
+  /** Retention: remove all versions BELOW `keepFrom` (the current
+    * version is always kept regardless). Returns the number of version
+    * directories reclaimed. Each victim's `_SUCCESS` marker is deleted
+    * FIRST, so a crash mid-delete leaves a directory [[read]] rejects
+    * rather than one that reads back partial data. Time travel to a
+    * vacuumed version fails loudly in [[read]] — the
+    * retention/readability trade every lakehouse exposes. The manifest
+    * (and with it [[lastTxn]]) is never touched: vacuuming history
+    * cannot break a streaming writer's replay-skip test. */
   def vacuum(root: String, keepFrom: Int): Int = {
     val cur = current(root)
     // merge-on-read safety: a DV version is only readable down to its

@@ -2494,9 +2494,13 @@ object LakeQueries {
    * RETAINED catalog record names is ever reclaimed however old, and
    * a merge-on-read chain is protected AS A UNIT, because an age
    * cutoff can leave holes and a hole under a retained overlay breaks
-   * its chain). Fixture A: the double-entry catalog runs three
-   * transactions; old catalog records and old member versions are
-   * artificially aged (mtime rewind), INCLUDING the currently-
+   * its chain). Age comes from the COMMIT STAMP each record/version
+   * carries in its own content — never inode mtimes, which an
+   * object-store copy/restore resets (the round-13 hardening; the
+   * fixture ages through the stamp channel and ALSO touches mtimes to
+   * prove they are ignored). Fixture A: the double-entry catalog runs
+   * three transactions; old catalog records and old member versions
+   * are artificially aged, INCLUDING the currently-
    * cataloged accounts version — the vacuum prunes the aged records
    * and reclaims exactly the four aged uncataloged versions, while
    * the aged-but-cataloged version survives and the invariant still
@@ -2535,9 +2539,14 @@ object LakeQueries {
     try {
       import graft.lake.{Catalog, Versions}
       val hourMs = 60L * 60L * 1000L
-      def ageTree(f: java.io.File): Unit = {
-        f.setLastModified(System.currentTimeMillis() - 2 * hourMs)
-        Option(f.listFiles()).toSeq.flatten.foreach(ageTree)
+      val agedTs = System.currentTimeMillis() - 2 * hourMs
+      // retention reads the stamped commit time, not inode mtimes —
+      // freshening every mtime here proves mtime can't RESCUE an aged
+      // version (the object-store-restore scenario), while the stamp
+      // rewind is the supported aging channel
+      def freshenTree(f: java.io.File): Unit = {
+        f.setLastModified(System.currentTimeMillis())
+        Option(f.listFiles()).toSeq.flatten.foreach(freshenTree)
       }
       val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
@@ -2559,12 +2568,14 @@ object LakeQueries {
         "ledger" -> Catalog.read(s, cat, "ledger").unionByName(
           cust.filter(col("k") % 10 === 0)
             .select(col("k"), lit(100L).as("amount")))))
-      // age: old records, old member versions, AND the currently-
-      // cataloged accounts version (v2) — cataloged must beat aged
-      Seq(s"$cat/_catalog/0000000000", s"$cat/_catalog/0000000001",
-        s"$cat/accounts/v0", s"$cat/accounts/v1", s"$cat/accounts/v2",
-        s"$cat/ledger/v0", s"$cat/ledger/v1")
-        .foreach(p => ageTree(new java.io.File(p)))
+      // age (by STAMP): old records, old member versions, AND the
+      // currently-cataloged accounts version (v2) — cataloged must
+      // beat aged; mtimes are freshened everywhere to prove a restore
+      // that resets them can neither rescue nor doom anything
+      Seq(0, 1).foreach(n => Catalog.restamp(cat, n, agedTs))
+      Seq(0, 1, 2).foreach(v => Versions.restamp(s"$cat/accounts", v, agedTs))
+      Seq(0, 1).foreach(v => Versions.restamp(s"$cat/ledger", v, agedTs))
+      freshenTree(new java.io.File(cat))
       val reclaimed = Catalog.vacuumAged(cat, maxAgeMs = hourMs)
       val recordsPruned = Catalog.catalogVersion(cat) == 2 &&
         (try { Catalog.snapshotAt(cat, 0); false }
@@ -2582,7 +2593,7 @@ object LakeQueries {
       Versions.commit(cust, chain)
       Versions.commitDelete(
         cust.filter(col("k") % 4 === 0).select("k"), chain, "k")
-      ageTree(new java.io.File(s"$chain/v0"))
+      Versions.restamp(chain, 0, agedTs)
       val chainReclaim = Versions.vacuumAged(chain, maxAgeMs = hourMs)
       val chainProtected = chainReclaim == 0 &&
         Versions.read(s, chain).count() ==

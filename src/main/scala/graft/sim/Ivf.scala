@@ -168,6 +168,15 @@ object Ivf {
                    trainSample: Long = 65536L,
                    seqCol: Option[String] = None): Unit = {
     val index = buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
+    // a rebuild into a reused dir starts from a CLEAN maintenance
+    // state: stale tombstones would silently kill the new rows (or
+    // trip the mixed-mode require when the seq mode changes), and a
+    // stale-but-complete staging dir (assigned_compacting /
+    // assigned_retraining / centroids_new) would be swapped IN over
+    // the fresh tables by the next writer entry's recoverSwap
+    Seq("tombstones", "assigned_old", "assigned_compacting",
+        "assigned_retraining", "centroids_old", "centroids_new")
+      .foreach(sub => rmTree(new java.io.File(s"$dir/$sub")))
     Similarity.withUnitVec(index.assigned, vecCol, "cu")
       .select((Seq(col(idCol), col("cluster"), col("cu")) ++
         seqCol.map(col)): _*)
