@@ -334,6 +334,17 @@ object Versions {
     Mor.resolveChain(spark, versionDir(root, _), v, root)
   }
 
+  /** The CURRENT version's physical directory — the handle a LIVE
+    * materialized-view registration ([[graft.plans.MatView]]'s
+    * `viewRoot`) resolves at plan time, so a refresh COMMIT is also
+    * the re-registration. Immutable once returned: commits only ever
+    * add a new directory and flip the pointer. */
+  def currentDir(root: String): String = {
+    val v = current(root)
+    require(v >= 0, s"no committed version under $root")
+    versionDir(root, v).getAbsolutePath
+  }
+
   /** SNAPSHOT-ISOLATION handle: the version a multi-query pipeline
     * pins itself to. Every [[read]](root, snap) against the returned
     * version sees the SAME immutable files no matter how many commits

@@ -9,26 +9,57 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.DoubleType
 
 /**
- * A registered materialized view the optimizer may answer from:
- * `viewPath` holds the parquet result of
- * `SELECT keyCols…, count(*) AS countCol, sum(x) AS sumCols(x), …
+ * A registered materialized view the optimizer may answer from: the
+ * view holds the parquet result of
+ * `SELECT keyCols…, count(*) AS countCol, sum(x) AS sumCols(x),
+ *    min(y) AS minCols(y), max(z) AS maxCols(z), …
  *    FROM basePath GROUP BY keyCols…`
  * (the view's key columns carry the SAME names as the base columns).
- * The registration IS the freshness claim — whoever maintains the view
- * (e.g. the [[graft.lake.Versions]] incremental-view pipeline, q325)
- * registers the current version's physical directory and re-registers
- * after each refresh. `nonNullCols` is the registrant's claim that a
- * base column holds no NULLs — required before `avg(x)` may be derived
- * as `sum(x)/count(*)` (with nulls present the two denominators
- * differ, so an unclaimed column never rewrites).
+ *
+ * Registration comes in two freshness flavors:
+ *
+ *   - `viewPath`: a FIXED physical directory. The registration IS the
+ *     freshness claim — whoever refreshes the view must re-register
+ *     the new directory, and a forgotten re-registration silently
+ *     serves stale (but internally consistent) data;
+ *   - `viewRoot`: a LIVE registration — a [[graft.lake.Versions]]
+ *     table root whose CURRENT version is resolved at PLAN time, so
+ *     the refresh COMMIT is the re-registration
+ *     ([[ViewRewrite.refresh]] is that one entry point: O(|delta|)
+ *     merge, commit, done — a refreshed view can never serve stale
+ *     data through the rule, and a skipped refresh still answers
+ *     stale-but-consistent from the last committed version).
+ *
+ * `nonNullCols` is the registrant's claim that a base column holds no
+ * NULLs — required before `avg(x)` may be derived as `sum(x)/count(*)`
+ * (with nulls present the two denominators differ, so an unclaimed
+ * column never rewrites). `minCols`/`maxCols` need no such claim:
+ * min/max skip nulls identically at both levels, and min-of-mins /
+ * max-of-maxes re-aggregate losslessly under roll-up.
  */
 final case class MatView(
     basePath: String,
-    viewPath: String,
-    keyCols: Seq[String],
-    countCol: Option[String],
-    sumCols: Map[String, String],
-    nonNullCols: Set[String] = Set.empty)
+    viewPath: String = "",
+    keyCols: Seq[String] = Seq.empty,
+    countCol: Option[String] = None,
+    sumCols: Map[String, String] = Map.empty,
+    nonNullCols: Set[String] = Set.empty,
+    minCols: Map[String, String] = Map.empty,
+    maxCols: Map[String, String] = Map.empty,
+    viewRoot: Option[String] = None) {
+
+  /** The physical directory the rule reads THIS plan cycle: the live
+    * root's current version when registered live, else the fixed path.
+    * Version directories are immutable, so every downstream cache can
+    * key on the resolved path. */
+  def resolvedPath: String = viewRoot match {
+    case Some(root) => graft.lake.Versions.currentDir(root)
+    case None =>
+      require(viewPath.nonEmpty,
+        s"MatView over $basePath has neither viewPath nor viewRoot")
+      viewPath
+  }
+}
 
 /**
  * MATERIALIZED-VIEW REWRITE — an optimizer [[Rule]] that answers a
@@ -106,7 +137,7 @@ final case class MultiViewRewrite(spark: SparkSession, views: Seq[MatView])
     case agg: Aggregate =>
       val candidates = views.flatMap(v =>
         ViewRewrite.derive(spark, v, agg)
-          .map(p => (ViewRewrite.sizeOf(v.viewPath), p)))
+          .map(p => (ViewRewrite.sizeOf(v.resolvedPath), p)))
       if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
   }
 }
@@ -151,6 +182,8 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
   private case object CountAll extends Derived
   private case class SumOf(col: String) extends Derived
   private case class AvgOf(col: String) extends Derived
+  private case class MinOf(col: String) extends Derived
+  private case class MaxOf(col: String) extends Derived
 
   /** Classify one output expression, or None if it disqualifies the
     * rewrite. `keyIds` are the ExprIds of the grouping attributes. */
@@ -180,6 +213,18 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
             Some(AvgOf(a.name))
           case _ => None
         }
+        // min/max re-aggregate losslessly (min-of-mins / max-of-maxes)
+        // and skip nulls identically at both levels — no claim needed
+        case mn: Min => mn.child match {
+          case a: AttributeReference if view.minCols.contains(a.name) =>
+            Some(MinOf(a.name))
+          case _ => None
+        }
+        case mx: Max => mx.child match {
+          case a: AttributeReference if view.maxCols.contains(a.name) =>
+            Some(MaxOf(a.name))
+          case _ => None
+        }
         case _ => None
       }
     case _ => None
@@ -205,7 +250,7 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
       })
 
     val viewPlan =
-      ViewRewrite.viewDf(spark, view.viewPath).queryExecution.analyzed
+      ViewRewrite.viewDf(spark, view.resolvedPath).queryExecution.analyzed
     def viewAttr(name: String): Attribute =
       viewPlan.output.find(_.name == name).getOrElse(
         throw new IllegalStateException(
@@ -229,6 +274,8 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
           case (e, KeyRef(n)) => alias(viewAttr(n), e)
           case (e, CountAll) => alias(cnt, e)
           case (e, SumOf(c)) => alias(viewAttr(view.sumCols(c)), e)
+          case (e, MinOf(c)) => alias(viewAttr(view.minCols(c)), e)
+          case (e, MaxOf(c)) => alias(viewAttr(view.maxCols(c)), e)
           case (e, AvgOf(c)) => alias(Divide(
             Cast(viewAttr(view.sumCols(c)), DoubleType),
             Cast(cnt, DoubleType)), e)
@@ -243,6 +290,12 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
           case (e, CountAll) =>
             alias(Coalesce(Seq(sumOf(cnt), Literal(0L))), e)
           case (e, SumOf(c)) => alias(sumOf(viewAttr(view.sumCols(c))), e)
+          // min of stored mins / max of stored maxes: lossless under
+          // roll-up, null-of-none matches the base aggregate exactly
+          case (e, MinOf(c)) => alias(
+            Min(viewAttr(view.minCols(c))).toAggregateExpression(), e)
+          case (e, MaxOf(c)) => alias(
+            Max(viewAttr(view.maxCols(c))).toAggregateExpression(), e)
           case (e, AvgOf(c)) => alias(Divide(
             Cast(sumOf(viewAttr(view.sumCols(c))), DoubleType),
             Cast(sumOf(cnt), DoubleType)), e)
@@ -309,6 +362,85 @@ object ViewRewrite {
         case _ => Seq.empty[String]
       }
     }.flatten
+
+  /** INCREMENTAL REFRESH with freshness tied to the commit — the one
+    * entry point a maintenance loop calls per delta batch (the q325
+    * O(|delta|) recipe generalized over the registration's declared
+    * shape). The DELTA ALONE is aggregated to the view's grain, then
+    * full-outer-merged with the stored view — counts add, sums add
+    * (null iff both sides null, matching SQL sum-of-none), mins take
+    * least, maxes take greatest — and the result commits as the next
+    * version of `viewRoot`. Because a live registration resolves the
+    * CURRENT version at plan time, the commit IS the re-registration:
+    * no separate step to forget, so a refreshed view can never serve
+    * stale data through the rule (a SKIPPED refresh still answers,
+    * stale-but-consistent, from the last committed version — the
+    * documented live-registration contract). Insert-only deltas (the
+    * count/sum/min/max shapes are not retractable; route deletions
+    * through a full recompute commit). Null grouping keys merge
+    * null-safely (`<=>`): the base aggregate has one null group, so
+    * the view must too. Returns the committed version.
+    *
+    * At 100 TB: O(|delta| + |view|) per refresh — the delta aggregate
+    * shuffles |delta| rows to the view grain, the merge joins two
+    * |groups|-sized tables, and the fact table is never rescanned. */
+  def refresh(spark: SparkSession, view: MatView,
+              delta: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions._
+    val root = view.viewRoot.getOrElse(throw new IllegalArgumentException(
+      s"refresh needs a LIVE registration (viewRoot) — a fixed viewPath " +
+        s"cannot re-register atomically (view over ${view.basePath})"))
+    require(view.keyCols.nonEmpty,
+      "refresh needs a keyed view (global shapes roll up from keyed ones)")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      view.countCol.map(c => count(lit(1)).as(c)).toSeq ++
+        view.sumCols.map { case (b, v) => sum(col(b)).as(v) } ++
+        view.minCols.map { case (b, v) => min(col(b)).as(v) } ++
+        view.maxCols.map { case (b, v) => max(col(b)).as(v) }
+    require(aggs.nonEmpty, "view registration declares no aggregates")
+    // maintenance must never be ANSWERED BY what it maintains: with the
+    // rewrite rules registered on this session, a delta aggregate whose
+    // shape matches some view would read the (stale) view instead of
+    // the delta — strip MV rules for the duration of the refresh action
+    val prevRules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prevRules.filterNot(r =>
+      r.isInstanceOf[ViewRewrite] || r.isInstanceOf[MultiViewRewrite])
+    try refreshUnrewritten(spark, view, delta, root, aggs)
+    finally spark.experimental.extraOptimizations = prevRules
+  }
+
+  private def refreshUnrewritten(spark: SparkSession, view: MatView,
+                                 delta: org.apache.spark.sql.DataFrame,
+                                 root: String,
+                                 aggs: Seq[org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions._
+    val dAgg = delta.groupBy(view.keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // prefix the delta side so the merge can reference both unambiguously
+    val d = dAgg.select(dAgg.columns.map(c => col(c).as(s"_d_$c")).toSeq: _*)
+    val cur = graft.lake.Versions.read(spark, root)
+    // null-SAFE key equality: the base aggregate has ONE null group,
+    // so the merge must too (plain = would split it into two rows)
+    val joined = cur.join(d,
+      view.keyCols.map(k => cur(k) <=> d(s"_d_$k")).reduce(_ && _),
+      "full_outer")
+    def dc(c: String) = d(s"_d_$c")
+    def oneSided(a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column,
+                 both: org.apache.spark.sql.Column) =
+      when(a.isNull, b).when(b.isNull, a).otherwise(both)
+    val outCols: Seq[org.apache.spark.sql.Column] =
+      view.keyCols.map(k => coalesce(cur(k), dc(k)).as(k)) ++
+        view.countCol.map(c =>
+          (coalesce(cur(c), lit(0L)) + coalesce(dc(c), lit(0L))).as(c)) ++
+        view.sumCols.values.map(c =>
+          oneSided(cur(c), dc(c), cur(c) + dc(c)).as(c)) ++
+        view.minCols.values.map(c =>
+          oneSided(cur(c), dc(c), least(cur(c), dc(c))).as(c)) ++
+        view.maxCols.values.map(c =>
+          oneSided(cur(c), dc(c), greatest(cur(c), dc(c))).as(c))
+    graft.lake.Versions.commit(joined.select(outCols: _*), root)
+  }
 
   /** Run `body` with the rule registered on the session's experimental
     * optimizer batch, restoring the previous registration after —

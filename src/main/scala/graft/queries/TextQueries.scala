@@ -1254,7 +1254,7 @@ object TextQueries {
     q286PcmStats, q289Mp4Header, q296MmrRerank, q307NegativeSample,
     q308HardNegatives, q309FeatureHashing, q310PositivePairs,
     q318IvfAppend, q322IvfPqAppend, q323IndexDelete, q329IndexDrift,
-    q331PartialRetrain, q341CdcIndexSync, q345SeqIndexSync)
+    q331PartialRetrain, q341CdcIndexSync, q345SeqIndexSync, q352SeqPqSync)
 
   /** SEQUENCE-NUMBERED CDC→INDEX SYNC (q341's missing-seqno residue
    * closed — the Lucene/Elasticsearch per-record seqno semantics): the
@@ -2152,5 +2152,132 @@ object TextQueries {
       graft.io.Sources.removeScratchDir(idx)
       graft.io.Sources.removeScratchDir(root)
     }
+  }
+
+  /** SEQUENCED IVF-PQ PARITY ([[graft.sim.IvfPq.persistIndex]]'s
+   * `seqCol` — the round-12 verdict's missing rung: sequenced
+   * maintenance was Ivf-only, so the production billion-vector layout
+   * could not take the q345 CDC story). The composed index now
+   * declares its seq mode at build time through the SAME `_seqcol`
+   * marker, appends carry the seq column beside the PQ codes (schema
+   * mismatches fail at write time), and deletion/probing are the
+   * SHARED [[graft.sim.Ivf.deleteFromIndex]]/liveAssigned paths — the
+   * seq test stays a residual predicate on the id-keyed anti-join, so
+   * the scale shape is unchanged and the ADC probe composes untouched.
+   * The q345 pipeline in ADVERSE order on one IVF-PQ index: re-adds
+   * append BEFORE the tombstones land (unsequenced tombstones would
+   * kill every updated id), a stale replay (seq 0) of a deleted id
+   * arrives after its tombstone and stays dead, centroids AND
+   * codebooks are byte-identical (no re-train, no re-fit), the
+   * tombstone table stays delete-sized (no compact-first fold), and
+   * the ADC probe of the maintained index holds the recall floor
+   * against brute force on the post-CDC corpus. */
+  lazy val q352SeqPqSync: Q = Q("q352_seq_pq_sync",
+    """WITH e AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+       v0 AS (SELECT vec_id FROM e WHERE vec_id % 5 <> 4),
+       del AS (SELECT vec_id FROM v0 WHERE vec_id % 7 = 0),
+       upd AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0 AND vec_id % 11 = 0),
+       ins AS (SELECT vec_id FROM e WHERE vec_id % 5 = 4),
+       v1 AS (SELECT vec_id FROM v0 WHERE vec_id % 7 <> 0
+              UNION ALL SELECT vec_id FROM ins),
+       sigs AS (SELECT 'act:deleted' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(vec_id) AS BIGINT) AS id_sum FROM del
+                UNION ALL SELECT 'act:inserted', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM ins
+                UNION ALL SELECT 'act:updated', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM upd
+                UNION ALL SELECT 'live:index', CAST(count(*) AS BIGINT),
+                  CAST(sum(vec_id) AS BIGINT) FROM v1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum
+               FROM (VALUES ('chk:live_set_equals_v1'),
+                            ('chk:no_refit'),
+                            ('chk:one_pass_no_compact'),
+                            ('chk:recall_floor'),
+                            ('chk:stale_readd_dead')) t(chk))
+       SELECT * FROM (SELECT * FROM sigs UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    import graft.sim.{IvfPq, Ivf, Similarity}
+    val emb = table(s, d, "embeddings")
+      .filter(col("embedding").isNotNull).localCheckpoint()
+    val idx = graft.io.Sources.scratchDir("graft_seq_pq")
+    try {
+      val seq = Some("seq")
+      val v0 = emb.select("vec_id", "embedding")
+        .filter(pmod(col("vec_id"), lit(5)) =!= 4)
+        .withColumn("seq", lit(0L))
+      // the CDC batch at corpus seq 1
+      val del = v0.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), lit(1L).as("seq"))
+      val upd = v0.filter(pmod(col("vec_id"), lit(7)) =!= 0 &&
+          pmod(col("vec_id"), lit(11)) === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit(1L).as("seq"))
+      val ins = emb.select("vec_id", "embedding")
+        .filter(pmod(col("vec_id"), lit(5)) === 4)
+        .withColumn("seq", lit(1L))
+      val tombIds = del.unionByName(upd.select("vec_id", "seq"))
+      val readds = upd.unionByName(ins)
+      IvfPq.persistIndex(v0, idx, dim = 64, nClusters = 16, m = 16,
+        ksub = 16, seqCol = seq)
+      def frozenFiles() = Seq("centroids", "codebooks").flatMap { sub =>
+        Option(new java.io.File(idx, sub).listFiles()).toSeq.flatten
+          .map(f => (f.getName, f.length))
+      }.toSet
+      val frozenBefore = frozenFiles()
+      // ONE pass, ADVERSE order: re-adds FIRST, tombstones after
+      IvfPq.appendToIndex(readds, idx, seqCol = seq)
+      Ivf.deleteFromIndex(tombIds, idx, seqCol = seq)
+      // stale replay (seq 0) of deleted ids, AFTER their tombstones:
+      // sequence beats arrival time, they stay dead
+      val stale = v0.filter(pmod(col("vec_id"), lit(7)) === 0)
+      IvfPq.appendToIndex(stale, idx, seqCol = seq)
+      // gates
+      val v1r = v0.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11)) === 0,
+            reverse(col("embedding"))).otherwise(col("embedding"))
+            .as("embedding"))
+        .unionByName(emb.select("vec_id", "embedding")
+          .filter(pmod(col("vec_id"), lit(5)) === 4))
+        .localCheckpoint()
+      val live = Ivf.liveAssigned(s, idx).select("vec_id").localCheckpoint()
+      val liveEq =
+        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
+          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
+      val onePass =
+        s.read.parquet(s"$idx/tombstones").count() == tombIds.count()
+      val staleDead =
+        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi")
+          .count() == 0
+      val queries = v1r.filter(col("vec_id") < 40)
+      val got = IvfPq.probeIndex(queries, idx, k = 10, nProbe = 8,
+          shortlist = 100).select("qid", "nid")
+      val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
+        .select("qid", "nid")
+      val recallOk = {
+        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
+        hits.toDouble / truth.count() >= 0.55
+      }
+      val rows = del.select(lit("act:deleted").as("tag"), col("vec_id"))
+        .groupBy("tag").agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        .unionByName(ins.groupBy(lit("act:inserted").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+        .unionByName(upd.groupBy(lit("act:updated").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+        .unionByName(v1r.groupBy(lit("live:index").as("tag"))
+          .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:live_set_equals_v1", liveEq),
+        ("chk:no_refit", frozenFiles() == frozenBefore),
+        ("chk:one_pass_no_compact", onePass),
+        ("chk:recall_floor", recallOk),
+        ("chk:stale_readd_dead", staleDead)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"), v1r, live, emb)
+    } finally graft.io.Sources.removeScratchDir(idx)
   }
 }

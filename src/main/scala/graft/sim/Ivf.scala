@@ -168,29 +168,41 @@ object Ivf {
                    trainSample: Long = 65536L,
                    seqCol: Option[String] = None): Unit = {
     val index = buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
-    // a rebuild into a reused dir starts from a CLEAN maintenance
-    // state: stale tombstones would silently kill the new rows (or
-    // trip the mixed-mode require when the seq mode changes), and a
-    // stale-but-complete staging dir (assigned_compacting /
-    // assigned_retraining / centroids_new) would be swapped IN over
-    // the fresh tables by the next writer entry's recoverSwap
-    Seq("tombstones", "assigned_old", "assigned_compacting",
-        "assigned_retraining", "centroids_old", "centroids_new")
-      .foreach(sub => rmTree(new java.io.File(s"$dir/$sub")))
+    clearMaintenanceState(dir)
     Similarity.withUnitVec(index.assigned, vecCol, "cu")
       .select((Seq(col(idCol), col("cluster"), col("cu")) ++
         seqCol.map(col)): _*)
       .write.mode("overwrite").parquet(s"$dir/assigned")
-    // the index's delete mode is DECLARED at build time (`_seqcol`
-    // names the per-record version column) so later maintenance can be
-    // validated against it instead of inferred from schemas
+    writeSeqMarker(dir, seqCol)
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** A rebuild into a reused dir starts from a CLEAN maintenance
+    * state: stale tombstones would silently kill the new rows (or trip
+    * the mixed-mode require when the seq mode changes), and a
+    * stale-but-complete staging dir (assigned_compacting /
+    * assigned_retraining / centroids_new) would be swapped IN over the
+    * fresh tables by the next writer entry's recoverSwap. Shared with
+    * the [[IvfPq]] layout. */
+  private[sim] def clearMaintenanceState(dir: String): Unit =
+    Seq("tombstones", "assigned_old", "assigned_compacting",
+        "assigned_retraining", "centroids_old", "centroids_new")
+      .foreach(sub => rmTree(new java.io.File(s"$dir/$sub")))
+
+  /** The index's delete mode is DECLARED at build time (`_seqcol`
+    * names the per-record version column) so later maintenance is
+    * validated against it instead of inferred from schemas. Shared
+    * with the [[IvfPq]] layout. */
+  private[sim] def writeSeqMarker(dir: String, seqCol: Option[String]): Unit = {
     val marker = new java.io.File(s"$dir/_seqcol")
     seqCol match {
-      case Some(sc) => java.nio.file.Files.write(marker.toPath,
-        (sc + "\n").getBytes("UTF-8"))
-      case None => marker.delete()
+      case Some(sc) =>
+        java.nio.file.Files.write(marker.toPath, (sc + "\n").getBytes("UTF-8"))
+        ()
+      case None =>
+        marker.delete()
+        ()
     }
-    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
   /** The seq column the index was built with, or None. */

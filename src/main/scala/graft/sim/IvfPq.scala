@@ -43,14 +43,25 @@ object IvfPq {
   def persistIndex(corpus: DataFrame, dir: String, dim: Int, nClusters: Int,
                    m: Int, ksub: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   trainSample: Long = 65536L): Unit = {
+                   trainSample: Long = 65536L,
+                   seqCol: Option[String] = None): Unit = {
     val ivf = Ivf.buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
     val model = Pq.fit(corpus, dim, m, ksub, idCol, vecCol, trainSample)
-    Pq.encode(corpus, model, idCol, vecCol)
+    // a rebuild into a reused dir starts from a CLEAN maintenance state
+    // (stale tombstones / staging would corrupt the fresh index — the
+    // same contract as [[Ivf.persistIndex]])
+    Ivf.clearMaintenanceState(dir)
+    Similarity.withUnitVec(corpus.filter(col(vecCol).isNotNull), vecCol, "cu")
+      .withColumn("codes", Pq.codesFromUnit(col("cu"), model))
       .withColumn("cluster",
         element_at(Ivf.nearestK(col("cu"), ivf.centers, 1), 1))
-      .select(col(idCol), col("cluster"), col("cu"), col("codes"))
+      .select((Seq(col(idCol), col("cluster"), col("cu"), col("codes")) ++
+        seqCol.map(col)): _*)
       .write.mode("overwrite").parquet(s"$dir/assigned")
+    // the delete mode is DECLARED at build time, exactly as on the
+    // plain IVF layout — sequenced maintenance then works unchanged
+    // (liveAssigned and deleteFromIndex are shared across layouts)
+    Ivf.writeSeqMarker(dir, seqCol)
     ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     val spark = corpus.sparkSession
     val cbRows = for {
@@ -75,17 +86,28 @@ object IvfPq {
     * map-side pass. */
   def appendToIndex(delta: DataFrame, dir: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    seqCol: Option[String] = None): Unit = {
     val spark = delta.sparkSession
     val centers = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster").collect() // bounded: nClusters rows
       .map(_.getSeq[Double](1).toArray)
     val model = loadModel(spark, dir)
-    Pq.encode(delta, model, idCol, vecCol)
+    val out = Similarity.withUnitVec(
+        delta.filter(col(vecCol).isNotNull), vecCol, "cu")
+      .withColumn("codes", Pq.codesFromUnit(col("cu"), model))
       .withColumn("cluster",
         element_at(Ivf.nearestK(col("cu"), centers, 1), 1))
-      .select(col(idCol), col("cluster"), col("cu"), col("codes"))
-      .write.mode("append").parquet(s"$dir/assigned")
+      .select((Seq(col(idCol), col("cluster"), col("cu"), col("codes")) ++
+        seqCol.map(col)): _*)
+    // sequenced and unsequenced appends must not mix ([[Ivf
+    // .appendToIndex]]'s contract): fail HERE, not at a later probe
+    val existing = spark.read.parquet(s"$dir/assigned").columns.toSet
+    require(existing == out.columns.toSet,
+      s"append schema ${out.columns.toSet} does not match the " +
+        s"index's $existing under $dir — pass the same seqCol the " +
+        "index was built with")
+    out.write.mode("append").parquet(s"$dir/assigned")
   }
 
   /** Memoized [[persistIndex]] over the harness embeddings table — one
