@@ -140,6 +140,24 @@ object Catalog {
     recordLine(root, n).split("\\s+")
       .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
 
+  /** The writer-transaction HIGH-WATER MARK across the whole catalog
+    * (the [[Versions.lastTxn]] idempotence handle lifted to multi-table
+    * transactions): the `#txn=` token of the CURRENT record, -1 if
+    * none. Because it rides the catalog record's own put-if-absent
+    * link, "txn recorded" and "snapshot visible" are ONE atomic step —
+    * a streaming writer that updates SEVERAL members per micro-batch
+    * gets exactly-once across all of them with `batchId <= lastTxn` as
+    * the complete skip test (a CAS-losing transaction never wrote a
+    * record, so its batchId is never falsely marked). Carried forward
+    * by txn-less commits, exactly like the manifest mark. */
+  def lastTxn(root: String): Long = {
+    val n = catalogVersion(root)
+    if (n < 0) -1L
+    else recordLine(root, n).split("\\s+")
+      .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn=").toLong)
+      .getOrElse(-1L)
+  }
+
   /** Test/migration hook: overwrite record `n`'s commit stamp (the
     * supported aging channel for fixtures — retention ignores inode
     * mtimes by design). */
@@ -233,7 +251,7 @@ object Catalog {
     * garbage with a loud [[repairMember]] path), so member logs stay
     * 1:1 with cataloged history. Returns the new snapshot. */
   def commitUpdates(root: String, updates: Map[String, MemberUpdate],
-                    expected: Int): Map[String, Int] = {
+                    expected: Int, txn: Long = -1L): Map[String, Int] = {
     require(updates.nonEmpty, "empty multi-table commit")
     updates.keys.foreach(t => require(
       t.matches("[A-Za-z0-9_.-]+") && t != "." && t != "..",
@@ -279,10 +297,14 @@ object Catalog {
     // phase 2: ONE put-if-absent record for the whole snapshot
     // ([[CasLog]] — link(2) fails atomically with EEXIST if the record
     // exists; rename would silently REPLACE, losing the winner's
-    // snapshot). The commit stamp rides the record content.
+    // snapshot). The commit stamp AND the txn high-water (max of this
+    // txn and the previous mark — txn-less commits carry it forward)
+    // ride the record content, so both are atomic with visibility.
+    val hw = math.max(txn, if (expected < 0) -1L else lastTxn(root))
     val line = next.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }
-      .mkString(" ") + s" #ts=${System.currentTimeMillis()}\n"
+      .mkString(" ") + s" #ts=${System.currentTimeMillis()}" +
+      (if (hw >= 0) s" #txn=$hw" else "") + "\n"
     if (CasLog.putIfAbsent(logDir(root), n, line)) next
     else {
       val c = new CommitConflict(n,

@@ -87,9 +87,17 @@ private[lake] object Mor {
     * base up to `v` (no JVM recursion — a long-neglected chain must at
     * worst build a deep PLAN, never overflow the stack), with a
     * `_SUCCESS` gate on EVERY chain member — a half-vacuumed member
-    * must fail loudly, never read back as silently-partial data. Each
-    * overlay costs one anti-join on its key, so compact before chains
-    * grow past tens of overlays. */
+    * must fail loudly, never read back as silently-partial data.
+    *
+    * Plan shape: CONSECUTIVE deletion vectors on the SAME key column
+    * coalesce into ONE anti-join of their unioned key sets —
+    * `(base \ k1) \ k2 ≡ base \ (k1 ∪ k2)` — so a delete-heavy chain
+    * of K vectors costs one shuffle, not K. Upserts cannot coalesce
+    * (the replace-by-key + append algebra does not merge without
+    * resolving intermediate states), so each still costs one
+    * anti-join: compact before upsert chains grow past tens of
+    * overlays (the commit-time auto-compaction policy enforces a
+    * default bound). */
   def resolveChain(spark: SparkSession, dirOf: Int => java.io.File,
                    v: Int, desc: String): DataFrame = {
     val base = fullBase(dirOf, v)
@@ -101,16 +109,33 @@ private[lake] object Mor {
       d
     }
     var acc = spark.read.parquet(checked(base).getAbsolutePath)
-    (base + 1 to v).foreach { i =>
+    var i = base + 1
+    while (i <= v) {
       val d = checked(i)
       val ov = spark.read.parquet(d.getAbsolutePath)
-      acc = overlayOf(d) match {
-        case Some((kc, false)) => // deletion vector: previous minus keys
-          acc.join(ov, Seq(kc), "left_anti")
+      overlayOf(d) match {
+        case Some((kc, false)) => // deletion vector(s): coalesce a run
+          var keys = ov.select(kc)
+          var j = i + 1
+          var run = true
+          while (run && j <= v) {
+            overlayOf(dirOf(j)) match {
+              case Some((`kc`, false)) =>
+                keys = keys.union(
+                  spark.read.parquet(checked(j).getAbsolutePath).select(kc))
+                j += 1
+              case _ => run = false
+            }
+          }
+          acc = acc.join(keys, Seq(kc), "left_anti")
+          i = j
         case Some((kc, true)) => // upsert: replace-by-key, then append
-          acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
+          acc = acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
             .unionByName(ov)
-        case None => ov // unreachable: fullBase stops at a full version
+          i += 1
+        case None => // unreachable: fullBase stops at a full version
+          acc = ov
+          i += 1
       }
     }
     acc

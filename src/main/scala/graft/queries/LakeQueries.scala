@@ -3106,6 +3106,104 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** STREAMING MULTI-TABLE COMMITS ([[graft.streaming.StreamingLake
+   * .applyBatchCatalog]] — the exactly-once PAIR the unified stack
+   * makes possible, the round-12 verdict's optional-breadth item): each
+   * micro-batch updates TWO derived tables through ONE
+   * [[graft.lake.Catalog]] transaction — the per-type VIEW
+   * (count/sum/max, a Put on the Versions core) and a last-event INDEX
+   * (per-type max id, merge-on-read UpsertRows on the TxLog core) —
+   * so either both absorb the batch or neither does. The batchId rides
+   * the CATALOG record's own put-if-absent link
+   * ([[graft.lake.Catalog.lastTxn]]): "batch applied to BOTH tables"
+   * and "snapshot visible" are one atomic step, which a per-table txn
+   * mark cannot give (a crash between two single-table commits leaves
+   * the view counting a batch the index missed). Gates: the pair is
+   * mutually consistent (view.id_max ≡ index.last_id per type) at
+   * EVERY cataloged snapshot — a torn batch would break exactly this;
+   * one catalog record per micro-batch with the high-water equal to
+   * the last batchId; a redelivered batch is skipped with no new
+   * record; a crashed phase-1 member commit stays invisible through
+   * the catalog; and the index's physical layout is genuinely
+   * merge-on-read (one `_mor` overlay per post-creation batch, never a
+   * rewrite). The oracle recomputes both tables from raw events. At
+   * 100 TB: per batch, O(|batch|+|view|) for the view merge,
+   * O(|batch keys|) overlay bytes for the index, two member links and
+   * one catalog record — and exactly-once across ALL of it. */
+  val q353StreamCatalog: Q = Q("q353_stream_catalog",
+    """WITH v AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             CAST(max(event_id) AS BIGINT) AS id_max
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS id_max
+               FROM (VALUES ('chk:atomic_pair_all_snapshots'),
+                            ('chk:crash_invisible'),
+                            ('chk:index_is_mor'),
+                            ('chk:one_txn_per_batch'),
+                            ('chk:replay_skipped')) t(chk))
+       SELECT * FROM (SELECT 'vw:' || et AS tag, n, id_sum, id_max FROM v
+                      UNION ALL SELECT 'ix:' || et, CAST(1 AS BIGINT),
+                        CAST(0 AS BIGINT), id_max FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_stream_catalog")
+    try {
+      import graft.lake.{Catalog, Versions}
+      val nBatches = graft.streaming.StreamingLake
+        .runViewIndexCatalog(s, d, root, nFiles = 4)
+      val cur = Catalog.catalogVersion(root)
+      // the exactly-once PAIR property: view.id_max ≡ index.last_id per
+      // type at EVERY cataloged snapshot — a torn batch breaks this
+      val atomicPair = (0 to cur).forall { v =>
+        val snap = Catalog.snapshotAt(root, v)
+        val vm = Catalog.read(s, root, "view", snap)
+          .select(col("event_type"), col("id_max"))
+        val ix = Catalog.read(s, root, "index", snap)
+          .select(col("event_type"), col("last_id").as("id_max"))
+        vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty
+      }
+      val oneTxnPerBatch = cur.toLong == nBatches - 1 &&
+        Catalog.lastTxn(root) == nBatches - 1
+      // redelivered epoch: skipped across BOTH tables, no new record
+      import s.implicits._
+      val replayed = graft.streaming.StreamingLake.applyBatchCatalog(root,
+        Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
+      val replaySkipped = !replayed && Catalog.catalogVersion(root) == cur
+      // the index is genuinely merge-on-read: one _mor overlay per
+      // post-creation batch, never a rewrite
+      val morOverlays = Option(new java.io.File(s"$root/index").listFiles())
+        .toSeq.flatten.count(f => f.isDirectory &&
+          new java.io.File(f, "_mor").isFile)
+      val indexIsMor = morOverlays.toLong == nBatches - 1
+      // a crashed transaction's phase-1 member commit (no catalog
+      // record) stays invisible through the catalog
+      def viewSig() = Catalog.read(s, root, "view")
+        .agg(count(lit(1)), sum("id_sum")).collect()(0) // bounded: 1 row
+      val sigBefore = viewSig()
+      Versions.commit(Seq(("zzz", 1L, 1L, 1L))
+        .toDF("event_type", "n", "id_sum", "id_max"), s"$root/view")
+      val crashInvisible = viewSig() == sigBefore
+      val rows = Catalog.read(s, root, "view")
+        .select(concat(lit("vw:"), col("event_type")).as("tag"),
+          col("n"), col("id_sum"), col("id_max"))
+        .unionByName(Catalog.read(s, root, "index")
+          .select(concat(lit("ix:"), col("event_type")).as("tag"),
+            lit(1L).as("n"), lit(0L).as("id_sum"),
+            col("last_id").as("id_max")))
+      val chks = Seq(
+        ("chk:atomic_pair_all_snapshots", atomicPair),
+        ("chk:crash_invisible", crashInvisible),
+        ("chk:index_is_mor", indexIsMor),
+        ("chk:one_txn_per_batch", oneTxnPerBatch),
+        ("chk:replay_skipped", replaySkipped)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0L).as("id_max"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -3118,5 +3216,5 @@ object LakeQueries {
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
     q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect,
     q347AgedRetention, q348MatviewFilter, q349CatalogCores,
-    q350MatviewMinmax, q351MatviewRefresh)
+    q350MatviewMinmax, q351MatviewRefresh, q353StreamCatalog)
 }

@@ -123,6 +123,124 @@ object StreamingLake {
     * flag). A no-op in production. */
   private[graft] var casInterleave: () => Unit = () => ()
 
+  // ------------------- one micro-batch, TWO derived tables, ONE commit
+
+  private def aggWithMax(batch: DataFrame): DataFrame =
+    batch.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"),
+        max("event_id").as("id_max"))
+
+  private def mergeWithMax(base: Option[DataFrame], agg: DataFrame): DataFrame =
+    base match {
+      case None => agg
+      case Some(curDf) =>
+        val cur = curDf.select(col("event_type").as("c_et"),
+          col("n").as("c_n"), col("id_sum").as("c_sum"),
+          col("id_max").as("c_max"))
+        cur.join(agg, col("c_et") === col("event_type"), "full_outer")
+          .select(coalesce(col("c_et"), col("event_type")).as("event_type"),
+            (coalesce(col("c_n"), lit(0L)) + coalesce(col("n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("c_sum"), lit(0L)) + coalesce(col("id_sum"), lit(0L)))
+              .as("id_sum"),
+            when(col("c_max").isNull, col("id_max"))
+              .when(col("id_max").isNull, col("c_max"))
+              .otherwise(greatest(col("c_max"), col("id_max"))).as("id_max"))
+    }
+
+  /** One micro-batch updating TWO derived tables ATOMICALLY through a
+    * single [[graft.lake.Catalog]] transaction — the exactly-once PAIR
+    * the unified stack makes possible: the per-type VIEW (count / sum /
+    * max, a [[graft.lake.Catalog.Put]] of the merged aggregate on the
+    * Versions core) and a last-event INDEX (per-type max event id,
+    * merge-on-read [[graft.lake.Catalog.UpsertRows]] on the TxLog core,
+    * O(|batch keys|) per batch — created by the first batch's Put).
+    * Either BOTH absorb the batch or NEITHER does: the batchId rides
+    * the catalog record's own put-if-absent link
+    * ([[graft.lake.Catalog.lastTxn]]), so `batchId <= lastTxn` is the
+    * complete skip test across both tables — no crash window where the
+    * view counted a batch the index missed, which a per-table txn mark
+    * cannot rule out. Conflicts (a maintenance writer, another worker)
+    * rebase boundedly with backoff, exactly like [[applyBatchCas]];
+    * the batch aggregate is checkpointed so retries never rescan it.
+    * Index chains grow one overlay per batch; a periodic
+    * [[graft.lake.Catalog.repairMember]] (a full-Put compaction
+    * through the same transaction protocol) bounds the read plan.
+    * Returns true if THIS call committed the batch. */
+  private[graft] def applyBatchCatalog(root: String, batch: DataFrame,
+                                       batchId: Long,
+                                       maxRetries: Int = 100): Boolean = {
+    import graft.lake.{Catalog, CommitConflict}
+    import graft.lake.Catalog.{MemberUpdate, Put, TxLogCore, UpsertRows}
+    if (batchId <= Catalog.lastTxn(root)) return false // redelivered epoch
+    val spark = batch.sparkSession
+    val agg = aggWithMax(batch).localCheckpoint()
+    var attempt = 0
+    try {
+      while (true) {
+        if (batchId <= Catalog.lastTxn(root)) return false
+        val expected = Catalog.catalogVersion(root)
+        val snap = if (expected < 0) Map.empty[String, Int]
+                   else Catalog.snapshotAt(root, expected)
+        val merged = mergeWithMax(
+          if (snap.contains("view"))
+            Some(Catalog.read(spark, root, "view", snap)) else None, agg)
+        // the index row for a touched type is the CUMULATIVE max (from
+        // the merged view, so view and index can never disagree), but
+        // only the types this batch touched upsert — O(|batch keys|)
+        val idxRows = merged
+          .join(agg.select("event_type"), Seq("event_type"), "left_semi")
+          .select(col("event_type"), col("id_max").as("last_id"))
+        val updates = Map[String, MemberUpdate](
+          "view" -> Put(merged),
+          "index" -> (if (snap.contains("index"))
+            UpsertRows(idxRows, "event_type")
+          else Put(idxRows, TxLogCore)))
+        casInterleave()
+        try {
+          Catalog.commitUpdates(root, updates, expected, txn = batchId)
+          return true
+        } catch {
+          case c: CommitConflict =>
+            attempt += 1
+            if (attempt > maxRetries) throw c
+            Thread.sleep(math.min(10L * attempt, 200L)) // break phase-lock
+        }
+      }
+      false // unreachable
+    } finally { agg.unpersist(); () }
+  }
+
+  /** Drive the events table through [[applyBatchCatalog]] in `nFiles`
+    * controlled micro-batches (staged files + maxFilesPerTrigger=1).
+    * Returns micro-batches processed; the caller reads view and index
+    * back through [[graft.lake.Catalog.read]]. */
+  def runViewIndexCatalog(spark: SparkSession, dir: String, root: String,
+                          nFiles: Int = 4): Long = {
+    val stage = graft.io.Sources.scratchDir("graft_streamcat")
+    graft.io.Sources.table(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(stage)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .schema(stagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchCatalog(root, batch, batchId)
+        batches.incrementAndGet()
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
+      StreamingDemand.sweepCloneListenerBuses(spark) }
+    batches.get()
+  }
+
   /** Drive the events table through the stream in `nFiles` controlled
     * micro-batches (staged files + maxFilesPerTrigger=1, the
     * StreamingSketch pattern), committing one view version per batch

@@ -151,6 +151,36 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  test("catalog txn high-water rides the record: losers never mark, txn-less commits carry forward") {
+    import spark.implicits._
+    import graft.lake.Catalog.Put
+    val root = graft.io.Sources.scratchDir("graft_cat_txn")
+    try {
+      Catalog.commitUpdates(root,
+        Map("t" -> (Put(Seq(1L).toDF("n")): Catalog.MemberUpdate)),
+        expected = -1, txn = 7L)
+      assert(Catalog.lastTxn(root) == 7L)
+      // a txn-less commit CARRIES the mark forward (a maintenance
+      // commit between stream batches must never re-admit a replay)
+      Catalog.commitAll(root, Map("t" -> Seq(2L).toDF("n")))
+      assert(Catalog.lastTxn(root) == 7L)
+      // a CAS loser never records its txn — "txn marked" and
+      // "snapshot visible" are one atomic step
+      intercept[CommitConflict](Catalog.commitUpdates(root,
+        Map("t" -> (Put(Seq(3L).toDF("n")): Catalog.MemberUpdate)),
+        expected = 0, txn = 9L))
+      assert(Catalog.lastTxn(root) == 7L)
+      // a higher txn advances the mark; a LOWER one cannot regress it
+      Catalog.commitUpdates(root,
+        Map("t" -> (Put(Seq(4L).toDF("n")): Catalog.MemberUpdate)),
+        expected = Catalog.catalogVersion(root), txn = 12L)
+      Catalog.commitUpdates(root,
+        Map("t" -> (Put(Seq(5L).toDF("n")): Catalog.MemberUpdate)),
+        expected = Catalog.catalogVersion(root), txn = 3L)
+      assert(Catalog.lastTxn(root) == 12L)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   test("age retention reads commit stamps: a touched mtime neither rescues nor dooms a record") {
     import spark.implicits._
     val hourMs = 60L * 60L * 1000L
@@ -413,6 +443,40 @@ class Round13Spec extends AnyFunSuite with SparkSpec {
         .select("seq").as[Long].head() == 2L)
       assert(live.count() == 32)
     } finally graft.io.Sources.removeScratchDir(dir)
+  }
+
+  test("consecutive deletion vectors coalesce into ONE anti-join; upserts break the run") {
+    import spark.implicits._
+    val root = graft.io.Sources.scratchDir("graft_dv_coalesce")
+    try {
+      val base = (0L until 100L).map(k => (k, k * 10L)).toDF("k", "v")
+      Versions.commit(base, root)
+      (0 until 4).foreach(i => Versions.commitDelete(
+        Seq(i.toLong).toDF("k"), root, "k", autoCompactAt = 0))
+      // four DVs, ONE shuffle: (b \ k1) \ k2 ≡ b \ (k1 ∪ k2)
+      val read4 = Versions.read(spark, root)
+      assert(antiJoins(read4) == 1,
+        s"4-DV chain planned ${antiJoins(read4)} anti-joins, want 1")
+      assert(read4.count() == 96)
+      // interior time travel still resolves its own shorter run
+      assert(Versions.read(spark, root, 2).count() == 98)
+      // an upsert breaks the run: DV,DV | upsert | DV → 1 + 1 + 1
+      Versions.commitUpsert(Seq((50L, 555L)).toDF("k", "v"), root, "k",
+        autoCompactAt = 0)
+      Versions.commitDelete(Seq((4L)).toDF("k"), root, "k",
+        autoCompactAt = 0)
+      val mixed = Versions.read(spark, root)
+      // logically 3 (coalesced run + upsert replace + final DV);
+      // Catalyst then pushes the final DV's anti-join through the
+      // upsert's union into both branches — 4 in the optimized plan,
+      // each pruning earlier. The point pinned here: never 5 (one per
+      // raw overlay), because the DV run still coalesced.
+      assert(antiJoins(mixed) <= 4,
+        s"mixed chain planned ${antiJoins(mixed)} anti-joins, want <= 4")
+      assert(mixed.count() == 95)
+      assert(mixed.filter(col("k") === 50L).as[(Long, Long)].head() ==
+        ((50L, 555L)))
+    } finally graft.io.Sources.removeScratchDir(root)
   }
 
   test("persistIndex into a reused dir clears stale tombstones and staging state") {
