@@ -26,6 +26,7 @@ verify:
 # checks a stale surface.
 oracle-lint:
 	sbt -batch "runMain graft.OracleDump target/oracle_sql.json"
+	cp target/oracle_sql.json bench/oracle_sql.json
 	python3 tools/oracle_types.py $(SF001) target/oracle_sql.json
 
 bench-sf001:

@@ -484,8 +484,10 @@ object AnalyticsQueries {
       col("blk"), col("nm").as("nmb"))
     a.join(b, Seq("c_nationkey", "blk"))
       .filter(col("i") < col("j"))
-      .withColumn("dist", levenshtein(col("nma"), col("nmb")).cast("long"))
-      .filter(col("dist") <= 3)
+      // threshold form: banded DP with early exit (returns -1 past the
+      // radius) — the per-pair cost a 100 TB ER job actually pays
+      .withColumn("dist", levenshtein(col("nma"), col("nmb"), 3).cast("long"))
+      .filter(col("dist") >= 0)
       .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
       .orderBy("dist")
   }
@@ -542,7 +544,7 @@ object AnalyticsQueries {
       .join(c.select(col("c_custkey").as("j"), col("c_nationkey"),
         col("blk"), col("nm").as("nmb")), Seq("c_nationkey", "blk"))
       .filter(col("i") < col("j") &&
-        levenshtein(col("nma"), col("nmb")) <= 3)
+        levenshtein(col("nma"), col("nmb"), 3) >= 0) // banded, early-exit
       .select("i", "j")
     val mem = graft.dedup.Dedup.connectedComponents(pairs)
       .join(c, col("id") === col("c_custkey"))
@@ -605,7 +607,7 @@ object AnalyticsQueries {
       col("blk14"), col("nm").as("nmb"))
     a.join(b, Seq("c_nationkey", "blk14"))
       .filter(col("i") < col("j"))
-      .select((levenshtein(col("nma"), col("nmb")) <= 3).as("m"),
+      .select((levenshtein(col("nma"), col("nmb"), 3) >= 0).as("m"),
         (substring(col("nma"), 1, 15) === substring(col("nmb"), 1, 15))
           .as("fine"))
       .agg(count(lit(1)).as("n_coarse"),
