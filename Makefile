@@ -5,7 +5,7 @@
 SF001   ?= /root/testdata/sf0.001
 SF01    ?= /root/testdata/sf0.01
 SF1     ?= /root/testdata/sf0.1
-ROUND   ?= r13
+ROUND   ?= r14
 X10DIR  ?= target/scale/x10
 
 .PHONY: test verify oracle-lint bench-sf001 bench-sf01 bench-x10 \

@@ -92,9 +92,27 @@ object Catalog {
   final case class DeleteKeys(keys: DataFrame, keyCol: String)
     extends MemberUpdate
   /** Merge-on-read upsert overlay: O(|rows|) written bytes; the batch
-    * must be key-unique ([[Mor.requireKeyUnique]]). */
-  final case class UpsertRows(rows: DataFrame, keyCol: String)
+    * must be key-unique ([[Mor.requireKeyUnique]]). `evolveSchema`
+    * opts in to committing a batch whose column set differs from the
+    * member's current schema (added columns null-backfill at read —
+    * [[Mor.resolveChain]]); without it a differing batch is rejected
+    * loudly at commit. */
+  final case class UpsertRows(rows: DataFrame, keyCol: String,
+                              evolveSchema: Boolean = false)
     extends MemberUpdate
+  /** Collapse the member's merge-on-read overlay chain into ONE full
+    * version of its CATALOGED contents — maintenance INSIDE the
+    * transaction protocol, so the compacted version is catalog-named
+    * the instant it exists (an out-of-band compaction would strand an
+    * uncataloged version at the overlay slot and trip the contiguity
+    * gate). Content-preserving by construction: the snapshot read and
+    * the full commit happen in one phase-1 step, and a lost catalog CAS
+    * rolls the version back like any other member commit. This is how
+    * a long-running streaming writer ([[graft.streaming.StreamingLake
+    * .applyBatchCatalog]]) bounds a member's read plan: one overlay per
+    * micro-batch, compacted through [[compactMemberIfDeeper]] once the
+    * chain passes the threshold. */
+  final case class Compact(spark: SparkSession) extends MemberUpdate
 
   private def logDir(root: String) = new java.io.File(root, "_catalog")
 
@@ -140,23 +158,43 @@ object Catalog {
     recordLine(root, n).split("\\s+")
       .find(_.startsWith("#ts=")).map(_.stripPrefix("#ts=").toLong)
 
+  /** The writer-transaction HIGH-WATER MARKS a record carries, BY
+    * WRITER APP: the anonymous `#txn=` token is app `""` (the original
+    * single-writer mark), `#txn.<app>=` tokens are named writers. Every
+    * commit carries ALL marks forward, so N independent streaming
+    * writers into one catalog each keep their own idempotence ledger —
+    * the Delta `txn` action's appId, lifted to multi-table commits. */
+  private def txnMarks(root: String, n: Int): Map[String, Long] =
+    if (n < 0) Map.empty
+    else recordLine(root, n).split("\\s+").flatMap { t =>
+      if (t.startsWith("#txn=")) Some("" -> t.stripPrefix("#txn=").toLong)
+      else if (t.startsWith("#txn.")) {
+        val body = t.stripPrefix("#txn.")
+        val i = body.indexOf('=')
+        if (i > 0) Some(body.take(i) -> body.drop(i + 1).toLong) else None
+      } else None
+    }.toMap
+
   /** The writer-transaction HIGH-WATER MARK across the whole catalog
     * (the [[Versions.lastTxn]] idempotence handle lifted to multi-table
-    * transactions): the `#txn=` token of the CURRENT record, -1 if
-    * none. Because it rides the catalog record's own put-if-absent
+    * transactions), PER WRITER APP (`""` = the anonymous default): -1
+    * if none. Because it rides the catalog record's own put-if-absent
     * link, "txn recorded" and "snapshot visible" are ONE atomic step —
     * a streaming writer that updates SEVERAL members per micro-batch
-    * gets exactly-once across all of them with `batchId <= lastTxn` as
-    * the complete skip test (a CAS-losing transaction never wrote a
-    * record, so its batchId is never falsely marked). Carried forward
-    * by txn-less commits, exactly like the manifest mark. */
-  def lastTxn(root: String): Long = {
-    val n = catalogVersion(root)
-    if (n < 0) -1L
-    else recordLine(root, n).split("\\s+")
-      .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn=").toLong)
-      .getOrElse(-1L)
-  }
+    * gets exactly-once across all of them with `batchId <=
+    * lastTxn(root, app)` as the complete skip test (a CAS-losing
+    * transaction never wrote a record, so its batchId is never falsely
+    * marked), and TWO streams with distinct apps never skip off each
+    * other's ledger. Carried forward by txn-less commits and by other
+    * apps' commits, exactly like the manifest mark. */
+  def lastTxn(root: String, app: String = ""): Long =
+    txnMarks(root, catalogVersion(root)).getOrElse(app, -1L)
+
+  /** [[lastTxn]] at an EXPLICIT catalog version — the lineage probe: a
+    * writer's marks across records 0..current must be monotone, which
+    * is exactly per-stream exactly-once made auditable. */
+  def lastTxnAt(root: String, n: Int, app: String = ""): Long =
+    txnMarks(root, n).getOrElse(app, -1L)
 
   /** Test/migration hook: overwrite record `n`'s commit stamp (the
     * supported aging channel for fixtures — retention ignores inode
@@ -200,22 +238,14 @@ object Catalog {
           "overlay committed on top would resolve THROUGH it. Run " +
           "Catalog.repairMember to cap the garbage with a full version.")
     }
-    (core, up) match {
-      case (VersionsCore, Put(df, _)) =>
-        // full contents are self-contained: commit at the physical
-        // head, wherever crash garbage left it (full versions cap
-        // chains, so the garbage below is unreachable)
-        Versions.commit(df, memberRoot)
-      case (VersionsCore, DeleteKeys(keys, kc)) =>
-        requireContiguous(Versions.current(memberRoot))
-        Versions.commitDelete(keys, memberRoot, kc, autoCompactAt = 0)
-      case (VersionsCore, UpsertRows(rows, kc)) =>
-        requireContiguous(Versions.current(memberRoot))
-        Versions.commitUpsert(rows, memberRoot, kc, autoCompactAt = 0)
-      case (TxLogCore, Put(df, _)) =>
-        // blind CAS retry at the physical head: a racing transaction's
-        // member commit just bumps the number; the CATALOG CAS still
-        // arbitrates whose snapshot wins
+    // full contents are self-contained: commit at the physical head,
+    // wherever crash garbage left it (full versions cap chains, so the
+    // garbage below is unreachable). On the CAS core this is a blind
+    // retry: a racing transaction's member commit just bumps the
+    // number; the CATALOG CAS still arbitrates whose snapshot wins.
+    def putFull(df: DataFrame): Int = core match {
+      case VersionsCore => Versions.commit(df, memberRoot)
+      case TxLogCore =>
         var attempt = 0
         while (true) {
           try return TxLog.commit(df, memberRoot,
@@ -227,15 +257,36 @@ object Catalog {
           }
         }
         -1 // unreachable
+    }
+    (core, up) match {
+      case (_, Put(df, _)) => putFull(df)
+      case (_, Compact(sp)) =>
+        // the CATALOGED contents (never the physical head — garbage
+        // must not be folded in), committed as a chain-capping full
+        // version through the Put discipline
+        val v = catalogedV.getOrElse(throw new IllegalArgumentException(
+          s"member $t does not exist under $root — nothing to compact"))
+        putFull(core match {
+          case TxLogCore => TxLog.read(sp, memberRoot, v)
+          case VersionsCore => Versions.read(sp, memberRoot, v)
+        })
+      case (VersionsCore, DeleteKeys(keys, kc)) =>
+        requireContiguous(Versions.current(memberRoot))
+        Versions.commitDelete(keys, memberRoot, kc, autoCompactAt = 0)
+      case (VersionsCore, UpsertRows(rows, kc, evolve)) =>
+        requireContiguous(Versions.current(memberRoot))
+        Versions.commitUpsert(rows, memberRoot, kc, autoCompactAt = 0,
+          evolveSchema = evolve)
       case (TxLogCore, DeleteKeys(keys, kc)) =>
         // expected = the CATALOGED version: the member CAS enforces
         // chain contiguity, and a conflict (stale snapshot OR crashed
         // garbage) surfaces as CommitConflict for the transact loop
         TxLog.commitDelete(keys, memberRoot, kc,
           expected = catalogedV.getOrElse(-1), autoCompactAt = 0)
-      case (TxLogCore, UpsertRows(rows, kc)) =>
+      case (TxLogCore, UpsertRows(rows, kc, evolve)) =>
         TxLog.commitUpsert(rows, memberRoot, kc,
-          expected = catalogedV.getOrElse(-1), autoCompactAt = 0)
+          expected = catalogedV.getOrElse(-1), autoCompactAt = 0,
+          evolveSchema = evolve)
     }
   }
 
@@ -251,8 +302,11 @@ object Catalog {
     * garbage with a loud [[repairMember]] path), so member logs stay
     * 1:1 with cataloged history. Returns the new snapshot. */
   def commitUpdates(root: String, updates: Map[String, MemberUpdate],
-                    expected: Int, txn: Long = -1L): Map[String, Int] = {
+                    expected: Int, txn: Long = -1L,
+                    txnApp: String = ""): Map[String, Int] = {
     require(updates.nonEmpty, "empty multi-table commit")
+    require(txnApp.isEmpty || txnApp.matches("[A-Za-z0-9_.-]+"),
+      s"txn app id '$txnApp' would corrupt the catalog record")
     updates.keys.foreach(t => require(
       t.matches("[A-Za-z0-9_.-]+") && t != "." && t != "..",
       s"table name '$t' would corrupt the catalog record or escape " +
@@ -272,11 +326,25 @@ object Catalog {
       case (t, core, v, fresh) =>
         val memberRoot = s"$root/$t"
         try {
-          if (fresh) rmTree(new java.io.File(memberRoot))
-          else core match {
+          // ALWAYS unwind only the one version THIS call made — never
+          // rmTree off the pre-commit `fresh` flag: two transactions
+          // racing to CREATE the same TxLog-core member both observe
+          // fresh=true, the loser's blind-CAS Put lands on top of the
+          // winner's record 0, and a flag-keyed rmTree would delete the
+          // winner's committed, catalog-named version with it (TOCTOU).
+          core match {
             case TxLogCore => TxLog.rollback(memberRoot, v)
             case VersionsCore => Versions.rollbackTo(memberRoot, v - 1, v)
           }
+          // the member DIRECTORY dies only when, AFTER the version
+          // rollback, nothing committed remains in it AND no catalog
+          // record names it — both re-checked now, not at phase-1 entry
+          val empty = (core match {
+            case TxLogCore => TxLog.current(memberRoot)
+            case VersionsCore => Versions.current(memberRoot)
+          }) < 0
+          if (fresh && empty && !snapshot(root).contains(t))
+            rmTree(new java.io.File(memberRoot))
         } catch {
           // surfacing the ORIGINAL failure matters more; un-rolled
           // versions are crash-equivalent garbage (repairMember path)
@@ -297,14 +365,23 @@ object Catalog {
     // phase 2: ONE put-if-absent record for the whole snapshot
     // ([[CasLog]] — link(2) fails atomically with EEXIST if the record
     // exists; rename would silently REPLACE, losing the winner's
-    // snapshot). The commit stamp AND the txn high-water (max of this
-    // txn and the previous mark — txn-less commits carry it forward)
-    // ride the record content, so both are atomic with visibility.
-    val hw = math.max(txn, if (expected < 0) -1L else lastTxn(root))
+    // snapshot). The commit stamp AND the per-app txn high-waters (this
+    // app maxed with its previous mark; EVERY app's mark carried
+    // forward — a txn-less or other-app commit can never regress a
+    // stream's ledger) ride the record content, so all of it is atomic
+    // with visibility.
+    val prevMarks = txnMarks(root, expected)
+    val marks =
+      if (txn < 0) prevMarks
+      else prevMarks + (txnApp ->
+        math.max(txn, prevMarks.getOrElse(txnApp, -1L)))
     val line = next.toSeq.sortBy(_._1)
       .map { case (t, v) => s"$t=$v" }
       .mkString(" ") + s" #ts=${System.currentTimeMillis()}" +
-      (if (hw >= 0) s" #txn=$hw" else "") + "\n"
+      marks.toSeq.sortBy(_._1).map {
+        case ("", v) => s" #txn=$v"
+        case (a, v) => s" #txn.$a=$v"
+      }.mkString + "\n"
     if (CasLog.putIfAbsent(logDir(root), n, line)) next
     else {
       val c = new CommitConflict(n,
@@ -377,6 +454,48 @@ object Catalog {
     transactUpdates(root) { snap =>
       Map(table -> Put(read(spark, root, table, snap)))
     }
+
+  /** Overlay-chain depth of a member AT ITS CATALOGED VERSION — how
+    * many anti-join overlays a catalog [[read]] of the table resolves;
+    * 0 for a full version (or a member not yet cataloged). */
+  def memberChainDepth(root: String, table: String): Int =
+    snapshot(root).get(table).map { v =>
+      coreOf(root, table) match {
+        case Some(TxLogCore) => TxLog.chainDepth(s"$root/$table", v)
+        case _ => Versions.chainDepth(s"$root/$table", v)
+      }
+    }.getOrElse(0)
+
+  /** Maintenance entry (the catalog twin of [[Versions.compactIfDeeper]]):
+    * when `table`'s cataloged chain is deeper than `threshold` overlays,
+    * commit a [[Compact]] through a normal catalog transaction — the
+    * compacted full version and the record naming it land atomically,
+    * so contiguity holds throughout and every historical snapshot stays
+    * readable. The depth is re-checked INSIDE the transaction loop
+    * against the snapshot being rebased onto, so a racing compactor
+    * makes this a no-op instead of stacking redundant full versions.
+    * Returns the new catalog version, or -1 when the chain was shallow
+    * enough. At 100 TB: O(|table|) once per `threshold` overlay
+    * commits — the standard amortized merge-on-read rent, now payable
+    * WITHOUT leaving the transaction protocol. */
+  def compactMemberIfDeeper(spark: SparkSession, root: String,
+                            table: String, threshold: Int): Int = {
+    require(threshold >= 0, s"negative compaction threshold $threshold")
+    def depthAt(snap: Map[String, Int]): Int =
+      snap.get(table).map { v =>
+        coreOf(root, table) match {
+          case Some(TxLogCore) => TxLog.chainDepth(s"$root/$table", v)
+          case _ => Versions.chainDepth(s"$root/$table", v)
+        }
+      }.getOrElse(0)
+    if (depthAt(snapshot(root)) <= threshold) return -1
+    transactUpdates(root) { snap =>
+      // re-check on every rebase: a racing compactor already paid
+      if (depthAt(snap) <= threshold) return -1
+      Map(table -> Compact(spark))
+    }
+    catalogVersion(root)
+  }
 
   /** Read a member table AT THE CATALOGED VERSION — the only read path
     * that sees mutually-consistent tables — through the member's own

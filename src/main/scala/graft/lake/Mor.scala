@@ -27,24 +27,62 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[lake] object Mor {
 
   /** `Some((keyCol, isUpsert))` for an overlay version directory,
-    * None for a full one. */
+    * None for a full one. The key column is the marker's FIRST line;
+    * later lines are flags ("evolve"). */
   def overlayOf(dir: java.io.File): Option[(String, Boolean)] = {
     val dv = new java.io.File(dir, "_dv")
     val mor = new java.io.File(dir, "_mor")
     def readKey(f: java.io.File) = new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .linesIterator.next().trim
     if (dv.isFile) Some((readKey(dv), false))
     else if (mor.isFile) Some((readKey(mor), true))
     else None
   }
 
   /** Stamp a staged version directory as an overlay — called by the
-    * cores BEFORE their commit point lands. */
-  def writeMarker(dir: java.io.File, keyCol: String, upsert: Boolean): Unit = {
+    * cores BEFORE their commit point lands. `evolve` records (second
+    * marker line) that this upsert was committed under the
+    * schema-evolution opt-in, so [[resolveChain]] null-backfills its
+    * union instead of failing strict. */
+  def writeMarker(dir: java.io.File, keyCol: String, upsert: Boolean,
+                  evolve: Boolean = false): Unit = {
     java.nio.file.Files.write(
       new java.io.File(dir, if (upsert) "_mor" else "_dv").toPath,
-      (keyCol + "\n").getBytes("UTF-8"))
+      (keyCol + (if (evolve) "\nevolve" else "") + "\n").getBytes("UTF-8"))
     ()
+  }
+
+  /** Was this upsert overlay committed under the schema-evolution
+    * opt-in? (The `_mor` marker's second line.) */
+  private def evolveOf(dir: java.io.File): Boolean = {
+    val mor = new java.io.File(dir, "_mor")
+    mor.isFile && new String(
+      java.nio.file.Files.readAllBytes(mor.toPath), "UTF-8")
+      .linesIterator.drop(1).exists(_.trim == "evolve")
+  }
+
+  /** The WRITE-side schema contract for upsert overlays ([[resolveChain]]
+    * unions the overlay with the resolved base): a batch whose column
+    * set differs from the table's current read schema is rejected
+    * LOUDLY at commit unless the caller opted into evolution — an
+    * unnoticed column rename would otherwise fail at some later read
+    * (strict union), or silently null a column (permissive union). With
+    * the opt-in, added columns null-backfill on existing rows and
+    * dropped ones null-backfill on the overlay's rows, mirroring the
+    * read-side `readEvolved` story. Name-set check only: a TYPE change
+    * on a shared column still fails loudly in the union/parquet reader
+    * rather than silently coercing. */
+  def requireSchemaAligned(rows: DataFrame, currentCols: Seq[String],
+                           evolve: Boolean, desc: String): Unit = {
+    if (!evolve) {
+      val batch = rows.columns.toSet
+      val cur = currentCols.toSet
+      require(batch == cur,
+        s"upsert batch schema for $desc differs from the table's " +
+          s"(batch adds ${batch -- cur}, misses ${cur -- batch}) — " +
+          "pass evolveSchema = true to null-backfill, or align the batch")
+    }
   }
 
   /** Nearest FULL version at or below `v` — the base a merge-on-read
@@ -130,8 +168,15 @@ private[lake] object Mor {
           acc = acc.join(keys, Seq(kc), "left_anti")
           i = j
         case Some((kc, true)) => // upsert: replace-by-key, then append
-          acc = acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
-            .unionByName(ov)
+          val kept = acc.join(ov.select(kc).distinct(), Seq(kc), "left_anti")
+          // an overlay committed under the evolution opt-in unions
+          // permissively (added columns null-backfill on older rows);
+          // everything else keeps the strict contract — the write-side
+          // gate (requireSchemaAligned) makes a mismatch unreachable
+          // here except via out-of-band writes, which then fail loudly
+          acc =
+            if (evolveOf(d)) kept.unionByName(ov, allowMissingColumns = true)
+            else kept.unionByName(ov)
           i += 1
         case None => // unreachable: fullBase stops at a full version
           acc = ov

@@ -66,9 +66,16 @@ object TxLog {
     * Only when EVERY listed file vanished does it re-list (a vanished
     * file implies a newer one was created); this is on every read path
     * (current/lastTxn/commit precheck), so it must never spuriously
-    * fail a healthy reader under sustained checkpoint churn. */
+    * fail a healthy reader under sustained checkpoint churn — but the
+    * re-list is BOUNDED: a listing that persistently names files that
+    * fail to read (stat/listing caches, eventually-consistent stores)
+    * must fail loudly, never spin every read path forever. Each retry
+    * implies a whole checkpoint generation was superseded during one
+    * read, so a healthy log exhausts the cap only under a pathological
+    * churn storm — exactly when a loud error beats an infinite loop. */
   private def checkpointState(root: String): (Int, Long) = {
-    while (true) {
+    var attempt = 0
+    while (attempt < 50) {
       val files = listedCheckpoints(root)
       if (files.isEmpty) return (-1, -1L)
       files.sortBy(-_.getName.stripPrefix("_checkpoint.").toInt)
@@ -83,8 +90,12 @@ object TxLog {
           }
         }
       // the whole listing vanished → a newer fold exists; re-list
+      attempt += 1
     }
-    (-1, -1L) // unreachable
+    throw new IllegalStateException(
+      s"checkpoint listing under $root names only unreadable files " +
+        "after 50 re-lists — the store is returning stale listings " +
+        "(or a churn storm is superseding every fold mid-read)")
   }
 
   private def listedRecords(root: String): Seq[Int] =
@@ -275,13 +286,19 @@ object TxLog {
     * resolves. Reads resolve the chain via [[Mor]]; a conflict rebases
     * exactly like a full commit (the vector itself rarely depends on
     * the base, so retrying with the new expected version usually
-    * suffices). O(|keys|) written bytes + one record link. */
+    * suffices). O(|keys|) written bytes + one record link.
+    *
+    * As on [[Versions.commitDelete]]: past `autoCompactAt` the returned
+    * overlay version is immediately superseded by a compaction commit —
+    * `current(root)` reads N+1, and chaining `expected = n` off the
+    * return conflicts. Pass `autoCompactAt = 0` to pin the returned
+    * version as current and compact from a maintenance loop. */
   def commitDelete(keys: DataFrame, root: String, keyCol: String,
                    expected: Int, txn: Long = -1L,
                    autoCompactAt: Int = Versions.autoCompactDepth): Int = {
     require(expected >= 0, s"cannot delete from empty table $root")
     val n = commitImpl(keys.select(keyCol).distinct(), root, expected, txn,
-      precheck = true, marker = Some((keyCol, false)))
+      precheck = true, marker = Some((keyCol, false, false)))
     maybeAutoCompact(keys.sparkSession, root, n, autoCompactAt)
     n
   }
@@ -293,12 +310,19 @@ object TxLog {
     * [[compact]]. `rows` must carry the full row schema. */
   def commitUpsert(rows: DataFrame, root: String, keyCol: String,
                    expected: Int, txn: Long = -1L,
-                   autoCompactAt: Int = Versions.autoCompactDepth): Int = {
+                   autoCompactAt: Int = Versions.autoCompactDepth,
+                   evolveSchema: Boolean = false): Int = {
     require(expected >= 0,
       s"cannot upsert into empty table $root — commit first")
-    Mor.requireKeyUnique(rows, keyCol, root) // loud: no both-rows-survive
+    // loud write-side contracts: no both-rows-survive, no schema drift
+    // without the explicit evolution opt-in (checked against the
+    // EXPECTED version's schema — the one this overlay resolves onto)
+    Mor.requireSchemaAligned(rows,
+      read(rows.sparkSession, root, expected).columns.toSeq,
+      evolveSchema, root)
+    Mor.requireKeyUnique(rows, keyCol, root)
     val n = commitImpl(rows, root, expected, txn,
-      precheck = true, marker = Some((keyCol, true)))
+      precheck = true, marker = Some((keyCol, true, evolveSchema)))
     maybeAutoCompact(rows.sparkSession, root, n, autoCompactAt)
     n
   }
@@ -353,10 +377,11 @@ object TxLog {
   /** `precheck = false` skips the cheap early version test so specs can
     * drive the photo-finish path (data written, then the link itself
     * loses the race) deterministically. `marker` stamps the staged
-    * directory as a merge-on-read overlay BEFORE the record links. */
+    * directory as a merge-on-read overlay — (keyCol, isUpsert,
+    * evolveSchema) — BEFORE the record links. */
   private[graft] def commitImpl(df: DataFrame, root: String, expected: Int,
                                 txn: Long, precheck: Boolean,
-                                marker: Option[(String, Boolean)] = None): Int = {
+                                marker: Option[(String, Boolean, Boolean)] = None): Int = {
     val n = expected + 1
     if (precheck && current(root) != expected)
       throw new CommitConflict(n,
@@ -366,8 +391,8 @@ object TxLog {
     df.write.mode("errorifexists").parquet(s"$root/$dataName")
     require(new java.io.File(root, s"$dataName/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/$dataName")
-    marker.foreach { case (kc, up) =>
-      Mor.writeMarker(new java.io.File(root, dataName), kc, up) }
+    marker.foreach { case (kc, up, ev) =>
+      Mor.writeMarker(new java.io.File(root, dataName), kc, up, ev) }
     // put-if-absent commit point ([[CasLog]]): link(2) fails with
     // EEXIST if the record exists, and the record appears fully formed
     // or not at all. (POSIX rename(2) — Files.move ATOMIC_MOVE —

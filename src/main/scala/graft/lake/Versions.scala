@@ -201,7 +201,16 @@ object Versions {
     * to [[compactDeletes]], exactly the merge-on-read/copy-on-write
     * trade every lakehouse exposes. Time travel still works at every
     * version; [[vacuum]] auto-lowers its floor to the retained chain's
-    * base so it can never orphan a readable version's chain. */
+    * base so it can never orphan a readable version's chain.
+    *
+    * NOTE on the return value under auto-compaction: when this commit
+    * pushes the chain past `autoCompactAt`, a compaction commit follows
+    * IMMEDIATELY, so `current(root)` is the compacted version N+1, not
+    * the returned overlay N — and N becomes vacuum-eligible as soon as
+    * the retention floor passes it. A caller that needs the returned
+    * version to BE current (a fixture pinning a chain shape, a caller
+    * chaining `expected =` off it) passes `autoCompactAt = 0` and runs
+    * [[compactIfDeeper]] from its own maintenance loop instead. */
   def commitDelete(keys: DataFrame, root: String, keyCol: String,
                    txn: Long = -1L, autoCompactAt: Int = autoCompactDepth): Int = {
     val cur = current(root)
@@ -228,16 +237,22 @@ object Versions {
     * with [[commitDelete]] freely and collapse via [[compactDeletes]].
     */
   def commitUpsert(rows: DataFrame, root: String, keyCol: String,
-                   txn: Long = -1L, autoCompactAt: Int = autoCompactDepth): Int = {
+                   txn: Long = -1L, autoCompactAt: Int = autoCompactDepth,
+                   evolveSchema: Boolean = false): Int = {
     val cur = current(root)
     require(cur >= 0, s"cannot upsert into empty table $root — commit first")
-    Mor.requireKeyUnique(rows, keyCol, root) // loud: no silent both-rows-survive
+    // loud write-side contracts: no silent both-rows-survive, and no
+    // schema drift without the explicit evolution opt-in
+    Mor.requireSchemaAligned(rows,
+      read(rows.sparkSession, root).columns.toSeq, evolveSchema, root)
+    Mor.requireKeyUnique(rows, keyCol, root)
     val n = cur + 1
     reclaimOrphan(root, n)
     rows.write.mode("errorifexists").parquet(s"$root/v$n")
     require(new java.io.File(root, s"v$n/_SUCCESS").isFile,
       s"commit wrote no _SUCCESS marker under $root/v$n")
-    Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = true)
+    Mor.writeMarker(new java.io.File(root, s"v$n"), keyCol, upsert = true,
+      evolve = evolveSchema)
     writeStamp(root, n)
     flipPointer(root, n, txn)
     maybeAutoCompact(rows.sparkSession, root, n, autoCompactAt)
@@ -284,23 +299,25 @@ object Versions {
 
   /** Roll the table BACK to version `keep`, removing `made` — the
     * version the CALLER ITSELF just committed (`made` must be current,
-    * and `keep` the version directly below it). This is the
-    * [[Catalog]] phase-1 rollback: a multi-table transaction that lost
-    * the catalog CAS removes its own member versions so the member log
-    * stays 1:1 with cataloged history (an abandoned OVERLAY version
-    * would poison the positional chain under the next transaction's
-    * overlay). Single-writer-per-member contract, like every Versions
-    * write. The pointer rewinds FIRST (readers move off the victim
-    * before its files die); the txn high-water is carried, never
-    * regressed. */
+    * and `keep` the version directly below it; `keep = -1` un-creates a
+    * table whose ONLY version this caller made, by deleting the
+    * manifest itself). This is the [[Catalog]] phase-1 rollback: a
+    * multi-table transaction that lost the catalog CAS removes its own
+    * member versions so the member log stays 1:1 with cataloged history
+    * (an abandoned OVERLAY version would poison the positional chain
+    * under the next transaction's overlay). Single-writer-per-member
+    * contract, like every Versions write. The pointer rewinds FIRST
+    * (readers move off the victim before its files die); the txn
+    * high-water is carried, never regressed. */
   private[lake] def rollbackTo(root: String, keep: Int, made: Int): Unit = {
-    require(keep >= 0 && made == keep + 1,
+    require(keep >= -1 && made == keep + 1,
       s"rollbackTo only unwinds the one version this caller made " +
         s"(keep=$keep, made=$made under $root)")
     require(current(root) == made,
       s"refusing rollback: $root moved to ${current(root)} past $made — " +
         "another writer committed on top (single-writer contract violated)")
-    flipPointer(root, keep, -1L) // -1 carries the txn high-water forward
+    if (keep >= 0) flipPointer(root, keep, -1L) // -1 carries the txn mark
+    else manifest(root).delete() // v0 was ours: un-create the table
     val d = new java.io.File(root, s"v$made")
     new java.io.File(d, "_SUCCESS").delete() // invalidate before delete
     rmTree(d)

@@ -111,35 +111,47 @@ final case class MatView(
 final case class ViewRewrite(spark: SparkSession, view: MatView)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg: Aggregate =>
-      ViewRewrite.derive(spark, view, agg).getOrElse(agg)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ViewRewrite.isSuspended) plan
+    else plan transform {
+      case agg: Aggregate =>
+        ViewRewrite.derive(spark, view, agg).map(_._1).getOrElse(agg)
+    }
 }
 
 /**
  * MV AUTO-SELECTION (the Calcite-style matching step): register
  * SEVERAL maintained views; for each matching aggregate the rule
  * collects every view whose shape can derive the answer and picks the
- * CHEAPEST — bytes on disk of the view directory, a pure filesystem-
- * metadata cost, no data read at plan time. Capability first, cost
- * second: a view that cannot derive the query (missing sum column,
- * finer key not a superset, type mismatch) is never a candidate no
- * matter how small; among candidates, an exact coarse view beats
- * rolling up a fine one precisely because it is smaller. At 100 TB a
+ * CHEAPEST. Cost = the BYTES THE REWRITTEN SCAN WOULD ACTUALLY READ:
+ * the view's parquet row groups that SURVIVE the replayed key-column
+ * filters under the footers' own min/max zone maps (the q316 footer
+ * statistics, consulted at plan time — pure file-metadata reads,
+ * cached per immutable view directory, no data read). With no
+ * replayed filter every row group survives and the cost degenerates
+ * to plain bytes-on-disk, the r12 rule. The refinement is what makes
+ * a byte-LARGER view win when its layout is filter-tighter: a view
+ * range-sorted on the filtered key keeps the predicate inside a few
+ * row groups, while a byte-smaller but unsorted sibling reads
+ * everything — exactly the call a scan scheduler makes from the same
+ * footers. Capability first, cost second: a view that cannot derive
+ * the query (missing sum column, finer key not a superset, type
+ * mismatch) is never a candidate no matter how small. At 100 TB a
  * dashboard family typically maintains a handful of views per fact
  * table; this picks per-query without the user naming one.
  */
 final case class MultiViewRewrite(spark: SparkSession, views: Seq[MatView])
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case agg: Aggregate =>
-      val candidates = views.flatMap(v =>
-        ViewRewrite.derive(spark, v, agg)
-          .map(p => (ViewRewrite.sizeOf(v.resolvedPath), p)))
-      if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ViewRewrite.isSuspended) plan
+    else plan transform {
+      case agg: Aggregate =>
+        val candidates = views.flatMap(v =>
+          ViewRewrite.derive(spark, v, agg).map { case (p, filters) =>
+            (ViewRewrite.costOf(spark, v.resolvedPath, filters), p) })
+        if (candidates.isEmpty) agg else candidates.minBy(_._1)._2
+    }
 }
 
 private final class ViewMatcher(spark: SparkSession, view: MatView) {
@@ -310,12 +322,34 @@ private final class ViewMatcher(spark: SparkSession, view: MatView) {
 
 object ViewRewrite {
   /** The derivation shared by the single- and multi-view rules: the
-    * view-answered plan for `agg`, or None when `view` cannot answer
-    * it (wrong base, underivable shape, or type mismatch). */
+    * view-answered plan for `agg` plus the base-side key filters it
+    * replays (for [[costOf]]), or None when `view` cannot answer it
+    * (wrong base, underivable shape, or type mismatch). */
   private[plans] def derive(spark: SparkSession, view: MatView,
-                            agg: Aggregate): Option[LogicalPlan] = {
+                            agg: Aggregate): Option[(LogicalPlan, Seq[Expression])] = {
     val m = new ViewMatcher(spark, view)
-    m.baseScanFilters(agg.child).flatMap(fs => m.tryRewrite(agg, fs))
+    m.baseScanFilters(agg.child).flatMap(fs =>
+      m.tryRewrite(agg, fs).map(p => (p, fs)))
+  }
+
+  // ------------------------------------------------- refresh suspension
+  // MV maintenance must never be ANSWERED BY what it maintains: with the
+  // rewrite rules registered, a refresh's delta aggregate (or an evicted-
+  // group rescan) whose shape matches some view would read the STALE view
+  // as its own input. Suspension is a THREAD-LOCAL consulted by the rules
+  // — never a mutation of the session-global extraOptimizations list,
+  // which would strip every concurrent query's rewrites for the duration
+  // and clobber rules another thread (re)registered in the window. The
+  // optimizer runs extra rules on the thread that triggers the action, so
+  // the thread-local covers exactly the refresh's own plans (AQE's
+  // runtime re-optimization uses its own rule set, not this batch).
+  private val suspendedFlag = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private[plans] def isSuspended: Boolean = suspendedFlag.get()
+  private def suspended[T](body: => T): T = {
+    suspendedFlag.set(java.lang.Boolean.TRUE)
+    try body finally suspendedFlag.set(java.lang.Boolean.FALSE)
   }
 
   // Plan-time caches keyed by the view's physical directory: schema
@@ -352,6 +386,114 @@ object ViewRewrite {
       java.lang.Long.valueOf(walk(new java.io.File(p))))
   }
 
+  // --------------------------------------------- footer zone-map costing
+
+  /** One parquet row group of a view: its byte weight and the footer
+    * min/max per column (absent when the chunk recorded no stats). */
+  private final case class Zone(bytes: Long, stats: Map[String, (Any, Any)])
+
+  private val zoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Zone]]()
+
+  /** The view directory's row groups with their footer statistics —
+    * the q316 footer walk, cached per immutable path (refreshing a view
+    * registers a NEW directory). Driver-side, bounded by the view's
+    * file count; pure metadata reads, no data pages touched. */
+  private def footerZones(spark: SparkSession, path: String): Seq[Zone] =
+    capped(zoneCache).computeIfAbsent(path, (p: String) => {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      Option(new java.io.File(p).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .flatMap { pf =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(pf.getAbsolutePath), conf))
+          try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val stats = b.getColumns.asScala.flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some(c.getPath.toDotString ->
+                (statVal(st.genericGetMin), statVal(st.genericGetMax)))
+            }.toMap
+            Zone(b.getTotalByteSize, stats)
+          } finally rd.close()
+        }
+    })
+
+  private def statVal(v: Any): Any = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case x => x
+  }
+
+  /** stat-vs-literal comparison; None when the pair is not comparable
+    * (unknown types → the zone conservatively survives). Longs here are
+    * view-aggregate keys (counts/ids), well inside double precision. */
+  private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
+    case (a: String, b) => Some(a.compareTo(b.toString))
+    case (a: Number, b: Number) =>
+      Some(java.lang.Double.compare(a.doubleValue, b.doubleValue))
+    case (a: Number, b: org.apache.spark.sql.types.Decimal) =>
+      Some(java.lang.Double.compare(a.doubleValue, b.toDouble))
+    case _ => None
+  }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** Can the row group contain a row satisfying `pred`? Missing stats
+    * or an unrecognized predicate shape keep the zone (never prune on
+    * uncertainty — cost must upper-bound the scan, not undercut it).
+    * Strictness is ignored (a boundary-only zone survives a strict
+    * bound): conservative and irrelevant at row-group granularity. */
+  private def zoneSurvives(z: Zone, pred: Expression): Boolean = {
+    def stats(a: AttributeReference) = z.stats.get(a.name)
+    def eqTest(a: AttributeReference, v: Any) = stats(a).forall {
+      case (mn, mx) => cmp(mn, v).forall(_ <= 0) && cmp(mx, v).forall(_ >= 0)
+    }
+    def maxGe(a: AttributeReference, v: Any) =
+      stats(a).forall { case (_, mx) => cmp(mx, v).forall(_ >= 0) }
+    def minLe(a: AttributeReference, v: Any) =
+      stats(a).forall { case (mn, _) => cmp(mn, v).forall(_ <= 0) }
+    pred match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => eqTest(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => eqTest(a, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        eqTest(a, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => maxGe(a, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        maxGe(a, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => minLe(a, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => minLe(a, v)
+      // literal-on-the-left flips the bound direction
+      case GreaterThan(Literal(v, _), a: AttributeReference) => minLe(a, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        minLe(a, v)
+      case LessThan(Literal(v, _), a: AttributeReference) => maxGe(a, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => maxGe(a, v)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(l => eqTest(a, l.asInstanceOf[Literal].value))
+      case _ => true // unknown shape: no pruning from this conjunct
+    }
+  }
+
+  /** The SELECTIVITY-AWARE view cost [[MultiViewRewrite]] ranks by: the
+    * bytes of the view's row groups that survive the replayed filters
+    * under the footers' own min/max zone maps — i.e. what the rewritten
+    * scan would actually read after data skipping. No filters (or a
+    * footer with no stats) degenerates to bytes-on-disk. */
+  private[plans] def costOf(spark: SparkSession, path: String,
+                            filters: Seq[Expression]): Long = {
+    val zones = footerZones(spark, path)
+    if (zones.isEmpty) return sizeOf(path) // statless fallback
+    val preds = filters.flatMap(conjunctsOf)
+    zones.filter(z => preds.forall(p => zoneSurvives(z, p)))
+      .map(_.bytes).sum
+  }
+
   /** Root paths of every file relation in the OPTIMIZED plan — the
     * structural "which table does this query actually scan" probe
     * (the logical plan's toString elides paths). */
@@ -385,40 +527,99 @@ object ViewRewrite {
     * shuffles |delta| rows to the view grain, the merge joins two
     * |groups|-sized tables, and the fact table is never rescanned. */
   def refresh(spark: SparkSession, view: MatView,
-              delta: org.apache.spark.sql.DataFrame): Int = {
+              delta: org.apache.spark.sql.DataFrame): Int =
+    refresh(spark, view, Some(delta), deletes = None).version
+
+  /** Per-refresh bookkeeping: the committed version, how many view
+    * groups the delete-delta emptied (their rows dropped), and how many
+    * groups needed a min/max EVICTION RESCAN (the only part of a
+    * retraction that touches the base — and only filtered to those
+    * groups' keys). */
+  final case class RefreshStats(version: Int, emptiedGroups: Long,
+                                rescannedGroups: Long)
+
+  /** RETRACTION-AWARE incremental refresh: absorb an insert-delta AND a
+    * delete-delta (rows REMOVED from the base — the CDC shape a
+    * merge-on-read feed produces) in one O(|delta| + |view|) commit.
+    * Counts and sums retract ALGEBRAICALLY (stored − deleted); min/max
+    * cannot — a deleted value that TIES the stored extremum may or may
+    * not leave a twin behind — so exactly the EVICTED groups (deleted
+    * min ≤ stored min, or deleted max ≥ stored max) are re-aggregated
+    * from the base FILTERED TO THEIR KEYS, never a full rescan. Groups
+    * whose count reaches zero drop from the view.
+    *
+    * Loud contracts (shapes that cannot retract):
+    *   - the view must register `countCol` — without the stored count,
+    *     group emptiness is undecidable;
+    *   - every registered sum column must be CLAIMED in `nonNullCols`:
+    *     with nulls possible, `stored − deleted` yields 0 where SQL's
+    *     sum-of-none is NULL (route such views through a full
+    *     recompute commit instead);
+    *   - a delete for a group the view does not hold, or deleting more
+    *     rows than a group has, fails loudly — the delta and the view
+    *     have diverged.
+    *
+    * The base is read from `view.basePath` AT ITS CURRENT CONTENTS
+    * (post-delete), so the rescan agrees with what a full recompute
+    * would see. Runs with MV rewriting suspended on this thread — the
+    * rescan's aggregate matches the view's own shape by construction. */
+  def refresh(spark: SparkSession, view: MatView,
+              inserts: Option[org.apache.spark.sql.DataFrame],
+              deletes: Option[org.apache.spark.sql.DataFrame]): RefreshStats = {
     import org.apache.spark.sql.functions._
     val root = view.viewRoot.getOrElse(throw new IllegalArgumentException(
       s"refresh needs a LIVE registration (viewRoot) — a fixed viewPath " +
         s"cannot re-register atomically (view over ${view.basePath})"))
     require(view.keyCols.nonEmpty,
       "refresh needs a keyed view (global shapes roll up from keyed ones)")
+    deletes.foreach { _ =>
+      require(view.countCol.isDefined,
+        "a delete-delta refresh needs a registered countCol: without " +
+          "the stored count, group emptiness is undecidable — register " +
+          "count(*) or route deletions through a full recompute commit")
+      val unclaimed = view.sumCols.keySet -- view.nonNullCols
+      require(unclaimed.isEmpty,
+        s"sum columns $unclaimed are not claimed non-null: with nulls " +
+          "possible, stored-minus-deleted yields 0 where SQL's " +
+          "sum-of-none is NULL — claim nonNullCols or route deletions " +
+          "through a full recompute commit")
+    }
     val aggs: Seq[org.apache.spark.sql.Column] =
       view.countCol.map(c => count(lit(1)).as(c)).toSeq ++
         view.sumCols.map { case (b, v) => sum(col(b)).as(v) } ++
         view.minCols.map { case (b, v) => min(col(b)).as(v) } ++
         view.maxCols.map { case (b, v) => max(col(b)).as(v) }
     require(aggs.nonEmpty, "view registration declares no aggregates")
-    // maintenance must never be ANSWERED BY what it maintains: with the
-    // rewrite rules registered on this session, a delta aggregate whose
-    // shape matches some view would read the (stale) view instead of
-    // the delta — strip MV rules for the duration of the refresh action
-    val prevRules = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prevRules.filterNot(r =>
-      r.isInstanceOf[ViewRewrite] || r.isInstanceOf[MultiViewRewrite])
-    try refreshUnrewritten(spark, view, delta, root, aggs)
-    finally spark.experimental.extraOptimizations = prevRules
+    require(inserts.isDefined || deletes.isDefined,
+      "refresh needs an insert-delta, a delete-delta, or both")
+    suspended {
+      val cur = graft.lake.Versions.read(spark, root)
+      val afterIns = inserts match {
+        case Some(ins) => mergePlan(spark, view, cur, ins, aggs)
+        case None => cur
+      }
+      deletes match {
+        case None =>
+          RefreshStats(graft.lake.Versions.commit(afterIns, root), 0L, 0L)
+        case Some(del) => retract(spark, view, afterIns, del, aggs, root)
+      }
+    }
   }
 
-  private def refreshUnrewritten(spark: SparkSession, view: MatView,
-                                 delta: org.apache.spark.sql.DataFrame,
-                                 root: String,
-                                 aggs: Seq[org.apache.spark.sql.Column]): Int = {
+  /** The insert-merge plan: delta aggregated to the view grain,
+    * full-outer-merged with `cur` — counts add, sums add (null iff both
+    * sides null, matching SQL sum-of-none), mins take least, maxes take
+    * greatest. Null grouping keys merge null-safely (`<=>`): the base
+    * aggregate has one null group, so the view must too. */
+  private def mergePlan(spark: SparkSession, view: MatView,
+                        cur: org.apache.spark.sql.DataFrame,
+                        delta: org.apache.spark.sql.DataFrame,
+                        aggs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val dAgg = delta.groupBy(view.keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     // prefix the delta side so the merge can reference both unambiguously
     val d = dAgg.select(dAgg.columns.map(c => col(c).as(s"_d_$c")).toSeq: _*)
-    val cur = graft.lake.Versions.read(spark, root)
     // null-SAFE key equality: the base aggregate has ONE null group,
     // so the merge must too (plain = would split it into two rows)
     val joined = cur.join(d,
@@ -439,7 +640,89 @@ object ViewRewrite {
           oneSided(cur(c), dc(c), least(cur(c), dc(c))).as(c)) ++
         view.maxCols.values.map(c =>
           oneSided(cur(c), dc(c), greatest(cur(c), dc(c))).as(c))
-    graft.lake.Versions.commit(joined.select(outCols: _*), root)
+    joined.select(outCols: _*)
+  }
+
+  /** The retraction tail of [[refresh]]: subtract the delete-delta's
+    * per-group aggregates from `stateDf`, rescan ONLY the evicted
+    * groups, commit. Caller holds the suspension. */
+  private def retract(spark: SparkSession, view: MatView,
+                      stateDf: org.apache.spark.sql.DataFrame,
+                      deletes: org.apache.spark.sql.DataFrame,
+                      aggs: Seq[org.apache.spark.sql.Column],
+                      root: String): RefreshStats = {
+    import org.apache.spark.sql.functions._
+    val cnt = view.countCol.get
+    // the delete-delta at the view grain: per group, how many rows die
+    // and the extremes of the dying values (min/max SKIP nulls at both
+    // levels, so a null deleted value can never evict)
+    val xAggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as(s"_x_$cnt")) ++
+        view.sumCols.map { case (b, v) => sum(col(b)).as(s"_x_$v") } ++
+        view.minCols.map { case (b, v) => min(col(b)).as(s"_x_$v") } ++
+        view.maxCols.map { case (b, v) => max(col(b)).as(s"_x_$v") }
+    val dAgg = deletes.groupBy(view.keyCols.map(col): _*)
+      .agg(xAggs.head, xAggs.tail: _*)
+    val d = dAgg.select(dAgg.columns.map(c =>
+      if (view.keyCols.contains(c)) col(c).as(s"_xk_$c") else col(c)).toSeq: _*)
+    val state = stateDf.localCheckpoint() // reused by several branches
+    // full_outer so a delete for a group the view does NOT hold is
+    // visible (loud below), null-safe keys as everywhere in the merge
+    val joined = state.join(d,
+      view.keyCols.map(k => state(k) <=> d(s"_xk_$k")).reduce(_ && _),
+      "full_outer").localCheckpoint()
+    val touched = col(s"_x_$cnt").isNotNull
+    val unknown = joined.filter(touched && col(cnt).isNull)
+      .limit(1).collect() // bounded: at most one row
+    require(unknown.isEmpty,
+      s"delete-delta for the view over ${view.basePath} names a group " +
+        "the view does not hold — the delta and the view have diverged")
+    val newN = col(cnt) - col(s"_x_$cnt")
+    val overdrawn = joined.filter(touched && newN < 0)
+      .limit(1).collect() // bounded: at most one row
+    require(overdrawn.isEmpty,
+      s"delete-delta for the view over ${view.basePath} removes more " +
+        "rows than some group holds — the delta and the view have diverged")
+    // EVICTION: a deleted value at-or-past the stored extremum may have
+    // killed it (ties are undecidable without the base — a twin may
+    // remain); strictly-interior deletions provably cannot
+    val evictTests =
+      view.minCols.values.map(v => col(s"_x_$v").isNotNull &&
+        (col(v).isNull || col(s"_x_$v") <= col(v))) ++
+        view.maxCols.values.map(v => col(s"_x_$v").isNotNull &&
+          (col(v).isNull || col(s"_x_$v") >= col(v)))
+    val evict =
+      if (evictTests.isEmpty) lit(false) else evictTests.reduce(_ || _)
+    def subbed(v: String) =
+      when(col(s"_x_$v").isNull, col(v)).otherwise(col(v) - col(s"_x_$v"))
+    // untouched groups pass through; touched non-evicted groups retract
+    // algebraically; emptied groups (newN = 0) drop entirely
+    val algebraic = joined.filter(!touched || (newN > 0 && !evict))
+      .select((view.keyCols.map(col) ++
+        view.countCol.map(c => subbed(c).as(c)) ++
+        view.sumCols.values.map(c => subbed(c).as(c)) ++
+        view.minCols.values.map(c => col(c).as(c)) ++
+        view.maxCols.values.map(c => col(c).as(c))): _*)
+    val evictedKeys = joined.filter(touched && newN > 0 && evict)
+      .select(view.keyCols.map(col): _*).localCheckpoint()
+    val nEvicted = evictedKeys.count()
+    val emptied = joined.filter(touched && newN === 0).count()
+    // the ONLY base touch of a retraction: re-aggregate the evicted
+    // groups from the current base, FILTERED to their keys (a semi join
+    // the scan pushes down — never a full rescan)
+    val out =
+      if (nEvicted == 0L) algebraic
+      else {
+        val base = spark.read.parquet(view.basePath)
+        val rescanned = base.join(evictedKeys,
+            view.keyCols.map(k => base(k) <=> evictedKeys(k)).reduce(_ && _),
+            "left_semi")
+          .groupBy(view.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        algebraic.unionByName(rescanned)
+      }
+    val v = graft.lake.Versions.commit(out, root)
+    state.unpersist(); joined.unpersist(); evictedKeys.unpersist()
+    RefreshStats(v, emptied, nEvicted)
   }
 
   /** Run `body` with the rule registered on the session's experimental

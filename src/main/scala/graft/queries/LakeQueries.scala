@@ -2419,14 +2419,20 @@ object LakeQueries {
                 FROM e GROUP BY et),
        allr AS (SELECT 'all' AS tag, CAST(count(*) AS BIGINT) AS n,
                   CAST(0 AS BIGINT) AS id_sum FROM e),
+       flt AS (SELECT 'flt:click' AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum
+               FROM e WHERE et = 'click'),
        chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
                  CAST(0 AS BIGINT) AS id_sum
                FROM (VALUES ('chk:base_never_scanned'),
+                            ('chk:bytes_decide_unfiltered'),
                             ('chk:coarse_for_count'),
                             ('chk:coarse_for_global'),
                             ('chk:fine_exact_two_key'),
-                            ('chk:fine_for_sum')) t(chk))
+                            ('chk:fine_for_sum'),
+                            ('chk:zonemap_picks_sorted')) t(chk))
        SELECT * FROM (SELECT * FROM by_t UNION ALL SELECT * FROM allr
+                      UNION ALL SELECT * FROM flt
                       UNION ALL SELECT * FROM chk)
        ORDER BY tag""") { (s, d) =>
     val root = graft.io.Sources.scratchDir("graft_mv_select")
@@ -2437,44 +2443,77 @@ object LakeQueries {
       ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"))
         .write.parquet(s"$root/coarse")
-      ev.groupBy("event_type", "user_id")
+      val fineAgg = ev.groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
-        .write.parquet(s"$root/fine")
+      fineAgg.repartition(4).write.parquet(s"$root/fine")
+      // byte-LARGER twin of fine (padding column), range-sorted on
+      // event_type: its footer zone maps confine an event_type equality
+      // to ~one row group of four, so its FILTER-SURVIVING bytes beat
+      // fine's total even though its total is bigger — the round-13
+      // verdict's selectivity refinement (cost = what the scan would
+      // actually read, not bytes-on-disk)
+      fineAgg.withColumn("pad", concat(col("event_type"), lit("-"),
+          col("user_id"), lit("-"), col("n"), lit("-"), col("id_sum")))
+        .repartitionByRange(4, col("event_type"))
+        .sortWithinPartitions("event_type")
+        .write.parquet(s"$root/finez")
       val coarse = MatView(basePath = s"$d/events.parquet",
         viewPath = s"$root/coarse", keyCols = Seq("event_type"),
         countCol = Some("n"), sumCols = Map.empty)
       val fine = MatView(basePath = s"$d/events.parquet",
         viewPath = s"$root/fine", keyCols = Seq("event_type", "user_id"),
         countCol = Some("n"), sumCols = Map("event_id" -> "id_sum"))
+      val finez = fine.copy(viewPath = s"$root/finez")
       def pathsOf(df: org.apache.spark.sql.DataFrame) =
         ViewRewrite.scannedPaths(df)
       def chose(df: org.apache.spark.sql.DataFrame, view: String) = {
         val p = pathsOf(df)
         p.exists(_.endsWith(s"/$view")) &&
-          !p.exists(_.endsWith(if (view == "fine") "/coarse" else "/fine"))
+          Seq("coarse", "fine", "finez").filterNot(_ == view)
+            .forall(o => !p.exists(_.endsWith(s"/$o")))
       }
-      val (rows, gates) = ViewRewrite.withViews(s, Seq(coarse, fine)) {
+      def bytesOf(sub: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(s"$root/$sub"))
+      }
+      val (rows, gates) = ViewRewrite.withViews(s,
+        Seq(coarse, fine, finez)) {
         val qCount = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
         val qSum = ev.groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
         val qTwoKey = ev.groupBy("event_type", "user_id")
           .agg(count(lit(1)).as("n"))
         val qGlobal = ev.agg(count(lit(1)).as("n"))
+        val qFiltered = ev.filter(col("event_type") === "click")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
         val out = qSum.select(
             concat(lit("et:"),
               coalesce(col("event_type"), lit("(null)"))).as("tag"),
             col("n"), col("id_sum"))
           .unionByName(qGlobal.select(lit("all").as("tag"), col("n"),
             lit(0L).as("id_sum")))
+          .unionByName(qFiltered.select(lit("flt:click").as("tag"),
+            col("n"), col("id_sum")))
           .localCheckpoint()
         val gates = Seq(
           ("chk:base_never_scanned",
-            Seq(qCount, qSum, qTwoKey, qGlobal).forall(q =>
+            Seq(qCount, qSum, qTwoKey, qGlobal, qFiltered).forall(q =>
               !pathsOf(q).exists(_.contains("events.parquet")))),
+          // no replayed filter → every row group survives → plain bytes
+          // decide, and the padded twin is strictly bigger
+          ("chk:bytes_decide_unfiltered",
+            bytesOf("finez") > bytesOf("fine") && chose(qSum, "fine")),
           ("chk:coarse_for_count", chose(qCount, "coarse")),
           ("chk:coarse_for_global", chose(qGlobal, "coarse")),
           ("chk:fine_exact_two_key", chose(qTwoKey, "fine")),
-          ("chk:fine_for_sum", chose(qSum, "fine")))
+          ("chk:fine_for_sum", chose(qSum, "fine")),
+          // under the key filter the byte-larger but range-sorted twin
+          // wins: its surviving row groups cost less than fine's total
+          ("chk:zonemap_picks_sorted", chose(qFiltered, "finez")))
         (out, gates)
       }
       import s.implicits._
@@ -3204,6 +3243,420 @@ object LakeQueries {
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
+  /** CATALOG-AWARE COMPACTION ([[graft.lake.Catalog.Compact]] +
+   * [[graft.lake.Catalog.compactMemberIfDeeper]] — the round-13
+   * verdict's #1 seam: q353's streaming loop commits one merge-on-read
+   * overlay per micro-batch, and a catalog member had NO compaction
+   * path that kept the member log 1:1 with cataloged history, so a
+   * long-running stream grew an unbounded resolve chain). The fix is
+   * compaction AS A CATALOG TRANSACTION: the folded full version and
+   * the record naming it land atomically (phase 1 commits the
+   * cataloged contents at the member's physical head; phase 2 links
+   * the record), so contiguity holds throughout, every historical
+   * snapshot keeps reading, and the overlay protocol never meets an
+   * uncataloged version. The q353 streaming loop runs here with
+   * `compactAt = 3`: after EVERY batch boundary the index member's
+   * chain is ≤ 3 overlays (verified per-boundary through the txn-mark
+   * lineage — compaction records are txn-less and carry the mark, so
+   * the last record per batchId IS the post-maintenance state), the
+   * final read plans ≤ 3 anti-joins, at least one compaction actually
+   * fired, the exactly-once pair invariant holds at every snapshot
+   * INCLUDING compaction snapshots, and a replayed batch is still
+   * skipped. At 100 TB: the stream pays O(|table|) once per
+   * `compactAt` batches — the standard amortized merge-on-read rent —
+   * without ever leaving the transaction protocol. */
+  val q354CatalogCompact: Q = Q("q354_catalog_compact",
+    """WITH v AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             CAST(max(event_id) AS BIGINT) AS id_max
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS id_max
+               FROM (VALUES ('chk:atomic_pair_all_snapshots'),
+                            ('chk:compactions_fired'),
+                            ('chk:depth_bounded_each_batch'),
+                            ('chk:plan_bounded'),
+                            ('chk:replay_skipped'),
+                            ('chk:snapshots_readable')) t(chk))
+       SELECT * FROM (SELECT 'vw:' || et AS tag, n, id_sum, id_max FROM v
+                      UNION ALL SELECT 'ix:' || et, CAST(1 AS BIGINT),
+                        CAST(0 AS BIGINT), id_max FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_cat_compact_q")
+    try {
+      import graft.lake.{Catalog, TxLog}
+      val threshold = 3
+      val nBatches = graft.streaming.StreamingLake
+        .runViewIndexCatalog(s, d, root, nFiles = 10, compactAt = threshold)
+      val cur = Catalog.catalogVersion(root)
+      // extra records beyond one-per-batch ARE the compaction commits
+      val compactionsFired = cur.toLong > nBatches - 1
+      // per batch boundary: the LAST record carrying that batchId's txn
+      // mark is the post-maintenance state — its index chain is bounded
+      val depthBounded = (0L until nBatches).forall { b =>
+        val v = (0 to cur).filter(Catalog.lastTxnAt(root, _) == b).max
+        TxLog.chainDepth(s"$root/index",
+          Catalog.snapshotAt(root, v)("index")) <= threshold
+      }
+      val planBounded = {
+        val plan = Catalog.read(s, root, "index").queryExecution.optimizedPlan
+        plan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join
+              if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+        }.size <= threshold
+      }
+      // compaction adds versions, removes nothing: EVERY snapshot —
+      // pre-compaction overlays included — still resolves, and the
+      // exactly-once pair invariant holds at each
+      val perSnap = (0 to cur).map { v =>
+        val snap = Catalog.snapshotAt(root, v)
+        val vm = Catalog.read(s, root, "view", snap)
+          .select(col("event_type"), col("id_max"))
+        val ix = Catalog.read(s, root, "index", snap)
+          .select(col("event_type"), col("last_id").as("id_max"))
+        (vm.count() > 0 && ix.count() > 0,
+          vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty)
+      }
+      val snapshotsReadable = perSnap.forall(_._1)
+      val atomicPair = perSnap.forall(_._2)
+      import s.implicits._
+      val replayed = graft.streaming.StreamingLake.applyBatchCatalog(root,
+        Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
+      val replaySkipped = !replayed && Catalog.catalogVersion(root) == cur
+      val rows = Catalog.read(s, root, "view")
+        .select(concat(lit("vw:"), col("event_type")).as("tag"),
+          col("n"), col("id_sum"), col("id_max"))
+        .unionByName(Catalog.read(s, root, "index")
+          .select(concat(lit("ix:"), col("event_type")).as("tag"),
+            lit(1L).as("n"), lit(0L).as("id_sum"),
+            col("last_id").as("id_max")))
+      val chks = Seq(
+        ("chk:atomic_pair_all_snapshots", atomicPair),
+        ("chk:compactions_fired", compactionsFired),
+        ("chk:depth_bounded_each_batch", depthBounded),
+        ("chk:plan_bounded", planBounded),
+        ("chk:replay_skipped", replaySkipped),
+        ("chk:snapshots_readable", snapshotsReadable)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0L).as("id_max"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  /** RETRACTION-AWARE MV REFRESH ([[graft.plans.ViewRewrite.refresh]]
+   * with a delete-delta — the round-13 verdict's #2 seam: refresh was
+   * insert-only and a CDC-fed view met deletes immediately). Counts
+   * and sums retract ALGEBRAICALLY (stored − deleted; sums require the
+   * registration's non-null claim, since stored-minus-deleted yields 0
+   * where SQL's sum-of-none is NULL — the unclaimed shape fails
+   * LOUDLY); min/max rescan ONLY the EVICTED groups (a deleted value
+   * at-or-past the stored extremum), filtered to their keys — never
+   * the base. The fixture deletes per event type: first the
+   * SECOND-smallest event id (strictly interior → zero rescans, pure
+   * algebra), then the smallest (min eviction → exactly one rescan per
+   * type), and the final view is hash-equal to a full recompute of the
+   * remaining rows. Gates pin the rescan counts both ways, the
+   * unclaimed-sum loudness, and that the live registration keeps
+   * answering through the rewrite rule after retraction. At 100 TB:
+   * O(|delta| + |view|) per refresh plus O(evicted groups' rows) — a
+   * dashboard view absorbs a deletion wave without a fact-table
+   * rescan. */
+  val q355MatviewRetract: Q = Q("q355_matview_retract",
+    """WITH e AS (SELECT event_type AS et, event_id FROM events
+            WHERE event_type IS NOT NULL),
+       r AS (SELECT et, event_id,
+               row_number() OVER (PARTITION BY et ORDER BY event_id) AS rn,
+               count(*) OVER (PARTITION BY et) AS cnt
+             FROM e),
+       kept AS (SELECT et, event_id FROM r
+                WHERE NOT (cnt >= 4 AND rn <= 2)),
+       by_t AS (SELECT 'et:' || et AS tag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(event_id) AS BIGINT) AS id_sum,
+                  CAST(min(event_id) AS BIGINT) AS id_min,
+                  CAST(max(event_id) AS BIGINT) AS id_max
+                FROM kept GROUP BY et),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS id_min,
+                 CAST(0 AS BIGINT) AS id_max
+               FROM (VALUES ('chk:evict_rescans_only_evicted'),
+                            ('chk:interior_is_algebraic'),
+                            ('chk:matches_recompute'),
+                            ('chk:rule_fires_after_retract'),
+                            ('chk:unclaimed_sum_loud')) t(chk))
+       SELECT * FROM (SELECT * FROM by_t UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_mv_retract_q")
+    try {
+      import graft.lake.Versions
+      import graft.plans.{MatView, ViewRewrite}
+      val ev = table(s, d, "events").filter(col("event_type").isNotNull)
+        .select("event_type", "event_id")
+      val w = Window.partitionBy("event_type").orderBy("event_id")
+      val ranked = ev
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("event_type")))
+        .localCheckpoint()
+      val deletable = ranked.filter(col("cnt") >= 4)
+      val del1 = deletable.filter(col("rn") === 2) // strictly interior
+        .select("event_type", "event_id").localCheckpoint()
+      val del2 = deletable.filter(col("rn") === 1) // the group minimum
+        .select("event_type", "event_id").localCheckpoint()
+      val nTypes = del2.count()
+      def viewOf(rows: org.apache.spark.sql.DataFrame) =
+        rows.groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum("event_id").as("id_sum"), min("event_id").as("id_min"),
+          max("event_id").as("id_max"))
+      def writeBase(rows: org.apache.spark.sql.DataFrame): Unit =
+        rows.write.mode("overwrite").parquet(s"$root/t")
+      writeBase(ev)
+      Versions.commit(viewOf(ev), root)
+      val mv = MatView(basePath = s"$root/t", keyCols = Seq("event_type"),
+        countCol = Some("n"), sumCols = Map("event_id" -> "id_sum"),
+        nonNullCols = Set("event_id"),
+        minCols = Map("event_id" -> "id_min"),
+        maxCols = Map("event_id" -> "id_max"),
+        viewRoot = Some(root))
+      // delete wave 1 — interior rows: pure algebra, zero base touches
+      val rem1 = ev.join(del1, Seq("event_type", "event_id"), "left_anti")
+        .localCheckpoint()
+      writeBase(rem1)
+      val s1 = ViewRewrite.refresh(s, mv, None, Some(del1))
+      // delete wave 2 — every group's minimum: one rescan per type
+      val rem2 = rem1.join(del2, Seq("event_type", "event_id"), "left_anti")
+        .localCheckpoint()
+      writeBase(rem2)
+      val s2 = ViewRewrite.refresh(s, mv, None, Some(del2))
+      val got = Versions.read(s, root).localCheckpoint()
+      val want = viewOf(rem2)
+      val matches = got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      // the retraction must not break the claims the rewrite rule needs
+      val unclaimedLoud =
+        try { ViewRewrite.refresh(s, mv.copy(nonNullCols = Set.empty),
+          None, Some(del1.limit(1))); false }
+        catch { case _: IllegalArgumentException => true }
+      val ruleFires = ViewRewrite.withRule(s, mv) {
+        val q = s.read.parquet(s"$root/t").groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+        val p = ViewRewrite.scannedPaths(q)
+        p.exists(_.contains(root)) && !p.exists(_.endsWith("/t"))
+      }
+      val rows = got.select(
+        concat(lit("et:"), col("event_type")).as("tag"),
+        col("n"), col("id_sum"), col("id_min"), col("id_max"))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:evict_rescans_only_evicted",
+          s2.rescannedGroups == nTypes && s2.emptiedGroups == 0),
+        ("chk:interior_is_algebraic",
+          s1.rescannedGroups == 0 && s1.emptiedGroups == 0),
+        ("chk:matches_recompute", matches),
+        ("chk:rule_fires_after_retract", ruleFires),
+        ("chk:unclaimed_sum_loud", unclaimedLoud)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0L).as("id_min"), lit(0L).as("id_max"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"),
+        ranked, del1, del2, rem1, rem2, got)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
+  /** SCHEMA-EVOLVING MERGE-ON-READ UPSERTS ([[graft.lake.Mor
+   * .requireSchemaAligned]] + the `evolveSchema` opt-in — the round-13
+   * verdict's #4 seam: resolveChain unioned strictly, so an evolving
+   * upsert threw deep in the read path, with no write-side contract
+   * and no null-backfill story to mirror the read-side evolution of
+   * q332/q107). Now a batch whose column set differs from the table's
+   * is rejected LOUDLY AT COMMIT (naming the opt-in), and under
+   * `evolveSchema = true` the overlay unions permissively: added
+   * columns null-backfill on pre-evolution rows, the chain keeps
+   * resolving, deletion vectors compose on top, and the catalog's
+   * UpsertRows carries the same flag. The oracle replays the merge +
+   * evolution + delete in SQL (NULL tier for unmatched base rows). At
+   * 100 TB: an upsert feed gaining a column stays O(|delta|) — no
+   * base rewrite, no full-schema migration commit. */
+  val q356EvolveUpsert: Q = Q("q356_evolve_upsert",
+    """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+       up AS (SELECT k, seg, cents + 100 AS cents, 'gold' AS tier
+              FROM t WHERE k % 7 = 0),
+       merged AS (SELECT k, seg, cents, CAST(NULL AS VARCHAR) AS tier
+                  FROM t WHERE k % 7 <> 0
+                  UNION ALL SELECT * FROM up),
+       fin AS (SELECT * FROM merged WHERE k % 10 <> 3),
+       sig AS (SELECT coalesce(tier, '(base)') AS tier, seg,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS cents_sum
+               FROM fin GROUP BY 1, 2),
+       chk AS (SELECT chk AS tier, 'chk' AS seg, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS cents_sum
+               FROM (VALUES ('chk:cores_agree'),
+                            ('chk:dv_composes_on_evolved'),
+                            ('chk:null_backfilled'),
+                            ('chk:reject_names_optin')) t(chk))
+       SELECT * FROM (SELECT * FROM sig UNION ALL SELECT * FROM chk)
+       ORDER BY tier, seg""") { (s, d) =>
+    val vRoot = graft.io.Sources.scratchDir("graft_evolve_vq")
+    val tRoot = graft.io.Sources.scratchDir("graft_evolve_tq")
+    try {
+      import graft.lake.{TxLog, Versions}
+      val base = table(s, d, "customer").select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+      val widened = base.filter(col("k") % 7 === 0)
+        .select(col("k"), col("seg"), (col("cents") + 100L).as("cents"),
+          lit("gold").as("tier"))
+      val nBase = base.count()
+      Versions.commit(base, vRoot)
+      TxLog.commit(base, tRoot, expected = -1)
+      // the loud contract: a widened batch without the opt-in is
+      // rejected AT COMMIT, and the error names the fix
+      val rejectLoud =
+        try { Versions.commitUpsert(widened, vRoot, "k"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("evolveSchema") &&
+            Versions.current(vRoot) == 0 }
+      // opted in: the overlay commits, old rows null-backfill, and a
+      // deletion vector composes on top of the evolved chain
+      Versions.commitUpsert(widened, vRoot, "k", evolveSchema = true,
+        autoCompactAt = 0)
+      Versions.commitDelete(base.filter(col("k") % 10 === 3)
+        .select("k"), vRoot, "k", autoCompactAt = 0)
+      TxLog.commitUpsert(widened, tRoot, "k", expected = 0,
+        evolveSchema = true, autoCompactAt = 0)
+      TxLog.commitDelete(base.filter(col("k") % 10 === 3).select("k"),
+        tRoot, "k", expected = 1, autoCompactAt = 0)
+      val gotV = Versions.read(s, vRoot).localCheckpoint()
+      val gotT = TxLog.read(s, tRoot)
+      val coresAgree = gotV.exceptAll(gotT).isEmpty &&
+        gotT.exceptAll(gotV).isEmpty
+      val nullBackfilled = gotV.filter(col("tier").isNull).count() ==
+        gotV.count() - gotV.filter(col("tier") === "gold").count() &&
+        gotV.filter(col("tier").isNull).count() > 0
+      val dvComposes = gotV.filter(col("k") % 10 === 3).count() == 0 &&
+        gotV.count() < nBase
+      val rows = gotV.groupBy(
+          coalesce(col("tier"), lit("(base)")).as("tier"), col("seg"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:cores_agree", coresAgree),
+        ("chk:dv_composes_on_evolved", dvComposes),
+        ("chk:null_backfilled", nullBackfilled),
+        ("chk:reject_names_optin", rejectLoud)
+      ).toDF("tier", "ok")
+        .select(col("tier"), lit("chk").as("seg"),
+          when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("cents_sum"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tier", "seg"), gotV)
+    } finally {
+      graft.io.Sources.removeScratchDir(vRoot)
+      graft.io.Sources.removeScratchDir(tRoot)
+    }
+  }
+
+  /** TWO CONCURRENT STREAMING WRITERS, ONE CATALOG ([[graft.streaming
+   * .StreamingLake.runTwoStreamCatalog]] + per-app txn marks — the
+   * round-13 verdict's #6 item: q353 proved ONE stream; the CAS rebase
+   * loop should carry two real streaming queries on overlapping
+   * members). Two structured-streaming queries (separate sources and
+   * schedulers) split the events table by event_id parity and both
+   * update the SAME view+index pair through catalog transactions; the
+   * catalog CAS serializes their commits (losers rebase with backoff),
+   * and each stream's exactly-once ledger is its OWN `#txn.<app>=`
+   * mark riding the record — a shared high-water would silently drop
+   * stream B's batches whenever stream A's ids ran ahead. Gates: one
+   * record per micro-batch across both streams; each app's mark is
+   * MONOTONE through the record lineage and ends at its last batchId;
+   * a replayed epoch is skipped per app while the same batchId from a
+   * NEW app is genuinely new work; the exactly-once pair invariant
+   * holds at every snapshot however the streams interleaved; and the
+   * final view holds every event exactly once across both parities.
+   * At 100 TB: N ingestion streams share one catalog with per-stream
+   * idempotence and loud conflict arbitration — no coordinator
+   * service, just the record CAS. */
+  val q358TwoStreams: Q = Q("q358_two_streams",
+    """WITH v AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             CAST(max(event_id) AS BIGINT) AS id_max
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS id_max
+               FROM (VALUES ('chk:atomic_pair_all_snapshots'),
+                            ('chk:ledgers_independent'),
+                            ('chk:lineage_monotone'),
+                            ('chk:one_record_per_batch'),
+                            ('chk:replay_skipped_per_app')) t(chk))
+       SELECT * FROM (SELECT 'vw:' || et AS tag, n, id_sum, id_max FROM v
+                      UNION ALL SELECT 'ix:' || et, CAST(1 AS BIGINT),
+                        CAST(0 AS BIGINT), id_max FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_two_streams_q")
+    try {
+      import graft.lake.Catalog
+      val (a, b) = graft.streaming.StreamingLake
+        .runTwoStreamCatalog(s, d, root, nFiles = 4)
+      val cur = Catalog.catalogVersion(root)
+      val oneRecordPerBatch = cur.toLong == a + b - 1
+      val lineageMonotone = Seq("even" -> a, "odd" -> b).forall {
+        case (app, n) =>
+          val marks = (0 to cur).map(v => Catalog.lastTxnAt(root, v, app))
+          marks.zip(marks.tail).forall { case (x, y) => x <= y } &&
+            marks.last == n - 1
+      }
+      val perSnap = (0 to cur).map { v =>
+        val snap = Catalog.snapshotAt(root, v)
+        val vm = Catalog.read(s, root, "view", snap)
+          .select(col("event_type"), col("id_max"))
+        val ix = Catalog.read(s, root, "index", snap)
+          .select(col("event_type"), col("last_id").as("id_max"))
+        vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty
+      }
+      val atomicPair = perSnap.forall(identity)
+      import s.implicits._
+      val replay = Seq(("view", 999999L)).toDF("event_type", "event_id")
+      // an applied epoch replays as a no-op for ITS app…
+      val replaySkipped =
+        !graft.streaming.StreamingLake.applyBatchCatalog(root, replay,
+          batchId = 0L, app = "even") &&
+          !graft.streaming.StreamingLake.applyBatchCatalog(root, replay,
+            batchId = 0L, app = "odd") &&
+          Catalog.catalogVersion(root) == cur
+      // …while the SAME batchId from a NEW app is genuinely new work —
+      // independent ledgers, not one shared high-water
+      val ledgersIndependent =
+        graft.streaming.StreamingLake.applyBatchCatalog(root, replay,
+          batchId = 0L, app = "probe",
+          viewCore = Catalog.TxLogCore) &&
+          Catalog.catalogVersion(root) == cur + 1 &&
+          Catalog.lastTxn(root, "probe") == 0L &&
+          Catalog.lastTxn(root, "even") == a - 1
+      // report from the PRE-PROBE snapshot (the probe batch added one
+      // synthetic row the oracle does not model)
+      val snap = Catalog.snapshotAt(root, cur)
+      val rows = Catalog.read(s, root, "view", snap)
+        .select(concat(lit("vw:"), col("event_type")).as("tag"),
+          col("n"), col("id_sum"), col("id_max"))
+        .unionByName(Catalog.read(s, root, "index", snap)
+          .select(concat(lit("ix:"), col("event_type")).as("tag"),
+            lit(1L).as("n"), lit(0L).as("id_sum"),
+            col("last_id").as("id_max")))
+      val chks = Seq(
+        ("chk:atomic_pair_all_snapshots", atomicPair),
+        ("chk:ledgers_independent", ledgersIndependent),
+        ("chk:lineage_monotone", lineageMonotone),
+        ("chk:one_record_per_batch", oneRecordPerBatch),
+        ("chk:replay_skipped_per_app", replaySkipped)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0L).as("id_max"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -3216,5 +3669,7 @@ object LakeQueries {
     q338StreamCasCommits, q339TxlogCheckpoint, q340MatviewRewrite,
     q342CatalogTxn, q343MatviewRollup, q344TxlogMor, q346MatviewSelect,
     q347AgedRetention, q348MatviewFilter, q349CatalogCores,
-    q350MatviewMinmax, q351MatviewRefresh, q353StreamCatalog)
+    q350MatviewMinmax, q351MatviewRefresh, q353StreamCatalog,
+    q354CatalogCompact, q355MatviewRetract, q356EvolveUpsert,
+    q358TwoStreams)
 }

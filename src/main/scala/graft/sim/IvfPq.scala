@@ -110,6 +110,38 @@ object IvfPq {
     out.write.mode("append").parquet(s"$dir/assigned")
   }
 
+  /** Composed-index COMPACTION ([[Ivf.compactIndex]] on the IVF-PQ
+    * layout — maintenance parity for the sequenced-delete path): fold
+    * pending tombstones into the assignment table with the same
+    * write-new-then-swap discipline and crash recovery. The shared
+    * implementation is genuinely layout-agnostic: the PQ layout's extra
+    * `codes` column is payload the anti-join carries through untouched,
+    * and codebooks/centroids are never rewritten (codes depend on the
+    * CODEBOOKS, not on cell membership). Probes stay served from a
+    * complete on-disk copy throughout ([[Ivf.liveAssigned]]). Returns
+    * (rows before, rows removed, rows after). */
+  def compactIndex(spark: SparkSession, dir: String,
+                   idCol: String = "vec_id"): (Long, Long, Long) =
+    Ivf.compactIndex(spark, dir, idCol)
+
+  /** Composed-index PARTIAL RETRAIN ([[Ivf.partialRetrain]] on the
+    * IVF-PQ layout): re-cluster ONLY the flagged cells into `kNew`
+    * fresh sub-centroids and reassign ONLY their rows, under the same
+    * staged-pair transaction (`assigned_retraining` + `centroids_new`,
+    * both `_SUCCESS`-gated before any rename) and writer-entry crash
+    * recovery. Valid on this layout WITHOUT re-encoding: PQ codes are a
+    * function of the stored codebooks and the vector alone — cell
+    * membership never enters the code — so moving a row between cells
+    * preserves its codes, and the untouched `codebooks` table keeps
+    * every ADC lookup exact. The full column set (id, cluster, cu,
+    * codes, seq…) rides the rewrite. Returns (rows reassigned, the new
+    * cell ids). */
+  def partialRetrain(spark: SparkSession, dir: String,
+                     cells: Seq[Int], kNew: Int,
+                     idCol: String = "vec_id",
+                     trainSample: Long = 65536L): (Long, Seq[Int]) =
+    Ivf.partialRetrain(spark, dir, cells, kNew, idCol, trainSample)
+
   /** Memoized [[persistIndex]] over the harness embeddings table — one
     * persisted composed index per (session, sfDir), shared by every
     * probe in the session (the [[Ivf.persistedIndex]] pattern). */

@@ -163,22 +163,34 @@ object StreamingLake {
     * cannot rule out. Conflicts (a maintenance writer, another worker)
     * rebase boundedly with backoff, exactly like [[applyBatchCas]];
     * the batch aggregate is checkpointed so retries never rescan it.
-    * Index chains grow one overlay per batch; a periodic
-    * [[graft.lake.Catalog.repairMember]] (a full-Put compaction
-    * through the same transaction protocol) bounds the read plan.
+    * Index chains grow one overlay per batch; `compactAt > 0` bounds
+    * the read plan by folding the index's chain through a
+    * [[graft.lake.Catalog.Compact]] transaction whenever a batch pushes
+    * it past the threshold — maintenance INSIDE the protocol, so the
+    * compacted version is catalog-named the instant it exists and
+    * every historical snapshot stays readable.
+    *
+    * `app` scopes the idempotence ledger ([[graft.lake.Catalog.lastTxn]]'s
+    * per-app marks): TWO streams into one catalog each replay-skip off
+    * their OWN batchId lineage, never each other's — without it, stream
+    * B silently drops batches whenever stream A's ids run ahead.
     * Returns true if THIS call committed the batch. */
   private[graft] def applyBatchCatalog(root: String, batch: DataFrame,
                                        batchId: Long,
-                                       maxRetries: Int = 100): Boolean = {
+                                       maxRetries: Int = 100,
+                                       app: String = "",
+                                       compactAt: Int = 0,
+                                       viewCore: graft.lake.Catalog.Core =
+                                         graft.lake.Catalog.VersionsCore): Boolean = {
     import graft.lake.{Catalog, CommitConflict}
     import graft.lake.Catalog.{MemberUpdate, Put, TxLogCore, UpsertRows}
-    if (batchId <= Catalog.lastTxn(root)) return false // redelivered epoch
+    if (batchId <= Catalog.lastTxn(root, app)) return false // redelivered
     val spark = batch.sparkSession
     val agg = aggWithMax(batch).localCheckpoint()
     var attempt = 0
     try {
       while (true) {
-        if (batchId <= Catalog.lastTxn(root)) return false
+        if (batchId <= Catalog.lastTxn(root, app)) return false
         val expected = Catalog.catalogVersion(root)
         val snap = if (expected < 0) Map.empty[String, Int]
                    else Catalog.snapshotAt(root, expected)
@@ -191,14 +203,28 @@ object StreamingLake {
         val idxRows = merged
           .join(agg.select("event_type"), Seq("event_type"), "left_semi")
           .select(col("event_type"), col("id_max").as("last_id"))
+        // the view member's core is the caller's call: single-writer
+        // loops keep the Versions manifest (q353); CONCURRENT writers
+        // must declare TxLogCore — racing Puts on a Versions member
+        // would race its manifest outside any CAS (the documented
+        // disjointness contract)
         val updates = Map[String, MemberUpdate](
-          "view" -> Put(merged),
+          "view" -> Put(merged, viewCore),
           "index" -> (if (snap.contains("index"))
             UpsertRows(idxRows, "event_type")
           else Put(idxRows, TxLogCore)))
         casInterleave()
         try {
-          Catalog.commitUpdates(root, updates, expected, txn = batchId)
+          Catalog.commitUpdates(root, updates, expected, txn = batchId,
+            txnApp = app)
+          // bound the index's read plan: fold its overlay chain through
+          // a Compact transaction once this batch pushed it past the
+          // threshold (re-checked inside — a racing compactor already
+          // paid makes this a no-op)
+          if (compactAt > 0) {
+            Catalog.compactMemberIfDeeper(spark, root, "index", compactAt)
+            ()
+          }
           return true
         } catch {
           case c: CommitConflict =>
@@ -214,9 +240,10 @@ object StreamingLake {
   /** Drive the events table through [[applyBatchCatalog]] in `nFiles`
     * controlled micro-batches (staged files + maxFilesPerTrigger=1).
     * Returns micro-batches processed; the caller reads view and index
-    * back through [[graft.lake.Catalog.read]]. */
+    * back through [[graft.lake.Catalog.read]]. `compactAt` bounds the
+    * index member's chain depth (0 = never compact, the q353 shape). */
   def runViewIndexCatalog(spark: SparkSession, dir: String, root: String,
-                          nFiles: Int = 4): Long = {
+                          nFiles: Int = 4, compactAt: Int = 0): Long = {
     val stage = graft.io.Sources.scratchDir("graft_streamcat")
     graft.io.Sources.table(spark, dir, "events")
       .filter(col("event_type").isNotNull)
@@ -230,7 +257,7 @@ object StreamingLake {
       .parquet(stage)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatchCatalog(root, batch, batchId)
+        applyBatchCatalog(root, batch, batchId, compactAt = compactAt)
         batches.incrementAndGet()
         ()
       }
@@ -239,6 +266,52 @@ object StreamingLake {
     finally { q.stop(); graft.io.Sources.removeScratchDir(stage)
       StreamingDemand.sweepCloneListenerBuses(spark) }
     batches.get()
+  }
+
+  /** TWO CONCURRENT STREAMING WRITERS into ONE catalog — two real
+    * structured-streaming queries (separate sources, checkpoints, and
+    * micro-batch schedulers, not threads faking it), each updating the
+    * SAME two members ("view" + "index") through [[applyBatchCatalog]]
+    * under its own app id. The catalog CAS serializes their commits
+    * (losers rebase with backoff); the PER-APP txn marks keep each
+    * stream's replay-skip ledger independent, so neither stream can
+    * drop a batch because the other's ids ran ahead. `split` routes
+    * each event row to exactly one stream (here: event_id parity).
+    * Returns (stream-A batches, stream-B batches). */
+  def runTwoStreamCatalog(spark: SparkSession, dir: String, root: String,
+                          nFiles: Int = 4,
+                          compactAt: Int = 0): (Long, Long) = {
+    val ev = graft.io.Sources.table(spark, dir, "events")
+      .filter(col("event_type").isNotNull)
+      .select(col("event_type"), col("event_id"))
+    def runOne(app: String, slice: DataFrame) = {
+      val stage = graft.io.Sources.scratchDir(s"graft_stream2_$app")
+      slice.repartition(nFiles).write.mode("overwrite").parquet(stage)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream
+        .schema(stagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatchCatalog(root, batch, batchId, app = app,
+            compactAt = compactAt, viewCore = graft.lake.Catalog.TxLogCore)
+          batches.incrementAndGet()
+          ()
+        }
+        .start()
+      (q, stage, batches)
+    }
+    val (qa, stageA, batchesA) = runOne("even", ev.filter(col("event_id") % 2 === 0))
+    val (qb, stageB, batchesB) = runOne("odd", ev.filter(col("event_id") % 2 =!= 0))
+    try { qa.processAllAvailable(); qb.processAllAvailable() }
+    finally {
+      qa.stop(); qb.stop()
+      graft.io.Sources.removeScratchDir(stageA)
+      graft.io.Sources.removeScratchDir(stageB)
+      StreamingDemand.sweepCloneListenerBuses(spark)
+    }
+    (batchesA.get(), batchesB.get())
   }
 
   /** Drive the events table through the stream in `nFiles` controlled
