@@ -665,10 +665,16 @@ object ViewRewrite {
       .agg(xAggs.head, xAggs.tail: _*)
     val d = dAgg.select(dAgg.columns.map(c =>
       if (view.keyCols.contains(c)) col(c).as(s"_xk_$c") else col(c)).toSeq: _*)
+    // checkpointed frames are unpersisted in the finally below — the
+    // loud-contract throws must not leak blocks on a long-running
+    // maintenance loop (the round-10 slow-creep class)
     val state = stateDf.localCheckpoint() // reused by several branches
+    var joined: org.apache.spark.sql.DataFrame = null
+    var evictedKeys: org.apache.spark.sql.DataFrame = null
+    try {
     // full_outer so a delete for a group the view does NOT hold is
     // visible (loud below), null-safe keys as everywhere in the merge
-    val joined = state.join(d,
+    joined = state.join(d,
       view.keyCols.map(k => state(k) <=> d(s"_xk_$k")).reduce(_ && _),
       "full_outer").localCheckpoint()
     val touched = col(s"_x_$cnt").isNotNull
@@ -703,7 +709,7 @@ object ViewRewrite {
         view.sumCols.values.map(c => subbed(c).as(c)) ++
         view.minCols.values.map(c => col(c).as(c)) ++
         view.maxCols.values.map(c => col(c).as(c))): _*)
-    val evictedKeys = joined.filter(touched && newN > 0 && evict)
+    evictedKeys = joined.filter(touched && newN > 0 && evict)
       .select(view.keyCols.map(col): _*).localCheckpoint()
     val nEvicted = evictedKeys.count()
     val emptied = joined.filter(touched && newN === 0).count()
@@ -714,15 +720,21 @@ object ViewRewrite {
       if (nEvicted == 0L) algebraic
       else {
         val base = spark.read.parquet(view.basePath)
-        val rescanned = base.join(evictedKeys,
-            view.keyCols.map(k => base(k) <=> evictedKeys(k)).reduce(_ && _),
+        val ek = evictedKeys
+        val rescanned = base.join(ek,
+            view.keyCols.map(k => base(k) <=> ek(k)).reduce(_ && _),
             "left_semi")
           .groupBy(view.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
         algebraic.unionByName(rescanned)
       }
     val v = graft.lake.Versions.commit(out, root)
-    state.unpersist(); joined.unpersist(); evictedKeys.unpersist()
     RefreshStats(v, emptied, nEvicted)
+    } finally {
+      state.unpersist()
+      Option(joined).foreach(_.unpersist())
+      Option(evictedKeys).foreach(_.unpersist())
+      ()
+    }
   }
 
   /** Run `body` with the rule registered on the session's experimental
