@@ -264,7 +264,7 @@ object TxLog {
   /** The physical data directory of version `v`, resolved THROUGH the
     * commit record — half-written or orphaned directories are
     * unreachable by construction. */
-  private def versionDir(root: String, v: Int): java.io.File =
+  private[lake] def versionDir(root: String, v: Int): java.io.File =
     new java.io.File(root, record(root, v)._1)
 
   /** Read a version (default: current) by resolving its data directory

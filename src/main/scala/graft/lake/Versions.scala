@@ -46,7 +46,7 @@ object Versions {
   /** The physical directory holding version `v` of the table at
     * `root` — local `v<N>` for ordinary tables and for a branch's own
     * commits (v1+); the recorded base snapshot for a branch's v0. */
-  private def versionDir(root: String, v: Int): java.io.File =
+  private[lake] def versionDir(root: String, v: Int): java.io.File =
     if (v == 0) baseDir(root).getOrElse(new java.io.File(root, "v0"))
     else new java.io.File(root, s"v$v")
 

@@ -561,11 +561,18 @@ object ViewRewrite {
     *
     * The base is read from `view.basePath` AT ITS CURRENT CONTENTS
     * (post-delete), so the rescan agrees with what a full recompute
-    * would see. Runs with MV rewriting suspended on this thread — the
-    * rescan's aggregate matches the view's own shape by construction. */
+    * would see — unless `base` supplies the read explicitly: a view
+    * maintained over a MERGE-ON-READ lake table has no plain-parquet
+    * base directory, so the caller passes the resolved lake read
+    * (e.g. `Versions.read(spark, tableRoot)`) and the eviction rescan
+    * semi-joins into THAT plan (key pushdown into the chain's scans
+    * still applies). Runs with MV rewriting suspended on this thread —
+    * the rescan's aggregate matches the view's own shape by
+    * construction. */
   def refresh(spark: SparkSession, view: MatView,
               inserts: Option[org.apache.spark.sql.DataFrame],
-              deletes: Option[org.apache.spark.sql.DataFrame]): RefreshStats = {
+              deletes: Option[org.apache.spark.sql.DataFrame],
+              base: Option[org.apache.spark.sql.DataFrame] = None): RefreshStats = {
     import org.apache.spark.sql.functions._
     val root = view.viewRoot.getOrElse(throw new IllegalArgumentException(
       s"refresh needs a LIVE registration (viewRoot) — a fixed viewPath " +
@@ -601,7 +608,8 @@ object ViewRewrite {
       deletes match {
         case None =>
           RefreshStats(graft.lake.Versions.commit(afterIns, root), 0L, 0L)
-        case Some(del) => retract(spark, view, afterIns, del, aggs, root)
+        case Some(del) =>
+          retract(spark, view, afterIns, del, aggs, root, base)
       }
     }
   }
@@ -650,7 +658,8 @@ object ViewRewrite {
                       stateDf: org.apache.spark.sql.DataFrame,
                       deletes: org.apache.spark.sql.DataFrame,
                       aggs: Seq[org.apache.spark.sql.Column],
-                      root: String): RefreshStats = {
+                      root: String,
+                      baseOverride: Option[org.apache.spark.sql.DataFrame] = None): RefreshStats = {
     import org.apache.spark.sql.functions._
     val cnt = view.countCol.get
     // the delete-delta at the view grain: per group, how many rows die
@@ -719,7 +728,8 @@ object ViewRewrite {
     val out =
       if (nEvicted == 0L) algebraic
       else {
-        val base = spark.read.parquet(view.basePath)
+        val base =
+          baseOverride.getOrElse(spark.read.parquet(view.basePath))
         val ek = evictedKeys
         val rescanned = base.join(ek,
             view.keyCols.map(k => base(k) <=> ek(k)).reduce(_ && _),

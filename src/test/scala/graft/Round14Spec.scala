@@ -471,4 +471,109 @@ class Round14Spec extends AnyFunSuite with SparkSpec {
         "a batch was lost or double-applied across the two streams")
     } finally graft.io.Sources.removeScratchDir(root)
   }
+
+  test("change data feed: overlay deltas, pre-images, compaction silence, evolution, telescoping — both cores") {
+    import spark.implicits._
+    import graft.lake.ChangeFeed
+    for (core <- Seq(Catalog.VersionsCore: Catalog.Core, TxLogCore)) {
+      val root = graft.io.Sources.scratchDir("graft_cdf")
+      try {
+        def eq(a: DataFrame, b: DataFrame): Boolean =
+          a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+        def cur: Int = core match {
+          case TxLogCore => TxLog.current(root)
+          case _ => Versions.current(root)
+        }
+        def full(df: DataFrame): Int = core match {
+          case TxLogCore => TxLog.commit(df, root, expected = cur)
+          case _ => Versions.commit(df, root)
+        }
+        def up(df: DataFrame, evolve: Boolean = false): Int = core match {
+          case TxLogCore => TxLog.commitUpsert(df, root, "k",
+            expected = cur, autoCompactAt = 0, evolveSchema = evolve)
+          case _ => Versions.commitUpsert(df, root, "k",
+            autoCompactAt = 0, evolveSchema = evolve)
+        }
+        def del(keys: DataFrame): Int = core match {
+          case TxLogCore => TxLog.commitDelete(keys, root, "k",
+            expected = cur, autoCompactAt = 0)
+          case _ => Versions.commitDelete(keys, root, "k", autoCompactAt = 0)
+        }
+        def feedAt(v: Int) = ChangeFeed.changesAt(spark, root, v, core)
+        def read(v: Int): DataFrame = core match {
+          case TxLogCore => TxLog.read(spark, root, v)
+          case _ => Versions.read(spark, root, v)
+        }
+        val base = (0L until 40L).map(k => (k, k * 2L)).toDF("k", "v")
+        full(base)
+        // v0 (genesis): all-insert
+        val f0 = feedAt(0)
+        assert(f0.filter(col(ChangeFeed.ChangeType) =!= "insert").isEmpty &&
+          f0.count() == 40 &&
+          f0.select(min(col(ChangeFeed.CommitVersion))).head.getInt(0) == 0)
+        // v1 upsert: 10 replaced (delete pre-image + insert new image),
+        // 5 brand-new keys (insert only — no pre-image delete)
+        val batch1 = (0L until 10L).map(k => (k, k * 2L + 100L))
+          .toDF("k", "v")
+          .union((100L until 105L).map(k => (k, k)).toDF("k", "v"))
+        up(batch1)
+        val f1 = feedAt(1)
+        val f1del = f1.filter(col(ChangeFeed.ChangeType) === "delete")
+        val f1ins = f1.filter(col(ChangeFeed.ChangeType) === "insert")
+        assert(eq(f1del.select("k", "v"),
+          (0L until 10L).map(k => (k, k * 2L)).toDF("k", "v")),
+          s"$core: replaced pre-images wrong")
+        assert(eq(f1ins.select("k", "v"), batch1),
+          s"$core: upsert inserts wrong")
+        // v2 deletion vector naming one replaced key, one new key, and
+        // one ABSENT key: the absent key contributes NO change row
+        del(Seq(3L, 100L, 999L).toDF("k"))
+        val f2 = feedAt(2)
+        assert(eq(f2.select("k", "v"),
+          Seq((3L, 106L), (100L, 100L)).toDF("k", "v")) &&
+          f2.filter(col(ChangeFeed.ChangeType) =!= "delete").isEmpty,
+          s"$core: DV pre-images wrong (absent key must contribute nothing)")
+        // v3 compaction: content-preserving full version → EMPTY delta
+        core match {
+          case TxLogCore => TxLog.compact(spark, root)
+          case _ => Versions.compactDeletes(spark, root)
+        }
+        assert(feedAt(3).isEmpty,
+          s"$core: compaction must contribute zero feed rows")
+        // v4 evolve upsert (adds column w): pre-image delete rows have
+        // w = null; insert rows carry it
+        up(Seq((5L, 999L, "x")).toDF("k", "v", "w"), evolve = true)
+        val f4 = feedAt(4)
+        assert(f4.filter(col(ChangeFeed.ChangeType) === "delete")
+          .filter(col("w").isNotNull).isEmpty &&
+          eq(f4.filter(col(ChangeFeed.ChangeType) === "insert")
+            .select("k", "v", "w"), Seq((5L, 999L, "x")).toDF("k", "v", "w")),
+          s"$core: evolution alignment wrong")
+        // v5 full rewrite (no row-level lineage): multiset diff — change
+        // one row's payload → exactly one delete + one insert
+        val rewritten = read(4)
+          .withColumn("v", when(col("k") === 7L, lit(-1L)).otherwise(col("v")))
+        full(rewritten)
+        val f5 = feedAt(5)
+        assert(f5.count() == 2 &&
+          f5.filter(col(ChangeFeed.ChangeType) === "insert")
+            .filter(col("k") === 7L && col("v") === -1L).count() == 1 &&
+          f5.filter(col(ChangeFeed.ChangeType) === "delete")
+            .filter(col("k") === 7L && col("v") === 114L).count() == 1,
+          s"$core: full-rewrite diff wrong")
+        // the whole feed TELESCOPES: from genesis, inserts ∖ deletes
+        // (multiset) reproduce the final read exactly
+        val feed = ChangeFeed.changesBetween(spark, root, -1, -1, core)
+        val (ins, dels) = ChangeFeed.splitFeed(feed)
+        assert(eq(ins.get.exceptAll(dels.get), read(5)),
+          s"$core: feed does not telescope to the final state")
+        // feed windows compose: (−1, 2] ⊎ (2, 5] = (−1, 5]
+        val w1 = ChangeFeed.changesBetween(spark, root, -1, 2, core)
+        val w2 = ChangeFeed.changesBetween(spark, root, 2, 5, core)
+        assert(eq(w1.unionByName(w2, allowMissingColumns = true)
+            .select(feed.columns.map(col).toSeq: _*), feed),
+          s"$core: feed windows do not compose")
+      } finally graft.io.Sources.removeScratchDir(root)
+    }
+  }
 }
