@@ -455,6 +455,44 @@ object Catalog {
       Map(table -> Put(read(spark, root, table, snap)))
     }
 
+  /** CHANGE DATA FEED of one member BETWEEN CATALOG SNAPSHOTS — the
+    * [[ChangeFeed]] row-level deltas, windowed by catalog version
+    * instead of member version: the member's cataloged versions at
+    * `fromCatalogV` (exclusive; -1 = before the member existed) and
+    * `toCatalogV` (inclusive; -1 = current) bound the member-chain walk.
+    * Because member commits stay 1:1 with catalog records (phase-1
+    * rollback), every member version in the window was catalog-named,
+    * so a consumer tailing record-by-record sees exactly the rows each
+    * TRANSACTION changed — and a [[Compact]] maintenance record
+    * contributes ZERO rows (content-preserving full version), so
+    * subscribers never reprocess a compaction. A record that did not
+    * touch the member yields an empty window (fromV == toV) and returns
+    * an empty frame. At 100 TB: the poll cost is O(|that record's
+    * delta|) for overlay commits — the catalog twin of tailing a Delta
+    * table's change feed. */
+  def memberChanges(spark: SparkSession, root: String, table: String,
+                    fromCatalogV: Int = -1,
+                    toCatalogV: Int = -1): DataFrame = {
+    val to = if (toCatalogV >= 0) toCatalogV else catalogVersion(root)
+    require(to >= 0, s"no catalog record under $root")
+    val vTo = snapshotAt(root, to).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table $table is not in catalog record $to under $root"))
+    val vFrom =
+      if (fromCatalogV < 0) -1
+      else snapshotAt(root, fromCatalogV).getOrElse(table, -1)
+    val core = coreOf(root, table).getOrElse(VersionsCore)
+    if (vFrom == vTo) {
+      // record(s) that never touched this member: empty frame in the
+      // feed's schema (payload at vTo + the two meta columns)
+      val schema = read(spark, root, table, snapshotAt(root, to)).schema
+        .add(ChangeFeed.ChangeType, "string")
+        .add(ChangeFeed.CommitVersion, "integer")
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else ChangeFeed.changesBetween(spark, s"$root/$table", vFrom, vTo, core)
+  }
+
   /** Overlay-chain depth of a member AT ITS CATALOGED VERSION — how
     * many anti-join overlays a catalog [[read]] of the table resolves;
     * 0 for a full version (or a member not yet cataloged). */

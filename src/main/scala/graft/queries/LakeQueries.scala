@@ -3816,6 +3816,118 @@ object LakeQueries {
     }
   }
 
+  /** CATALOG-WINDOWED CHANGE FEED ([[graft.lake.Catalog.memberChanges]]
+   * — [[graft.lake.ChangeFeed]] windowed by CATALOG version, the
+   * subscriber surface for multi-table commits): q353/q354's streaming
+   * loop commits one catalog transaction per micro-batch (view full-Put
+   * + index MoR upsert) with auto-compaction bounding the index chain;
+   * a downstream consumer tails record-by-record and sees EXACTLY the
+   * rows each transaction changed. Gates pin the full contract: every
+   * index step applies exactly (prev ⊎ inserts ∖ deletes = next — the
+   * overlay extraction path); every VIEW step applies exactly too (full
+   * Puts have no row lineage — the multiset-diff fallback path); a
+   * [[graft.lake.Catalog.Compact]] maintenance record is SILENT for the
+   * index (content-preserving) and an EMPTY WINDOW for the untouched
+   * view, so subscribers never reprocess maintenance; a replica built
+   * by folding the per-record feeds converges to the live index (CDC
+   * replication); and the whole-window feed telescopes. At 100 TB: N
+   * subscribers tail one tiny record each poll and pay O(|that
+   * record's delta|) — no change files written, no log-shipping
+   * service, the overlay chain IS the feed. */
+  val q360CatalogFeed: Q = Q("q360_catalog_feed",
+    """WITH v AS (SELECT event_type AS et, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(event_id) AS BIGINT) AS id_sum,
+             CAST(max(event_id) AS BIGINT) AS id_max
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+       chk AS (SELECT chk AS tag, CAST(1 AS BIGINT) AS n,
+                 CAST(0 AS BIGINT) AS id_sum, CAST(0 AS BIGINT) AS id_max
+               FROM (VALUES ('chk:compaction_steps_silent'),
+                            ('chk:replica_converges'),
+                            ('chk:steps_apply_exactly'),
+                            ('chk:telescopes'),
+                            ('chk:untouched_steps_empty'),
+                            ('chk:view_diffs_apply')) t(chk))
+       SELECT * FROM (SELECT 'ix:' || et AS tag, CAST(1 AS BIGINT) AS n,
+                        CAST(0 AS BIGINT) AS id_sum, id_max FROM v
+                      UNION ALL SELECT 'vw:' || et, n, id_sum, id_max FROM v
+                      UNION ALL SELECT * FROM chk)
+       ORDER BY tag""") { (s, d) =>
+    val root = graft.io.Sources.scratchDir("graft_cat_feed_q")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      import graft.lake.{Catalog, ChangeFeed}
+      graft.streaming.StreamingLake
+        .runViewIndexCatalog(s, d, root, nFiles = 6, compactAt = 3)
+      val cur = Catalog.catalogVersion(root)
+      val ct = col(ChangeFeed.ChangeType)
+      def memberAt(t: String, v: Int) =
+        Catalog.read(s, root, t, Catalog.snapshotAt(root, v))
+      def ck(df: org.apache.spark.sql.DataFrame) = {
+        val c = df.localCheckpoint(); kept += c; c
+      }
+      def split(f: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+        (f.filter(ct === "insert").select(cols.map(col): _*),
+          f.filter(ct === "delete").select(cols.map(col): _*))
+      def applies(t: String, cols: Seq[String]): Boolean =
+        (0 to cur).forall { v =>
+          val (ins, del) = split(
+            ck(Catalog.memberChanges(s, root, t, v - 1, v)), cols)
+          val prev = if (v == 0) ins.limit(0)
+                     else memberAt(t, v - 1).select(cols.map(col): _*)
+          val applied = prev.unionByName(ins).exceptAll(del)
+          val nxt = memberAt(t, v).select(cols.map(col): _*)
+          applied.exceptAll(nxt).isEmpty && nxt.exceptAll(applied).isEmpty
+        }
+      val ixCols = Seq("event_type", "last_id")
+      val stepsApply = applies("index", ixCols)
+      val viewDiffsApply = applies("view",
+        Seq("event_type", "n", "id_sum", "id_max"))
+      // maintenance records (txn-less: the per-app mark did not move)
+      // are SILENT for the compacted index and an EMPTY WINDOW for the
+      // untouched view — subscribers never reprocess a compaction
+      val maint = (1 to cur).filter(v =>
+        Catalog.lastTxnAt(root, v) == Catalog.lastTxnAt(root, v - 1))
+      val compactionSilent = maint.nonEmpty && maint.forall(v =>
+        ck(Catalog.memberChanges(s, root, "index", v - 1, v)).isEmpty)
+      val untouchedEmpty = maint.forall(v =>
+        ck(Catalog.memberChanges(s, root, "view", v - 1, v)).isEmpty)
+      // CDC replication: fold the per-record feeds into a replica
+      val replica = (0 to cur).foldLeft(
+          Option.empty[org.apache.spark.sql.DataFrame]) { (acc, v) =>
+        val (ins, del) = split(
+          ck(Catalog.memberChanges(s, root, "index", v - 1, v)), ixCols)
+        Some(ck(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins)))
+      }.get
+      val live = memberAt("index", cur).select(ixCols.map(col): _*)
+      val replicaConverges = replica.exceptAll(live).isEmpty &&
+        live.exceptAll(replica).isEmpty
+      val (wIns, wDel) = split(
+        ck(Catalog.memberChanges(s, root, "index", -1, cur)), ixCols)
+      val telescoped = wIns.exceptAll(wDel)
+      val telescopes = telescoped.exceptAll(live).isEmpty &&
+        live.exceptAll(telescoped).isEmpty
+      val rows = memberAt("index", cur)
+        .select(concat(lit("ix:"), col("event_type")).as("tag"),
+          lit(1L).as("n"), lit(0L).as("id_sum"),
+          col("last_id").as("id_max"))
+        .unionByName(memberAt("view", cur)
+          .select(concat(lit("vw:"), col("event_type")).as("tag"),
+            col("n"), col("id_sum"), col("id_max")))
+      import s.implicits._
+      val chks = Seq(
+        ("chk:compaction_steps_silent", compactionSilent),
+        ("chk:replica_converges", replicaConverges),
+        ("chk:steps_apply_exactly", stepsApply),
+        ("chk:telescopes", telescopes),
+        ("chk:untouched_steps_empty", untouchedEmpty),
+        ("chk:view_diffs_apply", viewDiffsApply)
+      ).toDF("tag", "ok")
+        .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
+          lit(0L).as("id_sum"), lit(0L).as("id_max"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"), kept.toSeq: _*)
+    } finally graft.io.Sources.removeScratchDir(root)
+  }
+
   val all: Seq[Q] = Seq(q93JsonlRoundtrip, q94Scd2, q95BigramSurprisal,
     q96DsirWeights, q97HashSplit, q98FileLayout, q99StreamJoin,
     q107SchemaEvolution, q108Compaction, q115BucketedJoin,
@@ -3830,5 +3942,5 @@ object LakeQueries {
     q347AgedRetention, q348MatviewFilter, q349CatalogCores,
     q350MatviewMinmax, q351MatviewRefresh, q353StreamCatalog,
     q354CatalogCompact, q355MatviewRetract, q356EvolveUpsert,
-    q358TwoStreams, q359ChangeFeed)
+    q358TwoStreams, q359ChangeFeed, q360CatalogFeed)
 }
