@@ -3288,7 +3288,7 @@ object LakeQueries {
       import graft.lake.{Catalog, TxLog}
       val threshold = 3
       val nBatches = graft.streaming.StreamingLake
-        .runViewIndexCatalog(s, d, root, nFiles = 10, compactAt = threshold)
+        .runViewIndexCatalog(s, d, root, nFiles = 6, compactAt = threshold)
       val cur = Catalog.catalogVersion(root)
       // extra records beyond one-per-batch ARE the compaction commits
       val compactionsFired = cur.toLong > nBatches - 1
@@ -3598,7 +3598,7 @@ object LakeQueries {
     try {
       import graft.lake.Catalog
       val (a, b) = graft.streaming.StreamingLake
-        .runTwoStreamCatalog(s, d, root, nFiles = 4)
+        .runTwoStreamCatalog(s, d, root, nFiles = 3)
       val cur = Catalog.catalogVersion(root)
       val oneRecordPerBatch = cur.toLong == a + b - 1
       val lineageMonotone = Seq("even" -> a, "odd" -> b).forall {
@@ -3857,7 +3857,7 @@ object LakeQueries {
     try {
       import graft.lake.{Catalog, ChangeFeed}
       graft.streaming.StreamingLake
-        .runViewIndexCatalog(s, d, root, nFiles = 6, compactAt = 3)
+        .runViewIndexCatalog(s, d, root, nFiles = 5, compactAt = 3)
       val cur = Catalog.catalogVersion(root)
       val ct = col(ChangeFeed.ChangeType)
       def memberAt(t: String, v: Int) =
