@@ -3308,18 +3308,20 @@ object LakeQueries {
       }
       // compaction adds versions, removes nothing: EVERY snapshot —
       // pre-compaction overlays included — still resolves, and the
-      // exactly-once pair invariant holds at each
+      // exactly-once pair invariant holds at each. Batched: ONE job
+      // for all readability probes, ONE for all pair invariants
+      // ([[Checks]] — the loop ran 4 actions per snapshot before r14).
       val perSnap = (0 to cur).map { v =>
         val snap = Catalog.snapshotAt(root, v)
         val vm = Catalog.read(s, root, "view", snap)
           .select(col("event_type"), col("id_max"))
         val ix = Catalog.read(s, root, "index", snap)
           .select(col("event_type"), col("last_id").as("id_max"))
-        (vm.count() > 0 && ix.count() > 0,
-          vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty)
+        (vm, ix)
       }
-      val snapshotsReadable = perSnap.forall(_._1)
-      val atomicPair = perSnap.forall(_._2)
+      val snapshotsReadable =
+        Checks.allNonEmpty(perSnap.flatMap(p => Seq(p._1, p._2)))
+      val atomicPair = Checks.allMultisetEqual(perSnap)
       import s.implicits._
       val replayed = graft.streaming.StreamingLake.applyBatchCatalog(root,
         Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
@@ -3607,15 +3609,15 @@ object LakeQueries {
           marks.zip(marks.tail).forall { case (x, y) => x <= y } &&
             marks.last == n - 1
       }
-      val perSnap = (0 to cur).map { v =>
+      // all snapshots' pair invariants in ONE batched job ([[Checks]])
+      val atomicPair = Checks.allMultisetEqual((0 to cur).map { v =>
         val snap = Catalog.snapshotAt(root, v)
         val vm = Catalog.read(s, root, "view", snap)
           .select(col("event_type"), col("id_max"))
         val ix = Catalog.read(s, root, "index", snap)
           .select(col("event_type"), col("last_id").as("id_max"))
-        vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty
-      }
-      val atomicPair = perSnap.forall(identity)
+        (vm, ix)
+      })
       import s.implicits._
       val replay = Seq(("view", 999999L)).toDF("event_type", "event_id")
       // an applied epoch replays as a no-op for ITS app…
@@ -3853,7 +3855,6 @@ object LakeQueries {
                       UNION ALL SELECT * FROM chk)
        ORDER BY tag""") { (s, d) =>
     val root = graft.io.Sources.scratchDir("graft_cat_feed_q")
-    val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     try {
       import graft.lake.{Catalog, ChangeFeed}
       graft.streaming.StreamingLake
@@ -3862,50 +3863,54 @@ object LakeQueries {
       val ct = col(ChangeFeed.ChangeType)
       def memberAt(t: String, v: Int) =
         Catalog.read(s, root, t, Catalog.snapshotAt(root, v))
-      def ck(df: org.apache.spark.sql.DataFrame) = {
-        val c = df.localCheckpoint(); kept += c; c
-      }
       def split(f: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
         (f.filter(ct === "insert").select(cols.map(col): _*),
           f.filter(ct === "delete").select(cols.map(col): _*))
+      // per-step exactness, telescoped to one comparison per version —
+      // `(prev ⊎ ins) ∖ del ≡ next` stated as `prev ⊎ ins ≡ next ⊎ del`
+      // (identical when deletes ⊆ prev ⊎ ins, i.e. any correct feed;
+      // stricter when not) — and ALL versions batched into ONE job
+      // ([[Checks.allMultisetEqual]]: the loop ran 3 actions per
+      // version before round 14).
       def applies(t: String, cols: Seq[String]): Boolean =
-        (0 to cur).forall { v =>
+        Checks.allMultisetEqual((0 to cur).map { v =>
           val (ins, del) = split(
-            ck(Catalog.memberChanges(s, root, t, v - 1, v)), cols)
+            Catalog.memberChanges(s, root, t, v - 1, v), cols)
           val prev = if (v == 0) ins.limit(0)
                      else memberAt(t, v - 1).select(cols.map(col): _*)
-          val applied = prev.unionByName(ins).exceptAll(del)
           val nxt = memberAt(t, v).select(cols.map(col): _*)
-          applied.exceptAll(nxt).isEmpty && nxt.exceptAll(applied).isEmpty
-        }
+          (prev.unionByName(ins), nxt.unionByName(del))
+        })
       val ixCols = Seq("event_type", "last_id")
       val stepsApply = applies("index", ixCols)
       val viewDiffsApply = applies("view",
         Seq("event_type", "n", "id_sum", "id_max"))
       // maintenance records (txn-less: the per-app mark did not move)
       // are SILENT for the compacted index and an EMPTY WINDOW for the
-      // untouched view — subscribers never reprocess a compaction
+      // untouched view — subscribers never reprocess a compaction.
+      // One batched emptiness probe per member (vs one per window).
       val maint = (1 to cur).filter(v =>
         Catalog.lastTxnAt(root, v) == Catalog.lastTxnAt(root, v - 1))
-      val compactionSilent = maint.nonEmpty && maint.forall(v =>
-        ck(Catalog.memberChanges(s, root, "index", v - 1, v)).isEmpty)
-      val untouchedEmpty = maint.forall(v =>
-        ck(Catalog.memberChanges(s, root, "view", v - 1, v)).isEmpty)
-      // CDC replication: fold the per-record feeds into a replica
+      val compactionSilent = maint.nonEmpty && Checks.allEmpty(
+        maint.map(v => Catalog.memberChanges(s, root, "index", v - 1, v)))
+      val untouchedEmpty = maint.isEmpty || Checks.allEmpty(
+        maint.map(v => Catalog.memberChanges(s, root, "view", v - 1, v)))
+      // CDC replication: fold the per-record feeds into a replica —
+      // the fold stays exceptAll-shaped (the replica IS the consumer's
+      // algebra) but runs as ONE lazy plan compared in ONE job, instead
+      // of a localCheckpoint per version
       val replica = (0 to cur).foldLeft(
           Option.empty[org.apache.spark.sql.DataFrame]) { (acc, v) =>
         val (ins, del) = split(
-          ck(Catalog.memberChanges(s, root, "index", v - 1, v)), ixCols)
-        Some(ck(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins)))
+          Catalog.memberChanges(s, root, "index", v - 1, v), ixCols)
+        Some(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins))
       }.get
       val live = memberAt("index", cur).select(ixCols.map(col): _*)
-      val replicaConverges = replica.exceptAll(live).isEmpty &&
-        live.exceptAll(replica).isEmpty
+      val replicaConverges = Checks.multisetEqual(replica, live)
       val (wIns, wDel) = split(
-        ck(Catalog.memberChanges(s, root, "index", -1, cur)), ixCols)
-      val telescoped = wIns.exceptAll(wDel)
-      val telescopes = telescoped.exceptAll(live).isEmpty &&
-        live.exceptAll(telescoped).isEmpty
+        Catalog.memberChanges(s, root, "index", -1, cur), ixCols)
+      // whole-window telescoping: wIns ∖ wDel ≡ live, telescoped form
+      val telescopes = Checks.multisetEqual(wIns, live.unionByName(wDel))
       val rows = memberAt("index", cur)
         .select(concat(lit("ix:"), col("event_type")).as("tag"),
           lit(1L).as("n"), lit(0L).as("id_sum"),
@@ -3924,7 +3929,7 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"), lit(0L).as("id_max"))
-      Q.sealResult(rows.unionByName(chks).orderBy("tag"), kept.toSeq: _*)
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
