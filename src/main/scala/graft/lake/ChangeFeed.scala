@@ -123,11 +123,18 @@ object ChangeFeed {
     val payload: Seq[Column] = changes.columns
       .filterNot(c => c == ChangeType || c == CommitVersion)
       .map(col).toSeq
-    def side(tpe: String): Option[DataFrame] = {
-      val s = changes.filter(col(ChangeType) === tpe).select(payload: _*)
-      if (s.isEmpty) None else Some(s)
-    }
-    (side("insert"), side("delete"))
+    // ONE aggregation decides both sides' presence (this ran one
+    // filter+isEmpty action PER SIDE before r14 — two shuffle-free but
+    // fully scheduled jobs per call, pure per-job overhead on the tiny
+    // frames the lifecycle queries feed through here)
+    import org.apache.spark.sql.functions.{max => fmax}
+    val present = changes.agg(
+      fmax(col(ChangeType) === "insert"),
+      fmax(col(ChangeType) === "delete")).collect()(0)
+    def side(tpe: String, idx: Int): Option[DataFrame] =
+      if (present.isNullAt(idx) || !present.getBoolean(idx)) None
+      else Some(changes.filter(col(ChangeType) === tpe).select(payload: _*))
+    (side("insert", 0), side("delete", 1))
   }
 
   private def reader(core: Catalog.Core): (SparkSession, String, Int) => DataFrame =

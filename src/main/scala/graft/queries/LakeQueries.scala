@@ -1219,8 +1219,7 @@ object LakeQueries {
         .filter(col("action").isin("inserted", "deleted", "updated"))
         .select("k", "action")
       val direct = diff(0, 3).select("k", "action")
-      val composedEq = composed.exceptAll(direct).isEmpty &&
-        direct.exceptAll(composed).isEmpty
+      val composedEq = Checks.multisetEqual(composed, direct)
       // noop-class validation against the read-backs themselves
       val v0r = Versions.read(s, root, 0)
       val v3r = Versions.read(s, root, 3)
@@ -1381,7 +1380,7 @@ object LakeQueries {
         .unionByName(sig(dst, 0, "branch:v0"))
         .unionByName(sig(dst, 1, "branch:v1"))
       val sv0 = Versions.read(s, src, 0)
-      val sameV0 = bv0.exceptAll(sv0).isEmpty && sv0.exceptAll(bv0).isEmpty
+      val sameV0 = Checks.multisetEqual(bv0, sv0)
       val diverged = Versions.read(s, dst, 1)
         .exceptAll(Versions.read(s, src, 1)).count() > 0
       import s.implicits._
@@ -1483,8 +1482,7 @@ object LakeQueries {
         .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
         .select(lit("cur:total").as("tag"), col("n"), col("cents_sum"))
       val late = Versions.read(s, root, snap)
-      val repeatable = late.exceptAll(early).isEmpty &&
-        early.exceptAll(late).isEmpty
+      val repeatable = Checks.multisetEqual(late, early)
       import s.implicits._
       val chks = Seq(
         ("chk:pin_stable", snap == 0 && Versions.snapshot(root) == 2),
@@ -1650,10 +1648,8 @@ object LakeQueries {
       val chainStillReads = Versions.read(s, root, 2).count() > 0
       val v2Resolved = Versions.read(s, root, 2).localCheckpoint()
       Versions.compactDeletes(s, root)                              // v3 full
-      val compactEquiv = {
-        val v3 = Versions.read(s, root, 3)
-        v3.exceptAll(v2Resolved).isEmpty && v2Resolved.exceptAll(v3).isEmpty
-      }
+      val compactEquiv =
+        Checks.multisetEqual(Versions.read(s, root, 3), v2Resolved)
       val postReclaim = Versions.vacuum(root, keepFrom = 3)
       val survived = Versions.read(s, root).count() == v2Resolved.count()
       import s.implicits._
@@ -1745,8 +1741,7 @@ object LakeQueries {
       val v2Resolved = Versions.read(s, root, 2).localCheckpoint()
       Versions.compactDeletes(s, root)                              // v3 full
       val v3 = Versions.read(s, root, 3)
-      val compactEquiv = v3.exceptAll(v2Resolved).isEmpty &&
-        v2Resolved.exceptAll(v3).isEmpty
+      val compactEquiv = Checks.multisetEqual(v3, v2Resolved)
       import s.implicits._
       val chks = Seq(
         ("chk:base_untouched", baseUntouched),
@@ -1809,8 +1804,7 @@ object LakeQueries {
       // txn-less maintenance rewrite racing the (finished) stream epoch
       TxLog.readModifyWrite(s, root)(base => base.get.repartition(1))
       val viewAfter = TxLog.read(s, root)
-      val preserved = viewAfter.exceptAll(viewBefore).isEmpty &&
-        viewBefore.exceptAll(viewAfter).isEmpty
+      val preserved = Checks.multisetEqual(viewAfter, viewBefore)
       // a stale writer (expected = pre-maintenance version) must
       // conflict, never clobber the maintenance commit
       val conflicted =
@@ -2366,8 +2360,7 @@ object LakeQueries {
       // compaction collapses the chain into an equivalent full version
       val v3 = TxLog.compact(s, root)
       val full = TxLog.read(s, root, v3)
-      val compactEquiv = v3 == 3 &&
-        full.exceptAll(finDf).isEmpty && finDf.exceptAll(full).isEmpty
+      val compactEquiv = v3 == 3 && Checks.multisetEqual(full, finDf)
       // ... after which the whole chain is reclaimable, reads loud
       val reclaimed = TxLog.vacuum(root, keepFrom = 3)
       val oldLoud =
@@ -2836,8 +2829,11 @@ object LakeQueries {
       import graft.lake.{Catalog, CommitConflict, TxLog, Versions}
       import graft.lake.Catalog.{DeleteKeys, Put, TxLogCore, UpsertRows}
       import s.implicits._
+      // checkpointed once: the protocol scans this projection from ~10
+      // commits and a dozen probes — one materialization, not N scans
       val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint()
       def balSum(df: org.apache.spark.sql.DataFrame): Long = df
         .agg(coalesce(sum("cents"), lit(0L))).collect()(0).getLong(0) // 1 row
       def auditRow(op: String, n: Long, delta: Long) =
@@ -2845,11 +2841,18 @@ object LakeQueries {
       def withAudit(snap: Map[String, Int], op: String, n: Long, delta: Long) =
         Catalog.read(s, root, "audit", snap).unionByName(auditRow(op, n, delta))
       val baseSum = balSum(cust)
-      // the cross-member invariant only atomic commits can maintain
-      def invariantAt(asOf: Map[String, Int]): Boolean =
-        balSum(Catalog.read(s, root, "bank", asOf)) == baseSum +
-          Catalog.read(s, root, "audit", asOf)
-            .agg(coalesce(sum("delta"), lit(0L))).collect()(0).getLong(0)
+      // the cross-member invariant only atomic commits can maintain —
+      // both member sums in ONE job (a 1-row cross join of two 1-row
+      // aggregates; this ran as two collect actions before r14)
+      def invFrame(asOf: Map[String, Int]) =
+        Catalog.read(s, root, "bank", asOf)
+          .agg(coalesce(sum("cents"), lit(0L)).as("b"))
+          .crossJoin(Catalog.read(s, root, "audit", asOf)
+            .agg(coalesce(sum("delta"), lit(0L)).as("a")))
+      def invariantAt(asOf: Map[String, Int]): Boolean = {
+        val r = invFrame(asOf).collect()(0)
+        r.getLong(0) == baseSum + r.getLong(1)
+      }
       // txn0: MIXED-core creation in one transaction
       val snap0 = Catalog.commitUpdates(root, Map(
         "bank" -> Put(cust, TxLogCore),
@@ -2886,10 +2889,16 @@ object LakeQueries {
       def dataDir(n: Int) = Option(
           new java.io.File(s"$root/bank").listFiles()).toSeq.flatten
         .find(f => f.isDirectory && f.getName.startsWith(s"d$n-")).get
-      val dvPhysical = s.read.parquet(dataDir(1).getAbsolutePath).count() ==
-        cust.filter(pmod(col("k"), lit(7)) === 0).count()
-      val upPhysical = s.read.parquet(dataDir(2).getAbsolutePath).count() ==
-        upRows.count()
+      // four physical-proof counts in ONE job (tagged-union counting)
+      val physCnt = Seq(
+        s.read.parquet(dataDir(1).getAbsolutePath).select(lit(0).as("t")),
+        cust.filter(pmod(col("k"), lit(7)) === 0).select(lit(1).as("t")),
+        s.read.parquet(dataDir(2).getAbsolutePath).select(lit(2).as("t")),
+        upRows.select(lit(3).as("t"))
+      ).reduce(_ union _).groupBy("t").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val dvPhysical = physCnt(0) == physCnt(1)
+      val upPhysical = physCnt(2) == physCnt(3)
       // a CRASHED transaction's garbage at the overlay slot: the next
       // overlay conflicts AT THE MEMBER CAS (committing on top would
       // resolve through the garbage) and the sibling Versions member's
@@ -2925,11 +2934,18 @@ object LakeQueries {
       }
       // cross-core repeatable read: the snap1 cut is still consistent
       // and still shows PRE-upsert sums
-      val asofOk = invariantAt(snap1) &&
-        balSum(Catalog.read(s, root, "bank", snap1)) !=
-          balSum(Catalog.read(s, root, "bank", snapF))
-      val allSnapsOk = Seq(snap0, snap1, snap2, snapR, snapF)
-        .forall(invariantAt)
+      // five per-snapshot invariants + the two as-of sums in ONE job:
+      // snapshots pin immutable files, so batching their evaluation
+      // does not weaken the gate (this ran ~12 collect actions)
+      val snapRows = Seq(snap0, snap1, snap2, snapR, snapF).zipWithIndex
+        .map { case (sn, i) => invFrame(sn).select(lit(i).as("t"),
+          col("b"), col("a")) }
+        .reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val allSnapsOk = snapRows.values.forall { case (b, a) =>
+        b == baseSum + a }
+      val asofOk = snapRows(1)._1 == baseSum + snapRows(1)._2 &&
+        snapRows(1)._1 != snapRows(4)._1 // snap1 vs snapF bank sums
       def sig(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
           .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
@@ -2958,7 +2974,7 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      Q.sealResult(sigRows.unionByName(chks).orderBy("tag"), sigRows)
+      Q.sealResult(sigRows.unionByName(chks).orderBy("tag"), sigRows, cust)
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -3116,8 +3132,7 @@ object LakeQueries {
         val stale = ask().localCheckpoint()
         val staleFired = fired(ask())
         val sliceTruth = viewOf(ev.filter(col("event_id") % 10 =!= 0))
-        val staleConsistent = stale.exceptAll(sliceTruth).isEmpty &&
-          sliceTruth.exceptAll(stale).isEmpty
+        val staleConsistent = Checks.multisetEqual(stale, sliceTruth)
         // ONE refresh call: merge the delta, commit — no re-register
         ViewRewrite.refresh(s, spec, ev.filter(col("event_id") % 10 === 0))
         val freshScans = ViewRewrite.scannedPaths(ask())
@@ -3193,15 +3208,17 @@ object LakeQueries {
         .runViewIndexCatalog(s, d, root, nFiles = 4)
       val cur = Catalog.catalogVersion(root)
       // the exactly-once PAIR property: view.id_max ≡ index.last_id per
-      // type at EVERY cataloged snapshot — a torn batch breaks this
-      val atomicPair = (0 to cur).forall { v =>
+      // type at EVERY cataloged snapshot — a torn batch breaks this.
+      // All snapshots batched into ONE job ([[Checks.allMultisetEqual]]
+      // — this loop ran 2 shuffling actions per snapshot before r14)
+      val atomicPair = Checks.allMultisetEqual((0 to cur).map { v =>
         val snap = Catalog.snapshotAt(root, v)
         val vm = Catalog.read(s, root, "view", snap)
           .select(col("event_type"), col("id_max"))
         val ix = Catalog.read(s, root, "index", snap)
           .select(col("event_type"), col("last_id").as("id_max"))
-        vm.exceptAll(ix).isEmpty && ix.exceptAll(vm).isEmpty
-      }
+        (vm, ix)
+      })
       val oneTxnPerBatch = cur.toLong == nBatches - 1 &&
         Catalog.lastTxn(root) == nBatches - 1
       // redelivered epoch: skipped across BOTH tables, no new record
@@ -3433,7 +3450,7 @@ object LakeQueries {
       val s2 = ViewRewrite.refresh(s, mv, None, Some(del2))
       val got = Versions.read(s, root).localCheckpoint()
       val want = viewOf(rem2)
-      val matches = got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty
+      val matches = Checks.multisetEqual(got, want)
       // the retraction must not break the claims the rewrite rule needs
       val unclaimedLoud =
         try { ViewRewrite.refresh(s, mv.copy(nonNullCols = Set.empty),
@@ -3532,13 +3549,18 @@ object LakeQueries {
         tRoot, "k", expected = 1, autoCompactAt = 0)
       val gotV = Versions.read(s, vRoot).localCheckpoint()
       val gotT = TxLog.read(s, tRoot)
-      val coresAgree = gotV.exceptAll(gotT).isEmpty &&
-        gotT.exceptAll(gotV).isEmpty
-      val nullBackfilled = gotV.filter(col("tier").isNull).count() ==
-        gotV.count() - gotV.filter(col("tier") === "gold").count() &&
-        gotV.filter(col("tier").isNull).count() > 0
-      val dvComposes = gotV.filter(col("k") % 10 === 3).count() == 0 &&
-        gotV.count() < nBase
+      val coresAgree = Checks.multisetEqual(gotV, gotT)
+      // all scalar probes over the checkpointed read in ONE aggregation
+      // (this ran six separate count() actions before r14)
+      val p = gotV.agg(
+        sum(when(col("tier").isNull, 1L).otherwise(0L)),
+        sum(when(col("tier") === "gold", 1L).otherwise(0L)),
+        count(lit(1)),
+        sum(when(col("k") % 10 === 3, 1L).otherwise(0L))).collect()(0)
+      val (nNullTier, nGold, nAll, nDv3) =
+        (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
+      val nullBackfilled = nNullTier == nAll - nGold && nNullTier > 0
+      val dvComposes = nDv3 == 0 && nAll < nBase
       val rows = gotV.groupBy(
           coalesce(col("tier"), lit("(base)")).as("tier"), col("seg"))
         .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
@@ -3750,27 +3772,26 @@ object LakeQueries {
       val feed = ChangeFeed.changesBetween(s, tRoot).localCheckpoint()
       val ct = col(ChangeFeed.ChangeType)
       val cv = col(ChangeFeed.CommitVersion)
-      // per-step exactness: prev ⊎ inserts ∖ deletes = next, every step
+      // per-step exactness: prev ⊎ inserts ∖ deletes = next, every
+      // step — telescoped to `prev ⊎ ins ≡ next ⊎ del` (identical for
+      // any correct feed, stricter on a phantom delete) and ALL five
+      // steps batched into ONE job ([[Checks.allMultisetEqual]]; this
+      // ran 2 shuffling actions per version before r14)
       def evolved(v: Int) = Versions.readEvolved(s, tRoot, v)
-      val stepsMatch = (1 to 4).forall { v =>
+      val stepsMatch = Checks.allMultisetEqual((1 to 4).map { v =>
         val ins = feed.filter(cv === v && ct === "insert")
           .select("k", "seg", "cents", "tier")
         val del = feed.filter(cv === v && ct === "delete")
           .select("k", "seg", "cents", "tier")
-        val applied = evolved(v - 1).unionByName(ins).exceptAll(del)
-        val nxt = evolved(v)
-        applied.exceptAll(nxt).isEmpty && nxt.exceptAll(applied).isEmpty
-      } && {
-        val ins0 = feed.filter(cv === 0).select("k", "seg", "cents", "tier")
-        ins0.exceptAll(evolved(0)).isEmpty &&
-          evolved(0).exceptAll(ins0).isEmpty
-      }
+        (evolved(v - 1).unionByName(ins), evolved(v).unionByName(del))
+      } :+ {
+        (feed.filter(cv === 0).select("k", "seg", "cents", "tier"),
+          evolved(0))
+      })
       val (insAll, delAll) = ChangeFeed.splitFeed(feed)
-      val telescopes = {
-        val applied = insAll.get.exceptAll(delAll.get)
-        val cur = evolved(4)
-        applied.exceptAll(cur).isEmpty && cur.exceptAll(applied).isEmpty
-      }
+      // whole-window telescoping, same telescoped single-job form
+      val telescopes = Checks.multisetEqual(
+        insAll.get, evolved(4).unionByName(delAll.get))
       // the feed DRIVES the retraction-aware MV refresh end-to-end
       val mv = MatView(basePath = s"$tRoot/unused", keyCols = Seq("seg"),
         countCol = Some("n"), sumCols = Map("cents" -> "cents_sum"),
@@ -3783,27 +3804,40 @@ object LakeQueries {
           sum("cents").as("cents_sum"), min("cents").as("cents_min"),
           max("cents").as("cents_max"))
       Versions.commit(viewOf(Versions.read(s, tRoot, 0)), vRoot)
+      // which (version, side) pairs are present, in ONE job — the loop
+      // probed the feed with 2 isEmpty actions per version before r14
+      val present = feed.groupBy(cv, ct).count().collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      val payload = Seq("k", "seg", "cents", "tier")
       (1 to 4).foreach { v =>
-        val (ins, del) = ChangeFeed.splitFeed(feed.filter(cv === v))
+        def sideOf(tpe: String) =
+          if (!present((v, tpe))) None
+          else Some(feed.filter(cv === v && ct === tpe)
+            .select(payload.map(col): _*))
+        val (ins, del) = (sideOf("insert"), sideOf("delete"))
         if (ins.isDefined || del.isDefined)
           ViewRewrite.refresh(s, mv, ins, del,
             base = Some(Versions.read(s, tRoot, v)))
       }
       val got = Versions.read(s, vRoot).localCheckpoint()
       val want = viewOf(evolved(4))
-      val viewMatches = got.exceptAll(want).isEmpty &&
-        want.exceptAll(got).isEmpty
+      val viewMatches = Checks.multisetEqual(got, want)
       val stepRows = feed.groupBy(
           concat(lit("v"), cv, lit(":"), ct).as("tag"))
         .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
       val segRows = got.select(concat(lit("seg:"), col("seg")).as("tag"),
         col("n"), col("cents_sum"))
       import s.implicits._
+      // three silence probes over the checkpointed feed in ONE
+      // aggregation job (each was its own filter+isEmpty action)
+      val silences = feed.agg(
+        max(col("k") === -999L).as("absent"),
+        max(cv === 3).as("maint"),
+        max(cv < 4 && col("tier").isNotNull).as("preEvo")).collect()(0)
       val chks = Seq(
-        ("chk:absent_key_silent", feed.filter(col("k") === -999L).isEmpty),
-        ("chk:compaction_silent", feed.filter(cv === 3).isEmpty),
-        ("chk:pre_evolution_null",
-          feed.filter(cv < 4 && col("tier").isNotNull).isEmpty),
+        ("chk:absent_key_silent", silences.getBoolean(0) == false),
+        ("chk:compaction_silent", silences.getBoolean(1) == false),
+        ("chk:pre_evolution_null", silences.getBoolean(2) == false),
         ("chk:steps_match_diffs", stepsMatch),
         ("chk:telescopes", telescopes),
         ("chk:view_matches_recompute", viewMatches)

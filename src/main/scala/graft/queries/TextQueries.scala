@@ -1360,8 +1360,7 @@ object TextQueries {
       val nTombs = s.read.parquet(s"$idx/tombstones").count()
       val onePass = nTombs == tombIds.count() // still unfolded: no compact
       val live2 = Ivf.liveAssigned(s, idx2).select("vec_id")
-      val orderFree = live.exceptAll(live2).isEmpty &&
-        live2.exceptAll(live).isEmpty
+      val orderFree = Checks.multisetEqual(live, live2)
       val staleDead =
         live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi")
           .count() == 0
@@ -1776,8 +1775,7 @@ object TextQueries {
           pre.filter(pmod(col("nid"), lit(7)) === 3).count() > 0),
         ("excludes_deleted",
           mid.filter(pmod(col("nid"), lit(7)) === 3).count() == 0),
-        ("probe_stable",
-          mid.exceptAll(post).isEmpty && post.exceptAll(mid).isEmpty),
+        ("probe_stable", Checks.multisetEqual(mid, post)),
         ("recall_floor", hitsMid * 4 >= nTruth),
         ("tombstones_cleared",
           !new java.io.File(s"$dir/tombstones").isDirectory)
@@ -1950,8 +1948,7 @@ object TextQueries {
       val post = s.read.parquet(s"$dir/assigned")
       val postCold = post.filter(!col("cluster").isin(newIds: _*))
         .select("vec_id", "cluster")
-      val stable = postCold.exceptAll(preCold).isEmpty &&
-        preCold.exceptAll(postCold).isEmpty
+      val stable = Checks.multisetEqual(postCold, preCold)
       // ---- the same drifted distribution through the NEW routing
       val rPost = routing(drifted(heldB))
       val postMaxPpm = rPost.agg(max(expr(s"n_b * 1000000 div $nB")))
@@ -2366,8 +2363,7 @@ object TextQueries {
       val tombstonesDropped =
         !new java.io.File(s"$idx/tombstones").isDirectory
       val probeAfter = probe()
-      val probeStable = probeAfter.exceptAll(wantProbe).isEmpty &&
-        wantProbe.exceptAll(probeAfter).isEmpty
+      val probeStable = Checks.multisetEqual(probeAfter, wantProbe)
       // PARTIAL RETRAIN of two cells: rows conserved, codes+seq ride
       // the rewrite, codebooks byte-identical
       val liveBefore = Ivf.liveAssigned(s, idx).count()
