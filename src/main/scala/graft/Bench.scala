@@ -102,6 +102,7 @@ object Bench {
     // jitter only ever ADD time); every individual run lands in the
     // durable artifact so round-over-round variance is inspectable.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    var hygieneCounter = 0
     val results = selected.map { q =>
       val streamsBefore = streamCount
       def once(): Double = {
@@ -139,6 +140,25 @@ object Bench {
       }
       // ---- timed runs ----
       val timed = Seq.fill(reps)(once())
+      // ---- between-query hygiene (OUTSIDE the timed section) ----
+      // Each run localCheckpoints its result (Q.sealResult), and the
+      // marathon's 360 queries x (warmup + reps) runs leave those
+      // blocks pinned until the ContextCleaner's weak references are
+      // GC'd — which a 24 GB heap under no allocation pressure may not
+      // do for the whole marathon. The accumulated block-manager state
+      // (and the shuffle files whose cleanup is likewise GC-driven) is
+      // ambient pressure that inflates LATER queries' numbers (r13
+      // adjudication: marathon captures ran ~x1.1-1.2 vs isolated
+      // probes on identical code). Dropping the leaked blocks after
+      // each query's timed runs — plus a periodic GC nudge so the
+      // cleaner actually reaps shuffle/broadcast state — keeps
+      // per-query numbers attributable. No timed semantics change:
+      // every timed run still computes from the parquet inputs (there
+      // was never cross-query block reuse to lose).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      hygieneCounter += 1
+      if (hygieneCounter % 40 == 0) System.gc()
       (q.name, timed.min, warmupSec +: timed)
     }
     // Short keys ("q63" not "q63_contamination") and ms precision keep the

@@ -26,7 +26,7 @@ object ProfileQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
-    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String, Int)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String, Int, Long)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
@@ -36,7 +36,7 @@ object ProfileQ {
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobs.remove(e.jobId)).foreach { case (t0, site, nTasks) =>
-          done.add((e.jobId, e.time - t0, site, nTasks)); ()
+          done.add((e.jobId, e.time - t0, site, nTasks, e.time)); ()
         }
       }
     })
@@ -55,13 +55,26 @@ object ProfileQ {
         // moment to drain so every job is attributed (diagnostic only)
         Thread.sleep(500)
         import scala.jdk.CollectionConverters._
-        val js = done.asScala.toSeq.sortBy(-_._2)
+        val js = done.asScala.toSeq.map(t => (t._1, t._2, t._3, t._4))
+          .sortBy(-_._2)
         val jobMs = js.map(_._2).sum
         println(f"== ${q.name}: wall ${wallMs / 1000}%.2fs, " +
           f"${js.size} jobs totalling ${jobMs / 1000.0}%.2fs " +
           f"(driver-side gap ${(wallMs - jobMs) / 1000}%.2fs)")
-        js.take(40).foreach { case (id, ms, site, nTasks) =>
+        js.take(25).foreach { case (id, ms, site, nTasks) =>
           println(f"   job $id%4d $ms%6dms $nTasks%4d tasks  $site")
+        }
+        // driver stalls: the biggest gaps BETWEEN consecutive jobs,
+        // attributed to the NEXT job's call site (plan building, file
+        // ops, commit protocol — whatever ran with no job active)
+        val ordered = done.asScala.toSeq.sortBy(_._1)
+        ordered.sliding(2).flatMap {
+          case Seq((_, _, _, _, e1), (id2, d2, site2, _, e2)) =>
+            val gap = (e2 - e1) - d2 // idle span before job id2 started
+            Some((gap, id2, site2)).filter(_._1 > 0)
+          case _ => None
+        }.toSeq.sortBy(-_._1).take(15).foreach { case (gap, id, site) =>
+          println(f"   gap before job $id%4d: $gap%6dms  $site")
         }
       }
     spark.stop()
