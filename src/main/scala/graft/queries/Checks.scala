@@ -82,4 +82,17 @@ object Checks {
     require(frames.nonEmpty, "allEmpty of no frames")
     frames.map(_.select(lit(1).as("_t"))).reduce(_ union _).isEmpty
   }
+
+  /** Per-frame row counts, in ONE tagged-union job (vs one `count()`
+    * each): frame i is projected to the literal tag i, the tags are
+    * union-counted, and the result comes back positionally (0 for a
+    * frame that contributed no rows). */
+  def counts(frames: Seq[DataFrame]): Seq[Long] = {
+    require(frames.nonEmpty, "counts of no frames")
+    val byTag = frames.zipWithIndex
+      .map { case (f, i) => f.select(lit(i).as("_t")) }
+      .reduce(_ union _).groupBy("_t").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    frames.indices.map(i => byTag.getOrElse(i, 0L))
+  }
 }

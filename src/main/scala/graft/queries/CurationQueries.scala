@@ -173,9 +173,10 @@ object CurationQueries {
     val bFp = batch.select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .localCheckpoint() // referenced twice below; dedup runs once
     // both sides are fingerprint-distinct by construction, so equal
-    // counts + one empty set-difference proves set equality (one batch
-    // pass instead of two exceptAll scans)
-    val matches = sFp.count() == bFp.count() && sFp.except(bFp).isEmpty
+    // counts + one empty set-difference proves set equality — and all
+    // three probes land in ONE tagged job (was 3 actions)
+    val c = Checks.counts(Seq(sFp, bFp, sFp.except(bFp)))
+    val matches = c(0) == c(1) && c(2) == 0
     streamed.agg(count(lit(1)).as("n_unique"))
       .select(col("n_unique"), lit(matches).as("matches_batch"))
   }
@@ -207,10 +208,14 @@ object CurationQueries {
     // than one gap (+60s boundary slop) must have timed out and been
     // emitted; anything younger may legitimately still be open state
     val closedHorizon = maxTs - 2L * gapMin * 60 - 60
-    val subset = streamed.except(batch).isEmpty
-    val closedEmitted = batch.filter(col("end_epoch") < closedHorizon)
-      .except(streamed).isEmpty
-    val nonempty = streamed.count() > 0
+    // three gate probes in ONE tagged job (was 3 actions)
+    val c = Checks.counts(Seq(
+      streamed.except(batch),
+      batch.filter(col("end_epoch") < closedHorizon).except(streamed),
+      streamed))
+    val subset = c(0) == 0
+    val closedEmitted = c(1) == 0
+    val nonempty = c(2) > 0
     s.range(1).select(
       lit(closedEmitted).as("closed_sessions_all_emitted"),
       lit(nonempty).as("stream_nonempty"),

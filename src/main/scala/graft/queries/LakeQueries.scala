@@ -1225,16 +1225,23 @@ object LakeQueries {
       val v3r = Versions.read(s, root, 3)
       val trans = net.filter(col("action") === "net_noop_transient")
         .select("k").localCheckpoint()
-      val transOk = trans.count() > 0 &&
-        trans.join(v0r, Seq("k"), "left_semi").count() == 0 &&
-        trans.join(v3r, Seq("k"), "left_semi").count() == 0
       val revs = net.filter(col("action") === "net_noop_reverted")
         .select("k").localCheckpoint()
-      val revsOk = revs.count() > 0 &&
+      // all six noop-class probes in ONE tagged-union job (was 6
+      // separate count actions over the two checkpointed key sets)
+      val nc = Seq(
+        trans.select(lit(0).as("t")),
+        trans.join(v0r, Seq("k"), "left_semi").select(lit(1).as("t")),
+        trans.join(v3r, Seq("k"), "left_semi").select(lit(2).as("t")),
+        revs.select(lit(3).as("t")),
         revs.join(v0r.select(col("k"), col("cents").as("c0")), Seq("k"))
           .join(v3r.select(col("k"), col("cents").as("cN")), Seq("k"))
-          .filter(col("c0") =!= col("cN")).count() == 0 &&
-        revs.join(v0r, Seq("k"), "left_anti").count() == 0
+          .filter(col("c0") =!= col("cN")).select(lit(4).as("t")),
+        revs.join(v0r, Seq("k"), "left_anti").select(lit(5).as("t"))
+      ).reduce(_ union _).groupBy("t").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val transOk = nc(0) > 0 && nc(1) == 0 && nc(2) == 0
+      val revsOk = nc(3) > 0 && nc(4) == 0 && nc(5) == 0
       import s.implicits._
       val chks = Seq(
         ("chk:composed_equals_direct", composedEq),
@@ -1641,8 +1648,8 @@ object LakeQueries {
         .unionByName(sig(2, "v2")).localCheckpoint()
       // physical O(|keys|): the v1 dir holds exactly the deleted keys
       val rawDv = s.read.parquet(s"$root/v1")
-      val dvOk = rawDv.columns.toSeq == Seq("k") &&
-        rawDv.count() == del1.distinct().count()
+      val dvCnt = Checks.counts(Seq(rawDv, del1.distinct())) // one job
+      val dvOk = rawDv.columns.toSeq == Seq("k") && dvCnt(0) == dvCnt(1)
       // vacuum before compaction: floor auto-lowers to the chain base
       val preReclaim = Versions.vacuum(root, keepFrom = 2)
       val chainStillReads = Versions.read(s, root, 2).count() > 0
@@ -1733,8 +1740,9 @@ object LakeQueries {
         .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
       val rows = sig(0, "v0").unionByName(sig(1, "v1"))
         .unionByName(sig(2, "v2")).localCheckpoint()
-      val deltaOk =
-        s.read.parquet(s"$root/v1").count() == delta.count()
+      val deltaCnt = Checks.counts(
+        Seq(s.read.parquet(s"$root/v1"), delta)) // one job
+      val deltaOk = deltaCnt(0) == deltaCnt(1)
       val branchRefused =
         try { Versions.branch(root, br); false }
         catch { case _: IllegalArgumentException => true }
@@ -2163,13 +2171,23 @@ object LakeQueries {
     val root = graft.io.Sources.scratchDir("graft_catalog")
     try {
       import graft.lake.{Catalog, Versions}
+      // checkpointed once: ~8 commits and a dozen probes scan this
       val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint()
       def balSum(df: org.apache.spark.sql.DataFrame, c: String): Long =
         df.agg(sum(c)).collect()(0).getLong(0)
-      def invariantHolds(asOf: Map[String, Int]): Boolean =
-        balSum(Catalog.read(s, root, "accounts", asOf), "bal") ==
-          balSum(Catalog.read(s, root, "ledger", asOf), "amount")
+      // both member sums in ONE job per probe (1-row cross join; this
+      // ran two collect actions per call before r14)
+      def invFrame(asOf: Map[String, Int]) =
+        Catalog.read(s, root, "accounts", asOf)
+          .agg(sum("bal").as("b"))
+          .crossJoin(Catalog.read(s, root, "ledger", asOf)
+            .agg(sum("amount").as("a")))
+      def invariantHolds(asOf: Map[String, Int]): Boolean = {
+        val r = invFrame(asOf).collect()(0)
+        r.getLong(0) == r.getLong(1)
+      }
       // txn0: open the books — accounts seeded, ledger mirrors them
       Catalog.commitAll(root, Map(
         "accounts" -> cust.select(col("k"), col("cents").as("bal")),
@@ -2236,14 +2254,20 @@ object LakeQueries {
             cust.filter(col("k") % 4 === 1)
               .select(col("k"), lit(13L).as("amount"))))
       }
-      val rebaseApplied = invariantHolds(snap4)
+      // rebase + as-of + all-snapshot invariants in ONE tagged job:
+      // snapshots pin immutable files, so batching their evaluation
+      // does not weaken any gate (this ran ~14 collect actions)
+      val snapRows = Seq(snap0, snap1, snap2, snap3, snap4).zipWithIndex
+        .map { case (sn, i) =>
+          invFrame(sn).select(lit(i).as("t"), col("b"), col("a")) }
+        .reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val rebaseApplied = snapRows(4)._1 == snapRows(4)._2
       // cross-table repeatable read: the snap1 pair is still internally
       // consistent after txn2 committed, and still shows PRE-txn2 sums
-      val asofOk = invariantHolds(snap1) &&
-        balSum(Catalog.read(s, root, "accounts", snap1), "bal") !=
-          balSum(Catalog.read(s, root, "accounts", snap2), "bal")
-      val allSnapsOk =
-        Seq(snap0, snap1, snap2, snap3, snap4).forall(invariantHolds)
+      val asofOk = snapRows(1)._1 == snapRows(1)._2 &&
+        snapRows(1)._1 != snapRows(2)._1
+      val allSnapsOk = snapRows.values.forall { case (b, a) => b == a }
       // snapshot-derived retention: history goes, cataloged reads stay
       val reclaimed = Catalog.vacuumTo(root)
       val vacuumSafe = reclaimed > 0 && invariantHolds(Catalog.snapshot(root))
@@ -2265,8 +2289,7 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      rows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"), cust)
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
@@ -2318,8 +2341,10 @@ object LakeQueries {
     val root = graft.io.Sources.scratchDir("graft_txlog_mor")
     try {
       import graft.lake.{CommitConflict, TxLog}
+      // checkpointed once: the commits and physical proofs rescan it
       val cust = table(s, d, "customer").select(col("c_custkey").as("k"),
         round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+        .localCheckpoint()
       val nBase = cust.count()
       TxLog.commit(cust, root, expected = -1) // v0, full
       // two writers prepared on v0
@@ -2340,11 +2365,18 @@ object LakeQueries {
       def dataDir(n: Int) = Option(new java.io.File(root).listFiles())
         .toSeq.flatten
         .find(f => f.isDirectory && f.getName.startsWith(s"d$n-")).get
-      val dvPhysical =
-        s.read.parquet(dataDir(1).getAbsolutePath).count() == delKeys.count()
-      val upPhysical =
-        s.read.parquet(dataDir(2).getAbsolutePath).count() == upRows.count()
-      val timeTravel = TxLog.read(s, root, 0).count() == nBase
+      // five physical-proof counts in ONE tagged job (was 5 actions)
+      val pc = Seq(
+        s.read.parquet(dataDir(1).getAbsolutePath).select(lit(0).as("t")),
+        delKeys.select(lit(1).as("t")),
+        s.read.parquet(dataDir(2).getAbsolutePath).select(lit(2).as("t")),
+        upRows.select(lit(3).as("t")),
+        TxLog.read(s, root, 0).select(lit(4).as("t"))
+      ).reduce(_ union _).groupBy("t").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val dvPhysical = pc(0) == pc(1)
+      val upPhysical = pc(2) == pc(3)
+      val timeTravel = pc(4) == nBase
       def sig(df: org.apache.spark.sql.DataFrame, tag: String) =
         df.agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
           .select(lit(tag).as("tag"), col("n"), col("cents_sum"))
@@ -2380,10 +2412,8 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("cents_sum"))
-      val out = sigRows.unionByName(chks).orderBy("tag")
-        .localCheckpoint() // result must not reference the removed files
-      sigRows.unpersist() // drop the intermediate's blocks, keep out's
-      out
+      Q.sealResult(sigRows.unionByName(chks).orderBy("tag"),
+        sigRows, cust)
     } finally graft.io.Sources.removeScratchDir(root)
   }
 

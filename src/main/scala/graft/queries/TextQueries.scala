@@ -1354,25 +1354,28 @@ object TextQueries {
           .filter(pmod(col("vec_id"), lit(5)) === 4))
         .localCheckpoint()
       val live = Ivf.liveAssigned(s, idx).select("vec_id").localCheckpoint()
-      val liveEq =
-        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
-          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
-      val nTombs = s.read.parquet(s"$idx/tombstones").count()
-      val onePass = nTombs == tombIds.count() // still unfolded: no compact
       val live2 = Ivf.liveAssigned(s, idx2).select("vec_id")
       val orderFree = Checks.multisetEqual(live, live2)
-      val staleDead =
-        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi")
-          .count() == 0
       val queries = v1r.filter(col("vec_id") < 40)
       val got = Ivf.probeIndex(queries, idx, k = 10, nProbe = 8)
         .select("qid", "nid")
       val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
         .select("qid", "nid")
-      val recallOk = {
-        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
-        hits.toDouble / truth.count() >= 0.6
-      }
+      // all seven gate counts in ONE tagged job (was 7 actions: the
+      // two liveEq anti-join probes, tombstone/count pair, stale-readd
+      // probe, and the recall hit/truth pair)
+      val c = Checks.counts(Seq(
+        live.join(v1r, Seq("vec_id"), "left_anti"),
+        v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti"),
+        s.read.parquet(s"$idx/tombstones"),
+        tombIds,
+        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi"),
+        got.join(truth, Seq("qid", "nid"), "left_semi"),
+        truth))
+      val liveEq = c(0) == 0 && c(1) == 0
+      val onePass = c(2) == c(3) // still unfolded: no compact
+      val staleDead = c(4) == 0
+      val recallOk = c(5).toDouble / c(6) >= 0.6
       val rows = del.select(lit("act:deleted").as("tag"), col("vec_id"))
         .groupBy("tag").agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .unionByName(ins.groupBy(lit("act:inserted").as("tag"))
@@ -1423,12 +1426,25 @@ object TextQueries {
       .select("qid", "nid").localCheckpoint()
     // 4 bounded driver scalars (hit/row counts per probe width) — the
     // sweep itself, not a fact-table collect
-    val sweep = Seq(1, 2, 4, 8).map { np =>
-      val pr = graft.sim.Ivf.probeIndex(q, dir, k = k, nProbe = np)
-        .select("qid", "nid").localCheckpoint()
-      (np, pr.intersect(bf).count(), pr.count())
-    }
+    // the whole sweep in TWO jobs (was 3 actions PER width): tag each
+    // width's probe, union, checkpoint once; hits ride a left join
+    // against the (unique-pair) brute truth so rows and hits come out
+    // of ONE aggregation — intersect ≡ hit-count here because (qid,
+    // nid) is unique on both sides (top-k per query, distinct nids)
+    val tagged = Seq(1, 2, 4, 8).map { np =>
+      graft.sim.Ivf.probeIndex(q, dir, k = k, nProbe = np)
+        .select("qid", "nid").withColumn("np", lit(np))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val byNp = tagged
+      .join(bf.withColumn("_hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("np").agg(count(col("_hit")).as("hits"),
+        count(lit(1)).as("rows")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sweep = Seq(1, 2, 4, 8).map(np =>
+      (np, byNp.get(np).map(_._1).getOrElse(0L),
+        byNp.get(np).map(_._2).getOrElse(0L)))
     val nQ = q.count()
+    tagged.unpersist()
     val monotone = sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2)
     val floor8 = sweep.last._2.toDouble / (nQ * k) >= 0.25
     // a 1-cell probe can hold fewer than k candidates — completeness
@@ -1505,12 +1521,23 @@ object TextQueries {
     val dir = graft.sim.IvfPq.persistedIndex(s, d)
     val bf = Similarity.bruteForceTopK(q, emb, k = k)
       .select("qid", "nid").localCheckpoint()
-    val sweep = Seq(4, 8, 16, 32).map { np =>
-      val pr = graft.sim.IvfPq.probeIndex(q, dir, k = k, nProbe = np,
-        shortlist = 100).select("qid", "nid").localCheckpoint()
-      (np, pr.intersect(bf).count(), pr.count())
-    }
+    // whole sweep in TWO jobs — same tagged-union form as q272 (was
+    // 3 actions per width; (qid, nid) unique both sides, so the hit
+    // count from a left join equals the old intersect().count())
+    val tagged = Seq(4, 8, 16, 32).map { np =>
+      graft.sim.IvfPq.probeIndex(q, dir, k = k, nProbe = np,
+        shortlist = 100).select("qid", "nid").withColumn("np", lit(np))
+    }.reduce(_ unionByName _).localCheckpoint()
+    val byNp = tagged
+      .join(bf.withColumn("_hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("np").agg(count(col("_hit")).as("hits"),
+        count(lit(1)).as("rows")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sweep = Seq(4, 8, 16, 32).map(np =>
+      (np, byNp.get(np).map(_._1).getOrElse(0L),
+        byNp.get(np).map(_._2).getOrElse(0L)))
     val nQ = q.count()
+    tagged.unpersist()
     val monotone = sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2)
     val floor32 = sweep.last._2.toDouble / (nQ * k) >= 0.60
     val rowsOk = sweep.forall(_._3 == nQ * k)
@@ -1618,9 +1645,6 @@ object TextQueries {
         .select("qid", "nid").localCheckpoint()
       val truth = Similarity.bruteForceTopK(q, emb, k = k)
         .select("qid", "nid").localCheckpoint()
-      val nTruth = truth.count()
-      val hitsBase = baseHits.join(truth, Seq("qid", "nid"), "left_semi").count()
-      val hitsMerged = mergedHits.join(truth, Seq("qid", "nid"), "left_semi").count()
       val assigned = s.read.parquet(s"$dir/assigned").localCheckpoint()
       val centers = s.read.parquet(s"$dir/centroids")
         .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
@@ -1628,11 +1652,18 @@ object TextQueries {
         .select((col("cluster") ===
           element_at(Ivf.nearestK(col("cu"), centers, 1), 1)).as("eq"))
         .agg(coalesce(bool_and(col("eq")), lit(false))).collect()(0).getBoolean(0)
-      val nAssigned = assigned.count()
-      val nDistinct = assigned.select("vec_id").distinct().count()
-      val nExpected = base.count() + delta.count()
-      val deltaSeen = mergedHits
-        .filter(pmod(col("nid"), lit(10)) === 0).count()
+      // all eight verdict counts in ONE tagged job (was 8 actions)
+      val c = Checks.counts(Seq(
+        truth,
+        baseHits.join(truth, Seq("qid", "nid"), "left_semi"),
+        mergedHits.join(truth, Seq("qid", "nid"), "left_semi"),
+        assigned,
+        assigned.select("vec_id").distinct(),
+        base, delta,
+        mergedHits.filter(pmod(col("nid"), lit(10)) === 0)))
+      val (nTruth, hitsBase, hitsMerged) = (c(0), c(1), c(2))
+      val (nAssigned, nDistinct, nExpected) = (c(3), c(4), c(5) + c(6))
+      val deltaSeen = c(7)
       import s.implicits._
       Seq(
         ("assignments_roundtrip", roundtrip),
@@ -1681,10 +1712,19 @@ object TextQueries {
         .select("qid", "nid").localCheckpoint()
       val truth = Similarity.bruteForceTopK(q, emb, k = k)
         .select("qid", "nid").localCheckpoint()
-      val nTruth = truth.count()
-      val hitsBase = baseHits.join(truth, Seq("qid", "nid"), "left_semi").count()
-      val hitsMerged = mergedHits.join(truth, Seq("qid", "nid"), "left_semi").count()
       val assigned = s.read.parquet(s"$dir/assigned").localCheckpoint()
+      // all eight verdict counts in ONE tagged job (was 8 actions)
+      val c = Checks.counts(Seq(
+        truth,
+        baseHits.join(truth, Seq("qid", "nid"), "left_semi"),
+        mergedHits.join(truth, Seq("qid", "nid"), "left_semi"),
+        assigned,
+        assigned.select("vec_id").distinct(),
+        base, delta,
+        mergedHits.filter(pmod(col("nid"), lit(10)) === 0)))
+      val (nTruth, hitsBase, hitsMerged) = (c(0), c(1), c(2))
+      val (nAssigned, nDistinct, nExpected) = (c(3), c(4), c(5) + c(6))
+      val deltaSeen = c(7)
       val centers = s.read.parquet(s"$dir/centroids")
         .orderBy("cluster").collect().map(_.getSeq[Double](1).toArray)
       val model = {
@@ -1706,11 +1746,6 @@ object TextQueries {
         .select((col("cl1") === col("cl0") &&
           col("codes") === col("codes0")).as("eq"))
         .agg(coalesce(bool_and(col("eq")), lit(false))).collect()(0).getBoolean(0)
-      val nAssigned = assigned.count()
-      val nDistinct = assigned.select("vec_id").distinct().count()
-      val nExpected = base.count() + delta.count()
-      val deltaSeen = mergedHits
-        .filter(pmod(col("nid"), lit(10)) === 0).count()
       import s.implicits._
       Seq(
         ("codes_roundtrip", roundtrip),
@@ -1765,16 +1800,21 @@ object TextQueries {
       val live = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
       val truth = Similarity.bruteForceTopK(q, live, k = k)
         .select("qid", "nid").localCheckpoint()
-      val nTruth = truth.count()
-      val hitsMid = mid.join(truth, Seq("qid", "nid"), "left_semi").count()
+      // five verdict counts in ONE tagged job (was 5 actions; nDel and
+      // the compaction triple stay protocol-ordered above)
+      val c = Checks.counts(Seq(
+        truth,
+        mid.join(truth, Seq("qid", "nid"), "left_semi"),
+        emb,
+        pre.filter(pmod(col("nid"), lit(7)) === 3),
+        mid.filter(pmod(col("nid"), lit(7)) === 3)))
+      val (nTruth, hitsMid) = (c(0), c(1))
       import s.implicits._
       Seq(
         ("compact_conserves",
-          removed == nDel && after == before - nDel && before == emb.count()),
-        ("deleted_was_hit",
-          pre.filter(pmod(col("nid"), lit(7)) === 3).count() > 0),
-        ("excludes_deleted",
-          mid.filter(pmod(col("nid"), lit(7)) === 3).count() == 0),
+          removed == nDel && after == before - nDel && before == c(2)),
+        ("deleted_was_hit", c(3) > 0),
+        ("excludes_deleted", c(4) == 0),
         ("probe_stable", Checks.multisetEqual(mid, post)),
         ("recall_floor", hitsMid * 4 >= nTruth),
         ("tombstones_cleared",
@@ -2118,19 +2158,21 @@ object TextQueries {
       // gates
       val v1r = Versions.read(s, root, 1).localCheckpoint()
       val live = Ivf.liveAssigned(s, idx).select("vec_id")
-      val liveEq =
-        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
-          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
-      val nDelUpd = cdf.filter(col("action").isin("deleted", "updated")).count()
       val queries = v1r.filter(col("vec_id") < 40)
       val got = Ivf.probeIndex(queries, idx, k = 10, nProbe = 8)
         .select("qid", "nid")
       val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
         .select("qid", "nid")
-      val recallOk = {
-        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
-        hits.toDouble / truth.count() >= 0.6
-      }
+      // all six gate counts in ONE tagged job (was 6 actions)
+      val c = Checks.counts(Seq(
+        live.join(v1r, Seq("vec_id"), "left_anti"),
+        v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti"),
+        cdf.filter(col("action").isin("deleted", "updated")),
+        got.join(truth, Seq("qid", "nid"), "left_semi"),
+        truth))
+      val liveEq = c(0) == 0 && c(1) == 0
+      val nDelUpd = c(2)
+      val recallOk = c(3).toDouble / c(4) >= 0.6
       val rows = cdf.groupBy(concat(lit("act:"), col("action")).as("tag"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .unionByName(v1r.agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
@@ -2240,23 +2282,24 @@ object TextQueries {
           .filter(pmod(col("vec_id"), lit(5)) === 4))
         .localCheckpoint()
       val live = Ivf.liveAssigned(s, idx).select("vec_id").localCheckpoint()
-      val liveEq =
-        live.join(v1r, Seq("vec_id"), "left_anti").isEmpty &&
-          v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti").isEmpty
-      val onePass =
-        s.read.parquet(s"$idx/tombstones").count() == tombIds.count()
-      val staleDead =
-        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi")
-          .count() == 0
       val queries = v1r.filter(col("vec_id") < 40)
       val got = IvfPq.probeIndex(queries, idx, k = 10, nProbe = 8,
           shortlist = 100).select("qid", "nid")
       val truth = Similarity.bruteForceTopK(queries, v1r, k = 10)
         .select("qid", "nid")
-      val recallOk = {
-        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
-        hits.toDouble / truth.count() >= 0.55
-      }
+      // all seven gate counts in ONE tagged job (was 7 actions)
+      val c = Checks.counts(Seq(
+        live.join(v1r, Seq("vec_id"), "left_anti"),
+        v1r.select("vec_id").join(live, Seq("vec_id"), "left_anti"),
+        s.read.parquet(s"$idx/tombstones"),
+        tombIds,
+        live.join(stale.select("vec_id"), Seq("vec_id"), "left_semi"),
+        got.join(truth, Seq("qid", "nid"), "left_semi"),
+        truth))
+      val liveEq = c(0) == 0 && c(1) == 0
+      val onePass = c(2) == c(3)
+      val staleDead = c(4) == 0
+      val recallOk = c(5).toDouble / c(6) >= 0.55
       val rows = del.select(lit("act:deleted").as("tag"), col("vec_id"))
         .groupBy("tag").agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .unionByName(ins.groupBy(lit("act:inserted").as("tag"))
@@ -2381,19 +2424,20 @@ object TextQueries {
       val live2 = Ivf.liveAssigned(s, idx).select("vec_id").localCheckpoint()
       val v2r = v1r.filter(pmod(col("vec_id"), lit(13)) =!= 2)
         .localCheckpoint()
-      val seqDeleteWorks =
-        live2.join(v2r, Seq("vec_id"), "left_anti").isEmpty &&
-          v2r.select("vec_id").join(live2, Seq("vec_id"), "left_anti").isEmpty
       // the maintained index still holds the ADC recall floor
       val queries = v2r.filter(col("vec_id") < 40)
       val got = IvfPq.probeIndex(queries, idx, k = 10, nProbe = 8,
         shortlist = 100).select("qid", "nid")
       val truth = Similarity.bruteForceTopK(queries, v2r, k = 10)
         .select("qid", "nid")
-      val recallOk = {
-        val hits = got.join(truth, Seq("qid", "nid"), "left_semi").count()
-        hits.toDouble / truth.count() >= 0.55
-      }
+      // post-delete gate counts in ONE tagged job (was 4 actions)
+      val c = Checks.counts(Seq(
+        live2.join(v2r, Seq("vec_id"), "left_anti"),
+        v2r.select("vec_id").join(live2, Seq("vec_id"), "left_anti"),
+        got.join(truth, Seq("qid", "nid"), "left_semi"),
+        truth))
+      val seqDeleteWorks = c(0) == 0 && c(1) == 0
+      val recallOk = c(2).toDouble / c(3) >= 0.55
       val rows = v1r.groupBy(lit("live:after_compact").as("tag"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .unionByName(v2r.groupBy(lit("live:after_retrain_delete").as("tag"))

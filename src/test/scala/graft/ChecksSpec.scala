@@ -59,6 +59,12 @@ class ChecksSpec extends AnyFunSuite with SparkSpec {
     assert(!Checks.allMultisetEqual(Seq((x, y), (y, x))))
   }
 
+  test("counts: positional per-frame counts, zeros for empty frames") {
+    val x = df(Seq((1, "x"), (2, "y")))
+    val e = x.limit(0)
+    assert(Checks.counts(Seq(x, e, x.limit(1))) == Seq(2L, 0L, 1L))
+  }
+
   test("allNonEmpty / allEmpty: batched probes") {
     val x = df(Seq((1, "x")))
     val e = x.limit(0)
