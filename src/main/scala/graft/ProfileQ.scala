@@ -64,6 +64,12 @@ object ProfileQ {
         js.take(25).foreach { case (id, ms, site, nTasks) =>
           println(f"   job $id%4d $ms%6dms $nTasks%4d tasks  $site")
         }
+        // per-site histogram: which call sites submit how many jobs
+        js.groupBy(_._3).toSeq
+          .map { case (site, g) => (site, g.size, g.map(_._2).sum) }
+          .sortBy(-_._3).take(20).foreach { case (site, n, ms) =>
+            println(f"   site $n%4d jobs $ms%7dms  $site")
+          }
         // driver stalls: the biggest gaps BETWEEN consecutive jobs,
         // attributed to the NEXT job's call site (plan building, file
         // ops, commit protocol — whatever ran with no job active)

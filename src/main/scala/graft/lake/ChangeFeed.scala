@@ -79,11 +79,11 @@ object ChangeFeed {
     val dir = versionDir(core, root, v)
     Mor.overlayOf(dir) match {
       case Some((kc, false)) => // deletion vector: pre-image rows
-        val keys = spark.read.parquet(dir.getAbsolutePath).select(kc)
+        val keys = Mor.readDir(spark, dir).select(kc)
         stamped(readAt(spark, root, v - 1).join(keys, Seq(kc), "left_semi"),
           "delete")
       case Some((kc, true)) => // upsert: replaced pre-images + batch
-        val ov = spark.read.parquet(dir.getAbsolutePath)
+        val ov = Mor.readDir(spark, dir)
         val pre = readAt(spark, root, v - 1)
           .join(ov.select(kc).distinct(), Seq(kc), "left_semi")
         stamped(pre, "delete").unionByName(stamped(ov, "insert"))

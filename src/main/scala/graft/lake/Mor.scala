@@ -121,6 +121,32 @@ private[lake] object Mor {
         "are rejected; dedup before committing")
   }
 
+  /** Read one COMMITTED version directory with its parquet schema
+    * cached: `spark.read.parquet(dir)` without an explicit schema runs
+    * a footer-inference Spark JOB per call, and the lifecycle queries
+    * re-read the same immutable chain members dozens of times —
+    * measured 157 of q360's 328 jobs were pure schema inference. A
+    * committed version directory is immutable (commit-then-flip;
+    * rollback/vacuum DELETE whole directories, and any recreate is a
+    * fresh Spark write with a fresh mtime), so (canonical path, dir
+    * mtime) keys the schema safely; data files are still read fresh on
+    * every action — this caches METADATA only, never results. Bounded:
+    * cleared wholesale past 8192 entries (scratch dirs churn paths). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+  private[lake] def readDir(spark: SparkSession,
+                            dir: java.io.File): DataFrame = {
+    val key = (dir.getCanonicalPath, dir.lastModified())
+    val hit = schemaCache.get(key)
+    if (hit != null) spark.read.schema(hit).parquet(dir.getAbsolutePath)
+    else {
+      val df = spark.read.parquet(dir.getAbsolutePath)
+      if (schemaCache.size > 8192) schemaCache.clear()
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   /** Resolve the merge-on-read chain ITERATIVELY from the nearest full
     * base up to `v` (no JVM recursion — a long-neglected chain must at
     * worst build a deep PLAN, never overflow the stack), with a
@@ -146,11 +172,11 @@ private[lake] object Mor {
           "vacuumed, incomplete, or was never committed")
       d
     }
-    var acc = spark.read.parquet(checked(base).getAbsolutePath)
+    var acc = readDir(spark, checked(base))
     var i = base + 1
     while (i <= v) {
       val d = checked(i)
-      val ov = spark.read.parquet(d.getAbsolutePath)
+      val ov = readDir(spark, d)
       overlayOf(d) match {
         case Some((kc, false)) => // deletion vector(s): coalesce a run
           var keys = ov.select(kc)
@@ -159,8 +185,7 @@ private[lake] object Mor {
           while (run && j <= v) {
             overlayOf(dirOf(j)) match {
               case Some((`kc`, false)) =>
-                keys = keys.union(
-                  spark.read.parquet(checked(j).getAbsolutePath).select(kc))
+                keys = keys.union(readDir(spark, checked(j)).select(kc))
                 j += 1
               case _ => run = false
             }
