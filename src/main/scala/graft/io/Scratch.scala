@@ -50,7 +50,7 @@ object Scratch {
    */
   def table(spark: SparkSession, sfDir: String, kind: String)
            (build: => DataFrame): DataFrame =
-    spark.read.parquet(tablePath(spark, sfDir, kind)(build))
+    Sources.cachedParquet(spark, tablePath(spark, sfDir, kind)(build))
 
   /** [[table]] returning the persisted PATH instead of a DataFrame —
     * for consumers that must re-read the table on a DIFFERENT session
