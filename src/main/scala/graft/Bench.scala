@@ -103,17 +103,33 @@ object Bench {
     // durable artifact so round-over-round variance is inspectable.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     var hygieneCounter = 0
+    // A query whose run THROWS must never masquerade as a fast success
+    // (r14 shipped a corrupted q104 number exactly that way): failures
+    // are recorded per query and surfaced in the JSON artifact.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    def failMsg(e: Throwable): String = {
+      val m = e.getClass.getSimpleName + ": " + Option(e.getMessage).getOrElse("")
+      m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    }
     val results = selected.map { q =>
       val streamsBefore = streamCount
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { q.fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed.getOrElseUpdate(q.name, failMsg(e))
+          System.err.println(s"BENCH FAIL ${q.name}: ${failMsg(e)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // ---- warm-up (untimed; cold-cost attribution happens here) ----
       val w0 = System.nanoTime()
       val df = try { val d = q.fn(spark, sfDir); d.count(); Some(d) }
-               catch { case _: Throwable => None }
+               catch { case e: Throwable =>
+                 failed.getOrElseUpdate(q.name, failMsg(e))
+                 System.err.println(s"BENCH FAIL (warmup) ${q.name}: ${failMsg(e)}")
+                 None
+               }
       val warmupSec = (System.nanoTime() - w0) / 1e9
       if (streamsBefore == 0 && streamCount > 0)
         cold(q.name) = "stream_init"
@@ -153,9 +169,16 @@ object Bench {
       // each query's timed runs — plus a periodic GC nudge so the
       // cleaner actually reaps shuffle/broadcast state — keeps
       // per-query numbers attributable. No timed semantics change:
-      // every timed run still computes from the parquet inputs (there
-      // was never cross-query block reuse to lose).
+      // every timed run still computes from the parquet inputs. ONE
+      // deliberate cross-query block exists — the shared
+      // TokenizedCorpus localCheckpoint (built by the first token
+      // query, read by the rest) — and a localCheckpoint cannot
+      // recompute after unpersist, so it is excluded from the sweep
+      // (r14 swept it and corrupted q104's number: the run crashed
+      // fast and was recorded as a timing).
+      val keep = graft.text.TokenizedCorpus.liveRddIds(spark)
       spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => keep.contains(r.id))
         .foreach(_.unpersist(blocking = false))
       hygieneCounter += 1
       if (hygieneCounter % 40 == 0) System.gc()
@@ -172,8 +195,16 @@ object Bench {
       "\"" + short(k) + "\":\"" + v + "\""
     }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
+    // failed queries keep their (meaningless) timing slot so the
+    // `queries` contract never loses a key, but the failure is loud:
+    // listed here and printed to stderr at the moment it happened.
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map { case (k, v) =>
+        "\"" + short(k) + "\":\"" + v + "\""
+      }.mkString(""","failed":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$coldJson$failedJson,"sf":"$sfDir"}"""
     println(line)
     // Durable copy: a bounded log-tail capture can truncate stdout when the
     // suite grows (BENCH_r06 lost q01–q83), so the full data also lands on

@@ -48,14 +48,25 @@ object Sources {
     * metadata only — the scan itself is untouched, and PushedFilters /
     * ReadSchema behave identically with a supplied schema. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, String), org.apache.spark.sql.types.StructType]()
+
+  /** The session confs that change what parquet schema INFERENCE
+    * returns. Baked into every schema-cache key so a session with
+    * different inference settings sharing the JVM re-infers instead of
+    * inheriting another session's view of the footer. */
+  private[graft] def inferenceConfKey(spark: SparkSession): String =
+    Seq("spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.parquet.binaryAsString",
+        "spark.sql.parquet.int96AsTimestamp")
+      .map(k => spark.conf.getOption(k).getOrElse("")).mkString(",")
 
   /** Schema-cached parquet read of an immutable path — shared by
     * [[table]] and [[Scratch.table]]. */
   private[graft] def cachedParquet(spark: SparkSession,
                                    path: String): DataFrame = {
     val f = new java.io.File(path)
-    val key = (f.getCanonicalPath, f.lastModified())
+    val key = (f.getCanonicalPath, f.lastModified(), inferenceConfKey(spark))
     val hit = schemaCache.get(key)
     if (hit != null) spark.read.schema(hit).parquet(path)
     else {

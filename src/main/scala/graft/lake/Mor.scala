@@ -133,10 +133,11 @@ private[lake] object Mor {
     * every action — this caches METADATA only, never results. Bounded:
     * cleared wholesale past 8192 entries (scratch dirs churn paths). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, String), org.apache.spark.sql.types.StructType]()
   private[lake] def readDir(spark: SparkSession,
                             dir: java.io.File): DataFrame = {
-    val key = (dir.getCanonicalPath, dir.lastModified())
+    val key = (dir.getCanonicalPath, dir.lastModified(),
+      graft.io.Sources.inferenceConfKey(spark))
     val hit = schemaCache.get(key)
     if (hit != null) spark.read.schema(hit).parquet(dir.getAbsolutePath)
     else {

@@ -1422,15 +1422,20 @@ object TextQueries {
     val q = emb.filter(col("vec_id") < 50)
     val k = 5
     val dir = graft.sim.Ivf.persistedIndex(s, d, nClusters = 64)
+    // truth side deduped STRUCTURALLY (distinct on a tiny frame): the
+    // hits/rows left join below then cannot fan out, so a duplicate
+    // pair on the probe side inflates `rows` alone and fails the
+    // rows_complete gate loudly instead of drifting hits and rows
+    // together
     val bf = Similarity.bruteForceTopK(q, emb, k = k)
-      .select("qid", "nid").localCheckpoint()
+      .select("qid", "nid").distinct().localCheckpoint()
     // 4 bounded driver scalars (hit/row counts per probe width) — the
     // sweep itself, not a fact-table collect
     // the whole sweep in TWO jobs (was 3 actions PER width): tag each
     // width's probe, union, checkpoint once; hits ride a left join
-    // against the (unique-pair) brute truth so rows and hits come out
-    // of ONE aggregation — intersect ≡ hit-count here because (qid,
-    // nid) is unique on both sides (top-k per query, distinct nids)
+    // against the (distinct-pair) brute truth so rows and hits come
+    // out of ONE aggregation — intersect ≡ hit-count because the
+    // unique right side makes the join row-preserving on the left
     val tagged = Seq(1, 2, 4, 8).map { np =>
       graft.sim.Ivf.probeIndex(q, dir, k = k, nProbe = np)
         .select("qid", "nid").withColumn("np", lit(np))
@@ -1519,11 +1524,13 @@ object TextQueries {
     val q = emb.filter(col("vec_id") < 50)
     val k = 5
     val dir = graft.sim.IvfPq.persistedIndex(s, d)
+    // distinct truth side: the left join cannot fan out (see q272)
     val bf = Similarity.bruteForceTopK(q, emb, k = k)
-      .select("qid", "nid").localCheckpoint()
+      .select("qid", "nid").distinct().localCheckpoint()
     // whole sweep in TWO jobs — same tagged-union form as q272 (was
-    // 3 actions per width; (qid, nid) unique both sides, so the hit
-    // count from a left join equals the old intersect().count())
+    // 3 actions per width; unique right side ⇒ the left join is
+    // row-preserving, so the hit count equals the old
+    // intersect().count() and rows counts probe rows exactly)
     val tagged = Seq(4, 8, 16, 32).map { np =>
       graft.sim.IvfPq.probeIndex(q, dir, k = k, nProbe = np,
         shortlist = 100).select("qid", "nid").withColumn("np", lit(np))

@@ -23,6 +23,19 @@ object TokenizedCorpus {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** RDD ids backing this session's live cached views. A harness that
+   * sweeps leaked persistent RDDs between queries (graft.Bench) must
+   * exclude these: a localCheckpoint cannot recompute after unpersist,
+   * so sweeping them breaks every later consumer of the shared view. */
+  def liveRddIds(spark: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    cache.asScala.collect { case ((s, _), df) if s eq spark =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    }.flatten.toSet
+  }
+
   /** The shared `(doc_id, toks)` view for one (session, sfDir). */
   def apply(spark: SparkSession, sfDir: String): DataFrame = {
     // lazy eviction: a stopped session's entry can never be read again
