@@ -484,8 +484,16 @@ object Catalog {
     val core = coreOf(root, table).getOrElse(VersionsCore)
     if (vFrom == vTo) {
       // record(s) that never touched this member: empty frame in the
-      // feed's schema (payload at vTo + the two meta columns)
-      val schema = read(spark, root, table, snapshotAt(root, to)).schema
+      // feed's schema (payload at vTo + the two meta columns) — from
+      // chain METADATA, not a resolve-plan analysis
+      val memberRoot = s"$root/$table"
+      val payload = core match {
+        case TxLogCore =>
+          Mor.chainSchema(spark, TxLog.versionDir(memberRoot, _), vTo, table)
+        case VersionsCore =>
+          Mor.chainSchema(spark, Versions.versionDir(memberRoot, _), vTo, table)
+      }
+      val schema = payload
         .add(ChangeFeed.ChangeType, "string")
         .add(ChangeFeed.CommitVersion, "integer")
       spark.createDataFrame(

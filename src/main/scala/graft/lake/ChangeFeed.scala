@@ -59,12 +59,22 @@ object ChangeFeed {
   def changesAt(spark: SparkSession, root: String, v: Int,
                 core: Catalog.Core = Catalog.VersionsCore,
                 schemaAt: Int = -1): DataFrame = {
-    val readAt = reader(core)
     val cur = current(core, root)
     require(v >= 0 && v <= cur,
       s"version $v out of range for $root (current $cur)")
-    val want = readAt(spark, root, if (schemaAt >= 0) schemaAt else v)
-      .schema.fields
+    // target schema from chain METADATA ([[Mor.chainSchema]] replays
+    // the resolve's column algebra off cached footers) — building and
+    // ANALYZING a full resolve plan per step just for .schema.fields
+    // made an N-version feed pay O(N²) plan analyses
+    val want = Mor.chainSchema(spark, versionDir(core, root, _),
+      if (schemaAt >= 0) schemaAt else v, root).fields
+    changesAtAligned(spark, root, v, core, want)
+  }
+
+  private def changesAtAligned(spark: SparkSession, root: String, v: Int,
+                               core: Catalog.Core,
+                               want: Array[org.apache.spark.sql.types.StructField]): DataFrame = {
+    val readAt = reader(core)
     def aligned(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       val filled = want.foldLeft(df) { (d, f) =>
@@ -112,7 +122,11 @@ object ChangeFeed {
       s"bad feed window ($fromVersion, $to] for $root")
     val steps = (fromVersion + 1) to to
     require(steps.nonEmpty, s"empty feed window ($fromVersion, $to]")
-    steps.map(changesAt(spark, root, _, core, schemaAt = to))
+    // ONE metadata schema derivation for the whole window (every step
+    // aligns to the same to-version schema)
+    val want = Mor.chainSchema(spark, versionDir(core, root, _), to, root)
+      .fields
+    steps.map(changesAtAligned(spark, root, _, core, want))
       .reduce(_.unionByName(_))
   }
 

@@ -134,18 +134,63 @@ private[lake] object Mor {
     * cleared wholesale past 8192 entries (scratch dirs churn paths). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, String), org.apache.spark.sql.types.StructType]()
-  private[lake] def readDir(spark: SparkSession,
-                            dir: java.io.File): DataFrame = {
+  /** The cached parquet schema of one committed version directory —
+    * the cache lookup behind [[readDir]], exposed so metadata-only
+    * consumers ([[chainSchema]]) never have to construct a DataFrame
+    * (whose file-index build lists the directory eagerly) just to see
+    * column names. */
+  private[lake] def dirSchema(spark: SparkSession,
+                              dir: java.io.File): org.apache.spark.sql.types.StructType = {
     val key = (dir.getCanonicalPath, dir.lastModified(),
       graft.io.Sources.inferenceConfKey(spark))
     val hit = schemaCache.get(key)
-    if (hit != null) spark.read.schema(hit).parquet(dir.getAbsolutePath)
+    if (hit != null) hit
     else {
-      val df = spark.read.parquet(dir.getAbsolutePath)
+      val s = spark.read.parquet(dir.getAbsolutePath).schema
       if (schemaCache.size > 8192) schemaCache.clear()
-      schemaCache.put(key, df.schema)
-      df
+      schemaCache.put(key, s)
+      s
     }
+  }
+  private[lake] def readDir(spark: SparkSession,
+                            dir: java.io.File): DataFrame =
+    spark.read.schema(dirSchema(spark, dir)).parquet(dir.getAbsolutePath)
+
+  /** The schema a [[resolveChain]] read of version `v` RESOLVES TO,
+    * derived from the cached per-directory schemas alone — no Catalyst
+    * plan is built or analyzed (the write-side contracts and feed
+    * alignment were paying a full chain-plan ANALYSIS per commit/step
+    * just to read column names off it). Replays resolveChain's column
+    * algebra: the nearest full base sets the schema; deletion vectors
+    * and strict (non-evolve) upserts cannot change it (the write-side
+    * gate enforces alignment — an out-of-band misaligned overlay still
+    * fails LOUDLY at read time in the strict union); an evolve upsert
+    * appends its new columns in its own order, exactly like
+    * `unionByName(_, allowMissingColumns = true)`. Names, types and
+    * order match the resolved read; nullability is the base's (callers
+    * consume names/types only). Same `_SUCCESS` gate as a read. */
+  def chainSchema(spark: SparkSession, dirOf: Int => java.io.File,
+                  v: Int, desc: String): org.apache.spark.sql.types.StructType = {
+    val base = fullBase(dirOf, v)
+    def checked(i: Int): java.io.File = {
+      val d = dirOf(i)
+      require(new java.io.File(d, "_SUCCESS").isFile,
+        s"version $i under $desc (chain member for schema of $v) is " +
+          "vacuumed, incomplete, or was never committed")
+      d
+    }
+    var fields = dirSchema(spark, checked(base)).fields.toVector
+    var i = base + 1
+    while (i <= v) {
+      val d = checked(i)
+      if (evolveOf(d)) {
+        val have = fields.map(_.name).toSet
+        fields = fields ++
+          dirSchema(spark, d).fields.filterNot(f => have(f.name))
+      }
+      i += 1
+    }
+    org.apache.spark.sql.types.StructType(fields)
   }
 
   /** Resolve the merge-on-read chain ITERATIVELY from the nearest full

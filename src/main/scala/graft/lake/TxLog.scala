@@ -316,10 +316,12 @@ object TxLog {
       s"cannot upsert into empty table $root — commit first")
     // loud write-side contracts: no both-rows-survive, no schema drift
     // without the explicit evolution opt-in (checked against the
-    // EXPECTED version's schema — the one this overlay resolves onto)
+    // EXPECTED version's schema — the one this overlay resolves onto).
+    // Column names come from the METADATA chain schema
+    // ([[Mor.chainSchema]]) — no resolve-plan analysis per commit.
     Mor.requireSchemaAligned(rows,
-      read(rows.sparkSession, root, expected).columns.toSeq,
-      evolveSchema, root)
+      Mor.chainSchema(rows.sparkSession, versionDir(root, _), expected, root)
+        .fieldNames.toSeq, evolveSchema, root)
     Mor.requireKeyUnique(rows, keyCol, root)
     val n = commitImpl(rows, root, expected, txn,
       precheck = true, marker = Some((keyCol, true, evolveSchema)))

@@ -242,9 +242,13 @@ object Versions {
     val cur = current(root)
     require(cur >= 0, s"cannot upsert into empty table $root — commit first")
     // loud write-side contracts: no silent both-rows-survive, and no
-    // schema drift without the explicit evolution opt-in
+    // schema drift without the explicit evolution opt-in. Column names
+    // come from the METADATA chain schema ([[Mor.chainSchema]]) — the
+    // full resolve plan was being built and analyzed once per commit
+    // just to read its column names.
     Mor.requireSchemaAligned(rows,
-      read(rows.sparkSession, root).columns.toSeq, evolveSchema, root)
+      Mor.chainSchema(rows.sparkSession, versionDir(root, _), cur, root)
+        .fieldNames.toSeq, evolveSchema, root)
     Mor.requireKeyUnique(rows, keyCol, root)
     val n = cur + 1
     reclaimOrphan(root, n)
@@ -432,7 +436,9 @@ object Versions {
     * the parquet reader rather than silently coercing. */
   def readEvolved(spark: SparkSession, root: String,
                   version: Int = -1): DataFrame = {
-    val curFields = read(spark, root).schema.fields
+    // current schema from chain METADATA (no plan build/analysis)
+    val curFields =
+      Mor.chainSchema(spark, versionDir(root, _), current(root), root).fields
     val v = read(spark, root, version)
     val have = v.columns.toSet
     val filled = curFields.foldLeft(v) { (df, f) =>

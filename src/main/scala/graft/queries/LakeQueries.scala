@@ -3925,54 +3925,78 @@ object LakeQueries {
         .runViewIndexCatalog(s, d, root, nFiles = 5, compactAt = 3)
       val cur = Catalog.catalogVersion(root)
       val ct = col(ChangeFeed.ChangeType)
+      val cv = col(ChangeFeed.CommitVersion)
       def memberAt(t: String, v: Int) =
         Catalog.read(s, root, t, Catalog.snapshotAt(root, v))
+      // ONE whole-window feed per member, materialized once — the same
+      // [[Catalog.memberChanges]] extraction as before, built over the
+      // member chains exactly once instead of re-deriving per-record
+      // windows for every gate (per-step exactness, maintenance
+      // silence, the replica fold AND whole-window telescoping each
+      // re-resolved the chains before this round: ~3× the feed work
+      // and a deep plan per gate). A per-record window (catalog v-1,
+      // v] is recovered as the member-version slice (m(v-1), m(v)] of
+      // the one feed — row-identical to memberChanges(v-1, v), because
+      // both members' schemas are static so per-step and whole-window
+      // alignment coincide, and _commit_version stamps each step's
+      // member version.
+      val ixCols = Seq("event_type", "last_id")
+      val vwCols = Seq("event_type", "n", "id_sum", "id_max")
+      val ixFeed = Catalog.memberChanges(s, root, "index", -1, cur)
+        .localCheckpoint()
+      val vwFeed = Catalog.memberChanges(s, root, "view", -1, cur)
+        .localCheckpoint()
+      // member version named by each catalog record (driver-side
+      // metadata — tiny record-file reads)
+      def memberVs(t: String): IndexedSeq[Int] =
+        (0 to cur).map(v => Catalog.snapshotAt(root, v)(t))
+      val ixV = memberVs("index")
+      val vwV = memberVs("view")
+      def window(feed: org.apache.spark.sql.DataFrame, mv: IndexedSeq[Int],
+                 v: Int) = {
+        val lo = if (v == 0) -1 else mv(v - 1)
+        feed.filter(cv > lo && cv <= mv(v))
+      }
       def split(f: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
         (f.filter(ct === "insert").select(cols.map(col): _*),
           f.filter(ct === "delete").select(cols.map(col): _*))
       // per-step exactness, telescoped to one comparison per version —
       // `(prev ⊎ ins) ∖ del ≡ next` stated as `prev ⊎ ins ≡ next ⊎ del`
       // (identical when deletes ⊆ prev ⊎ ins, i.e. any correct feed;
-      // stricter when not) — and ALL versions batched into ONE job
-      // ([[Checks.allMultisetEqual]]: the loop ran 3 actions per
-      // version before round 14).
-      def applies(t: String, cols: Seq[String]): Boolean =
+      // stricter when not) — ALL versions batched into ONE job
+      // ([[Checks.allMultisetEqual]]), reading the checkpointed feed.
+      def applies(t: String, feed: org.apache.spark.sql.DataFrame,
+                  mv: IndexedSeq[Int], cols: Seq[String]): Boolean =
         Checks.allMultisetEqual((0 to cur).map { v =>
-          val (ins, del) = split(
-            Catalog.memberChanges(s, root, t, v - 1, v), cols)
+          val (ins, del) = split(window(feed, mv, v), cols)
           val prev = if (v == 0) ins.limit(0)
                      else memberAt(t, v - 1).select(cols.map(col): _*)
           val nxt = memberAt(t, v).select(cols.map(col): _*)
           (prev.unionByName(ins), nxt.unionByName(del))
         })
-      val ixCols = Seq("event_type", "last_id")
-      val stepsApply = applies("index", ixCols)
-      val viewDiffsApply = applies("view",
-        Seq("event_type", "n", "id_sum", "id_max"))
+      val stepsApply = applies("index", ixFeed, ixV, ixCols)
+      val viewDiffsApply = applies("view", vwFeed, vwV, vwCols)
       // maintenance records (txn-less: the per-app mark did not move)
       // are SILENT for the compacted index and an EMPTY WINDOW for the
       // untouched view — subscribers never reprocess a compaction.
-      // One batched emptiness probe per member (vs one per window).
+      // One batched emptiness probe per member over the same feed.
       val maint = (1 to cur).filter(v =>
         Catalog.lastTxnAt(root, v) == Catalog.lastTxnAt(root, v - 1))
       val compactionSilent = maint.nonEmpty && Checks.allEmpty(
-        maint.map(v => Catalog.memberChanges(s, root, "index", v - 1, v)))
+        maint.map(v => window(ixFeed, ixV, v)))
       val untouchedEmpty = maint.isEmpty || Checks.allEmpty(
-        maint.map(v => Catalog.memberChanges(s, root, "view", v - 1, v)))
-      // CDC replication: fold the per-record feeds into a replica —
-      // the fold stays exceptAll-shaped (the replica IS the consumer's
-      // algebra) but runs as ONE lazy plan compared in ONE job, instead
-      // of a localCheckpoint per version
+        maint.map(v => window(vwFeed, vwV, v)))
+      // CDC replication: fold the per-record windows of the SAME feed
+      // into a replica — the fold stays exceptAll-shaped (the replica
+      // IS the consumer's algebra), one lazy plan compared in ONE job
       val replica = (0 to cur).foldLeft(
           Option.empty[org.apache.spark.sql.DataFrame]) { (acc, v) =>
-        val (ins, del) = split(
-          Catalog.memberChanges(s, root, "index", v - 1, v), ixCols)
+        val (ins, del) = split(window(ixFeed, ixV, v), ixCols)
         Some(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins))
       }.get
       val live = memberAt("index", cur).select(ixCols.map(col): _*)
       val replicaConverges = Checks.multisetEqual(replica, live)
-      val (wIns, wDel) = split(
-        Catalog.memberChanges(s, root, "index", -1, cur), ixCols)
+      val (wIns, wDel) = split(ixFeed, ixCols)
       // whole-window telescoping: wIns ∖ wDel ≡ live, telescoped form
       val telescopes = Checks.multisetEqual(wIns, live.unionByName(wDel))
       val rows = memberAt("index", cur)
@@ -3993,7 +4017,7 @@ object LakeQueries {
       ).toDF("tag", "ok")
         .select(col("tag"), when(col("ok"), 1L).otherwise(0L).as("n"),
           lit(0L).as("id_sum"), lit(0L).as("id_max"))
-      Q.sealResult(rows.unionByName(chks).orderBy("tag"))
+      Q.sealResult(rows.unionByName(chks).orderBy("tag"), ixFeed, vwFeed)
     } finally graft.io.Sources.removeScratchDir(root)
   }
 
