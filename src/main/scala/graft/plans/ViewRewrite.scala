@@ -679,7 +679,6 @@ object ViewRewrite {
     // maintenance loop (the round-10 slow-creep class)
     val state = stateDf.localCheckpoint() // reused by several branches
     var joined: org.apache.spark.sql.DataFrame = null
-    var evictedKeys: org.apache.spark.sql.DataFrame = null
     try {
     // full_outer so a delete for a group the view does NOT hold is
     // visible (loud below), null-safe keys as everywhere in the merge
@@ -687,17 +686,7 @@ object ViewRewrite {
       view.keyCols.map(k => state(k) <=> d(s"_xk_$k")).reduce(_ && _),
       "full_outer").localCheckpoint()
     val touched = col(s"_x_$cnt").isNotNull
-    val unknown = joined.filter(touched && col(cnt).isNull)
-      .limit(1).collect() // bounded: at most one row
-    require(unknown.isEmpty,
-      s"delete-delta for the view over ${view.basePath} names a group " +
-        "the view does not hold — the delta and the view have diverged")
     val newN = col(cnt) - col(s"_x_$cnt")
-    val overdrawn = joined.filter(touched && newN < 0)
-      .limit(1).collect() // bounded: at most one row
-    require(overdrawn.isEmpty,
-      s"delete-delta for the view over ${view.basePath} removes more " +
-        "rows than some group holds — the delta and the view have diverged")
     // EVICTION: a deleted value at-or-past the stored extremum may have
     // killed it (ties are undecidable without the base — a twin may
     // remain); strictly-interior deletions provably cannot
@@ -708,6 +697,23 @@ object ViewRewrite {
           (col(v).isNull || col(s"_x_$v") >= col(v)))
     val evict =
       if (evictTests.isEmpty) lit(false) else evictTests.reduce(_ || _)
+    // both divergence contracts AND the rescan/emptied bookkeeping in
+    // ONE aggregation over the checkpointed join (this ran 4 sequential
+    // actions — two bounded limit-collects and two counts — before r15)
+    val probe = joined.agg(
+      max(touched && col(cnt).isNull).as("_unknown"),
+      max(touched && newN < 0).as("_overdrawn"),
+      sum(when(touched && newN > 0 && evict, 1L).otherwise(0L)).as("_ev"),
+      sum(when(touched && newN === 0, 1L).otherwise(0L)).as("_emptied"))
+      .collect()(0)
+    require(probe.isNullAt(0) || !probe.getBoolean(0),
+      s"delete-delta for the view over ${view.basePath} names a group " +
+        "the view does not hold — the delta and the view have diverged")
+    require(probe.isNullAt(1) || !probe.getBoolean(1),
+      s"delete-delta for the view over ${view.basePath} removes more " +
+        "rows than some group holds — the delta and the view have diverged")
+    val nEvicted = if (probe.isNullAt(2)) 0L else probe.getLong(2)
+    val emptied = if (probe.isNullAt(3)) 0L else probe.getLong(3)
     def subbed(v: String) =
       when(col(s"_x_$v").isNull, col(v)).otherwise(col(v) - col(s"_x_$v"))
     // untouched groups pass through; touched non-evicted groups retract
@@ -718,19 +724,19 @@ object ViewRewrite {
         view.sumCols.values.map(c => subbed(c).as(c)) ++
         view.minCols.values.map(c => col(c).as(c)) ++
         view.maxCols.values.map(c => col(c).as(c))): _*)
-    evictedKeys = joined.filter(touched && newN > 0 && evict)
-      .select(view.keyCols.map(col): _*).localCheckpoint()
-    val nEvicted = evictedKeys.count()
-    val emptied = joined.filter(touched && newN === 0).count()
     // the ONLY base touch of a retraction: re-aggregate the evicted
     // groups from the current base, FILTERED to their keys (a semi join
-    // the scan pushes down — never a full rescan)
+    // the scan pushes down — never a full rescan). The keys derive from
+    // the checkpointed join lazily — nothing is materialized unless a
+    // rescan is actually owed (the common interior-delete refresh now
+    // skips the checkpoint + count it used to pay here).
     val out =
       if (nEvicted == 0L) algebraic
       else {
         val base =
           baseOverride.getOrElse(spark.read.parquet(view.basePath))
-        val ek = evictedKeys
+        val ek = joined.filter(touched && newN > 0 && evict)
+          .select(view.keyCols.map(col): _*)
         val rescanned = base.join(ek,
             view.keyCols.map(k => base(k) <=> ek(k)).reduce(_ && _),
             "left_semi")
@@ -742,7 +748,6 @@ object ViewRewrite {
     } finally {
       state.unpersist()
       Option(joined).foreach(_.unpersist())
-      Option(evictedKeys).foreach(_.unpersist())
       ()
     }
   }

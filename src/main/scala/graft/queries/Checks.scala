@@ -83,6 +83,28 @@ object Checks {
     frames.map(_.select(lit(1).as("_t"))).reduce(_ union _).isEmpty
   }
 
+  /** Evaluate INDEPENDENT gate actions concurrently (optimization
+    * guide §2.6: actions are only sequential because the driver calls
+    * them sequentially — overlapping lets one job's tasks back-fill
+    * executors idling in another's planning/tail). Only for gates that
+    * are pure reads over immutable inputs (committed snapshots,
+    * checkpointed frames): evaluation order must not matter. Failures
+    * propagate (first exception rethrown). A small pool is plenty —
+    * the point is overlap, not fan-out. */
+  def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    require(thunks.nonEmpty, "inParallel of no thunks")
+    if (thunks.size == 1) return Seq(thunks.head())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, 4))
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val fs = thunks.map(t => Future(t()))
+      fs.map(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+    } finally { pool.shutdown(); () }
+  }
+
   /** Per-frame row counts, in ONE tagged-union job (vs one `count()`
     * each): frame i is projected to the literal tag i, the tags are
     * union-counted, and the result comes back positionally (0 for a

@@ -3366,9 +3366,14 @@ object LakeQueries {
           .select(col("event_type"), col("last_id").as("id_max"))
         (vm, ix)
       }
-      val snapshotsReadable =
-        Checks.allNonEmpty(perSnap.flatMap(p => Seq(p._1, p._2)))
-      val atomicPair = Checks.allMultisetEqual(perSnap)
+      // two independent pure-read gate jobs over immutable snapshots —
+      // run concurrently (guide §2.6) so one's chain-plan analysis
+      // overlaps the other's execution
+      val snapGates = Checks.inParallel(Seq(
+        () => Checks.allNonEmpty(perSnap.flatMap(p => Seq(p._1, p._2))),
+        () => Checks.allMultisetEqual(perSnap)))
+      val snapshotsReadable = snapGates(0)
+      val atomicPair = snapGates(1)
       import s.implicits._
       val replayed = graft.streaming.StreamingLake.applyBatchCatalog(root,
         Seq(("view", 999999L)).toDF("event_type", "event_id"), batchId = 0L)
@@ -3808,20 +3813,6 @@ object LakeQueries {
       // steps batched into ONE job ([[Checks.allMultisetEqual]]; this
       // ran 2 shuffling actions per version before r14)
       def evolved(v: Int) = Versions.readEvolved(s, tRoot, v)
-      val stepsMatch = Checks.allMultisetEqual((1 to 4).map { v =>
-        val ins = feed.filter(cv === v && ct === "insert")
-          .select("k", "seg", "cents", "tier")
-        val del = feed.filter(cv === v && ct === "delete")
-          .select("k", "seg", "cents", "tier")
-        (evolved(v - 1).unionByName(ins), evolved(v).unionByName(del))
-      } :+ {
-        (feed.filter(cv === 0).select("k", "seg", "cents", "tier"),
-          evolved(0))
-      })
-      val (insAll, delAll) = ChangeFeed.splitFeed(feed)
-      // whole-window telescoping, same telescoped single-job form
-      val telescopes = Checks.multisetEqual(
-        insAll.get, evolved(4).unionByName(delAll.get))
       // the feed DRIVES the retraction-aware MV refresh end-to-end
       val mv = MatView(basePath = s"$tRoot/unused", keyCols = Seq("seg"),
         countCol = Some("n"), sumCols = Map("cents" -> "cents_sum"),
@@ -3833,37 +3824,75 @@ object LakeQueries {
         df.groupBy("seg").agg(count(lit(1)).as("n"),
           sum("cents").as("cents_sum"), min("cents").as("cents_min"),
           max("cents").as("cents_max"))
-      Versions.commit(viewOf(Versions.read(s, tRoot, 0)), vRoot)
-      // which (version, side) pairs are present, in ONE job — the loop
-      // probed the feed with 2 isEmpty actions per version before r14
-      val present = feed.groupBy(cv, ct).count().collect()
-        .map(r => (r.getInt(0), r.getString(1))).toSet
-      val payload = Seq("k", "seg", "cents", "tier")
-      (1 to 4).foreach { v =>
-        def sideOf(tpe: String) =
-          if (!present((v, tpe))) None
-          else Some(feed.filter(cv === v && ct === tpe)
-            .select(payload.map(col): _*))
-        val (ins, del) = (sideOf("insert"), sideOf("delete"))
-        if (ins.isDefined || del.isDefined)
-          ViewRewrite.refresh(s, mv, ins, del,
-            base = Some(Versions.read(s, tRoot, v)))
-      }
-      val got = Versions.read(s, vRoot).localCheckpoint()
-      val want = viewOf(evolved(4))
-      val viewMatches = Checks.multisetEqual(got, want)
+      // the four remaining pieces are INDEPENDENT of each other — three
+      // pure-read gates over the checkpointed feed + immutable tRoot
+      // versions, and the vRoot refresh protocol (its commits touch
+      // vRoot alone) — so they run CONCURRENTLY (guide §2.6): the
+      // refresh loop's driver-side commit work overlaps the gate jobs.
+      var got: org.apache.spark.sql.DataFrame = null
+      var silences: org.apache.spark.sql.Row = null
+      val gates = Checks.inParallel(Seq(
+        // per-step exactness: prev ⊎ inserts ∖ deletes = next, every
+        // step — telescoped to `prev ⊎ ins ≡ next ⊎ del` (identical for
+        // any correct feed, stricter on a phantom delete), ALL five
+        // steps batched into ONE job ([[Checks.allMultisetEqual]])
+        () => Checks.allMultisetEqual((1 to 4).map { v =>
+          val ins = feed.filter(cv === v && ct === "insert")
+            .select("k", "seg", "cents", "tier")
+          val del = feed.filter(cv === v && ct === "delete")
+            .select("k", "seg", "cents", "tier")
+          (evolved(v - 1).unionByName(ins), evolved(v).unionByName(del))
+        } :+ {
+          (feed.filter(cv === 0).select("k", "seg", "cents", "tier"),
+            evolved(0))
+        }),
+        // whole-window telescoping, same telescoped single-job form
+        () => {
+          val (insAll, delAll) = ChangeFeed.splitFeed(feed)
+          Checks.multisetEqual(
+            insAll.get, evolved(4).unionByName(delAll.get))
+        },
+        // three silence probes over the checkpointed feed in ONE
+        // aggregation job (each was its own filter+isEmpty action)
+        () => {
+          silences = feed.agg(
+            max(col("k") === -999L).as("absent"),
+            max(cv === 3).as("maint"),
+            max(cv < 4 && col("tier").isNotNull).as("preEvo")).collect()(0)
+          true
+        },
+        // the vRoot refresh protocol: sequential WITHIN this thunk
+        // (commit order is the feature), independent of the gates
+        () => {
+          Versions.commit(viewOf(Versions.read(s, tRoot, 0)), vRoot)
+          // which (version, side) pairs are present, in ONE job — the
+          // loop probed the feed with 2 isEmpty actions per version
+          // before r14
+          val present = feed.groupBy(cv, ct).count().collect()
+            .map(r => (r.getInt(0), r.getString(1))).toSet
+          val payload = Seq("k", "seg", "cents", "tier")
+          (1 to 4).foreach { v =>
+            def sideOf(tpe: String) =
+              if (!present((v, tpe))) None
+              else Some(feed.filter(cv === v && ct === tpe)
+                .select(payload.map(col): _*))
+            val (ins, del) = (sideOf("insert"), sideOf("delete"))
+            if (ins.isDefined || del.isDefined)
+              ViewRewrite.refresh(s, mv, ins, del,
+                base = Some(Versions.read(s, tRoot, v)))
+          }
+          got = Versions.read(s, vRoot).localCheckpoint()
+          Checks.multisetEqual(got, viewOf(evolved(4)))
+        }))
+      val stepsMatch = gates(0)
+      val telescopes = gates(1)
+      val viewMatches = gates(3)
       val stepRows = feed.groupBy(
           concat(lit("v"), cv, lit(":"), ct).as("tag"))
         .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
       val segRows = got.select(concat(lit("seg:"), col("seg")).as("tag"),
         col("n"), col("cents_sum"))
       import s.implicits._
-      // three silence probes over the checkpointed feed in ONE
-      // aggregation job (each was its own filter+isEmpty action)
-      val silences = feed.agg(
-        max(col("k") === -999L).as("absent"),
-        max(cv === 3).as("maint"),
-        max(cv < 4 && col("tier").isNotNull).as("preEvo")).collect()(0)
       val chks = Seq(
         ("chk:absent_key_silent", silences.getBoolean(0) == false),
         ("chk:compaction_silent", silences.getBoolean(1) == false),
@@ -3974,31 +4003,41 @@ object LakeQueries {
           val nxt = memberAt(t, v).select(cols.map(col): _*)
           (prev.unionByName(ins), nxt.unionByName(del))
         })
-      val stepsApply = applies("index", ixFeed, ixV, ixCols)
-      val viewDiffsApply = applies("view", vwFeed, vwV, vwCols)
       // maintenance records (txn-less: the per-app mark did not move)
       // are SILENT for the compacted index and an EMPTY WINDOW for the
       // untouched view — subscribers never reprocess a compaction.
       // One batched emptiness probe per member over the same feed.
       val maint = (1 to cur).filter(v =>
         Catalog.lastTxnAt(root, v) == Catalog.lastTxnAt(root, v - 1))
-      val compactionSilent = maint.nonEmpty && Checks.allEmpty(
-        maint.map(v => window(ixFeed, ixV, v)))
-      val untouchedEmpty = maint.isEmpty || Checks.allEmpty(
-        maint.map(v => window(vwFeed, vwV, v)))
-      // CDC replication: fold the per-record windows of the SAME feed
-      // into a replica — the fold stays exceptAll-shaped (the replica
-      // IS the consumer's algebra), one lazy plan compared in ONE job
-      val replica = (0 to cur).foldLeft(
-          Option.empty[org.apache.spark.sql.DataFrame]) { (acc, v) =>
-        val (ins, del) = split(window(ixFeed, ixV, v), ixCols)
-        Some(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins))
-      }.get
       val live = memberAt("index", cur).select(ixCols.map(col): _*)
-      val replicaConverges = Checks.multisetEqual(replica, live)
       val (wIns, wDel) = split(ixFeed, ixCols)
-      // whole-window telescoping: wIns ∖ wDel ≡ live, telescoped form
-      val telescopes = Checks.multisetEqual(wIns, live.unionByName(wDel))
+      // the six gates are INDEPENDENT pure reads over immutable inputs
+      // (checkpointed feeds + committed snapshot dirs), so they run
+      // CONCURRENTLY (guide §2.6): each job's tasks back-fill executors
+      // idled by another gate's driver-side planning — the gates'
+      // verdicts cannot depend on evaluation order.
+      val gates = Checks.inParallel(Seq(
+        () => applies("index", ixFeed, ixV, ixCols),
+        () => applies("view", vwFeed, vwV, vwCols),
+        () => maint.nonEmpty && Checks.allEmpty(
+          maint.map(v => window(ixFeed, ixV, v))),
+        () => maint.isEmpty || Checks.allEmpty(
+          maint.map(v => window(vwFeed, vwV, v))),
+        // CDC replication: fold the per-record windows of the SAME feed
+        // into a replica — the fold stays exceptAll-shaped (the replica
+        // IS the consumer's algebra), one lazy plan in ONE job
+        () => {
+          val replica = (0 to cur).foldLeft(
+              Option.empty[org.apache.spark.sql.DataFrame]) { (acc, v) =>
+            val (ins, del) = split(window(ixFeed, ixV, v), ixCols)
+            Some(acc.map(_.unionByName(ins).exceptAll(del)).getOrElse(ins))
+          }.get
+          Checks.multisetEqual(replica, live)
+        },
+        // whole-window telescoping: wIns ∖ wDel ≡ live, telescoped form
+        () => Checks.multisetEqual(wIns, live.unionByName(wDel))))
+      val Seq(stepsApply, viewDiffsApply, compactionSilent,
+        untouchedEmpty, replicaConverges, telescopes) = gates
       val rows = memberAt("index", cur)
         .select(concat(lit("ix:"), col("event_type")).as("tag"),
           lit(1L).as("n"), lit(0L).as("id_sum"),
