@@ -126,16 +126,40 @@ object Ivf {
                  idCol: String = "vec_id", vecCol: String = "embedding",
                  trainSample: Long = 65536L): IvfIndex = {
     val corpus = corpus0.filter(col(vecCol).isNotNull)
+    buildIndexWith(corpus,
+      unitTrainSample(corpus, idCol, vecCol, trainSample),
+      nClusters, idCol, vecCol)
+  }
+
+  /** The deterministic ≤`trainSample` unit-vector hash sample both
+    * training steps draw from ([[buildIndex]] and [[Pq.fit]] take the
+    * IDENTICAL sample by construction — same filter, same unit
+    * expression, same id order). Exposed so a COMPOSED build
+    * ([[IvfPq.persistIndex]]) collects it once instead of paying the
+    * corpus count + sample scan per half. `corpus` must already be
+    * null-filtered on `vecCol`. */
+  private[sim] def unitTrainSample(corpus: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   trainSample: Long): Array[Array[Double]] = {
     val unit = Similarity.unitVecExpr(col(vecCol))
     val n = corpus.count()
     val bp = if (n <= trainSample) 10000L
              else math.max(1L, trainSample * 10000L / n)
-    val sample = corpus
+    corpus
       .filter(Curation.samplingKey(col(idCol)) < lit(bp))
       .select(col(idCol), unit.as("_v"))
       .orderBy(idCol) // stable driver order → deterministic k-means++ draw
       .collect()
       .map(_.getSeq[Double](1).toArray)
+  }
+
+  /** [[buildIndex]] over a PRE-COLLECTED training sample. `corpus` must
+    * already be null-filtered on `vecCol`. */
+  private[sim] def buildIndexWith(corpus: DataFrame,
+                                  sample: Array[Array[Double]],
+                                  nClusters: Int, idCol: String,
+                                  vecCol: String): IvfIndex = {
+    val unit = Similarity.unitVecExpr(col(vecCol))
     val train = if (sample.length >= nClusters) sample
       // fallback ordered by id: an unordered limit would make the
       // centroids depend on partition scan order, breaking the

@@ -45,8 +45,15 @@ object IvfPq {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    trainSample: Long = 65536L,
                    seqCol: Option[String] = None): Unit = {
-    val ivf = Ivf.buildIndex(corpus, nClusters, idCol, vecCol, trainSample)
-    val model = Pq.fit(corpus, dim, m, ksub, idCol, vecCol, trainSample)
+    // ONE corpus count + ONE sample collect shared by both training
+    // halves (they draw the IDENTICAL deterministic hash sample; each
+    // previously re-scanned the corpus for it — 4 passes where 2
+    // suffice, and at 100 TB the sample scan is the build's only
+    // pre-write full read)
+    val filtered = corpus.filter(col(vecCol).isNotNull)
+    val sample = Ivf.unitTrainSample(filtered, idCol, vecCol, trainSample)
+    val ivf = Ivf.buildIndexWith(filtered, sample, nClusters, idCol, vecCol)
+    val model = Pq.fitWith(filtered, sample, dim, m, ksub, idCol, vecCol)
     // a rebuild into a reused dir starts from a CLEAN maintenance state
     // (stale tombstones / staging would corrupt the fresh index — the
     // same contract as [[Ivf.persistIndex]])

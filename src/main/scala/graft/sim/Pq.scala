@@ -47,19 +47,23 @@ object Pq {
   def fit(corpus0: DataFrame, dim: Int, m: Int, ksub: Int,
           idCol: String = "vec_id", vecCol: String = "embedding",
           trainSample: Long = 65536L): PqModel = {
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
+    fitWith(corpus,
+      Ivf.unitTrainSample(corpus, idCol, vecCol, trainSample),
+      dim, m, ksub, idCol, vecCol)
+  }
+
+  /** [[fit]] over a PRE-COLLECTED training sample (the identical
+    * [[Ivf.unitTrainSample]] draw — [[IvfPq.persistIndex]] shares one
+    * sample between both training halves instead of paying the corpus
+    * count + sample scan twice). `corpus` must already be null-filtered
+    * on `vecCol`. */
+  private[sim] def fitWith(corpus: DataFrame, sample: Array[Array[Double]],
+                           dim: Int, m: Int, ksub: Int,
+                           idCol: String, vecCol: String): PqModel = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
-    val corpus = corpus0.filter(col(vecCol).isNotNull)
     val unit = Similarity.unitVecExpr(col(vecCol))
-    val n = corpus.count()
-    val bp = if (n <= trainSample) 10000L
-             else math.max(1L, trainSample * 10000L / n)
-    val sample = corpus
-      .filter(Curation.samplingKey(col(idCol)) < lit(bp))
-      .select(col(idCol), unit.as("_v"))
-      .orderBy(idCol) // stable driver order → deterministic Lloyd seeds
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
     val train = if (sample.length >= ksub) sample
       else corpus.orderBy(col(idCol)).select(unit)
         .limit(ksub).collect().map(_.getSeq[Double](0).toArray)
