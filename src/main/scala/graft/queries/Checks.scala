@@ -89,8 +89,10 @@ object Checks {
     * executors idling in another's planning/tail). Only for gates that
     * are pure reads over immutable inputs (committed snapshots,
     * checkpointed frames): evaluation order must not matter. Failures
-    * propagate (first exception rethrown). A small pool is plenty —
-    * the point is overlap, not fan-out. */
+    * propagate (first exception rethrown) — but only after EVERY thunk
+    * has finished, so a caller's cleanup (`finally` deleting scratch
+    * roots) can never race a still-running sibling. A small pool is
+    * plenty — the point is overlap, not fan-out. */
   def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
     require(thunks.nonEmpty, "inParallel of no thunks")
     if (thunks.size == 1) return Seq(thunks.head())
@@ -101,7 +103,14 @@ object Checks {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       val fs = thunks.map(t => Future(t()))
-      fs.map(f => Await.result(f, scala.concurrent.duration.Duration.Inf))
+      // settle ALL outcomes before surfacing any failure
+      val outcomes = fs.map(f => scala.util.Try(
+        Await.result(f, scala.concurrent.duration.Duration.Inf)))
+      outcomes.foreach {
+        case scala.util.Failure(e) => throw e
+        case _ => ()
+      }
+      outcomes.map(_.get)
     } finally { pool.shutdown(); () }
   }
 

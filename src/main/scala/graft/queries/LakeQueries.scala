@@ -3981,6 +3981,17 @@ object LakeQueries {
         (0 to cur).map(v => Catalog.snapshotAt(root, v)(t))
       val ixV = memberVs("index")
       val vwV = memberVs("view")
+      // the static-schema assumption the window derivation above
+      // depends on, enforced: if a future fixture edit evolves a
+      // member's schema mid-stream, per-step and whole-window
+      // alignment diverge and the gates would weaken silently
+      Seq("index", "view").foreach { t =>
+        def nt(v: Int) = Catalog.read(s, root, t, Catalog.snapshotAt(root, v))
+          .schema.map(f => (f.name, f.dataType))
+        require(nt(0) == nt(cur),
+          s"member $t evolved its schema across the stream — the " +
+            "single-feed window derivation requires static schemas")
+      }
       def window(feed: org.apache.spark.sql.DataFrame, mv: IndexedSeq[Int],
                  v: Int) = {
         val lo = if (v == 0) -1 else mv(v - 1)

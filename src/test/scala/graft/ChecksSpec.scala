@@ -73,4 +73,20 @@ class ChecksSpec extends AnyFunSuite with SparkSpec {
     assert(Checks.allEmpty(Seq(e, e)))
     assert(!Checks.allEmpty(Seq(e, x)))
   }
+
+  test("inParallel: results in order; a failure surfaces only after every thunk settles") {
+    assert(Checks.inParallel(Seq(() => 1, () => 2, () => 3)) == Seq(1, 2, 3))
+    // a throwing thunk must not leave siblings running when the caller
+    // regains control (its `finally` may delete shared fixtures)
+    val finished = new java.util.concurrent.atomic.AtomicInteger(0)
+    val boom = intercept[RuntimeException] {
+      Checks.inParallel[Int](Seq(
+        () => throw new RuntimeException("gate failed"),
+        () => { Thread.sleep(300); finished.incrementAndGet() },
+        () => { Thread.sleep(300); finished.incrementAndGet() }))
+    }
+    assert(boom.getMessage == "gate failed")
+    assert(finished.get() == 2,
+      "siblings must have settled before the failure surfaced")
+  }
 }
